@@ -1,0 +1,34 @@
+"""Codec registry. Codec ids are stable wire values (footer byte)."""
+
+from __future__ import annotations
+
+from .base import Codec, ColumnValues, Encoded
+from .dictionary import DictCodec
+from .foref import ForCodec
+from .fsst import FsstCodec
+from .plain import PlainCodec
+from .rle import RleCodec
+
+PLAIN = PlainCodec()
+RLE = RleCodec()
+DICT = DictCodec()
+FOR = ForCodec()
+FSST = FsstCodec()
+
+ALL_CODECS: list[Codec] = [PLAIN, RLE, DICT, FOR, FSST]
+BY_ID: dict[int, Codec] = {c.codec_id: c for c in ALL_CODECS}
+BY_NAME: dict[str, Codec] = {c.name: c for c in ALL_CODECS}
+
+__all__ = [
+    "Codec",
+    "ColumnValues",
+    "Encoded",
+    "PLAIN",
+    "RLE",
+    "DICT",
+    "FOR",
+    "FSST",
+    "ALL_CODECS",
+    "BY_ID",
+    "BY_NAME",
+]

@@ -1,0 +1,171 @@
+"""Codec auto-selector: pick the smallest encoding per column chunk.
+
+The reference makes RLE a manual caller flag (src/lib.rs:25-33) but its
+docs endorse empirical selection — "The most surefire way to determine if
+RLE has benefits is to test it in practice… try using both… see which one
+has the smaller size" (wills-columnar-format.org:961-963) — and list
+automatic RLE + dictionary encoding as V2 goals (org:196-204). This
+module implements that: below ``TRY_ALL_THRESHOLD`` values we encode with
+every applicable codec and keep the actual argmin (the reference's
+try-both rule, exactly); above it we estimate sizes from a deterministic
+stats sample and encode once with the argmin.
+
+Selection is a pure function of the input values (deterministic sample),
+so resumable re-encodes reproduce byte-identical blobs for checksum
+verification (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import dtypes
+from .codecs import ALL_CODECS, BY_NAME, Codec, ColumnValues
+from .codecs.fsst import build_symbol_table, compress
+from .codecs.plain import numeric_value_sizes
+from .codecs.rle import run_starts_numeric, run_starts_varlen
+from .format import uvarint_lengths
+
+TRY_ALL_THRESHOLD = 1 << 16  # values
+SAMPLE_VALUES = 1 << 14
+
+_INT64_MAX = (1 << 63) - 1
+
+
+@dataclass
+class ColumnStats:
+    n: int
+    plain_payload_bytes: float
+    rle_payload_bytes: float
+    est_distinct: int
+    dict_values_bytes: float
+    vmin: int
+    vmax: int
+    fsst_est_bytes: float
+
+
+def _sample_indices(n: int, k: int) -> np.ndarray:
+    if n <= k:
+        return np.arange(n)
+    stride = n // k
+    return np.arange(0, n, stride)[:k]
+
+
+def compute_stats(col: ColumnValues) -> ColumnStats:
+    n = col.n
+    idx = _sample_indices(n, SAMPLE_VALUES)
+    scale = n / max(len(idx), 1)
+    if col.tag in dtypes.VARLEN_TAGS:
+        lens = col.lengths()
+        slens = lens[idx]
+        plain = float((uvarint_lengths(lens.astype(np.uint64)) + lens).sum())
+        # run stats on a contiguous prefix (runs need adjacency, strided
+        # samples destroy them)
+        pref = min(n, SAMPLE_VALUES)
+        sub = ColumnValues(tag=col.tag, offsets=col.offsets[: pref + 1], data=col.data[: col.offsets[pref]])
+        n_runs_pref = len(run_starts_varlen(sub))
+        n_runs = max(1, int(round(n_runs_pref * (n / max(pref, 1)))))
+        avg_len = float(slens.mean()) if len(slens) else 0.0
+        rle = n_runs * (avg_len + 2.0) + n_runs * 1.5
+        # distinct estimate from sampled hashes
+        starts = col.offsets[idx]
+        hsh = _hash_varlen_sample(col, idx)
+        d_sample = len(np.unique(hsh))
+        est_distinct = _estimate_distinct(d_sample, len(idx), n)
+        dict_bytes = est_distinct * (avg_len + 1.5)
+        # FSST estimate: compress the sampled bytes
+        sample_data = sub.data[: 1 << 15]
+        table = build_symbol_table(sample_data)
+        if len(sample_data):
+            ratio = len(compress(sample_data, table)) / len(sample_data)
+        else:
+            ratio = 1.0
+        fsst = float(col.offsets[-1]) * ratio + float(uvarint_lengths(lens.astype(np.uint64)).sum()) + 1024
+        return ColumnStats(n, plain, rle, est_distinct, dict_bytes, 0, 0, fsst)
+    v = col.vals
+    sv = v[idx]
+    if col.tag in dtypes.INTEGER_TAGS:
+        plain = float(numeric_value_sizes(sv, col.tag).sum() * scale)
+        vmin = int(v.min()) if n else 0
+        vmax = int(v.max()) if n else 0
+    else:
+        plain = float(sv.dtype.itemsize * n)
+        vmin = vmax = 0
+    pref = v[: min(n, SAMPLE_VALUES)]
+    n_runs_pref = len(run_starts_numeric(pref))
+    n_runs = max(1, int(round(n_runs_pref * (n / max(len(pref), 1)))))
+    val_sz = float(numeric_value_sizes(sv, col.tag).mean()) if col.tag in dtypes.INTEGER_TAGS and len(sv) else 8.0
+    rle = n_runs * (val_sz + 1.5)
+    d_sample = len(np.unique(sv))
+    est_distinct = _estimate_distinct(d_sample, len(idx), n)
+    dict_bytes = est_distinct * val_sz
+    return ColumnStats(n, plain, rle, est_distinct, dict_bytes, vmin, vmax, float("inf"))
+
+
+def _hash_varlen_sample(col: ColumnValues, idx: np.ndarray) -> np.ndarray:
+    """Cheap per-value hash of sampled varlen values (len + first/last 8 bytes)."""
+    starts = col.offsets[idx]
+    ends = col.offsets[idx + 1]
+    lens = ends - starts
+    h = lens.astype(np.uint64) * np.uint64(1099511628211)
+    data = col.data
+    for j in range(8):
+        pos = np.minimum(starts + j, np.maximum(ends - 1, starts))
+        valid = lens > j
+        bytes_j = np.where(valid, data[np.minimum(pos, len(data) - 1)] if len(data) else 0, 0)
+        h = (h ^ bytes_j.astype(np.uint64)) * np.uint64(1099511628211)
+    for j in range(4):
+        pos = np.maximum(ends - 1 - j, starts)
+        valid = lens > j
+        bytes_j = np.where(valid, data[np.minimum(pos, len(data) - 1)] if len(data) else 0, 0)
+        h = (h ^ bytes_j.astype(np.uint64)) * np.uint64(1099511628211)
+    return h
+
+
+def _estimate_distinct(d_sample: int, sample_n: int, n: int) -> int:
+    if sample_n == 0:
+        return 0
+    if d_sample >= sample_n * 0.98:
+        return max(d_sample, int(n * 0.9))  # likely unique-ish
+    # birthday-style scale-up, capped
+    return min(n, max(d_sample, int(d_sample * (1 + 0.1 * (n / max(sample_n, 1) - 1)))))
+
+
+def applicable_codecs(col: ColumnValues) -> list[Codec]:
+    out = []
+    for c in ALL_CODECS:
+        if not c.supports(col.tag):
+            continue
+        if c.name == "for_bitpack":
+            v = col.vals
+            if col.tag == dtypes.UNSIGNED_INTEGER and len(v) and int(v.max()) > _INT64_MAX:
+                continue  # int64 delta math would overflow
+        out.append(c)
+    return out
+
+
+def choose_codec(col: ColumnValues, target_page_size: int) -> tuple[Codec, "Encoded | None"]:
+    """Pick the codec; for small chunks returns the already-encoded winner."""
+    cands = applicable_codecs(col)
+    if len(cands) == 1:
+        return cands[0], None
+    if col.n <= TRY_ALL_THRESHOLD:
+        best = None
+        best_size = None
+        best_enc = None
+        for c in cands:
+            enc = c.encode(col, target_page_size)
+            size = sum(len(p) for p in enc.pages) + len(enc.params)
+            # deterministic tie-break: smaller size, then smaller codec id
+            if best_size is None or size < best_size or (size == best_size and c.codec_id < best.codec_id):
+                best, best_size, best_enc = c, size, enc
+        return best, best_enc
+    stats = compute_stats(col)
+    best = min(cands, key=lambda c: (c.estimate_size(stats), c.codec_id))
+    return best, None
+
+
+def codec_by_name(name: str) -> Codec:
+    return BY_NAME[name]
