@@ -1,0 +1,115 @@
+"""End-to-end Spark engine tests: encode the synthetic token table,
+decode, assert per-row token-array equality (the BASELINE.json
+``input_hint`` invariant) and compressed size <= the plain-equivalent
+baseline (the reference-equivalent encoding, BASELINE.md).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark.data import ensure_token_table
+from wills_columnar_format_spark.engine import (
+    decode_table,
+    encode_table,
+    manifest_summary,
+)
+
+N_ROWS = 10_000
+
+
+@pytest.fixture(scope="module")
+def token_df(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tok") / "token_table")
+    ensure_token_table(path, N_ROWS, seed=42)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def manifest(spark, token_df):
+    m = encode_table(token_df, key_col="doc_id", codec="auto", num_partitions=8,
+                     chunk_rows=4096, weight_col="n_tok", snapshot_id="test-snap-1")
+    m = m.cache()
+    m.count()
+    return m
+
+
+def test_manifest_shape(manifest):
+    cols = {r.column for r in manifest.select("column").distinct().collect()}
+    assert cols == {"doc_id", "tokens#lengths", "tokens#values", "n_tok", "source"}
+    row = manifest.first()
+    assert row.snapshot_id == "test-snap-1"
+    assert row.checksum and row.min_key <= row.max_key
+
+
+def test_roundtrip_token_array_equality(spark, token_df, manifest):
+    """The input_hint per-row invariant: decoded token arrays bit-identical."""
+    decoded = decode_table(manifest, token_df.schema)
+    joined = (
+        decoded.alias("d")
+        .join(token_df.alias("o"), "doc_id", "inner")
+        .select(
+            F.col("doc_id"),
+            (F.col("d.tokens") == F.col("o.tokens")).alias("tok_eq"),
+            (F.col("d.n_tok") == F.col("o.n_tok")).alias("ntok_eq"),
+            (F.col("d.source") == F.col("o.source")).alias("src_eq"),
+        )
+    )
+    agg = joined.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("tok_eq") & F.col("ntok_eq") & F.col("src_eq"), 0).otherwise(1)).alias("bad"),
+    ).first()
+    assert agg.n == N_ROWS
+    assert agg.bad == 0
+
+
+def test_compressed_size_beats_plain_baseline(spark, token_df, manifest):
+    """Auto-selected compressed size <= plain-bincode-equivalent codec on
+    identical data/partitioning (the operative reference baseline,
+    BASELINE.md 'compressed size')."""
+    plain = encode_table(token_df, key_col="doc_id", codec="plain", num_partitions=8,
+                         chunk_rows=4096, weight_col="n_tok")
+    auto_bytes = manifest.agg(F.sum("bytes_out")).first()[0]
+    plain_bytes = plain.agg(F.sum("bytes_out")).first()[0]
+    assert auto_bytes <= plain_bytes
+    # and it genuinely compresses vs raw input bytes
+    bytes_in = manifest.agg(F.sum("bytes_in")).first()[0]
+    assert auto_bytes < bytes_in
+
+
+def test_manifest_summary(manifest):
+    summary = manifest_summary(manifest).collect()
+    by_col = {r.column: r for r in summary if r.column == "n_tok"}
+    total_vals = sum(r.n_values for r in summary if r.column == "n_tok")
+    assert total_vals == N_ROWS
+
+
+def test_values_count_consistency(token_df, manifest):
+    """tokens#values logical count equals sum(n_tok) — the reference's
+    values_count bookkeeping (org:726-728) at table level."""
+    n_tokens = token_df.agg(F.sum("n_tok")).first()[0]
+    enc_tokens = (
+        manifest.filter(F.col("column") == "tokens#values").agg(F.sum("n_values")).first()[0]
+    )
+    assert enc_tokens == n_tokens
+
+
+def test_decode_subset_columns(spark, token_df):
+    """Column pruning on the encoded side: decoding only some columns reads
+    only their blobs."""
+    m = encode_table(token_df.select("doc_id", "source"), key_col="doc_id",
+                     num_partitions=4, chunk_rows=4096)
+    sub_schema = token_df.select("doc_id", "source").schema
+    out = decode_table(m.filter(F.col("column").isin("doc_id", "source")), sub_schema)
+    assert out.count() == N_ROWS
+    orig = dict(token_df.select("doc_id", "source").collect())
+    got = dict(out.collect())
+    assert got == orig
+
+
+def test_empty_dataframe(spark, token_df):
+    empty = token_df.limit(0)
+    m = encode_table(empty, key_col="doc_id", num_partitions=2)
+    assert m.count() == 0
+    out = decode_table(m, token_df.schema)
+    assert out.count() == 0

@@ -1,0 +1,451 @@
+"""Spark orchestration: distributed encode/decode of a table's columns.
+
+Lifecycle (SURVEY.md §3.4): ``spark.read`` → size-aware bucketing on the
+key (weight-balanced over-bucketing to absorb skew in row bytes) →
+``sortWithinPartitions(key)`` (the reference's sort-to-compress advice
+made mechanical, wills-columnar-format.org:302-313) → ``mapInArrow``
+encode producing one manifest row per (partition, chunk, column) with the
+blob + lineage (bounds, codec, bytes in/out, checksum, snapshot-id) →
+checkpoint manifest parquet. Decode reverses via ``mapInArrow`` with the
+reference's footer-first read path (src/decode.rs:26-50).
+
+Everything crosses the JVM↔Python boundary as Arrow batches; all kernels
+are numpy array programs (zero per-row Python). List columns (the token
+arrays) are encoded as two sub-columns — ``name#lengths`` +
+``name#values`` — mirroring how the reference treats a column as a flat
+value stream (src/lib.rs:25-33).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from . import dtypes
+from .codecs import BY_ID
+from .codecs.base import ColumnValues
+from .column import encode_column
+from .format import DEFAULT_TARGET_PAGE_SIZE, read_footer
+
+MANIFEST_FIELDS = [
+    ("part_id", "int"),
+    ("chunk_id", "int"),
+    ("chunk_key", "string"),
+    ("column", "string"),
+    ("dtype_tag", "int"),
+    ("codec", "string"),
+    ("n_values", "bigint"),
+    ("bytes_in", "bigint"),
+    ("bytes_out", "bigint"),
+    ("checksum", "string"),
+    ("min_key", "string"),
+    ("max_key", "string"),
+    ("snapshot_id", "string"),
+    ("blob", "binary"),
+]
+MANIFEST_DDL = ", ".join(f"{n} {t}" for n, t in MANIFEST_FIELDS)
+
+_MANIFEST_PA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("chunk_id", pa.int32()),
+        ("chunk_key", pa.string()),
+        ("column", pa.string()),
+        ("dtype_tag", pa.int32()),
+        ("codec", pa.string()),
+        ("n_values", pa.int64()),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("checksum", pa.string()),
+        ("min_key", pa.string()),
+        ("max_key", pa.string()),
+        ("snapshot_id", pa.string()),
+        ("blob", pa.large_binary()),
+    ]
+)
+
+DEFAULT_CHUNK_ROWS = 65_536
+
+
+# ---------------------------------------------------------------------------
+# column <-> ColumnValues plumbing
+# ---------------------------------------------------------------------------
+
+
+def _arrow_to_columnvalues(arr: pa.Array) -> ColumnValues:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return ColumnValues.from_arrow(arr)
+
+
+def _checksum(col: ColumnValues) -> str:
+    h = hashlib.blake2b(digest_size=12)
+    if col.vals is not None:
+        h.update(np.ascontiguousarray(col.vals).tobytes())
+    else:
+        h.update(np.ascontiguousarray(col.offsets).tobytes())
+        h.update(np.ascontiguousarray(col.data).tobytes())
+    return h.hexdigest()
+
+
+def _encode_one(col: ColumnValues, codec: str, target_page_size: int):
+    blob, footer = encode_column(col, codec=codec, target_page_size=target_page_size)
+    return blob, footer
+
+
+# ---------------------------------------------------------------------------
+# encode path
+# ---------------------------------------------------------------------------
+
+
+def _sub_columns(name: str, arr: pa.Array) -> list[tuple[str, ColumnValues]]:
+    """Split a field into encodable flat sub-columns."""
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        import pyarrow.compute as pc
+
+        lens = pc.list_value_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        values = arr.flatten()
+        return [
+            (f"{name}#lengths", ColumnValues.from_numpy(lens.astype(np.int32))),
+            (f"{name}#values", _arrow_to_columnvalues(values)),
+        ]
+    return [(name, _arrow_to_columnvalues(arr))]
+
+
+def make_encode_fn(
+    key_col: str,
+    codec: str = "auto",
+    target_page_size: int = DEFAULT_TARGET_PAGE_SIZE,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    snapshot_id: str | None = None,
+    committed: frozenset | None = None,
+    fail_parts: frozenset | None = None,
+):
+    """Build the mapInArrow encode function (pure closure, Spark-serializable)."""
+
+    def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+        if fail_parts and part_id in fail_parts:
+            # test hook: simulate a crashed executor — emit nothing
+            return
+
+        def encode_chunk(table: pa.Table, chunk_id: int) -> pa.RecordBatch:
+            rows = {name: [] for name, _ in MANIFEST_FIELDS}
+            keys = table.column(key_col).combine_chunks()
+            min_key = str(keys[0].as_py()) if len(keys) else ""
+            max_key = str(keys[-1].as_py()) if len(keys) else ""
+            # content-based chunk identity: stable across runs even if the
+            # physical partitioning drifted (resume correctness)
+            chunk_key = _checksum(_arrow_to_columnvalues(keys))
+            for field in table.schema:
+                arr = table.column(field.name).combine_chunks()
+                for sub_name, cv in _sub_columns(field.name, arr):
+                    csum = _checksum(cv)
+                    if committed and (chunk_key, sub_name, csum) in committed:
+                        continue  # idempotent resume: chunk already encoded
+                    blob, footer = _encode_one(cv, codec, target_page_size)
+                    rows["part_id"].append(part_id)
+                    rows["chunk_id"].append(chunk_id)
+                    rows["chunk_key"].append(chunk_key)
+                    rows["column"].append(sub_name)
+                    rows["dtype_tag"].append(footer.data_type)
+                    rows["codec"].append(BY_ID[footer.codec].name)
+                    rows["n_values"].append(cv.n)
+                    rows["bytes_in"].append(cv.input_nbytes())
+                    rows["bytes_out"].append(len(blob))
+                    rows["checksum"].append(csum)
+                    rows["min_key"].append(min_key)
+                    rows["max_key"].append(max_key)
+                    rows["snapshot_id"].append(snapshot_id)
+                    rows["blob"].append(blob)
+            return pa.RecordBatch.from_pydict(rows, schema=_MANIFEST_PA)
+
+        buf: list[pa.RecordBatch] = []
+        nbuf = 0
+        chunk_id = 0
+        for b in batches:
+            buf.append(b)
+            nbuf += b.num_rows
+            while nbuf >= chunk_rows:
+                t = pa.Table.from_batches(buf)
+                head = t.slice(0, chunk_rows).combine_chunks()
+                rest = t.slice(chunk_rows)
+                rb = encode_chunk(head, chunk_id)
+                if rb.num_rows:
+                    yield rb
+                chunk_id += 1
+                buf = rest.to_batches(max_chunksize=max(rest.num_rows, 1)) if rest.num_rows else []
+                nbuf = rest.num_rows
+        if nbuf:
+            t = pa.Table.from_batches(buf).combine_chunks()
+            rb = encode_chunk(t, chunk_id)
+            if rb.num_rows:
+                yield rb
+
+    return encode_fn
+
+
+def weight_balanced_bucket_expr(df, key_col: str, weight_col: str, num_buckets: int, sample_rows: int = 100_000):
+    """Size-aware bucketing: sample (key, weight), pick key bounds at equal
+    cumulative-weight quantiles, return a Column assigning each row its
+    bucket. This is the explicit skew handling the north rule demands —
+    plain ``repartitionByRange`` balances row COUNTS, but token rows skew
+    in BYTES (Zipf lengths), so heavy ranges must get more buckets.
+    """
+    from pyspark.sql import functions as F
+
+    total = df.count()
+    frac = min(1.0, sample_rows / max(total, 1))
+    sample = df.select(key_col, weight_col).sample(fraction=frac, seed=42).toPandas()
+    if len(sample) == 0 or num_buckets <= 1:
+        return F.lit(0)
+    sample = sample.sort_values(key_col)
+    w = sample[weight_col].to_numpy(dtype=np.float64)
+    cum = np.cumsum(w)
+    targets = cum[-1] * (np.arange(1, num_buckets) / num_buckets)
+    idx = np.searchsorted(cum, targets)
+    bounds = sorted(set(sample[key_col].to_numpy()[np.minimum(idx, len(sample) - 1)].tolist()))
+    # bucket = number of bounds <= key (bounds list is small; JVM-side filter)
+    bounds_arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(bounds_arr, lambda b: b <= F.col(key_col)))
+
+
+def encode_table(
+    df,
+    key_col: str = "doc_id",
+    columns: list[str] | None = None,
+    codec: str = "auto",
+    num_partitions: int | None = None,
+    target_page_size: int = DEFAULT_TARGET_PAGE_SIZE,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    weight_col: str | None = None,
+    snapshot_id: str | None = None,
+    committed: frozenset | None = None,
+    fail_parts: frozenset | None = None,
+    sort_within: bool = True,
+    partitioner: str | None = None,
+):
+    """Encode ``df``'s columns into a blob+lineage manifest DataFrame.
+
+    Physical plan (explicit, per north rule): one shuffle chosen by
+    ``partitioner`` —
+      'weight' — weight-balanced bucketing on a sampled cumulative-weight
+                 quantile of ``weight_col`` (over-bucketed 4× to absorb
+                 byte skew from Zipf token lengths), deterministic
+                 (seeded sample);
+      'range'  — ``repartitionByRange(key)`` (row-balanced; Spark's
+                 sampler is NOT deterministic across runs — fine for
+                 one-shot encodes, not for resume);
+      'hash'   — deterministic hash bucketing on the key (the resume
+                 default: identical chunk boundaries on every run);
+    — then ``sortWithinPartitions(key)`` to lengthen runs (the
+    reference's sort-to-compress advice made mechanical, org:302-313),
+    then one ``mapInArrow`` pass.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if columns is not None:
+        cols = list(dict.fromkeys([key_col] + columns))
+        df = df.select(*cols)
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    if partitioner is None:
+        partitioner = "weight" if (weight_col is not None and weight_col in df.columns) else "range"
+    if partitioner == "weight" and weight_col is not None and weight_col in df.columns:
+        bucket = weight_balanced_bucket_expr(df, key_col, weight_col, num_buckets=4 * num_partitions)
+        df = df.withColumn("__bucket", bucket)
+        df = df.repartition(num_partitions, "__bucket").drop("__bucket")
+    elif partitioner == "hash":
+        df = df.repartition(num_partitions, F.col(key_col))
+    else:
+        df = df.repartitionByRange(num_partitions, key_col)
+    if sort_within:
+        df = df.sortWithinPartitions(key_col)
+
+    fn = make_encode_fn(
+        key_col=key_col,
+        codec=codec,
+        target_page_size=target_page_size,
+        chunk_rows=chunk_rows,
+        snapshot_id=snapshot_id,
+        committed=committed,
+        fail_parts=fail_parts,
+    )
+    return df.mapInArrow(fn, schema=MANIFEST_DDL)
+
+
+# ---------------------------------------------------------------------------
+# decode path
+# ---------------------------------------------------------------------------
+
+_ARROW_NP = {
+    pa.int8(): np.int8,
+    pa.int16(): np.int16,
+    pa.int32(): np.int32,
+    pa.int64(): np.int64,
+    pa.uint8(): np.uint8,
+    pa.uint16(): np.uint16,
+    pa.uint32(): np.uint32,
+    pa.uint64(): np.uint64,
+    pa.float32(): np.float32,
+    pa.float64(): np.float64,
+}
+
+
+def _decode_blob(blob: bytes) -> ColumnValues:
+    footer = read_footer(blob)
+    codec = BY_ID[footer.codec]
+    from .format import data_section
+
+    return codec.decode(data_section(blob), footer)
+
+
+def _rebuild_field(field: pa.Field, blobs: dict[str, bytes]) -> pa.Array:
+    t = field.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        lens_cv = _decode_blob(blobs[f"{field.name}#lengths"])
+        vals_cv = _decode_blob(blobs[f"{field.name}#values"])
+        lens = lens_cv.vals.astype(np.int64)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        elem_t = t.value_type
+        if vals_cv.vals is not None:
+            values = pa.array(vals_cv.vals.astype(_ARROW_NP.get(elem_t, np.int64)), type=elem_t)
+        else:
+            values = vals_cv.to_arrow().cast(elem_t)
+        if pa.types.is_large_list(t):
+            return pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), values)
+        return pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32), type=pa.int32()), values)
+    cv = _decode_blob(blobs[field.name])
+    if cv.vals is not None:
+        npt = _ARROW_NP.get(t)
+        return pa.array(cv.vals.astype(npt) if npt is not None else cv.vals, type=t)
+    return cv.to_arrow().cast(t)
+
+
+def make_decode_fn(out_schema: pa.Schema):
+    """mapInArrow decode over manifest rows, grouped by chunk_key.
+
+    Requires rows of one chunk_key group to be contiguous in the stream —
+    ``decode_table`` arranges that with an explicit repartition +
+    sortWithinPartitions.
+    """
+
+    def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending_key = None
+        pending: dict[str, bytes] = {}
+
+        def flush():
+            arrays = [_rebuild_field(f, pending) for f in out_schema]
+            return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+        for b in batches:
+            keys = b.column("chunk_key").to_pylist()
+            cols = b.column("column").to_pylist()
+            blobs = b.column("blob")
+            for i in range(b.num_rows):
+                key = keys[i]
+                if key != pending_key:
+                    if pending_key is not None and pending:
+                        yield flush()
+                    pending_key = key
+                    pending = {}
+                pending[cols[i]] = blobs[i].as_py()
+        if pending_key is not None and pending:
+            yield flush()
+
+    return decode_fn
+
+
+def decode_table(manifest_df, out_schema):
+    """Decode a manifest back to the original rows (order not preserved
+    globally; chunk-local order is exact — verify by joining on the key).
+
+    ``out_schema`` is the original table's Spark schema (StructType) or an
+    Arrow schema. Duplicate manifest rows for the same (chunk, column) —
+    possible after resumed runs — are dropped first.
+    """
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+    if not isinstance(out_schema, pa.Schema):
+        out_schema = to_arrow_schema(out_schema)
+    manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
+    n = max(1, manifest_df.select("part_id").rdd.getNumPartitions())
+    arranged = manifest_df.repartition(n, "chunk_key").sortWithinPartitions("chunk_key", "column")
+    return arranged.mapInArrow(make_decode_fn(out_schema), schema=from_arrow_schema(out_schema))
+
+
+# ---------------------------------------------------------------------------
+# checkpointed / resumable encode
+# ---------------------------------------------------------------------------
+
+
+def committed_set(spark, ckpt_dir: str) -> frozenset:
+    """Read the checkpoint manifest and return the committed chunk keys."""
+    import os
+
+    if not os.path.isdir(ckpt_dir) or not any(
+        f.endswith(".parquet") for f in _walk_files(ckpt_dir)
+    ):
+        return frozenset()
+    rows = (
+        spark.read.parquet(ckpt_dir)
+        .select("chunk_key", "column", "checksum")
+        .collect()
+    )
+    return frozenset((r.chunk_key, r.column, r.checksum) for r in rows)
+
+
+def _walk_files(d: str):
+    import os
+
+    for root, _, files in os.walk(d):
+        yield from files
+
+
+def encode_table_resumable(df, ckpt_dir: str, **kwargs):
+    """Encode with a per-partition checkpoint manifest (north-rule
+    resumability): chunks whose (part, chunk, column, input-checksum) are
+    already committed are skipped; new manifest rows are appended. Returns
+    the full manifest DataFrame. Codec choice is a pure function of the
+    chunk's values (selector.py), so a re-encoded chunk is byte-identical
+    — verified by checksum in tests/test_resume.py.
+
+    Partitioning defaults to deterministic hash bucketing so chunk
+    boundaries are identical on every run (range sampling is not).
+    """
+    spark = df.sparkSession
+    kwargs.setdefault("partitioner", "hash")
+    committed = committed_set(spark, ckpt_dir)
+    manifest = encode_table(df, committed=committed, **kwargs)
+    manifest.write.mode("append").parquet(ckpt_dir)
+    return spark.read.parquet(ckpt_dir).dropDuplicates(["chunk_key", "column"])
+
+
+# ---------------------------------------------------------------------------
+# metrics / compute-on-compressed
+# ---------------------------------------------------------------------------
+
+
+def manifest_summary(manifest_df):
+    """Per-column codec + size metrics from the lineage manifest."""
+    from pyspark.sql import functions as F
+
+    return (
+        manifest_df.groupBy("column", "codec")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_values").alias("n_values"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+        )
+        .withColumn("ratio", F.round(F.col("bytes_out") / F.col("bytes_in"), 4))
+    )

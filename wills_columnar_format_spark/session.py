@@ -1,0 +1,69 @@
+"""SparkSession builder with the engine's standard configuration.
+
+Tuned for the sandbox (single JVM, local[N]) but every knob is the one
+you would set on a real cluster: AQE on for runtime coalesce/skew-split,
+Arrow batches sized for the encode chunking, shuffle partitions matched
+to parallelism (not the 200 default).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "wills_columnar_format_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "48g",
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # blobs can be tens of MB; keep task result / broadcast limits sane
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship this package to executors as a zip (the ``spark-submit
+    --py-files`` deployment path, per the north rule). Required whenever
+    the driver's cwd is not the repo root — Python workers unpickle the
+    encode/decode closures and must import this package.
+    """
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(os.environ.get("TMPDIR", "/tmp"), f"{pkg_name}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
