@@ -435,6 +435,36 @@ def encode_table_resumable(df, ckpt_dir: str, **kwargs):
 # ---------------------------------------------------------------------------
 
 
+def runs_table(manifest_df, column: str):
+    """Expose a column's RLE runs as a DataFrame (value string, run_length)
+    WITHOUT expanding them — the compute-on-compressed path (reference
+    src/test_rle.rs:8-17; org:1034-1048 'process the data in fewer
+    iterations'). Aggregates like counts/sums run on the run domain.
+    """
+    from .column import decode_runs
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            cols = b.column("column").to_pylist()
+            blobs = b.column("blob")
+            for i in range(b.num_rows):
+                if cols[i] != column:
+                    continue
+                rv, rl = decode_runs(blobs[i].as_py())
+                arr = rv.to_arrow()
+                if pa.types.is_large_string(arr.type):
+                    arr = arr.cast(pa.string())
+                else:
+                    arr = arr.cast(pa.string())
+                yield pa.RecordBatch.from_arrays(
+                    [arr, pa.array(rl, type=pa.int64())], ["value", "run_length"]
+                )
+
+    return manifest_df.filter(manifest_df.column == column).mapInArrow(
+        fn, schema="value string, run_length bigint"
+    )
+
+
 def manifest_summary(manifest_df):
     """Per-column codec + size metrics from the lineage manifest."""
     from pyspark.sql import functions as F

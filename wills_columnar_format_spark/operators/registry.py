@@ -1,0 +1,457 @@
+"""Driver-contract query registry.
+
+Each entry: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) an equivalent DuckDB oracle SQL over the same parquet
+views. Column names/aliases are kept identical on both sides (the
+driver's value-hash sorts columns by name).
+
+Determinism across engines is engineered, not hoped for:
+* hashes are md5-based (identical hex in Spark and DuckDB), converted to
+  int via conv()/'0x'-cast;
+* float aggregates either use exact decimal arithmetic cast to double at
+  the end, or are excluded from the output (ranks instead of scores);
+* every ORDER BY inside a window has a full deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# 1. Engine queries: encode → decode roundtrips through the real Spark path
+# ---------------------------------------------------------------------------
+
+
+def q_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode all documents columns (auto codec), decode, return rows —
+    equality with the identity oracle proves lossless roundtrip."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8)
+    return decode_table(m, df.schema)
+
+
+def q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    m = encode_table(df, key_col="l_orderkey", codec="auto", num_partitions=8)
+    return decode_table(m, df.schema)
+
+
+def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """list<float> roundtrip, exploded so the oracle compares scalars."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m = encode_table(df, key_col="vec_id", codec="auto", num_partitions=4)
+    dec = decode_table(m, df.schema)
+    return dec.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id", F.col("pos").cast("int").alias("pos"), "val"
+    )
+
+
+ORACLE_ROUNDTRIP_DOCUMENTS = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+ORACLE_ROUNDTRIP_LINEITEM = (
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus FROM lineitem"
+)
+ORACLE_ROUNDTRIP_EMBEDDINGS = """
+SELECT vec_id, CAST(UNNEST(range(len(embedding))) AS INT) AS pos, UNNEST(embedding) AS val
+FROM embeddings
+"""
+
+
+def q_rle_run_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-on-compressed: value counts aggregated on RLE runs without
+    expansion (reference src/test_rle.rs:8-17 generalized)."""
+    from ..engine import encode_table, runs_table
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type")
+    m = encode_table(df, key_col="event_type", codec="rle", num_partitions=4)
+    runs = runs_table(m, "event_type")
+    return runs.groupBy(F.col("value").alias("event_type")).agg(
+        F.sum("run_length").alias("cnt")
+    )
+
+
+ORACLE_RLE_RUN_COUNTS = "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"
+
+
+def q_footer_values_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only access (decode_footer analogue, src/lib.rs:45-48):
+    logical row counts per column from footers, no data decoded."""
+    from ..engine import encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    m = encode_table(df, key_col="o_orderkey", codec="auto", num_partitions=4)
+    return m.groupBy(F.col("column").alias("column_name")).agg(
+        F.sum("n_values").alias("n_values")
+    )
+
+
+ORACLE_FOOTER_VALUES_COUNT = """
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_values FROM orders
+UNION ALL SELECT 'o_custkey', COUNT(*) FROM orders
+UNION ALL SELECT 'o_orderstatus', COUNT(*) FROM orders
+UNION ALL SELECT 'o_totalprice', COUNT(*) FROM orders
+"""
+
+
+def q_compression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec + bytes in/out per column (lineage metrics; no SQL oracle —
+    the compressed sizes are engine-defined)."""
+    from ..engine import encode_table, manifest_summary
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8)
+    return manifest_summary(m)
+
+
+# ---------------------------------------------------------------------------
+# 2. Text analysis (dialect-shared SQL on documents)
+# ---------------------------------------------------------------------------
+
+SPARK_TOKEN_COUNT = """
+SELECT doc_id, CAST(size(split(trim(text), '\\\\s+')) AS INT) AS n_tokens
+FROM documents
+"""
+DUCK_TOKEN_COUNT = """
+SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+FROM documents
+"""
+
+SPARK_TEXT_QUALITY = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_m,
+       CAST(size(split(trim(text), '\\\\s+')) AS INT) AS n_tokens,
+       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / length(text), 4) AS alpha_ratio,
+       ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(trim(text), '\\\\s+')), 4) AS avg_word_len
+FROM documents
+"""
+DUCK_TEXT_QUALITY = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_m,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio,
+       ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len
+FROM documents
+"""
+
+# language-ID heuristic: marker-word occurrence counts, deterministic argmax
+_LANG_MARKERS = {"en": " the ", "de": " der ", "fr": " le ", "es": " el ", "zh": " de "}
+
+
+def _lang_sql(occ_expr) -> str:
+    cnts = ",\n       ".join(
+        f"CAST({occ_expr(m)} AS INT) AS c_{lang}" for lang, m in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    great = ", ".join(f"c_{lang}" for lang in langs)
+    case = " ".join(
+        f"WHEN c_{lang} >= GREATEST({great}) THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH padded AS (SELECT doc_id, concat(' ', lower(text), ' ') AS t FROM documents),
+counts AS (SELECT doc_id, {cnts} FROM padded)
+SELECT doc_id, CASE {case} ELSE 'und' END AS lang_pred FROM counts
+"""
+
+
+def _occ(marker: str) -> str:
+    m = marker.replace("'", "''")
+    return f"(length(t) - length(replace(t, '{m}', ''))) / length('{m}')"
+
+
+SPARK_LANG_ID = _lang_sql(_occ)
+DUCK_LANG_ID = _lang_sql(_occ)
+
+SPARK_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+"""
+DUCK_FINGERPRINT = SPARK_FINGERPRINT
+
+# ---------------------------------------------------------------------------
+# 3. Deduplication (on documents doubled with shifted ids so exact and
+#    near-dup groups exist deterministically in both engines)
+# ---------------------------------------------------------------------------
+
+_SPARK_DOCS2 = """
+docs2 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
+"""
+
+SPARK_DEDUP_EXACT = f"""
+WITH {_SPARK_DOCS2}
+SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM docs2 GROUP BY md5(lower(trim(text)))
+"""
+DUCK_DEDUP_EXACT = SPARK_DEDUP_EXACT
+
+_JACCARD_THRESHOLD = 0.5
+
+SPARK_GRAMS2 = """
+toks AS (SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM docs2),
+grams AS (SELECT DISTINCT doc_id, concat(element_at(t, CAST(i AS INT)), ' ', element_at(t, CAST(i AS INT) + 1)) AS g2
+          FROM toks LATERAL VIEW explode(sequence(1, size(t) - 1)) e AS i
+          WHERE size(t) >= 2),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)
+"""
+DUCK_GRAMS2 = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM docs2),
+pos AS (SELECT doc_id, t, UNNEST(range(1, len(t)))::BIGINT AS i FROM toks WHERE len(t) >= 2),
+grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS g2 FROM pos),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)
+"""
+
+_JACCARD_TAIL = f"""
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+          FROM grams a JOIN grams b ON a.g2 = b.g2 AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
+"""
+
+SPARK_NGRAM_JACCARD = f"WITH {_SPARK_DOCS2}, {SPARK_GRAMS2}, {_JACCARD_TAIL}"
+DUCK_NGRAM_JACCARD = f"WITH {_SPARK_DOCS2}, {DUCK_GRAMS2}, {_JACCARD_TAIL}"
+
+# MinHash + LSH: 32 md5-based permutations, 16 bands × 2 rows; candidates
+# verified by exact jaccard. The oracle is the exact all-pairs query —
+# equality holds because the banding is deterministic and catches every
+# pair above the threshold on this data (validated in tests).
+_SPARK_HEX2INT = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_HEX2INT = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_sql(grams_cte: str, hex2int: str, seq32: str, floordiv: str) -> str:
+    h = hex2int.format(x="concat(CAST(k AS STRING), ':', g2)")
+    return f"""
+WITH {_SPARK_DOCS2}, {grams_cte},
+hashes AS (SELECT doc_id, k, MIN({h}) AS mh
+           FROM grams {seq32}
+           GROUP BY doc_id, k),
+bands AS (SELECT doc_id, concat(CAST({floordiv} AS STRING), ':', CAST(MIN(mh) AS STRING), ':', CAST(MAX(mh) AS STRING)) AS sig
+          FROM hashes GROUP BY doc_id, {floordiv}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b ON a.sig = b.sig AND a.doc_id < b.doc_id),
+inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
+          FROM cand JOIN grams g1 ON g1.doc_id = cand.d1
+                    JOIN grams g2t ON g2t.doc_id = cand.d2 AND g2t.g2 = g1.g2
+          GROUP BY g1.doc_id, g2t.doc_id)
+SELECT d1, d2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
+"""
+
+
+SPARK_MINHASH = _minhash_sql(
+    SPARK_GRAMS2, _SPARK_HEX2INT,
+    "LATERAL VIEW explode(sequence(0, 31)) e AS k", "CAST(floor(k / 2) AS INT)",
+)
+DUCK_MINHASH = _minhash_sql(
+    DUCK_GRAMS2,
+    _DUCK_HEX2INT,
+    ", (SELECT UNNEST(range(32))::INT AS k) ks",
+    "CAST(k // 2 AS INT)",
+)
+# the minhash oracle is the exact-jaccard query: LSH must have 100% recall
+ORACLE_MINHASH = DUCK_NGRAM_JACCARD
+
+# SimHash: 60-bit signature from md5 word hashes, deterministic in both.
+
+
+def _simhash_sql(split_words: str, hex2int: str, seq60: str, shr: str, shl: str) -> str:
+    h = hex2int.format(x="w")
+    return f"""
+WITH {_SPARK_DOCS2},
+toks AS (SELECT doc_id, {split_words} AS t FROM docs2),
+words AS (SELECT DISTINCT doc_id, w FROM toks {{EXPLODE_T}}),
+wh AS (SELECT doc_id, {h} AS h FROM words),
+bits AS (SELECT doc_id, b, SUM(CASE WHEN ({shr}) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         FROM wh {seq60} GROUP BY doc_id, b),
+SELECT_FINAL
+""".replace(
+        "SELECT_FINAL",
+        f"sel AS (SELECT doc_id, CASE WHEN s > 0 THEN {shl} ELSE CAST(0 AS BIGINT) END AS bv FROM bits)\n"
+        "SELECT doc_id, SUM(bv) AS simhash FROM sel GROUP BY doc_id",
+    )
+
+
+SPARK_SIMHASH = _simhash_sql(
+    "split(trim(text), '\\\\s+')",
+    _SPARK_HEX2INT,
+    "LATERAL VIEW explode(sequence(0, 59)) e AS b",
+    "shiftright(h, b) & 1",
+    "shiftleft(CAST(1 AS BIGINT), b)",
+).replace("{EXPLODE_T}", "LATERAL VIEW explode(t) e AS w")
+DUCK_SIMHASH = _simhash_sql(
+    "regexp_split_to_array(trim(text), '\\s+')",
+    _DUCK_HEX2INT,
+    ", (SELECT UNNEST(range(60))::INT AS b) bs",
+    "(h >> b) & 1",
+    "(CAST(1 AS BIGINT) << b)",
+).replace("{EXPLODE_T}", ", LATERAL (SELECT UNNEST(t) AS w) u")
+
+# ---------------------------------------------------------------------------
+# 4. Similarity search
+# ---------------------------------------------------------------------------
+
+from .similarity import brute_force_topk_sql  # noqa: E402
+
+SPARK_COSINE_TOPK = brute_force_topk_sql("q.vec_id < 10", k=3)
+DUCK_COSINE_TOPK = """
+WITH sims AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         list_inner_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[])
+         / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+            * sqrt(list_inner_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))) AS cos
+  FROM embeddings q JOIN embeddings v ON v.vec_id != q.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank
+FROM (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM sims)
+WHERE rk <= 3
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate NN (no oracle — approximate by design;
+    driver records a rows-only check)."""
+    from .similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(spark, emb, n_clusters=8, k=3, n_queries=10)
+
+
+# ---------------------------------------------------------------------------
+# 5. Multimodal metadata
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat utf-8 text bytes as an opaque binary payload; extract typed
+    metadata via the multimodal mapInPandas plumbing."""
+    from .multimodal import extract_binary_meta
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_binary_meta(df, "payload", "doc_id")
+
+
+DUCK_MULTIMODAL_META = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# 6. Relational breadth (TPC-H-ish; exact decimal arithmetic)
+# ---------------------------------------------------------------------------
+
+SPARK_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+DUCK_TPCH_Q1 = SPARK_TPCH_Q1
+
+SPARK_NATION_REVENUE = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+DUCK_NATION_REVENUE = SPARK_NATION_REVENUE
+
+SPARK_EVENTS_TOP_TYPE = """
+WITH cnt AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type),
+r AS (SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      FROM cnt)
+SELECT user_id, event_type AS top_type, n AS n_events FROM r WHERE rk = 1
+"""
+DUCK_EVENTS_TOP_TYPE = SPARK_EVENTS_TOP_TYPE
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def _sql_query(sql: str, *tables: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir, *tables)
+        return spark.sql(sql)
+
+    return fn
+
+
+# name -> (spark_fn, duckdb_oracle_sql_or_None)
+REGISTRY: dict[str, tuple] = {
+    # engine / codec operators (SURVEY.md §2.1 + §2.3)
+    "roundtrip_documents": (q_roundtrip_documents, ORACLE_ROUNDTRIP_DOCUMENTS),
+    "roundtrip_lineitem": (q_roundtrip_lineitem, ORACLE_ROUNDTRIP_LINEITEM),
+    "roundtrip_embeddings": (q_roundtrip_embeddings, ORACLE_ROUNDTRIP_EMBEDDINGS),
+    "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
+    "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
+    "compression_metrics": (q_compression_metrics, None),
+    # text analysis
+    "text_token_count": (_sql_query(SPARK_TOKEN_COUNT, "documents"), DUCK_TOKEN_COUNT),
+    "text_quality": (_sql_query(SPARK_TEXT_QUALITY, "documents"), DUCK_TEXT_QUALITY),
+    "lang_id": (_sql_query(SPARK_LANG_ID, "documents"), DUCK_LANG_ID),
+    "doc_fingerprint": (_sql_query(SPARK_FINGERPRINT, "documents"), DUCK_FINGERPRINT),
+    # deduplication
+    "dedup_exact": (_sql_query(SPARK_DEDUP_EXACT, "documents"), DUCK_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (_sql_query(SPARK_NGRAM_JACCARD, "documents"), DUCK_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (_sql_query(SPARK_MINHASH, "documents"), ORACLE_MINHASH),
+    "dedup_simhash": (_sql_query(SPARK_SIMHASH, "documents"), DUCK_SIMHASH),
+    # similarity
+    "cosine_topk": (_sql_query(SPARK_COSINE_TOPK, "embeddings"), DUCK_COSINE_TOPK),
+    "ann_ivf_topk": (q_ann_ivf, None),
+    # multimodal
+    "multimodal_meta": (q_multimodal_meta, DUCK_MULTIMODAL_META),
+    # relational breadth
+    "tpch_q1": (_sql_query(SPARK_TPCH_Q1, "lineitem"), DUCK_TPCH_Q1),
+    "nation_revenue": (
+        _sql_query(SPARK_NATION_REVENUE, "lineitem", "orders", "customer", "nation"),
+        DUCK_NATION_REVENUE,
+    ),
+    "events_top_type": (_sql_query(SPARK_EVENTS_TOP_TYPE, "events"), DUCK_EVENTS_TOP_TYPE),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
