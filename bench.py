@@ -1,0 +1,242 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship metric is the engine's encode throughput (tokens/sec) over
+the deterministic synthetic token table from BASELINE.json's
+``input_hint`` — ``(doc_id string, tokens array<int32>, n_tok int32,
+source string)`` — plus end-to-end timings of the registry's headline
+queries on the sf testdata.
+
+Modes:
+  python bench.py                 # full bench, one JSON line to stdout
+  python bench.py --encode-only   # just the token encode job (used by --scaling)
+  python bench.py --scaling       # run encode at local[8] AND local[32] in
+                                  # fresh subprocesses; report throughput at
+                                  # both + scaling efficiency (north rule:
+                                  # N vs 4N cores >= 0.8)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# token-table size scales with the sf of the testdata dir
+_SF_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+BENCH_ROOT = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spark_graft_bench")
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf0.1"
+
+
+def _token_table_path(sf_dir: str) -> tuple[str, int]:
+    from wills_columnar_format_spark.data import ensure_token_table
+
+    n_rows = _SF_ROWS.get(_sf_name(sf_dir), 200_000)
+    path = os.path.join(BENCH_ROOT, f"tokens_{n_rows}")
+    ensure_token_table(path, n_rows)
+    return path, n_rows
+
+
+def _spark(cores: int):
+    from wills_columnar_format_spark.session import get_spark
+
+    return get_spark(app="bench", cores=cores, shuffle_partitions=max(cores, 8))
+
+
+def _warmup(spark, sf_dir: str) -> None:
+    """Spin up python workers / JIT / shuffle infra outside the timed
+    region (a long-lived cluster amortizes this; a fresh local JVM
+    otherwise charges it all to the first query)."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import encode_table
+
+    path, _ = _token_table_path(sf_dir)
+    small = spark.read.parquet(path).limit(4000)
+    encode_table(
+        small, key_col="doc_id", codec="auto", num_partitions=8, partitioner="hash"
+    ).agg(F.sum("bytes_out")).collect()
+
+
+def run_encode(spark, sf_dir: str, num_partitions: int | None = None,
+               partitioner: str = "hash") -> dict:
+    """Encode the synthetic token table; returns throughput + size metrics.
+
+    Timed section covers the one shuffle (deterministic hash bucketing on
+    doc_id — the resume-safe partitioner) + sortWithinPartitions + the
+    mapInArrow encode pass, forced to full materialization by aggregating
+    the manifest's byte counters.
+    """
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import encode_table
+
+    path, n_rows = _token_table_path(sf_dir)
+    df = spark.read.parquet(path)
+    stats = df.agg(F.sum("n_tok").alias("t"), F.count("*").alias("n")).collect()[0]
+    total_tokens, n = int(stats.t), int(stats.n)
+    if num_partitions is None:
+        num_partitions = 2 * int(spark.sparkContext.defaultParallelism)
+
+    t0 = time.time()
+    m = encode_table(
+        df,
+        key_col="doc_id",
+        codec="auto",
+        num_partitions=num_partitions,
+        partitioner=partitioner,
+        chunk_rows=8192,
+    )
+    agg = m.agg(
+        F.sum("bytes_in").alias("bi"),
+        F.sum("bytes_out").alias("bo"),
+        F.count("*").alias("chunks"),
+    ).collect()[0]
+    dt = time.time() - t0
+    tok_values_bytes = total_tokens * 4  # int32 payload
+    return {
+        "sec": round(dt, 3),
+        "rows": n,
+        "tokens": total_tokens,
+        "tokens_per_sec": round(total_tokens / dt, 1),
+        "bytes_in": int(agg.bi),
+        "bytes_out": int(agg.bo),
+        "compressed_ratio": round(int(agg.bo) / max(int(agg.bi), 1), 4),
+        "bytes_per_token": round(int(agg.bo) / max(total_tokens, 1), 4),
+        "raw_token_bytes": tok_values_bytes,
+        "manifest_rows": int(agg.chunks),
+    }
+
+
+def run_decode(spark, sf_dir: str) -> dict:
+    """Encode once (cached manifest), then time decode-to-rows."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    path, _ = _token_table_path(sf_dir)
+    df = spark.read.parquet(path)
+    m = encode_table(
+        df, key_col="doc_id", codec="auto", num_partitions=CPUS, partitioner="hash", chunk_rows=8192
+    ).cache()
+    m.count()  # materialize encode outside the timed region
+    t0 = time.time()
+    dec = decode_table(m, df.schema)
+    out = dec.agg(F.count("*").alias("n"), F.sum("n_tok").alias("t")).collect()[0]
+    dt = time.time() - t0
+    m.unpersist()
+    return {"sec": round(dt, 3), "rows": int(out.n), "tokens": int(out.t),
+            "tokens_per_sec": round(int(out.t) / dt, 1)}
+
+
+def _registry_benches(spark, sf_dir: str) -> dict[str, float]:
+    """Time headline registry queries end-to-end (materialized)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "roundtrip_documents",
+        "roundtrip_lineitem",
+        "rle_run_counts",
+        "text_quality",
+        "lang_id",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "cosine_topk",
+        "tpch_q1",
+        "nation_revenue",
+        "events_top_type",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encode-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    if args.scaling:
+        # north rule: same job, same input, N vs 4N cores, fresh JVM each
+        res = {}
+        lo, hi = max(1, args.cores // 4), args.cores
+        for c in (lo, hi):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(c))
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--encode-only",
+                 "--cores", str(c), "--sf-dir", args.sf_dir],
+                capture_output=True, text=True, env=env,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            res[c] = json.loads(line)
+        tps_lo = res[lo]["encode"]["tokens_per_sec"]
+        tps_hi = res[hi]["encode"]["tokens_per_sec"]
+        eff = (tps_hi / tps_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "encode_scaling_efficiency",
+            "value": round(eff, 4),
+            "unit": "ratio",
+            "sf": _sf_name(args.sf_dir),
+            "cores_low": lo, "cores_high": hi,
+            "tokens_per_sec_low": tps_lo, "tokens_per_sec_high": tps_hi,
+        }))
+        return
+
+    spark = _spark(args.cores)
+    try:
+        queries: dict[str, float] = {}
+        _warmup(spark, args.sf_dir)
+        enc = run_encode(spark, args.sf_dir, num_partitions=2 * args.cores)
+        queries["encode_tokens"] = enc["sec"]
+        extra = {"encode": enc}
+        if not args.encode_only:
+            enc_ns = run_encode(spark, args.sf_dir, partitioner="none")
+            queries["encode_tokens_noshuffle"] = enc_ns["sec"]
+            extra["encode_noshuffle"] = enc_ns
+            dec = run_decode(spark, args.sf_dir)
+            queries["decode_tokens"] = dec["sec"]
+            extra["decode"] = dec
+            queries.update(_registry_benches(spark, args.sf_dir))
+        total = round(sum(queries.values()), 3)
+        print(json.dumps({
+            "metric": "e2e_bench_total",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": _sf_name(args.sf_dir),
+            "cores": args.cores,
+            "tokens_per_sec": enc["tokens_per_sec"],
+            "compressed_bytes_per_token": enc["bytes_per_token"],
+            **extra,
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

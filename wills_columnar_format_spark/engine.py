@@ -244,6 +244,12 @@ def encode_table(
                  one-shot encodes, not for resume);
       'hash'   — deterministic hash bucketing on the key (the resume
                  default: identical chunk boundaries on every run);
+      'none'   — NO shuffle: encode partitions as scanned. The at-scale
+                 fast path when the source table is already clustered /
+                 write-ordered on the key (e.g. Iceberg sort-ordered
+                 writes) — at 100 TB the shuffle IS the bottleneck, so
+                 skipping it when the layout already serves compression
+                 is the single biggest lever;
     — then ``sortWithinPartitions(key)`` to lengthen runs (the
     reference's sort-to-compress advice made mechanical, org:302-313),
     then one ``mapInArrow`` pass.
@@ -265,9 +271,11 @@ def encode_table(
         df = df.repartition(num_partitions, "__bucket").drop("__bucket")
     elif partitioner == "hash":
         df = df.repartition(num_partitions, F.col(key_col))
+    elif partitioner == "none":
+        pass  # trust the scan layout (already clustered on the key)
     else:
         df = df.repartitionByRange(num_partitions, key_col)
-    if sort_within:
+    if sort_within and partitioner != "none":
         df = df.sortWithinPartitions(key_col)
 
     fn = make_encode_fn(
