@@ -38,12 +38,20 @@ def _actual_size(vals, codec_name):
 
 @pytest.mark.parametrize("name", list(FIXTURES))
 def test_auto_is_no_larger_than_any_candidate(name):
+    """Tiered contract: chunks <= TRY_ALL_THRESHOLD are encoded with every
+    candidate and must hit the exact argmin (the reference's
+    try-both-and-measure rule, org:961-963); larger chunks use the sampled
+    stats estimate and must land within 10% of the true argmin (one encode
+    pass instead of five — the at-scale selector)."""
+    from wills_columnar_format_spark.selector import TRY_ALL_THRESHOLD
+
     vals = FIXTURES[name]
     blob, footer = encode_column(vals, codec="auto")
     auto_size = len(blob)
     col = ColumnValues.from_numpy(vals)
+    tol = 1.0 if col.n <= TRY_ALL_THRESHOLD else 1.10
     for c in applicable_codecs(col):
-        assert auto_size <= _actual_size(vals, c.name), (
+        assert auto_size <= tol * _actual_size(vals, c.name), (
             f"auto picked {BY_ID[footer.codec].name} ({auto_size} B) but "
             f"{c.name} is smaller"
         )
@@ -52,12 +60,15 @@ def test_auto_is_no_larger_than_any_candidate(name):
 
 
 def test_auto_text_ids_fixture():
+    from wills_columnar_format_spark.selector import TRY_ALL_THRESHOLD
+
     vals = [f"web-{i:07d}" for i in range(10_000)]
     blob, footer = encode_column(vals, codec="auto")
     auto_size = len(blob)
     col = ColumnValues.from_pylist(vals)
+    tol = 1.0 if col.n <= TRY_ALL_THRESHOLD else 1.10
     for c in applicable_codecs(col):
-        assert auto_size <= _actual_size(vals, c.name)
+        assert auto_size <= tol * _actual_size(vals, c.name)
     assert decode_column(blob, dtype="string").to_pylist() == vals
 
 

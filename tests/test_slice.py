@@ -1,0 +1,98 @@
+"""Row-subset decode (page skipping) + manifest key-range pruning.
+
+The reference records per-page ``values_count``/``file_offset`` exactly
+to enable "efficient row skipping" (V1 WIP,
+wills-columnar-format.org:187-194; metadata src/lib.rs:68-73); its V0
+decoder streams everything (src/decode.rs:52-66). Here we assert our
+page-skipping decode returns bit-identical row ranges for every codec,
+at every alignment, including ranges inside an RLE run.
+"""
+
+import numpy as np
+import pytest
+
+from wills_columnar_format_spark.column import (
+    decode_column,
+    decode_column_slice,
+    encode_column,
+)
+from wills_columnar_format_spark.format import read_footer
+
+
+def _int_column(n=50_000, seed=7):
+    rng = np.random.default_rng(seed)
+    # runs + narrow ranges so every codec is viable
+    vals = np.repeat(rng.integers(0, 1000, n // 10), 10)[:n].astype(np.int64)
+    return vals
+
+
+@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "for_bitpack", "auto"])
+@pytest.mark.parametrize(
+    "rng_", [(0, 100), (4_990, 5_010), (49_900, 50_000), (0, 50_000), (12_345, 12_346), (7, 7)]
+)
+def test_slice_int_codecs(codec, rng_):
+    vals = _int_column()
+    blob, _ = encode_column(vals, codec=codec, target_page_size=4096)
+    start, stop = rng_
+    out = decode_column_slice(blob, start, stop, dtype=np.int64)
+    assert np.array_equal(out.vals, vals[start:stop])
+
+
+@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "fsst", "auto"])
+def test_slice_string_codecs(codec):
+    vals = [f"val-{i % 37:04d}" for i in range(3000) for _ in range(3)]
+    blob, _ = encode_column(vals, codec=codec, target_page_size=2048)
+    for start, stop in [(0, 10), (4321, 4400), (8990, 9000), (0, 9000)]:
+        out = decode_column_slice(blob, start, stop, dtype="string")
+        assert out.to_pylist() == vals[start:stop]
+
+
+def test_slice_touches_only_covering_pages():
+    """The point of page skipping: a small range must not decode the
+    whole column. We verify via the footer that the range spans few pages
+    and that a sliced decode equals the sliced full decode."""
+    vals = _int_column()
+    blob, _ = encode_column(vals, codec="plain", target_page_size=4096)
+    footer = read_footer(blob)
+    assert len(footer.pages) > 10  # multi-page column
+    full = decode_column(blob, dtype=np.int64)
+    out = decode_column_slice(blob, 25_000, 25_050, dtype=np.int64)
+    assert np.array_equal(out.vals, full.vals[25_000:25_050])
+
+
+def test_slice_out_of_range_clamps():
+    vals = np.arange(100, dtype=np.int64)
+    blob, _ = encode_column(vals, codec="plain")
+    assert decode_column_slice(blob, 90, 10_000, dtype=np.int64).vals.tolist() == list(range(90, 100))
+    assert decode_column_slice(blob, 500, 600, dtype=np.int64).n == 0
+
+
+def test_decode_table_key_range_prunes_chunks(spark):
+    """Manifest zone-map pruning: a key-range decode touches only chunks
+    whose [min_key, max_key] intersects, and returns exactly the rows a
+    plain filter would."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("int").alias("v"),
+        F.concat(F.lit("s"), (F.col("id") % 13).cast("string")).alias("s"),
+    )
+    m = encode_table(df, key_col="k", codec="auto", num_partitions=8,
+                     partitioner="range", chunk_rows=1024).cache()
+    n_chunks_all = m.select("chunk_key").distinct().count()
+    lo, hi = 5_000, 5_200
+    pruned = m.filter((F.col("max_key").cast("double") >= lo) & (F.col("min_key").cast("double") <= hi))
+    n_chunks_hit = pruned.select("chunk_key").distinct().count()
+    assert n_chunks_hit < n_chunks_all / 4  # pruning actually skipped most chunks
+
+    dec = decode_table(m, df.schema, key_range=(lo, hi), key_col="k")
+    got = sorted(r.k for r in dec.select("k").collect())
+    assert got == list(range(lo, hi + 1))
+    # values survive the pruned path bit-identically
+    bad = (dec.alias("d").join(df.alias("o"), "k")
+           .filter((F.col("d.v") != F.col("o.v")) | (F.col("d.s") != F.col("o.s"))).count())
+    assert bad == 0
+    m.unpersist()

@@ -104,6 +104,20 @@ class ColumnValues:
             return self.vals.nbytes
         return int(self.data.nbytes + self.offsets.nbytes)
 
+    def slice(self, start: int, stop: int) -> "ColumnValues":
+        """Row-range view [start, stop) (copies varlen buffers, rebases offsets)."""
+        start = max(0, min(start, self.n))
+        stop = max(start, min(stop, self.n))
+        if self.vals is not None:
+            return ColumnValues(tag=self.tag, vals=self.vals[start:stop])
+        off = self.offsets[start : stop + 1]
+        base = int(off[0]) if len(off) else 0
+        return ColumnValues(
+            tag=self.tag,
+            offsets=(off - base).astype(np.int64),
+            data=self.data[base : int(off[-1])] if len(off) else np.empty(0, np.uint8),
+        )
+
     def equals(self, other: "ColumnValues") -> bool:
         if self.tag != other.tag or self.n != other.n:
             return False

@@ -62,6 +62,43 @@ def decode_column(blob: bytes, dtype=None) -> ColumnValues:
     return col
 
 
+def decode_column_slice(blob: bytes, start: int, stop: int, dtype=None) -> ColumnValues:
+    """Decode only rows [start, stop) — page skipping via the footer index.
+
+    This is the reference's V1 "efficient row skipping" wish made real
+    (wills-columnar-format.org:187-194): ``PageInfo.values_count`` +
+    ``file_offset``/``byte_len`` let us decode ONLY the pages covering the
+    requested row range (the reference's V0 decoder streams all pages and
+    ignores file_offset, src/decode.rs:52-66). Cost is O(pages touched),
+    not O(column).
+    """
+    footer = read_footer(blob)
+    if dtype is not None:
+        dtypes.check_decode_dtype(footer.data_type, dtype)
+    total = footer.values_count
+    start = max(0, min(start, total))
+    stop = max(start, min(stop, total))
+    counts = np.fromiter((p.values_count for p in footer.pages), dtype=np.int64,
+                         count=len(footer.pages))
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    lo = int(np.searchsorted(ends, start, side="right"))
+    hi = int(np.searchsorted(starts, stop, side="left"))
+    sub = Footer(
+        data_type=footer.data_type,
+        codec=footer.codec,
+        params=footer.params,
+        pages=footer.pages[lo:hi],
+    )
+    codec = BY_ID[footer.codec]
+    col = codec.decode(data_section(blob), sub)
+    page_base = int(starts[lo]) if lo < len(footer.pages) else 0
+    col = col.slice(start - page_base, stop - page_base)
+    if dtype is not None and col.vals is not None:
+        col = ColumnValues(tag=col.tag, vals=col.vals.astype(np.dtype(dtype)))
+    return col
+
+
 def decode_runs(blob: bytes) -> tuple[ColumnValues, np.ndarray]:
     """Compute-on-compressed access: (run values, run lengths) without
     expansion for RLE blobs (src/test_rle.rs:8-17); for non-RLE blobs every

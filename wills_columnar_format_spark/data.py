@@ -27,7 +27,7 @@ SOURCES = np.array(["web", "books", "code", "wiki"])
 SOURCE_P = np.array([0.6, 0.15, 0.15, 0.1])
 
 
-def token_table_arrow(n_rows: int, seed: int = 42) -> pa.Table:
+def token_table_arrow(n_rows: int, seed: int = 42, doc_start: int = 0) -> pa.Table:
     rng = np.random.default_rng(seed)
     src_idx = rng.choice(len(SOURCES), size=n_rows, p=SOURCE_P)
 
@@ -61,7 +61,7 @@ def token_table_arrow(n_rows: int, seed: int = 42) -> pa.Table:
     code = row_src == 2
     tokens[code] = (tokens[code] % 96).astype(np.int32)
 
-    doc_num = np.arange(n_rows)
+    doc_num = np.arange(doc_start, doc_start + n_rows)
     doc_id = np.char.add(
         np.char.add(SOURCES[src_idx].astype("U8"), "-"),
         np.char.zfill(doc_num.astype("U9"), 9),
@@ -86,21 +86,22 @@ def write_token_table(path: str, n_rows: int, seed: int = 42, rows_per_file: int
     for start in range(0, n_rows, rows_per_file):
         n = min(rows_per_file, n_rows - start)
         # chunk seed derives from (seed, part) so files are independent and
-        # the whole table is still deterministic
-        t = token_table_arrow(n, seed=seed * 1_000_003 + part)
+        # the whole table is still deterministic; doc numbering is global
+        # so doc_id stays unique across files
+        t = token_table_arrow(n, seed=seed * 1_000_003 + part, doc_start=start)
         pq.write_table(t, os.path.join(path, f"part-{part:05d}.parquet"))
         part += 1
     return path
 
 
-def ensure_token_table(path: str, n_rows: int, seed: int = 42) -> str:
+def ensure_token_table(path: str, n_rows: int, seed: int = 42, rows_per_file: int = 250_000) -> str:
     """Generate the table at ``path`` if not already there (cached)."""
-    marker = os.path.join(path, f".complete-{n_rows}-{seed}")
+    marker = os.path.join(path, f".complete-{n_rows}-{seed}-{rows_per_file}")
     if not os.path.exists(marker):
         import shutil
 
         if os.path.isdir(path):
             shutil.rmtree(path)
-        write_token_table(path, n_rows, seed)
+        write_token_table(path, n_rows, seed, rows_per_file=rows_per_file)
         open(marker, "w").close()
     return path

@@ -373,22 +373,41 @@ def make_decode_fn(out_schema: pa.Schema):
     return decode_fn
 
 
-def decode_table(manifest_df, out_schema):
+def decode_table(manifest_df, out_schema, key_range=None, key_col=None):
     """Decode a manifest back to the original rows (order not preserved
     globally; chunk-local order is exact — verify by joining on the key).
 
     ``out_schema`` is the original table's Spark schema (StructType) or an
     Arrow schema. Duplicate manifest rows for the same (chunk, column) —
     possible after resumed runs — are dropped first.
+
+    ``key_range=(lo, hi)`` prunes at the MANIFEST level before any blob is
+    decoded: only chunks whose [min_key, max_key] lineage interval
+    intersects the range are touched (zone-map pruning — on a checkpointed
+    manifest this is a Catalyst filter pushed into the parquet scan, so a
+    point lookup over a 10^12-row encode reads a handful of chunk blobs).
+    With ``key_col`` also set, rows are exact-filtered after decode.
     """
+    from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
     manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
+    if key_range is not None:
+        lo, hi = key_range
+        mn, mx = F.col("min_key"), F.col("max_key")
+        if isinstance(lo, (int, float)) and not isinstance(lo, bool):
+            # keys are stringified in lineage; compare numerically
+            mn, mx = mn.cast("double"), mx.cast("double")
+        manifest_df = manifest_df.filter((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
     n = max(1, manifest_df.select("part_id").rdd.getNumPartitions())
     arranged = manifest_df.repartition(n, "chunk_key").sortWithinPartitions("chunk_key", "column")
-    return arranged.mapInArrow(make_decode_fn(out_schema), schema=from_arrow_schema(out_schema))
+    out = arranged.mapInArrow(make_decode_fn(out_schema), schema=from_arrow_schema(out_schema))
+    if key_range is not None and key_col is not None:
+        lo, hi = key_range
+        out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
+    return out
 
 
 # ---------------------------------------------------------------------------

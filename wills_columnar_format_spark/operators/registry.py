@@ -114,6 +114,25 @@ UNION ALL SELECT 'o_totalprice', COUNT(*) FROM orders
 """
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range decode through manifest zone-map pruning: only chunks
+    whose [min_key, max_key] lineage interval intersects the range are
+    decoded (reference V1 row-skipping wish, org:187-194, via our
+    per-chunk min/max + per-page index)."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8,
+                     partitioner="range", chunk_rows=64)
+    return decode_table(m, df.schema, key_range=(100, 149), key_col="doc_id")
+
+
+ORACLE_POINT_LOOKUP = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "WHERE doc_id BETWEEN 100 AND 149"
+)
+
+
 def q_compression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec + bytes in/out per column (lineage metrics; no SQL oracle —
     the compressed sizes are engine-defined)."""
@@ -423,6 +442,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_embeddings": (q_roundtrip_embeddings, ORACLE_ROUNDTRIP_EMBEDDINGS),
     "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
+    "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "compression_metrics": (q_compression_metrics, None),
     # text analysis
     "text_token_count": (_sql_query(SPARK_TOKEN_COUNT, "documents"), DUCK_TOKEN_COUNT),

@@ -28,7 +28,12 @@ from .codecs.plain import numeric_value_sizes
 from .codecs.rle import run_starts_numeric, run_starts_varlen
 from .format import uvarint_lengths
 
-TRY_ALL_THRESHOLD = 1 << 16  # values
+# Below this many values, encoding with every candidate and keeping the
+# argmin costs less than a mis-pick (tiny chunks); above it, the sampled
+# stats estimate decides and we encode ONCE. 64k was measured to make
+# selector cost dominate the whole encode path (4-5x work on doc_id /
+# source-sized columns); 4k keeps try-all to genuinely tiny chunks.
+TRY_ALL_THRESHOLD = 1 << 12  # values
 SAMPLE_VALUES = 1 << 14
 
 _INT64_MAX = (1 << 63) - 1

@@ -38,6 +38,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill to tmpfs when available: the sandbox stand-in for a
+    # cluster's local NVMe; avoids charging rootfs I/O to shuffle stages
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)
