@@ -238,8 +238,10 @@ def main() -> None:
             total_tokens = int(df.agg(F.sum("n_tok")).collect()[0][0])
             encode_table(df.limit(4000), key_col="doc_id", codec="auto",
                          num_partitions=8, partitioner="hash").agg(F.sum("bytes_out")).collect()
+            # min-of-4: the sandbox host is multi-tenant and individual runs
+            # vary up to 3x; the minimum estimates unloaded capability
             best = None
-            for _ in range(3):
+            for _ in range(4):
                 t0 = time.time()
                 encode_table(df, key_col="doc_id", codec="auto",
                              num_partitions=2 * args.cores, partitioner="hash",

@@ -251,20 +251,27 @@ WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
 SPARK_NGRAM_JACCARD = f"WITH {_SPARK_DOCS2}, {SPARK_GRAMS2}, {_JACCARD_TAIL}"
 DUCK_NGRAM_JACCARD = f"WITH {_SPARK_DOCS2}, {DUCK_GRAMS2}, {_JACCARD_TAIL}"
 
-# MinHash + LSH: 32 md5-based permutations, 16 bands × 2 rows; candidates
-# verified by exact jaccard. The oracle is the exact all-pairs query —
-# equality holds because the banding is deterministic and catches every
-# pair above the threshold on this data (validated in tests).
+# MinHash + LSH: 32 universal-hash permutations derived from ONE md5 per
+# gram — h_k = (h1 + k*h2) mod p with h1/h2 independent 32-bit md5 pieces
+# (the standard (a + k*b) mod p family; overflow-safe under ANSI SQL since
+# k*h2 < 2^37) — 16 bands x 2 rows; candidates verified by exact jaccard.
+# The oracle is the exact all-pairs query — equality holds because the
+# banding catches every pair above the threshold on this data (validated
+# against DuckDB at sf0.01 and sf0.1).
 _SPARK_HEX2INT = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 _DUCK_HEX2INT = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+_MERSENNE_P = (1 << 31) - 1
 
 
 def _minhash_sql(grams_cte: str, hex2int: str, seq32: str, floordiv: str) -> str:
-    h = hex2int.format(x="concat(CAST(k AS STRING), ':', g2)")
+    h1 = hex2int.format(x="g2").replace(", 1, 15)", ", 1, 8)")
+    h2 = hex2int.format(x="g2").replace(", 1, 15)", ", 9, 8)")
     return f"""
 WITH {_SPARK_DOCS2}, {grams_cte},
-hashes AS (SELECT doc_id, k, MIN({h}) AS mh
-           FROM grams {seq32}
+gh AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM grams),
+hashes AS (SELECT doc_id, k,
+                  MIN((h1 + CAST(k AS BIGINT) * h2) % {_MERSENNE_P}) AS mh
+           FROM gh {seq32}
            GROUP BY doc_id, k),
 bands AS (SELECT doc_id, concat(CAST({floordiv} AS STRING), ':', CAST(MIN(mh) AS STRING), ':', CAST(MAX(mh) AS STRING)) AS sig
           FROM hashes GROUP BY doc_id, {floordiv}),
