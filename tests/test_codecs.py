@@ -32,7 +32,7 @@ ALL_TYPE_PAIRS = [
 
 
 @pytest.mark.parametrize("vals", ALL_TYPE_PAIRS, ids=lambda v: str(v.dtype))
-@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "for_bitpack", "auto"])
+@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "for_bitpack", "delta", "dict_rle", "auto"])
 def test_encode_decode_all_int_types(vals, codec):
     """Reference test_encode_decode_several (test_lib.rs:34-45): roundtrip
     2-value columns for every supported type."""
@@ -42,7 +42,7 @@ def test_encode_decode_all_int_types(vals, codec):
     assert out.vals.dtype == vals.dtype
 
 
-@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "fsst", "auto"])
+@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "fsst", "dict_rle", "auto"])
 def test_encode_decode_string_types(codec):
     vals = ["a", "b"]
     blob, footer = encode_column(vals, codec=codec)
@@ -160,7 +160,7 @@ def test_nulls_rejected():
         encode_column(arr)
 
 
-@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "for_bitpack"])
+@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "for_bitpack", "delta", "dict_rle"])
 def test_large_random_int_roundtrip(codec):
     rng = np.random.default_rng(7)
     vals = np.repeat(rng.integers(-(2**40), 2**40, size=5_000), rng.integers(1, 8, size=5_000)).astype(np.int64)
@@ -171,7 +171,7 @@ def test_large_random_int_roundtrip(codec):
     assert codec_obj.name == codec
 
 
-@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "fsst"])
+@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "fsst", "dict_rle"])
 def test_large_string_roundtrip(codec):
     rng = np.random.default_rng(11)
     words = [f"web-{i:07d}" for i in rng.integers(0, 500, size=8_000)]

@@ -17,6 +17,15 @@ from wills_columnar_format_spark.selector import applicable_codecs
 
 RNG = np.random.default_rng(42)
 
+def _web_like(n=60_000):
+    alpha = RNG.integers(0, 512, n).astype(np.int32)
+    rep = RNG.random(n) < 0.55
+    idx = np.arange(n)
+    idx[rep & (idx > 0)] = 0
+    np.maximum.accumulate(idx, out=idx)
+    return alpha[idx]
+
+
 FIXTURES = {
     # fixture -> (values, codec expected to win on sizes)
     "const_runs": np.repeat(RNG.integers(0, 100, size=100), 100).astype(np.int32),
@@ -24,10 +33,14 @@ FIXTURES = {
     "narrow_range": (RNG.integers(0, 256, size=10_000) + 1_000_000).astype(np.int32),
     "alternating": np.tile(np.array([0, 1], np.int32), 5_000),
     "random_wide": RNG.integers(-(2**31), 2**31 - 1, size=10_000).astype(np.int32),
+    "random_walk": (25_000 + np.cumsum(RNG.integers(-64, 65, size=60_000))).astype(np.int64),
+    "web_tokens": _web_like(),
 }
 
 EXPECTED = {
     "const_runs": "rle",
+    "random_walk": "delta",
+    "web_tokens": "dict_rle",
 }
 
 

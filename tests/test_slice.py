@@ -26,7 +26,7 @@ def _int_column(n=50_000, seed=7):
     return vals
 
 
-@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "for_bitpack", "auto"])
+@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "for_bitpack", "delta", "dict_rle", "auto"])
 @pytest.mark.parametrize(
     "rng_", [(0, 100), (4_990, 5_010), (49_900, 50_000), (0, 50_000), (12_345, 12_346), (7, 7)]
 )
@@ -38,7 +38,7 @@ def test_slice_int_codecs(codec, rng_):
     assert np.array_equal(out.vals, vals[start:stop])
 
 
-@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "fsst", "auto"])
+@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "fsst", "dict_rle", "auto"])
 def test_slice_string_codecs(codec):
     vals = [f"val-{i % 37:04d}" for i in range(3000) for _ in range(3)]
     blob, _ = encode_column(vals, codec=codec, target_page_size=2048)

@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 from .base import Codec, ColumnValues, Encoded
+from .delta import DeltaCodec
+from .dict_rle import DictRleCodec
 from .dictionary import DictCodec
 from .foref import ForCodec
 from .fsst import FsstCodec
@@ -14,8 +16,10 @@ RLE = RleCodec()
 DICT = DictCodec()
 FOR = ForCodec()
 FSST = FsstCodec()
+DICT_RLE = DictRleCodec()
+DELTA = DeltaCodec()
 
-ALL_CODECS: list[Codec] = [PLAIN, RLE, DICT, FOR, FSST]
+ALL_CODECS: list[Codec] = [PLAIN, RLE, DICT, FOR, FSST, DICT_RLE, DELTA]
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in ALL_CODECS}
 BY_NAME: dict[str, Codec] = {c.name: c for c in ALL_CODECS}
 
@@ -28,6 +32,8 @@ __all__ = [
     "DICT",
     "FOR",
     "FSST",
+    "DICT_RLE",
+    "DELTA",
     "ALL_CODECS",
     "BY_ID",
     "BY_NAME",

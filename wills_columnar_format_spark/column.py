@@ -10,7 +10,6 @@ import numpy as np
 
 from . import dtypes
 from .codecs import BY_ID, BY_NAME, ColumnValues
-from .codecs.rle import RleCodec
 from .format import DEFAULT_TARGET_PAGE_SIZE, Footer, assemble_blob, data_section, read_footer
 from .selector import choose_codec
 
@@ -105,7 +104,7 @@ def decode_runs(blob: bytes) -> tuple[ColumnValues, np.ndarray]:
     run has length 1 (``Values::single`` semantics, src/rle.rs:19-24)."""
     footer = read_footer(blob)
     codec = BY_ID[footer.codec]
-    if isinstance(codec, RleCodec):
+    if hasattr(codec, "decode_runs"):  # rle and dict_rle expose run access
         return codec.decode_runs(data_section(blob), footer)
     col = codec.decode(data_section(blob), footer)
     return col, np.ones(col.n, dtype=np.int64)

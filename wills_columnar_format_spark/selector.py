@@ -49,6 +49,8 @@ class ColumnStats:
     vmin: int
     vmax: int
     fsst_est_bytes: float
+    est_n_runs: int = 1
+    delta_width: int = 64  # bits per (delta - min_delta); 64 = inapplicable
 
 
 def _sample_indices(n: int, k: int) -> np.ndarray:
@@ -77,8 +79,8 @@ def compute_stats(col: ColumnValues) -> ColumnStats:
         # distinct estimate from sampled hashes
         starts = col.offsets[idx]
         hsh = _hash_varlen_sample(col, idx)
-        d_sample = len(np.unique(hsh))
-        est_distinct = _estimate_distinct(d_sample, len(idx), n)
+        _, cnts = np.unique(hsh, return_counts=True)
+        est_distinct = _estimate_distinct(cnts, len(idx), n)
         dict_bytes = est_distinct * (avg_len + 1.5)
         # FSST estimate: compress the sampled bytes
         sample_data = sub.data[: 1 << 15]
@@ -88,7 +90,8 @@ def compute_stats(col: ColumnValues) -> ColumnStats:
         else:
             ratio = 1.0
         fsst = float(col.offsets[-1]) * ratio + float(uvarint_lengths(lens.astype(np.uint64)).sum()) + 1024
-        return ColumnStats(n, plain, rle, est_distinct, dict_bytes, 0, 0, fsst)
+        return ColumnStats(n, plain, rle, est_distinct, dict_bytes, 0, 0, fsst,
+                           est_n_runs=n_runs)
     v = col.vals
     sv = v[idx]
     if col.tag in dtypes.INTEGER_TAGS:
@@ -103,10 +106,18 @@ def compute_stats(col: ColumnValues) -> ColumnStats:
     n_runs = max(1, int(round(n_runs_pref * (n / max(len(pref), 1)))))
     val_sz = float(numeric_value_sizes(sv, col.tag).mean()) if col.tag in dtypes.INTEGER_TAGS and len(sv) else 8.0
     rle = n_runs * (val_sz + 1.5)
-    d_sample = len(np.unique(sv))
-    est_distinct = _estimate_distinct(d_sample, len(idx), n)
+    _, cnts = np.unique(sv, return_counts=True)
+    est_distinct = _estimate_distinct(cnts, len(idx), n)
     dict_bytes = est_distinct * val_sz
-    return ColumnStats(n, plain, rle, est_distinct, dict_bytes, vmin, vmax, float("inf"))
+    # delta width from the contiguous prefix (diffs need adjacency)
+    delta_width = 64
+    if col.tag in dtypes.INTEGER_TAGS and len(pref) > 1:
+        p64 = pref.astype(np.int64, copy=False)
+        if abs(vmin) < _INT64_MAX >> 1 and abs(vmax) < _INT64_MAX >> 1:
+            d = np.diff(p64)
+            delta_width = max(1, int(int(d.max() - d.min()).bit_length()))
+    return ColumnStats(n, plain, rle, est_distinct, dict_bytes, vmin, vmax, float("inf"),
+                       est_n_runs=n_runs, delta_width=delta_width)
 
 
 def _hash_varlen_sample(col: ColumnValues, idx: np.ndarray) -> np.ndarray:
@@ -129,13 +140,21 @@ def _hash_varlen_sample(col: ColumnValues, idx: np.ndarray) -> np.ndarray:
     return h
 
 
-def _estimate_distinct(d_sample: int, sample_n: int, n: int) -> int:
+def _estimate_distinct(sample_counts: np.ndarray, sample_n: int, n: int) -> int:
+    """Chao1 estimator from sampled value frequencies: d + f1^2 / (2 f2).
+
+    Saturated dictionaries (every value seen repeatedly, f1 ~ 0) stay at
+    d; near-unique samples extrapolate toward n.
+    """
     if sample_n == 0:
         return 0
+    d_sample = len(sample_counts)
     if d_sample >= sample_n * 0.98:
         return max(d_sample, int(n * 0.9))  # likely unique-ish
-    # birthday-style scale-up, capped
-    return min(n, max(d_sample, int(d_sample * (1 + 0.1 * (n / max(sample_n, 1) - 1)))))
+    f1 = int((sample_counts == 1).sum())
+    f2 = int((sample_counts == 2).sum())
+    chao = d_sample + (f1 * f1) / (2.0 * max(f2, 1))
+    return min(n, max(d_sample, int(chao)))
 
 
 def applicable_codecs(col: ColumnValues) -> list[Codec]:
@@ -143,10 +162,17 @@ def applicable_codecs(col: ColumnValues) -> list[Codec]:
     for c in ALL_CODECS:
         if not c.supports(col.tag):
             continue
-        if c.name == "for_bitpack":
+        if c.name in ("for_bitpack", "delta"):
             v = col.vals
-            if col.tag == dtypes.UNSIGNED_INTEGER and len(v) and int(v.max()) > _INT64_MAX:
-                continue  # int64 delta math would overflow
+            if col.tag == dtypes.UNSIGNED_INTEGER and len(v) and int(v.max()) > _INT64_MAX >> 1:
+                continue  # int64 difference math would overflow
+            if (
+                c.name == "delta"
+                and col.tag == dtypes.SIGNED_INTEGER
+                and len(v)
+                and (abs(int(v.min())) > _INT64_MAX >> 1 or abs(int(v.max())) > _INT64_MAX >> 1)
+            ):
+                continue
         out.append(c)
     return out
 
