@@ -113,3 +113,30 @@ def test_empty_dataframe(spark, token_df):
     assert m.count() == 0
     out = decode_table(m, token_df.schema)
     assert out.count() == 0
+
+
+def test_temporal_columns_roundtrip(spark):
+    """Timestamps/dates ride the integer codecs as epoch ints and are
+    restored to their logical type by the output schema on decode."""
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.sql(
+        """
+        SELECT id AS k,
+               timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,
+               date_add(date'2020-06-01', CAST(id % 365 AS INT)) AS d
+        FROM range(5000)
+        """
+    )
+    m = encode_table(df, key_col="k", num_partitions=4, chunk_rows=1024)
+    dec = decode_table(m, df.schema)
+    assert dec.count() == 5000
+    from pyspark.sql import functions as F
+
+    bad = (
+        dec.alias("x").join(df.alias("o"), "k")
+        .filter((F.col("x.ts") != F.col("o.ts")) | (F.col("x.d") != F.col("o.d")))
+        .count()
+    )
+    assert bad == 0
+    assert dict(dec.dtypes)["ts"] == "timestamp" and dict(dec.dtypes)["d"] == "date"

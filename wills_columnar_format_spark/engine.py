@@ -101,13 +101,30 @@ def _encode_one(col: ColumnValues, codec: str, target_page_size: int):
 # ---------------------------------------------------------------------------
 
 
+def _normalize_temporal(arr: pa.Array) -> pa.Array:
+    """Temporal types ride the integer codecs: timestamps as int64 epoch
+    units, dates as int32 days (the reference's width-coarsening
+    philosophy, src/lib.rs:103-108 — the footer stores the integer class;
+    the table schema restores the logical type on decode). Monotonic
+    event times then hit the delta codec's best case."""
+    t = arr.type
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
+        return arr.cast(pa.int64())
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return arr.cast(pa.int32())
+    if pa.types.is_date64(t):
+        return arr.cast(pa.int64())
+    return arr
+
+
 def _sub_columns(name: str, arr: pa.Array) -> list[tuple[str, ColumnValues]]:
     """Split a field into encodable flat sub-columns."""
+    arr = _normalize_temporal(arr)
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
         import pyarrow.compute as pc
 
         lens = pc.list_value_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        values = arr.flatten()
+        values = _normalize_temporal(arr.flatten())
         return [
             (f"{name}#lengths", ColumnValues.from_numpy(lens.astype(np.int32))),
             (f"{name}#values", _arrow_to_columnvalues(values)),
@@ -335,6 +352,13 @@ def _rebuild_field(field: pa.Field, blobs: dict[str, bytes]) -> pa.Array:
     cv = _decode_blob(blobs[field.name])
     if cv.vals is not None:
         npt = _ARROW_NP.get(t)
+        if npt is None and (
+            pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_time(t) or pa.types.is_duration(t)
+        ):
+            # temporal: stored as epoch ints (_normalize_temporal); cast back
+            width = pa.int32() if pa.types.is_date32(t) or pa.types.is_time32(t) else pa.int64()
+            return pa.array(cv.vals.astype(_ARROW_NP[width]), type=width).cast(t)
         return pa.array(cv.vals.astype(npt) if npt is not None else cv.vals, type=t)
     return cv.to_arrow().cast(t)
 

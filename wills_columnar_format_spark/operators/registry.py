@@ -48,9 +48,21 @@ def q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine import decode_table, encode_table
 
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus",
+        "l_shipdate",
     )
     m = encode_table(df, key_col="l_orderkey", codec="auto", num_partitions=8)
+    return decode_table(m, df.schema)
+
+
+def q_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full events table incl. the timestamp column (temporal columns ride
+    the integer codecs as epoch micros — sorted event streams hit the
+    delta codec's best case)."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = encode_table(df, key_col="event_id", codec="auto", num_partitions=8)
     return decode_table(m, df.schema)
 
 
@@ -68,7 +80,11 @@ def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ROUNDTRIP_DOCUMENTS = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 ORACLE_ROUNDTRIP_LINEITEM = (
-    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus FROM lineitem"
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus, "
+    "l_shipdate FROM lineitem"
+)
+ORACLE_ROUNDTRIP_EVENTS = (
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events"
 )
 ORACLE_ROUNDTRIP_EMBEDDINGS = """
 SELECT vec_id, CAST(UNNEST(range(len(embedding))) AS INT) AS pos, UNNEST(embedding) AS val
@@ -446,6 +462,7 @@ REGISTRY: dict[str, tuple] = {
     # engine / codec operators (SURVEY.md §2.1 + §2.3)
     "roundtrip_documents": (q_roundtrip_documents, ORACLE_ROUNDTRIP_DOCUMENTS),
     "roundtrip_lineitem": (q_roundtrip_lineitem, ORACLE_ROUNDTRIP_LINEITEM),
+    "roundtrip_events": (q_roundtrip_events, ORACLE_ROUNDTRIP_EVENTS),
     "roundtrip_embeddings": (q_roundtrip_embeddings, ORACLE_ROUNDTRIP_EMBEDDINGS),
     "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
