@@ -84,7 +84,7 @@ def test_decode_table_key_range_prunes_chunks(spark):
                      partitioner="range", chunk_rows=1024).cache()
     n_chunks_all = m.select("chunk_key").distinct().count()
     lo, hi = 5_000, 5_200
-    pruned = m.filter((F.col("max_key").cast("double") >= lo) & (F.col("min_key").cast("double") <= hi))
+    pruned = m.filter((F.col("max_key_num") >= lo) & (F.col("min_key_num") <= hi))
     n_chunks_hit = pruned.select("chunk_key").distinct().count()
     assert n_chunks_hit < n_chunks_all / 4  # pruning actually skipped most chunks
 
@@ -96,3 +96,28 @@ def test_decode_table_key_range_prunes_chunks(spark):
            .filter((F.col("d.v") != F.col("o.v")) | (F.col("d.s") != F.col("o.s"))).count())
     assert bad == 0
     m.unpersist()
+
+
+def test_checkpointed_manifest_filter_pushes_to_parquet(spark, tmp_path_factory):
+    """On a CHECKPOINTED manifest the zone-map filter must reach the
+    parquet scan (PushedFilters) so row-group stats prune I/O — the
+    at-scale point-lookup path (a 10^12-row encode's manifest is itself a
+    big table)."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("int").alias("v")
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_push") / "m")
+    encode_table(df, key_col="k", num_partitions=4, partitioner="range",
+                 chunk_rows=512).write.parquet(ckpt)
+    manifest = spark.read.parquet(ckpt)
+    dec = decode_table(manifest, df.schema, key_range=(1000, 1100), key_col="k")
+    plan = dec._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan
+    assert "min_key_num" in plan.split("PushedFilters")[1][:400] or \
+           "max_key_num" in plan.split("PushedFilters")[1][:400]
+    got = sorted(r.k for r in dec.select("k").collect())
+    assert got == list(range(1000, 1101))

@@ -43,6 +43,8 @@ MANIFEST_FIELDS = [
     ("checksum", "string"),
     ("min_key", "string"),
     ("max_key", "string"),
+    ("min_key_num", "double"),
+    ("max_key_num", "double"),
     ("snapshot_id", "string"),
     ("blob", "binary"),
 ]
@@ -62,6 +64,8 @@ _MANIFEST_PA = pa.schema(
         ("checksum", pa.string()),
         ("min_key", pa.string()),
         ("max_key", pa.string()),
+        ("min_key_num", pa.float64()),
+        ("max_key_num", pa.float64()),
         ("snapshot_id", pa.string()),
         ("blob", pa.large_binary()),
     ]
@@ -155,8 +159,22 @@ def make_encode_fn(
         def encode_chunk(table: pa.Table, chunk_id: int) -> pa.RecordBatch:
             rows = {name: [] for name, _ in MANIFEST_FIELDS}
             keys = table.column(key_col).combine_chunks()
-            min_key = str(keys[0].as_py()) if len(keys) else ""
-            max_key = str(keys[-1].as_py()) if len(keys) else ""
+            # rows are sorted by key within the partition, but a CHUNK of a
+            # hash/weight-bucketed partition still spans arbitrary keys —
+            # use true min/max, not first/last
+            if len(keys):
+                import pyarrow.compute as pc
+
+                mm = pc.min_max(keys)
+                kmin, kmax = mm["min"].as_py(), mm["max"].as_py()
+            else:
+                kmin = kmax = None
+            min_key = str(kmin) if kmin is not None else ""
+            max_key = str(kmax) if kmax is not None else ""
+            if isinstance(kmin, (int, float)) and not isinstance(kmin, bool):
+                min_num, max_num = float(kmin), float(kmax)
+            else:
+                min_num = max_num = float("nan")
             # content-based chunk identity: stable across runs even if the
             # physical partitioning drifted (resume correctness)
             chunk_key = _checksum(_arrow_to_columnvalues(keys))
@@ -179,6 +197,8 @@ def make_encode_fn(
                     rows["checksum"].append(csum)
                     rows["min_key"].append(min_key)
                     rows["max_key"].append(max_key)
+                    rows["min_key_num"].append(min_num)
+                    rows["max_key_num"].append(max_num)
                     rows["snapshot_id"].append(snapshot_id)
                     rows["blob"].append(blob)
             return pa.RecordBatch.from_pydict(rows, schema=_MANIFEST_PA)
@@ -417,14 +437,20 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None):
 
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
-    manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
     if key_range is not None:
+        # prune BEFORE the dedup aggregate: Catalyst cannot push a
+        # non-grouping-column filter through dropDuplicates, and pruning
+        # first keeps the manifest shuffle proportional to chunks HIT
         lo, hi = key_range
-        mn, mx = F.col("min_key"), F.col("max_key")
         if isinstance(lo, (int, float)) and not isinstance(lo, bool):
-            # keys are stringified in lineage; compare numerically
-            mn, mx = mn.cast("double"), mx.cast("double")
+            # native numeric zone-map columns: the filter is cast-free, so
+            # on a checkpointed manifest it pushes into the parquet scan
+            # (row-group stats pruning — check PushedFilters in .explain)
+            mn, mx = F.col("min_key_num"), F.col("max_key_num")
+        else:
+            mn, mx = F.col("min_key"), F.col("max_key")
         manifest_df = manifest_df.filter((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
+    manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
     n = max(1, manifest_df.select("part_id").rdd.getNumPartitions())
     arranged = manifest_df.repartition(n, "chunk_key").sortWithinPartitions("chunk_key", "column")
     out = arranged.mapInArrow(make_decode_fn(out_schema), schema=from_arrow_schema(out_schema))
