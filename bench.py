@@ -153,6 +153,8 @@ def _registry_benches(spark, sf_dir: str) -> dict[str, float]:
     names = [
         "roundtrip_documents",
         "roundtrip_lineitem",
+        "roundtrip_events",
+        "point_lookup",
         "rle_run_counts",
         "text_quality",
         "lang_id",

@@ -234,12 +234,33 @@ def weight_balanced_bucket_expr(df, key_col: str, weight_col: str, num_buckets: 
     bucket. This is the explicit skew handling the north rule demands —
     plain ``repartitionByRange`` balances row COUNTS, but token rows skew
     in BYTES (Zipf lengths), so heavy ranges must get more buckets.
+
+    At-scale sampling: when the input is file-backed with many files, the
+    sample reads a deterministic subset of FILES (~20) instead of
+    scanning the whole table — a 100 TB input must not pay a full pass
+    (let alone the count + sample two-pass) just to pick bucket bounds.
     """
     from pyspark.sql import functions as F
 
-    total = df.count()
-    frac = min(1.0, sample_rows / max(total, 1))
-    sample = df.select(key_col, weight_col).sample(fraction=frac, seed=42).toPandas()
+    sample = None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) > 20:
+        # strided pick over the sorted file list spreads key coverage;
+        # a bare limit() would short-circuit into one file (biased)
+        picked = sorted(files)[:: max(1, len(files) // 20)][:20]
+        fdf = df.sparkSession.read.parquet(*picked).select(key_col, weight_col)
+        sub_total = fdf.count()  # counts 20 files, not the table
+        frac = min(1.0, sample_rows / max(sub_total, 1))
+        sample = fdf.sample(fraction=frac, seed=42).toPandas()
+        if len(sample) < 4 * num_buckets:
+            sample = None  # fall through to the full-scan path
+    if sample is None:
+        total = df.count()
+        frac = min(1.0, sample_rows / max(total, 1))
+        sample = df.select(key_col, weight_col).sample(fraction=frac, seed=42).toPandas()
     if len(sample) == 0 or num_buckets <= 1:
         return F.lit(0)
     sample = sample.sort_values(key_col)
