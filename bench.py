@@ -137,7 +137,7 @@ def run_decode(spark, sf_dir: str) -> dict:
     ).cache()
     m.count()  # materialize encode outside the timed region
     t0 = time.time()
-    dec = decode_table(m, df.schema)
+    dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
     out = dec.agg(F.count("*").alias("n"), F.sum("n_tok").alias("t")).collect()[0]
     dt = time.time() - t0
     m.unpersist()

@@ -140,3 +140,27 @@ def test_temporal_columns_roundtrip(spark):
     )
     assert bad == 0
     assert dict(dec.dtypes)["ts"] == "timestamp" and dict(dec.dtypes)["d"] == "date"
+
+
+def test_decode_fast_path_equals_slow_path(spark, token_df):
+    """assume_unique+arranged skips the decode shuffle entirely; rows must
+    still be bit-identical to the input."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    m = encode_table(token_df, key_col="doc_id", num_partitions=4, chunk_rows=2048)
+    dec = decode_table(m, token_df.schema, assume_unique=True, arranged=True)
+    assert dec.count() == N_ROWS
+    bad = (
+        dec.alias("d").join(token_df.alias("o"), "doc_id")
+        .filter(
+            ~(
+                (F.col("d.tokens") == F.col("o.tokens"))
+                & (F.col("d.n_tok") == F.col("o.n_tok"))
+                & (F.col("d.source") == F.col("o.source"))
+            )
+        )
+        .count()
+    )
+    assert bad == 0

@@ -418,7 +418,13 @@ def make_decode_fn(out_schema: pa.Schema):
 
         def flush():
             arrays = [_rebuild_field(f, pending) for f in out_schema]
-            return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+            rb = pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+            # stream cache-sized batches back to the JVM: one 16k-row chunk
+            # of token arrays is ~12 MB as a single RecordBatch, which
+            # thrashes the Arrow allocator at high task concurrency (same
+            # measured pathology as the encode-side maxRecordsPerBatch fix)
+            for s in range(0, rb.num_rows, 2048):
+                yield rb.slice(s, min(2048, rb.num_rows - s))
 
         for b in batches:
             keys = b.column("chunk_key").to_pylist()
@@ -428,17 +434,18 @@ def make_decode_fn(out_schema: pa.Schema):
                 key = keys[i]
                 if key != pending_key:
                     if pending_key is not None and pending:
-                        yield flush()
+                        yield from flush()
                     pending_key = key
                     pending = {}
                 pending[cols[i]] = blobs[i].as_py()
         if pending_key is not None and pending:
-            yield flush()
+            yield from flush()
 
     return decode_fn
 
 
-def decode_table(manifest_df, out_schema, key_range=None, key_col=None):
+def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
+                 assume_unique=False, arranged=False):
     """Decode a manifest back to the original rows (order not preserved
     globally; chunk-local order is exact — verify by joining on the key).
 
@@ -452,6 +459,14 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None):
     manifest this is a Catalyst filter pushed into the parquet scan, so a
     point lookup over a 10^12-row encode reads a handful of chunk blobs).
     With ``key_col`` also set, rows are exact-filtered after decode.
+
+    ``assume_unique=True`` skips the duplicate-collapse aggregate and
+    ``arranged=True`` skips the chunk-grouping shuffle — both are safe
+    when the manifest flows STRAIGHT from ``encode_table`` (each chunk's
+    rows are emitted adjacently in one partition and can't duplicate);
+    together they remove the only shuffle on the decode path, which
+    otherwise moves every blob. Checkpointed/merged manifests should keep
+    the defaults.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
@@ -471,10 +486,16 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None):
         else:
             mn, mx = F.col("min_key"), F.col("max_key")
         manifest_df = manifest_df.filter((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
-    manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
-    n = max(1, manifest_df.select("part_id").rdd.getNumPartitions())
-    arranged = manifest_df.repartition(n, "chunk_key").sortWithinPartitions("chunk_key", "column")
-    out = arranged.mapInArrow(make_decode_fn(out_schema), schema=from_arrow_schema(out_schema))
+    if not assume_unique:
+        manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
+    if arranged and assume_unique:
+        # dedup would shuffle and destroy contiguity, so the fast path
+        # requires both flags
+        grouped = manifest_df
+    else:
+        n = max(1, manifest_df.select("part_id").rdd.getNumPartitions())
+        grouped = manifest_df.repartition(n, "chunk_key").sortWithinPartitions("chunk_key", "column")
+    out = grouped.mapInArrow(make_decode_fn(out_schema), schema=from_arrow_schema(out_schema))
     if key_range is not None and key_col is not None:
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))

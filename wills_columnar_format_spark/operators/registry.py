@@ -41,7 +41,7 @@ def q_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8)
-    return decode_table(m, df.schema)
+    return decode_table(m, df.schema, assume_unique=True, arranged=True)
 
 
 def q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +52,7 @@ def q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
     )
     m = encode_table(df, key_col="l_orderkey", codec="auto", num_partitions=8)
-    return decode_table(m, df.schema)
+    return decode_table(m, df.schema, assume_unique=True, arranged=True)
 
 
 def q_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +63,7 @@ def q_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     m = encode_table(df, key_col="event_id", codec="auto", num_partitions=8)
-    return decode_table(m, df.schema)
+    return decode_table(m, df.schema, assume_unique=True, arranged=True)
 
 
 def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +72,7 @@ def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     m = encode_table(df, key_col="vec_id", codec="auto", num_partitions=4)
-    dec = decode_table(m, df.schema)
+    dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
     return dec.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
         "vec_id", F.col("pos").cast("int").alias("pos"), "val"
     )
