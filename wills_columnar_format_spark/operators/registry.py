@@ -375,6 +375,44 @@ WHERE rk <= 3
 """
 
 
+# embedding-cosine near-dup: sign-LSH bucket (first 8 dims) -> in-bucket
+# cosine -> threshold. Clones always share a bucket (signs are exact), so
+# recall on duplicate vectors is 1.0; the bucket join replaces the O(n^2)
+# all-pairs at scale.
+
+
+def _embdup_sql(signs_expr: str, dot: str) -> str:
+    return f"""
+WITH emb2 AS (SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+b AS (SELECT vec_id, embedding, {signs_expr} AS bucket FROM emb2),
+pairs AS (
+  SELECT a.vec_id AS d1, c.vec_id AS d2,
+         {dot.format(x="a.embedding", y="c.embedding")} /
+         (sqrt({dot.format(x="a.embedding", y="a.embedding")})
+          * sqrt({dot.format(x="c.embedding", y="c.embedding")})) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT d1, d2 FROM pairs WHERE cos >= 0.999
+"""
+
+
+_SPARK_SIGNS = (
+    "concat_ws('', transform(slice(embedding, 1, 8), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+)
+_SPARK_DOT = (
+    "aggregate(zip_with({x}, {y}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+)
+_DUCK_SIGNS = (
+    "list_aggregate(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+)
+_DUCK_DOT = "list_inner_product({x}::DOUBLE[], {y}::DOUBLE[])"
+
+SPARK_EMB_DEDUP = _embdup_sql(_SPARK_SIGNS, _SPARK_DOT)
+DUCK_EMB_DEDUP = _embdup_sql(_DUCK_SIGNS, _DUCK_DOT)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate NN (no oracle — approximate by design;
     driver records a rows-only check)."""
@@ -480,6 +518,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (_sql_query(SPARK_SIMHASH, "documents"), DUCK_SIMHASH),
     # similarity
     "cosine_topk": (_sql_query(SPARK_COSINE_TOPK, "embeddings"), DUCK_COSINE_TOPK),
+    "dedup_embedding": (_sql_query(SPARK_EMB_DEDUP, "embeddings"), DUCK_EMB_DEDUP),
     "ann_ivf_topk": (q_ann_ivf, None),
     # multimodal
     "multimodal_meta": (q_multimodal_meta, DUCK_MULTIMODAL_META),
