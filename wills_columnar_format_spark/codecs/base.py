@@ -36,6 +36,11 @@ class ColumnValues:
 
     @classmethod
     def from_pylist(cls, values, tag: int | None = None) -> "ColumnValues":
+        if tag is None and not values:
+            # empty python list carries no type; default to String (the
+            # Arrow/engine path always has a real type — this only affects
+            # the pylist convenience constructor)
+            tag = dtypes.STRING
         if tag == dtypes.STRING or (tag is None and values and isinstance(values[0], str)):
             bufs = [v.encode("utf-8") for v in values]
             return cls._from_bufs(bufs, dtypes.STRING)
