@@ -303,10 +303,61 @@ WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
 """
 
 
-SPARK_MINHASH = _minhash_sql(
-    SPARK_GRAMS2, _SPARK_HEX2INT,
-    "LATERAL VIEW explode(sequence(0, 31)) e AS k", "CAST(floor(k / 2) AS INT)",
+# Spark side: 32 MIN-aggregate expressions in ONE groupBy instead of a
+# 32x row explosion (32M intermediate rows -> 1M), then 16 band
+# signatures via stack(). Same hash family as the shared shape, so the
+# LSH recall properties are identical.
+_MH_MINS = ",\n           ".join(
+    f"MIN((h1 + CAST({k} AS BIGINT) * h2) % {_MERSENNE_P}) AS m{k}" for k in range(32)
 )
+_MH_STACK = ", ".join(
+    f"'{b}', concat(CAST(m{2*b} AS STRING), ':', CAST(m{2*b+1} AS STRING))" for b in range(16)
+)
+# body SQL over a MATERIALIZED grams view (Spark inlines CTEs, so the
+# expensive explode+DISTINCT would otherwise run 4x — once per reference)
+SPARK_MINHASH_BODY = f"""
+WITH gh AS (SELECT doc_id, {_SPARK_HEX2INT.format(x='g2').replace(', 1, 15)', ', 1, 8)')} AS h1,
+              {_SPARK_HEX2INT.format(x='g2').replace(', 1, 15)', ', 9, 8)')} AS h2 FROM mh_grams),
+mins AS (SELECT doc_id,
+           {_MH_MINS}
+         FROM gh GROUP BY doc_id),
+bands AS (SELECT doc_id, concat(band, ':', sig) AS sig
+          FROM mins LATERAL VIEW stack(16, {_MH_STACK}) s AS band, sig),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b ON a.sig = b.sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM mh_grams GROUP BY doc_id),
+inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
+          FROM cand JOIN mh_grams g1 ON g1.doc_id = cand.d1
+                    JOIN mh_grams g2t ON g2t.doc_id = cand.d2 AND g2t.g2 = g1.g2
+          GROUP BY g1.doc_id, g2t.doc_id)
+SELECT d1, d2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
+"""
+
+_GRAMS_ONLY = f"""
+WITH {_SPARK_DOCS2},
+toks AS (SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM docs2)
+SELECT DISTINCT doc_id, concat(element_at(t, CAST(i AS INT)), ' ', element_at(t, CAST(i AS INT) + 1)) AS g2
+FROM toks LATERAL VIEW explode(sequence(1, size(t) - 1)) e AS i
+WHERE size(t) >= 2
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with the grams relation materialized once
+    (cached view) — the at-scale shape: one pass builds shingles, the
+    banding works on 32 aggregate minima, candidates verify against the
+    cached shingle set."""
+    _views(spark, sf_dir, "documents")
+    grams = spark.sql(_GRAMS_ONLY)
+    grams.cache().createOrReplaceTempView("mh_grams")
+    try:
+        out = spark.sql(SPARK_MINHASH_BODY)
+        out = out.localCheckpoint(eager=True)  # materialize before uncache
+        return out
+    finally:
+        spark.catalog.uncacheTable("mh_grams")
 DUCK_MINHASH = _minhash_sql(
     DUCK_GRAMS2,
     _DUCK_HEX2INT,
@@ -514,7 +565,7 @@ REGISTRY: dict[str, tuple] = {
     # deduplication
     "dedup_exact": (_sql_query(SPARK_DEDUP_EXACT, "documents"), DUCK_DEDUP_EXACT),
     "dedup_ngram_jaccard": (_sql_query(SPARK_NGRAM_JACCARD, "documents"), DUCK_NGRAM_JACCARD),
-    "dedup_minhash_lsh": (_sql_query(SPARK_MINHASH, "documents"), ORACLE_MINHASH),
+    "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_MINHASH),
     "dedup_simhash": (_sql_query(SPARK_SIMHASH, "documents"), DUCK_SIMHASH),
     # similarity
     "cosine_topk": (_sql_query(SPARK_COSINE_TOPK, "embeddings"), DUCK_COSINE_TOPK),
