@@ -465,12 +465,50 @@ DUCK_EMB_DEDUP = _embdup_sql(_DUCK_SIGNS, _DUCK_DOT)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate NN (no oracle — approximate by design;
-    driver records a rows-only check)."""
+    """IVF-bucketed approximate NN. Approximate vs brute force, but
+    DETERMINISTIC (fixed centroids = first 8 vectors, argmax assignment,
+    full tie-breaks), so the oracle mirrors the same IVF computation in
+    SQL and value-hashes it."""
     from .similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk(spark, emb, n_clusters=8, k=3, n_queries=10)
+
+
+DUCK_ANN_IVF = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
+),
+asg AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_inner_product(e.embedding::DOUBLE[], c.cemb::DOUBLE[])
+                    / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                       * sqrt(list_inner_product(c.cemb::DOUBLE[], c.cemb::DOUBLE[]))) DESC,
+                    c.cid
+         ) AS rk
+  FROM embeddings e CROSS JOIN cents c
+),
+clus AS (SELECT vec_id, cid AS cluster FROM asg WHERE rk = 1),
+q AS (SELECT e.vec_id AS query_id, clus.cluster, e.embedding AS q_emb
+      FROM embeddings e JOIN clus ON e.vec_id = clus.vec_id
+      WHERE e.vec_id < 10),
+cand AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_inner_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+         / (sqrt(list_inner_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+            * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+  FROM q JOIN clus ON clus.cluster = q.cluster
+        JOIN embeddings e ON e.vec_id = clus.vec_id
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank
+FROM (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand)
+WHERE rk <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -570,7 +608,7 @@ REGISTRY: dict[str, tuple] = {
     # similarity
     "cosine_topk": (_sql_query(SPARK_COSINE_TOPK, "embeddings"), DUCK_COSINE_TOPK),
     "dedup_embedding": (_sql_query(SPARK_EMB_DEDUP, "embeddings"), DUCK_EMB_DEDUP),
-    "ann_ivf_topk": (q_ann_ivf, None),
+    "ann_ivf_topk": (q_ann_ivf, DUCK_ANN_IVF),
     # multimodal
     "multimodal_meta": (q_multimodal_meta, DUCK_MULTIMODAL_META),
     # relational breadth

@@ -92,6 +92,7 @@ def ivf_topk(spark, emb_df, n_clusters: int = 8, k: int = 3, n_queries: int = 10
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
-                F.round("cos", 6).alias("cos"))
+        # rank-only output (no float column): deterministic across engines,
+        # so the DuckDB oracle can value-hash it
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
