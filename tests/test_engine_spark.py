@@ -182,3 +182,49 @@ def test_load_table_adapter(spark, token_df, tmp_path_factory):
     token_df.limit(50).createOrReplaceTempView("src_adapter_view")
     df2, snap2, kind2 = load_table(spark, "src_adapter_view")
     assert df2.count() == 50 and snap2 is None and kind2 in ("catalog", "iceberg")
+
+
+def test_nullable_columns_optin_roundtrip(spark):
+    """allow_nulls=True: nullable scalar columns roundtrip with a
+    name#valid sub-column; the default path still rejects nulls (the
+    reference's no-Option<T> contract, src/lib.rs:59-66)."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.sql(
+        """
+        SELECT id AS k,
+               CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id * 2 AS INT) END AS v,
+               CASE WHEN id % 5 = 0 THEN NULL ELSE concat('s', CAST(id % 7 AS STRING)) END AS s,
+               CASE WHEN id % 4 = 0 THEN NULL
+                    ELSE timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) END AS ts
+        FROM range(8000)
+        """
+    )
+    m = encode_table(df, key_col="k", num_partitions=4, chunk_rows=1024, allow_nulls=True)
+    dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
+    assert dec.count() == 8000
+    bad = (
+        dec.alias("d").join(df.alias("o"), "k")
+        .filter(
+            ~F.col("d.v").eqNullSafe(F.col("o.v"))
+            | ~F.col("d.s").eqNullSafe(F.col("o.s"))
+            | ~F.col("d.ts").eqNullSafe(F.col("o.ts"))
+        )
+        .count()
+    )
+    assert bad == 0
+    # null counts preserved exactly
+    import math
+    nn = dec.agg(
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("nv"),
+        F.sum(F.when(F.col("s").isNull(), 1).otherwise(0)).alias("ns"),
+    ).collect()[0]
+    assert nn.nv == len([i for i in range(8000) if i % 3 == 0])
+    assert nn.ns == len([i for i in range(8000) if i % 5 == 0])
+
+    # default path still rejects
+    import pytest as _pt
+    with _pt.raises(Exception, match="null"):
+        encode_table(df, key_col="k", num_partitions=2).count()

@@ -121,24 +121,48 @@ def _normalize_temporal(arr: pa.Array) -> pa.Array:
     return arr
 
 
-def _sub_columns(name: str, arr: pa.Array) -> list[tuple[str, ColumnValues]]:
-    """Split a field into encodable flat sub-columns."""
+def _sub_columns(name: str, arr: pa.Array, allow_nulls: bool = False) -> list[tuple[str, ColumnValues]]:
+    """Split a field into encodable flat sub-columns.
+
+    With ``allow_nulls`` (an engine EXTENSION — the reference format has
+    no Option<T>, src/lib.rs:59-66, and our default mirrors its
+    reject-on-null contract), a nullable scalar column becomes a
+    ``name#valid`` uint8 sub-column (RLE-friendly: nulls cluster) plus
+    the values with nulls filled by the type's zero; decode re-applies
+    the mask. List columns must still be null-free.
+    """
     arr = _normalize_temporal(arr)
+    out: list[tuple[str, ColumnValues]] = []
+    if allow_nulls and arr.null_count and not (
+        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    ):
+        import pyarrow.compute as pc
+
+        valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
+        out.append((f"{name}#valid", ColumnValues.from_numpy(valid)))
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            fill = ""
+        elif pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+            fill = b""
+        else:
+            fill = 0
+        arr = pc.fill_null(arr, fill)
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
         import pyarrow.compute as pc
 
         lens = pc.list_value_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
         values = _normalize_temporal(arr.flatten())
-        return [
-            (f"{name}#lengths", ColumnValues.from_numpy(lens.astype(np.int32))),
-            (f"{name}#values", _arrow_to_columnvalues(values)),
-        ]
-    return [(name, _arrow_to_columnvalues(arr))]
+        out.append((f"{name}#lengths", ColumnValues.from_numpy(lens.astype(np.int32))))
+        out.append((f"{name}#values", _arrow_to_columnvalues(values)))
+        return out
+    out.append((name, _arrow_to_columnvalues(arr)))
+    return out
 
 
 def make_encode_fn(
     key_col: str,
     codec: str = "auto",
+    allow_nulls: bool = False,
     target_page_size: int = DEFAULT_TARGET_PAGE_SIZE,
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     snapshot_id: str | None = None,
@@ -180,7 +204,7 @@ def make_encode_fn(
             chunk_key = _checksum(_arrow_to_columnvalues(keys))
             for field in table.schema:
                 arr = table.column(field.name).combine_chunks()
-                for sub_name, cv in _sub_columns(field.name, arr):
+                for sub_name, cv in _sub_columns(field.name, arr, allow_nulls=allow_nulls):
                     csum = _checksum(cv)
                     if committed and (chunk_key, sub_name, csum) in committed:
                         continue  # idempotent resume: chunk already encoded
@@ -288,6 +312,7 @@ def encode_table(
     fail_parts: frozenset | None = None,
     sort_within: bool = True,
     partitioner: str | None = None,
+    allow_nulls: bool = False,
 ):
     """Encode ``df``'s columns into a blob+lineage manifest DataFrame.
 
@@ -339,6 +364,7 @@ def encode_table(
     fn = make_encode_fn(
         key_col=key_col,
         codec=codec,
+        allow_nulls=allow_nulls,
         target_page_size=target_page_size,
         chunk_rows=chunk_rows,
         snapshot_id=snapshot_id,
@@ -375,6 +401,18 @@ def _decode_blob(blob: bytes) -> ColumnValues:
 
 
 def _rebuild_field(field: pa.Field, blobs: dict[str, bytes]) -> pa.Array:
+    t = field.type
+    arr = _rebuild_values(field, blobs)
+    vkey = f"{field.name}#valid"
+    if vkey in blobs:
+        import pyarrow.compute as pc
+
+        valid = _decode_blob(blobs[vkey]).vals.astype(bool)
+        arr = pc.if_else(pa.array(valid), arr, pa.scalar(None, type=arr.type))
+    return arr
+
+
+def _rebuild_values(field: pa.Field, blobs: dict[str, bytes]) -> pa.Array:
     t = field.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         lens_cv = _decode_blob(blobs[f"{field.name}#lengths"])
