@@ -228,3 +228,38 @@ def test_nullable_columns_optin_roundtrip(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="null"):
         encode_table(df, key_col="k", num_partitions=2).count()
+
+
+def test_nullable_list_columns_optin_roundtrip(spark):
+    """allow_nulls=True extends to list columns: a null tokens entry gets a
+    #valid mask + empty-list fill; the default path raises instead of
+    silently desyncing lengths/values (the corruption ADVICE.md flagged)."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.sql(
+        """
+        SELECT id AS k,
+               CASE WHEN id % 7 = 0 THEN NULL
+                    ELSE transform(sequence(0, CAST(id % 5 AS INT)), x -> CAST(x * id AS INT))
+               END AS tokens
+        FROM range(6000)
+        """
+    )
+    m = encode_table(df, key_col="k", num_partitions=4, chunk_rows=1024, allow_nulls=True)
+    dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
+    assert dec.count() == 6000
+    bad = (
+        dec.alias("d").join(df.alias("o"), "k")
+        .filter(~F.col("d.tokens").eqNullSafe(F.col("o.tokens")))
+        .count()
+    )
+    assert bad == 0
+    n_null = dec.filter(F.col("tokens").isNull()).count()
+    assert n_null == len([i for i in range(6000) if i % 7 == 0])
+
+    # default path: loud rejection, not silent corruption
+    with _pt.raises(Exception, match="null"):
+        encode_table(df, key_col="k", num_partitions=2).count()

@@ -50,6 +50,16 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
+            # Driver hashes raw value representations: a dtype mismatch
+            # (e.g. DuckDB HUGEINT/DECIMAL -> float64/object vs Spark
+            # int64/float64) hash-fails even when values coerce equal.
+            # Exception: datetime64 unit differences (ns vs us) are
+            # normalized by the driver (lineitem/events were hash-green
+            # in round 1 with exactly this mismatch).
+            if av.dtype != bv.dtype and not (av.dtype.kind == "M" and bv.dtype.kind == "M"):
+                problems.append(
+                    f"dtype col {c}: spark={av.dtype} oracle={bv.dtype} (driver hash-fails on this)"
+                )
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                 aa = av.to_numpy(dtype=np.float64)
                 bb = bv.to_numpy(dtype=np.float64)

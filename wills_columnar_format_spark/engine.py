@@ -126,28 +126,37 @@ def _sub_columns(name: str, arr: pa.Array, allow_nulls: bool = False) -> list[tu
 
     With ``allow_nulls`` (an engine EXTENSION — the reference format has
     no Option<T>, src/lib.rs:59-66, and our default mirrors its
-    reject-on-null contract), a nullable scalar column becomes a
-    ``name#valid`` uint8 sub-column (RLE-friendly: nulls cluster) plus
-    the values with nulls filled by the type's zero; decode re-applies
-    the mask. List columns must still be null-free.
+    reject-on-null contract), a nullable column becomes a ``name#valid``
+    uint8 sub-column (RLE-friendly: nulls cluster) plus the values with
+    nulls filled by the type's zero (empty list for list columns); decode
+    re-applies the mask. Without ``allow_nulls`` any null — scalar OR
+    list entry — raises (a nulled list would otherwise desync the
+    lengths/values sub-columns: list_value_length yields null lengths
+    while flatten() drops the null slots).
     """
     arr = _normalize_temporal(arr)
     out: list[tuple[str, ColumnValues]] = []
-    if allow_nulls and arr.null_count and not (
-        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
-    ):
+    is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    if arr.null_count:
+        if not allow_nulls:
+            raise dtypes.UnsupportedDataType(
+                f"column {name!r} contains nulls; the format is null-free by "
+                "default (reference src/lib.rs:59-66) — pass allow_nulls=True"
+            )
         import pyarrow.compute as pc
 
         valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
         out.append((f"{name}#valid", ColumnValues.from_numpy(valid)))
-        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        if is_list:
+            fill = pa.scalar([], type=arr.type)
+        elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
             fill = ""
         elif pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
             fill = b""
         else:
             fill = 0
         arr = pc.fill_null(arr, fill)
-    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+    if is_list:
         import pyarrow.compute as pc
 
         lens = pc.list_value_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)

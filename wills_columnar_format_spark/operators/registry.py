@@ -259,7 +259,7 @@ _JACCARD_TAIL = f"""
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
           FROM grams a JOIN grams b ON a.g2 = b.g2 AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
-SELECT d1, d2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+SELECT d1, d2, CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DOUBLE) AS jaccard
 FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
 WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
 """
@@ -297,7 +297,7 @@ inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
           FROM cand JOIN grams g1 ON g1.doc_id = cand.d1
                     JOIN grams g2t ON g2t.doc_id = cand.d2 AND g2t.g2 = g1.g2
           GROUP BY g1.doc_id, g2t.doc_id)
-SELECT d1, d2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+SELECT d1, d2, CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DOUBLE) AS jaccard
 FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
 WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
 """
@@ -330,7 +330,7 @@ inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
           FROM cand JOIN mh_grams g1 ON g1.doc_id = cand.d1
                     JOIN mh_grams g2t ON g2t.doc_id = cand.d2 AND g2t.g2 = g1.g2
           GROUP BY g1.doc_id, g2t.doc_id)
-SELECT d1, d2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+SELECT d1, d2, CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DOUBLE) AS jaccard
 FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
 WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
 """
@@ -383,7 +383,7 @@ SELECT_FINAL
 """.replace(
         "SELECT_FINAL",
         f"sel AS (SELECT doc_id, CASE WHEN s > 0 THEN {shl} ELSE CAST(0 AS BIGINT) END AS bv FROM bits)\n"
-        "SELECT doc_id, SUM(bv) AS simhash FROM sel GROUP BY doc_id",
+        "SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS simhash FROM sel GROUP BY doc_id",
     )
 
 
