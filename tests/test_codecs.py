@@ -191,3 +191,63 @@ def test_unicode_strings():
     for codec in ("plain", "rle", "dict", "fsst", "auto"):
         blob, _ = encode_column(vals, codec=codec)
         assert decode_column(blob, dtype="string").to_pylist() == vals
+
+
+def test_float_split_bit_exact_specials():
+    """float_split works on IEEE bit patterns: NaN payloads, -0.0,
+    denormals, inf roundtrip bit-identically (value comparison would
+    collapse NaNs)."""
+    for dt, ut in ((np.float32, np.uint32), (np.float64, np.uint64)):
+        rng = np.random.default_rng(11)
+        vals = rng.standard_normal(10_000).astype(dt)
+        vals[::7] = dt(-0.0)
+        vals[::11] = dt("nan")
+        vals[::13] = np.finfo(dt).tiny / 2  # denormal
+        vals[::17] = dt("inf")
+        vals[::19] = -dt("inf")
+        blob, footer = encode_column(vals, codec="float_split")
+        out = decode_column(blob, dtype=dt)
+        assert out.vals.dtype == np.dtype(dt)
+        assert np.array_equal(out.vals.view(ut), vals.view(ut))
+
+
+def test_float_split_fp16_upcast_compresses():
+    """The realistic LLM embedding case — fp16 model outputs upcast to
+    float32 — has near-empty low planes; float_split must exploit it."""
+    rng = np.random.default_rng(5)
+    vals = rng.standard_normal(100_000).astype(np.float16).astype(np.float32)
+    blob, _ = encode_column(vals, codec="float_split")
+    assert len(blob) / vals.nbytes < 0.55
+    out = decode_column(blob, dtype=np.float32)
+    assert np.array_equal(out.vals.view(np.uint32), vals.view(np.uint32))
+
+
+def test_float_split_auto_selected_and_deterministic():
+    """auto picks float_split over plain for exponent-banded floats (both
+    the try-all and the estimated path), and re-encoding is byte-identical
+    (resume contract: selection is a pure function of the values)."""
+    rng = np.random.default_rng(42)
+    # small → try-all path; fp16-upcast so the dict table amortizes even
+    # at 2k values (full-entropy mantissas at tiny n: plain wins, rightly)
+    small = (rng.standard_normal(2_000) * 0.3).astype(np.float16).astype(np.float32)
+    big = (rng.standard_normal(300_000) * 0.3).astype(np.float32)  # estimate path
+    for vals in (small, big):
+        blob1, footer1 = encode_column(vals, codec="auto")
+        blob2, footer2 = encode_column(vals, codec="auto")
+        assert blob1 == blob2
+        assert BY_ID[footer1.codec].name == "float_split"
+        assert len(blob1) < vals.nbytes
+        out = decode_column(blob1, dtype=np.float32)
+        assert np.array_equal(out.vals.view(np.uint32), vals.view(np.uint32))
+
+
+def test_float_split_never_worse_than_plain():
+    """Full-entropy planes fall back to raw mode: the overhead vs plain is
+    bounded by the per-page mode bytes."""
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 2**64, 50_000, dtype=np.uint64).view(np.float64)
+    blob_fs, _ = encode_column(vals, codec="float_split")
+    blob_pl, _ = encode_column(vals, codec="plain")
+    assert len(blob_fs) <= len(blob_pl) * 1.01
+    out = decode_column(blob_fs, dtype=np.float64)
+    assert np.array_equal(out.vals.view(np.uint64), vals.view(np.uint64))

@@ -69,3 +69,42 @@ def test_int_roundtrip_property(codec, vals):
 def test_string_roundtrip_property(words, codec):
     blob, _ = encode_column(words, codec=codec, target_page_size=256)
     assert decode_column(blob, dtype="string").to_pylist() == words
+
+
+FLOAT_DTYPES = [np.float32, np.float64]
+
+
+@st.composite
+def float_arrays(draw):
+    dtype = draw(st.sampled_from(FLOAT_DTYPES))
+    kind = draw(st.sampled_from(["normal", "fp16", "const", "specials", "full_entropy"]))
+    n = draw(st.integers(min_value=0, max_value=400))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    if kind == "normal":
+        vals = rng.standard_normal(n).astype(dtype)
+    elif kind == "fp16":
+        vals = rng.standard_normal(n).astype(np.float16).astype(dtype)
+    elif kind == "const":
+        vals = np.full(n, draw(st.sampled_from([0.0, -0.0, 1.5, np.nan])), dtype=dtype)
+    elif kind == "specials":
+        pool = np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-40, 1.5], dtype=dtype)
+        vals = pool[rng.integers(0, len(pool), n)] if n else pool[:0]
+    else:
+        u = rng.integers(0, 2**64, n, dtype=np.uint64)
+        vals = u.view(np.float64).astype(dtype) if dtype is np.float64 else (
+            u.astype(np.uint32).view(np.float32))
+    return vals
+
+
+@pytest.mark.parametrize("codec", ["plain", "float_split", "auto"])
+@settings(max_examples=40, deadline=None)
+@given(vals=float_arrays())
+def test_float_roundtrip_property(codec, vals):
+    uint = np.uint32 if vals.dtype == np.float32 else np.uint64
+    blob, _ = encode_column(vals, codec=codec, target_page_size=256)
+    out = decode_column(blob, dtype=vals.dtype)
+    assert out.vals.dtype == vals.dtype
+    assert np.array_equal(out.vals.view(uint), vals.view(uint))
+    if len(vals) > 3:
+        s = decode_column_slice(blob, 1, len(vals) - 1, dtype=vals.dtype)
+        assert np.array_equal(s.vals.view(uint), vals[1 : len(vals) - 1].view(uint))

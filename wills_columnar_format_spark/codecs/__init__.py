@@ -7,6 +7,7 @@ from .delta import DeltaCodec
 from .dict_rle import DictRleCodec
 from .dictionary import DictCodec
 from .foref import ForCodec
+from .fsplit import FloatSplitCodec
 from .fsst import FsstCodec
 from .plain import PlainCodec
 from .rle import RleCodec
@@ -18,8 +19,9 @@ FOR = ForCodec()
 FSST = FsstCodec()
 DICT_RLE = DictRleCodec()
 DELTA = DeltaCodec()
+FLOAT_SPLIT = FloatSplitCodec()
 
-ALL_CODECS: list[Codec] = [PLAIN, RLE, DICT, FOR, FSST, DICT_RLE, DELTA]
+ALL_CODECS: list[Codec] = [PLAIN, RLE, DICT, FOR, FSST, DICT_RLE, DELTA, FLOAT_SPLIT]
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in ALL_CODECS}
 BY_NAME: dict[str, Codec] = {c.name: c for c in ALL_CODECS}
 
@@ -34,6 +36,7 @@ __all__ = [
     "FSST",
     "DICT_RLE",
     "DELTA",
+    "FLOAT_SPLIT",
     "ALL_CODECS",
     "BY_ID",
     "BY_NAME",

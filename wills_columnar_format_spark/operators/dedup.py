@@ -1,0 +1,117 @@
+"""MinHash+LSH near-duplicate detection with hot-band capping.
+
+The flagship dedup operator (SURVEY.md §2: MinHash+LSH). Shape:
+shingle → 32 universal-hash minima (one md5 per gram) → 16 bands × 2
+rows → band self-join for candidates → exact-jaccard verification
+against the materialized shingle set.
+
+Scale hazard (the one quadratic cliff at 100 TB): a degenerate band —
+millions of boilerplate/empty docs sharing one signature — makes the
+band self-join O(k²) in that band. ``band_cap`` bounds it:
+
+* bands with population ≤ cap join normally;
+* docs whose band exceeds the cap are grouped by exact text fingerprint;
+  each group emits STAR pairs (every member ↔ the group's min doc_id,
+  jaccard 1.0) — linear in group size, and exact for the identical-doc
+  groups that cause hot bands in practice;
+* one representative per fingerprint group re-enters the band join (the
+  hot signature's population collapses to #distinct texts), so
+  NEAR-identical docs in a hot band still get candidate coverage through
+  their representatives. Bands still over the cap after this collapse
+  (adversarially many DISTINCT texts sharing a signature) are dropped —
+  the documented recall trade at the quadratic cliff.
+
+With the default cap (10k) no sandbox-scale band is ever hot, so the
+exact all-pairs jaccard oracle holds with 100% recall at sf0.01/sf0.1;
+the hot path is exercised by tests/test_dedup_scale.py (10k identical
+docs finish in linear time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_BAND_CAP = 10_000
+JACCARD_THRESHOLD = 0.5
+_MERSENNE_P = (1 << 31) - 1
+
+_SPARK_HEX2INT_HI = "CAST(conv(substring(md5(g2), 1, 8), 16, 10) AS BIGINT)"
+_SPARK_HEX2INT_LO = "CAST(conv(substring(md5(g2), 9, 8), 16, 10) AS BIGINT)"
+
+# 32 MIN-aggregate expressions in ONE groupBy instead of a 32x row
+# explosion; h_k = (h1 + k*h2) mod p universal hashing from one md5.
+_MH_MINS = ",\n           ".join(
+    f"MIN((h1 + CAST({k} AS BIGINT) * h2) % {_MERSENNE_P}) AS m{k}" for k in range(32)
+)
+_MH_STACK = ", ".join(
+    f"'{b}', concat(CAST(m{2*b} AS STRING), ':', CAST(m{2*b+1} AS STRING))" for b in range(16)
+)
+
+# Two-token shingles of the doubled doc set; DISTINCT per doc.
+GRAMS_SQL = """
+WITH toks AS (SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM mh_docs)
+SELECT DISTINCT doc_id, concat(element_at(t, CAST(i AS INT)), ' ', element_at(t, CAST(i AS INT) + 1)) AS g2
+FROM toks LATERAL VIEW explode(sequence(1, size(t) - 1)) e AS i
+WHERE size(t) >= 2
+"""
+
+
+def _body_sql(band_cap: int) -> str:
+    return f"""
+WITH gh AS (SELECT doc_id, {_SPARK_HEX2INT_HI} AS h1, {_SPARK_HEX2INT_LO} AS h2 FROM mh_grams),
+mins AS (SELECT doc_id,
+           {_MH_MINS}
+         FROM gh GROUP BY doc_id),
+bands AS (SELECT doc_id, concat(band, ':', sig) AS sig
+          FROM mins LATERAL VIEW stack(16, {_MH_STACK}) s AS band, sig),
+bsz AS (SELECT sig, COUNT(*) AS bn FROM bands GROUP BY sig),
+cold AS (SELECT b.doc_id, b.sig FROM bands b JOIN bsz z ON b.sig = z.sig WHERE z.bn <= {band_cap}),
+hotdocs AS (SELECT DISTINCT b.doc_id FROM bands b JOIN bsz z ON b.sig = z.sig WHERE z.bn > {band_cap}),
+hfp AS (SELECT d.doc_id, md5(lower(trim(d.text))) AS fp
+        FROM mh_docs d JOIN hotdocs h ON d.doc_id = h.doc_id),
+reps AS (SELECT fp, MIN(doc_id) AS rep FROM hfp GROUP BY fp),
+star AS (SELECT r.rep AS d1, f.doc_id AS d2, CAST(1.0 AS DOUBLE) AS jaccard
+         FROM hfp f JOIN reps r ON f.fp = r.fp WHERE f.doc_id > r.rep),
+repbands AS (SELECT b.doc_id, b.sig
+             FROM bands b JOIN reps r ON b.doc_id = r.rep
+                          JOIN bsz z ON b.sig = z.sig
+             WHERE z.bn > {band_cap}),
+allband AS (SELECT * FROM cold UNION ALL SELECT * FROM repbands),
+absz AS (SELECT sig, COUNT(*) AS bn FROM allband GROUP BY sig),
+joinable AS (SELECT a.doc_id, a.sig FROM allband a JOIN absz z ON a.sig = z.sig
+             WHERE z.bn <= {band_cap}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM joinable a JOIN joinable b ON a.sig = b.sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM mh_grams GROUP BY doc_id),
+inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
+          FROM cand JOIN mh_grams g1 ON g1.doc_id = cand.d1
+                    JOIN mh_grams g2t ON g2t.doc_id = cand.d2 AND g2t.g2 = g1.g2
+          GROUP BY g1.doc_id, g2t.doc_id),
+verified AS (
+  SELECT d1, d2, CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE c * 1.0 / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
+)
+SELECT d1, d2, jaccard FROM verified
+UNION
+SELECT d1, d2, jaccard FROM star
+"""
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, docs: DataFrame, band_cap: int = DEFAULT_BAND_CAP
+) -> DataFrame:
+    """Near-dup pairs (d1 < d2, jaccard ≥ 0.5) for a (doc_id, text) frame.
+
+    The grams relation is materialized ONCE (cached view + eager
+    localCheckpoint) — Spark inlines CTEs, so the expensive
+    explode+DISTINCT would otherwise run once per reference.
+    """
+    docs.select("doc_id", "text").createOrReplaceTempView("mh_docs")
+    grams = spark.sql(GRAMS_SQL)
+    grams.cache().createOrReplaceTempView("mh_grams")
+    try:
+        out = spark.sql(_body_sql(band_cap))
+        return out.localCheckpoint(eager=True)  # materialize before uncache
+    finally:
+        spark.catalog.uncacheTable("mh_grams")

@@ -267,103 +267,30 @@ WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
 SPARK_NGRAM_JACCARD = f"WITH {_SPARK_DOCS2}, {SPARK_GRAMS2}, {_JACCARD_TAIL}"
 DUCK_NGRAM_JACCARD = f"WITH {_SPARK_DOCS2}, {DUCK_GRAMS2}, {_JACCARD_TAIL}"
 
-# MinHash + LSH: 32 universal-hash permutations derived from ONE md5 per
-# gram — h_k = (h1 + k*h2) mod p with h1/h2 independent 32-bit md5 pieces
-# (the standard (a + k*b) mod p family; overflow-safe under ANSI SQL since
-# k*h2 < 2^37) — 16 bands x 2 rows; candidates verified by exact jaccard.
-# The oracle is the exact all-pairs query — equality holds because the
-# banding catches every pair above the threshold on this data (validated
-# against DuckDB at sf0.01 and sf0.1).
-_SPARK_HEX2INT = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+# MinHash + LSH lives in operators/dedup.py (32 universal-hash minima
+# from ONE md5 per gram, 16 bands x 2 rows, hot-band capping, exact
+# jaccard verification). The oracle is the exact all-pairs query —
+# equality holds because the banding catches every pair above the
+# threshold on this data (validated against DuckDB at sf0.01 and sf0.1).
 _DUCK_HEX2INT = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
-_MERSENNE_P = (1 << 31) - 1
-
-
-def _minhash_sql(grams_cte: str, hex2int: str, seq32: str, floordiv: str) -> str:
-    h1 = hex2int.format(x="g2").replace(", 1, 15)", ", 1, 8)")
-    h2 = hex2int.format(x="g2").replace(", 1, 15)", ", 9, 8)")
-    return f"""
-WITH {_SPARK_DOCS2}, {grams_cte},
-gh AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM grams),
-hashes AS (SELECT doc_id, k,
-                  MIN((h1 + CAST(k AS BIGINT) * h2) % {_MERSENNE_P}) AS mh
-           FROM gh {seq32}
-           GROUP BY doc_id, k),
-bands AS (SELECT doc_id, concat(CAST({floordiv} AS STRING), ':', CAST(MIN(mh) AS STRING), ':', CAST(MAX(mh) AS STRING)) AS sig
-          FROM hashes GROUP BY doc_id, {floordiv}),
-cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         FROM bands a JOIN bands b ON a.sig = b.sig AND a.doc_id < b.doc_id),
-inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
-          FROM cand JOIN grams g1 ON g1.doc_id = cand.d1
-                    JOIN grams g2t ON g2t.doc_id = cand.d2 AND g2t.g2 = g1.g2
-          GROUP BY g1.doc_id, g2t.doc_id)
-SELECT d1, d2, CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DOUBLE) AS jaccard
-FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
-"""
-
-
-# Spark side: 32 MIN-aggregate expressions in ONE groupBy instead of a
-# 32x row explosion (32M intermediate rows -> 1M), then 16 band
-# signatures via stack(). Same hash family as the shared shape, so the
-# LSH recall properties are identical.
-_MH_MINS = ",\n           ".join(
-    f"MIN((h1 + CAST({k} AS BIGINT) * h2) % {_MERSENNE_P}) AS m{k}" for k in range(32)
-)
-_MH_STACK = ", ".join(
-    f"'{b}', concat(CAST(m{2*b} AS STRING), ':', CAST(m{2*b+1} AS STRING))" for b in range(16)
-)
-# body SQL over a MATERIALIZED grams view (Spark inlines CTEs, so the
-# expensive explode+DISTINCT would otherwise run 4x — once per reference)
-SPARK_MINHASH_BODY = f"""
-WITH gh AS (SELECT doc_id, {_SPARK_HEX2INT.format(x='g2').replace(', 1, 15)', ', 1, 8)')} AS h1,
-              {_SPARK_HEX2INT.format(x='g2').replace(', 1, 15)', ', 9, 8)')} AS h2 FROM mh_grams),
-mins AS (SELECT doc_id,
-           {_MH_MINS}
-         FROM gh GROUP BY doc_id),
-bands AS (SELECT doc_id, concat(band, ':', sig) AS sig
-          FROM mins LATERAL VIEW stack(16, {_MH_STACK}) s AS band, sig),
-cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         FROM bands a JOIN bands b ON a.sig = b.sig AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM mh_grams GROUP BY doc_id),
-inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
-          FROM cand JOIN mh_grams g1 ON g1.doc_id = cand.d1
-                    JOIN mh_grams g2t ON g2t.doc_id = cand.d2 AND g2t.g2 = g1.g2
-          GROUP BY g1.doc_id, g2t.doc_id)
-SELECT d1, d2, CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DOUBLE) AS jaccard
-FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
-"""
-
-_GRAMS_ONLY = f"""
-WITH {_SPARK_DOCS2},
-toks AS (SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM docs2)
-SELECT DISTINCT doc_id, concat(element_at(t, CAST(i AS INT)), ' ', element_at(t, CAST(i AS INT) + 1)) AS g2
-FROM toks LATERAL VIEW explode(sequence(1, size(t) - 1)) e AS i
-WHERE size(t) >= 2
-"""
+_SPARK_HEX2INT = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup with the grams relation materialized once
-    (cached view) — the at-scale shape: one pass builds shingles, the
-    banding works on 32 aggregate minima, candidates verify against the
-    cached shingle set."""
+    """MinHash+LSH near-dup (operators/dedup.py): grams materialized once,
+    32 aggregate minima, hot-band-capped candidate join, exact-jaccard
+    verification. No band is hot at sandbox scale, so the exact all-pairs
+    oracle holds with 100% recall."""
+    from .dedup import minhash_lsh_pairs
+
     _views(spark, sf_dir, "documents")
-    grams = spark.sql(_GRAMS_ONLY)
-    grams.cache().createOrReplaceTempView("mh_grams")
-    try:
-        out = spark.sql(SPARK_MINHASH_BODY)
-        out = out.localCheckpoint(eager=True)  # materialize before uncache
-        return out
-    finally:
-        spark.catalog.uncacheTable("mh_grams")
-DUCK_MINHASH = _minhash_sql(
-    DUCK_GRAMS2,
-    _DUCK_HEX2INT,
-    ", (SELECT UNNEST(range(32))::INT AS k) ks",
-    "CAST(k // 2 AS INT)",
-)
+    docs2 = spark.sql(
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents"
+    )
+    return minhash_lsh_pairs(spark, docs2)
+
+
 # the minhash oracle is the exact-jaccard query: LSH must have 100% recall
 ORACLE_MINHASH = DUCK_NGRAM_JACCARD
 

@@ -51,6 +51,7 @@ class ColumnStats:
     fsst_est_bytes: float
     est_n_runs: int = 1
     delta_width: int = 64  # bits per (delta - min_delta); 64 = inapplicable
+    fsplit_payload_bytes: float = float("inf")  # float tags only
 
 
 def _sample_indices(n: int, k: int) -> np.ndarray:
@@ -116,8 +117,17 @@ def compute_stats(col: ColumnValues) -> ColumnStats:
         if abs(vmin) < _INT64_MAX >> 1 and abs(vmax) < _INT64_MAX >> 1:
             d = np.diff(p64)
             delta_width = max(1, int(int(d.max() - d.min()).bit_length()))
+    # float split estimate: encode the contiguous prefix (~one page) and
+    # scale — like the FSST sample-compression estimate above, a pure
+    # function of the values (resume determinism)
+    fsplit = float("inf")
+    if col.tag in dtypes.FLOAT_TAGS and n:
+        from .codecs.fsplit import split_encoded_nbytes
+
+        fsplit = split_encoded_nbytes(pref, col.tag) * (n / max(len(pref), 1)) + 16.0
     return ColumnStats(n, plain, rle, est_distinct, dict_bytes, vmin, vmax, float("inf"),
-                       est_n_runs=n_runs, delta_width=delta_width)
+                       est_n_runs=n_runs, delta_width=delta_width,
+                       fsplit_payload_bytes=fsplit)
 
 
 def _hash_varlen_sample(col: ColumnValues, idx: np.ndarray) -> np.ndarray:
