@@ -62,3 +62,40 @@ def test_cold_bands_unaffected_by_cap(spark):
     ]
     # docs sharing id%7 are identical -> pairs exist
     assert capped.count() > 0
+
+
+def test_embedding_hot_bucket_star_fallback(spark):
+    """Embedding sign-LSH: thousands of identical vectors saturate every
+    band bucket; over the cap they must route to the identical-vector
+    star fallback instead of the quadratic in-bucket join."""
+    from wills_columnar_format_spark.operators import registry as R
+
+    n_hot = 3_000
+    base = [0.25 * ((j % 7) - 3) for j in range(64)]
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)).cast("float") for x in base]).alias("embedding"),
+    )
+    bg = spark.range(n_hot, n_hot + 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.hash(F.col("id") * (j + 1) + j) % 1000) / 100.0).cast("float")
+                for j in range(64)
+            ]
+        ).alias("embedding"),
+    )
+    hot.unionAll(bg).createOrReplaceTempView("embeddings")
+    sql = R.SPARK_EMB_DEDUP.replace(f"<= {R._EMB_CAP}", "<= 64").replace(
+        f"> {R._EMB_CAP}", "> 64"
+    )
+    t0 = time.time()
+    pairs = spark.sql(sql)
+    rows = pairs.count()
+    elapsed = time.time() - t0
+    # emb2 doubles the set: 2*n_hot + 100 identical vectors in one
+    # fingerprint group -> star pairs to the min id; clones of bg docs
+    # pair too. Total pairs = (2*n_hot - 1) star + 50 clone pairs.
+    star_expected = 2 * n_hot - 1
+    assert rows == star_expected + 50
+    assert elapsed < 120

@@ -82,3 +82,72 @@ def test_committed_set_roundtrip(spark, token_df, tmp_path_factory):
     m = encode_table_resumable(token_df, ckpt, key_col="doc_id", num_partitions=2, chunk_rows=4096)
     cs = committed_set(spark, ckpt)
     assert len(cs) == m.count()
+
+
+def test_done_markers_and_partition_prefilter(spark, token_df, tmp_path_factory):
+    """Partition-granular resume: completed partitions commit __done__
+    markers; a resumed run collects only the done-id set and filters
+    completed partitions' input out BEFORE the shuffle (the driver never
+    holds per-chunk state — the 300M-manifest-row scale path)."""
+    from wills_columnar_format_spark.engine import done_partitions, encode_table
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_d") / "m")
+    m1 = encode_table_resumable(
+        token_df, ckpt, key_col="doc_id", num_partitions=4, chunk_rows=2048,
+        fail_parts=frozenset({2}),
+    )
+    assert done_partitions(spark, ckpt, "j0of1") == {0, 1, 3}
+
+    # the prefilter predicate must replicate Spark's HashPartitioning
+    # placement: manifest part_id == pmod(hash(key), N) for every chunk
+    enc = encode_table(token_df, key_col="doc_id", num_partitions=4,
+                       chunk_rows=2048, partitioner="hash")
+    placed = enc.select("part_id", "min_key").collect()
+    probe = token_df.select(
+        "doc_id", F.pmod(F.hash(F.col("doc_id")), F.lit(4)).alias("expect")
+    ).collect()
+    expect_by_key = {str(r.doc_id): r.expect for r in probe}
+    for r in placed:
+        assert r.part_id == expect_by_key[r.min_key] or r.min_key == ""
+
+    m2 = encode_table_resumable(
+        token_df, ckpt, key_col="doc_id", num_partitions=4, chunk_rows=2048,
+    )
+    assert done_partitions(spark, ckpt, "j0of1") == {0, 1, 2, 3}
+    # decode equals input
+    dec = decode_table(m2, token_df.schema)
+    assert dec.count() == N_ROWS
+
+    # third run: all parts done -> continue without an encode job; the
+    # manifest is unchanged
+    n2 = m2.count()
+    m3 = encode_table_resumable(
+        token_df, ckpt, key_col="doc_id", num_partitions=4, chunk_rows=2048,
+    )
+    assert m3.count() == n2
+
+
+def test_sub_jobs_resume(spark, token_df, tmp_path_factory):
+    """sub_jobs splits the encode into disjoint append jobs (crash
+    granularity = 1/sub_jobs of the input); the merged manifest decodes
+    to the full table and matches a single-job encode byte-for-byte."""
+    ckpt_s = str(tmp_path_factory.mktemp("ckpt_s") / "m")
+    ckpt_1 = str(tmp_path_factory.mktemp("ckpt_1") / "m")
+    kw = dict(key_col="doc_id", num_partitions=4, chunk_rows=2048)
+    ms = encode_table_resumable(token_df, ckpt_s, sub_jobs=3, **kw)
+    dec = decode_table(ms, token_df.schema)
+    assert dec.count() == N_ROWS
+    bad = (
+        dec.alias("d").join(token_df.alias("o"), "doc_id")
+        .filter(~(F.col("d.tokens") == F.col("o.tokens")))
+        .count()
+    )
+    assert bad == 0
+    # chunk contents are content-keyed: same chunks exist regardless of
+    # the job split (each sub-job repartitions its key-subset the same
+    # deterministic way), so checksums of shared chunk keys must agree
+    m1 = encode_table_resumable(token_df, ckpt_1, sub_jobs=1, **kw)
+    cs_s = {(r.chunk_key, r.column): r.checksum for r in ms.collect()}
+    cs_1 = {(r.chunk_key, r.column): r.checksum for r in m1.collect()}
+    for k in set(cs_s) & set(cs_1):
+        assert cs_s[k] == cs_1[k]

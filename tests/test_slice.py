@@ -121,3 +121,24 @@ def test_checkpointed_manifest_filter_pushes_to_parquet(spark, tmp_path_factory)
            "max_key_num" in plan.split("PushedFilters")[1][:400]
     got = sorted(r.k for r in dec.select("k").collect())
     assert got == list(range(1000, 1101))
+
+
+def test_numeric_range_on_string_keyed_manifest_not_silently_empty(spark):
+    """A numeric key_range against a manifest whose key column is a
+    STRING (zone maps NULL) must keep chunks conservatively and
+    exact-filter after decode — not silently return nothing."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.range(0, 2_000).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("k"),
+        F.col("id").cast("int").alias("v"),
+    )
+    m = encode_table(df, key_col="k", num_partitions=2, chunk_rows=256)
+    # numeric range with a numeric VALUE column as post-filter target:
+    # zone maps are NULL (string key), so every chunk is kept; the exact
+    # post-filter on v selects the rows
+    dec = decode_table(m, df.schema, key_range=(100, 199), key_col="v")
+    got = sorted(r.v for r in dec.select("v").collect())
+    assert got == list(range(100, 200))

@@ -168,6 +168,36 @@ def _sub_columns(name: str, arr: pa.Array, allow_nulls: bool = False) -> list[tu
     return out
 
 
+DONE_COLUMN = "__done__"
+
+
+def _done_marker_batch(part_id: int, tag: str, n_chunks: int, snapshot_id) -> pa.RecordBatch:
+    """Partition-completion marker row (resume bookkeeping, filtered out of
+    every data path). chunk_key is unique per (tag, part) so markers from
+    different partitions survive dropDuplicates(chunk_key, column)."""
+    return pa.RecordBatch.from_pydict(
+        {
+            "part_id": [part_id],
+            "chunk_id": [-1],
+            "chunk_key": [f"{DONE_COLUMN}:{tag}:{part_id}"],
+            "column": [DONE_COLUMN],
+            "dtype_tag": [-1],
+            "codec": [""],
+            "n_values": [n_chunks],
+            "bytes_in": [0],
+            "bytes_out": [0],
+            "checksum": [""],
+            "min_key": [""],
+            "max_key": [""],
+            "min_key_num": [None],
+            "max_key_num": [None],
+            "snapshot_id": [snapshot_id],
+            "blob": [b""],
+        },
+        schema=_MANIFEST_PA,
+    )
+
+
 def make_encode_fn(
     key_col: str,
     codec: str = "auto",
@@ -177,6 +207,7 @@ def make_encode_fn(
     snapshot_id: str | None = None,
     committed: frozenset | None = None,
     fail_parts: frozenset | None = None,
+    done_marker_tag: str | None = None,
 ):
     """Build the mapInArrow encode function (pure closure, Spark-serializable)."""
 
@@ -207,7 +238,10 @@ def make_encode_fn(
             if isinstance(kmin, (int, float)) and not isinstance(kmin, bool):
                 min_num, max_num = float(kmin), float(kmax)
             else:
-                min_num = max_num = float("nan")
+                # NULL (not NaN) for non-numeric keys: IS NULL is a
+                # parquet-pushable predicate, so the decode-side
+                # conservative keep for these chunks rides PushedFilters
+                min_num = max_num = None
             # content-based chunk identity: stable across runs even if the
             # physical partitioning drifted (resume correctness)
             chunk_key = _checksum(_arrow_to_columnvalues(keys))
@@ -257,6 +291,12 @@ def make_encode_fn(
             rb = encode_chunk(t, chunk_id)
             if rb.num_rows:
                 yield rb
+            chunk_id += 1
+        if done_marker_tag is not None:
+            # reached only when the partition fully encoded (a crashed task
+            # never commits its output) — empty partitions mark too, so the
+            # done-set converges to all partition ids
+            yield _done_marker_batch(part_id, done_marker_tag, chunk_id, snapshot_id)
 
     return encode_fn
 
@@ -272,12 +312,20 @@ def weight_balanced_bucket_expr(df, key_col: str, weight_col: str, num_buckets: 
     sample reads a deterministic subset of FILES (~20) instead of
     scanning the whole table — a 100 TB input must not pay a full pass
     (let alone the count + sample two-pass) just to pick bucket bounds.
+    Caveat: this fast path re-reads the picked files RAW, ignoring any
+    filters/projections on ``df`` — correct bounds require ``df`` to be a
+    bare scan. A filtered input falls back to the full-scan sample.
     """
     from pyspark.sql import functions as F
 
     sample = None
     try:
         files = df.inputFiles()
+        # the file fast path re-reads raw files; a filtered plan would
+        # sample a different distribution than the rows actually encoded
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if "Filter " in plan or "Filter\n" in plan or "Filter(" in plan:
+            files = []
     except Exception:
         files = []
     if len(files) > 20:
@@ -322,6 +370,7 @@ def encode_table(
     sort_within: bool = True,
     partitioner: str | None = None,
     allow_nulls: bool = False,
+    done_marker_tag: str | None = None,
 ):
     """Encode ``df``'s columns into a blob+lineage manifest DataFrame.
 
@@ -379,6 +428,7 @@ def encode_table(
         snapshot_id=snapshot_id,
         committed=committed,
         fail_parts=fail_parts,
+        done_marker_tag=done_marker_tag,
     )
     return df.mapInArrow(fn, schema=MANIFEST_DDL)
 
@@ -520,6 +570,7 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
 
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
+    manifest_df = manifest_df.filter(F.col("column") != DONE_COLUMN)
     if key_range is not None:
         # prune BEFORE the dedup aggregate: Catalyst cannot push a
         # non-grouping-column filter through dropDuplicates, and pruning
@@ -528,11 +579,18 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         if isinstance(lo, (int, float)) and not isinstance(lo, bool):
             # native numeric zone-map columns: the filter is cast-free, so
             # on a checkpointed manifest it pushes into the parquet scan
-            # (row-group stats pruning — check PushedFilters in .explain)
+            # (row-group stats pruning — check PushedFilters in .explain).
+            # Chunks with NULL zone maps (non-numeric key column) are kept
+            # conservatively — the exact post-filter below removes their
+            # rows — instead of being silently dropped; IS NULL is itself
+            # parquet-pushable so the scan still prunes.
             mn, mx = F.col("min_key_num"), F.col("max_key_num")
+            manifest_df = manifest_df.filter(
+                ((mx >= F.lit(lo)) & (mn <= F.lit(hi))) | mn.isNull()
+            )
         else:
             mn, mx = F.col("min_key"), F.col("max_key")
-        manifest_df = manifest_df.filter((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
+            manifest_df = manifest_df.filter((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
     if not assume_unique:
         manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
     if arranged and assume_unique:
@@ -554,46 +612,133 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
 # ---------------------------------------------------------------------------
 
 
-def committed_set(spark, ckpt_dir: str) -> frozenset:
-    """Read the checkpoint manifest and return the committed chunk keys."""
+def _has_manifest(ckpt_dir: str) -> bool:
     import os
 
-    if not os.path.isdir(ckpt_dir) or not any(
-        f.endswith(".parquet") for f in _walk_files(ckpt_dir)
-    ):
+    if not os.path.isdir(ckpt_dir):
+        return False
+    for _, _, files in os.walk(ckpt_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def committed_set(spark, ckpt_dir: str) -> frozenset:
+    """Read the checkpoint manifest and return the committed chunk keys
+    (data rows only; partition-done markers excluded)."""
+    from pyspark.sql import functions as F
+
+    if not _has_manifest(ckpt_dir):
         return frozenset()
     rows = (
         spark.read.parquet(ckpt_dir)
+        .filter(F.col("column") != DONE_COLUMN)
         .select("chunk_key", "column", "checksum")
         .collect()
     )
     return frozenset((r.chunk_key, r.column, r.checksum) for r in rows)
 
 
-def _walk_files(d: str):
-    import os
+def done_partitions(spark, ckpt_dir: str, tag: str) -> set[int]:
+    """Partition ids whose done marker for ``tag`` is committed. The
+    result is bounded by num_partitions — driver-safe at any manifest
+    size (unlike collecting 300M chunk rows)."""
+    from pyspark.sql import functions as F
 
-    for root, _, files in os.walk(d):
-        yield from files
+    if not _has_manifest(ckpt_dir):
+        return set()
+    prefix = f"{DONE_COLUMN}:{tag}:"
+    rows = (
+        spark.read.parquet(ckpt_dir)
+        .filter((F.col("column") == DONE_COLUMN) & F.col("chunk_key").startswith(prefix))
+        .select("part_id")
+        .distinct()
+        .collect()
+    )
+    return {r.part_id for r in rows}
 
 
-def encode_table_resumable(df, ckpt_dir: str, **kwargs):
+# Above this many not-yet-done chunk rows, skip the frozenset collect:
+# re-encoding is idempotent (content-based chunk keys + byte-identical
+# codec choice) and dropDuplicates on read collapses any overlap.
+MAX_COMMITTED_COLLECT = 2_000_000
+
+
+def _committed_subset(spark, ckpt_dir: str, done: set[int]) -> frozenset:
+    """Committed chunk keys restricted to NOT-done partitions (the only
+    ones the resumed run re-encodes). In the all-or-nothing task-commit
+    model this is empty or tiny; the cap guards merged manifests."""
+    from pyspark.sql import functions as F
+
+    if not _has_manifest(ckpt_dir):
+        return frozenset()
+    mdf = spark.read.parquet(ckpt_dir).filter(F.col("column") != DONE_COLUMN)
+    if done:
+        mdf = mdf.filter(~F.col("part_id").isin(sorted(done)))
+    mdf = mdf.select("chunk_key", "column", "checksum")
+    if mdf.limit(MAX_COMMITTED_COLLECT + 1).count() > MAX_COMMITTED_COLLECT:
+        return frozenset()
+    return frozenset((r.chunk_key, r.column, r.checksum) for r in mdf.collect())
+
+
+def encode_table_resumable(df, ckpt_dir: str, sub_jobs: int = 1, **kwargs):
     """Encode with a per-partition checkpoint manifest (north-rule
-    resumability): chunks whose (part, chunk, column, input-checksum) are
-    already committed are skipped; new manifest rows are appended. Returns
-    the full manifest DataFrame. Codec choice is a pure function of the
-    chunk's values (selector.py), so a re-encoded chunk is byte-identical
-    — verified by checksum in tests/test_resume.py.
+    resumability). Returns the full manifest DataFrame (markers filtered,
+    duplicates collapsed).
 
-    Partitioning defaults to deterministic hash bucketing so chunk
-    boundaries are identical on every run (range sampling is not).
+    Scale design (10^12 rows ≈ 300M manifest rows — a driver OOM if
+    collected): resume state is tracked at PARTITION granularity. Each
+    fully-encoded partition commits a ``__done__`` marker row; a resumed
+    run collects only the done-partition id set (≤ num_partitions ints),
+    drops completed partitions' input rows BEFORE the shuffle via
+    ``pmod(hash(key), N)`` (replicating Spark's HashPartitioning
+    placement — asserted in tests/test_resume.py), and re-encodes only
+    the rest. Chunk-level checksum skipping remains as defense for
+    merged/copied manifests, restricted to not-done partitions and capped
+    (MAX_COMMITTED_COLLECT) so the driver never materializes an unbounded
+    set; past the cap, idempotent re-encode + dropDuplicates-on-read
+    keep correctness.
+
+    ``sub_jobs > 1`` splits the input into ``sub_jobs`` disjoint key sets
+    encoded as separate append jobs: a crash loses at most 1/sub_jobs of
+    the work (Spark's committer is all-or-nothing per job, so a single
+    100 TB job that dies mid-way commits nothing).
+
+    Codec choice is a pure function of the chunk's values (selector.py),
+    so a re-encoded chunk is byte-identical — verified by checksum in
+    tests/test_resume.py. Partitioning defaults to deterministic hash
+    bucketing so chunk boundaries are identical on every run (range
+    sampling is not).
     """
+    from pyspark.sql import functions as F
+
     spark = df.sparkSession
     kwargs.setdefault("partitioner", "hash")
-    committed = committed_set(spark, ckpt_dir)
-    manifest = encode_table(df, committed=committed, **kwargs)
-    manifest.write.mode("append").parquet(ckpt_dir)
-    return spark.read.parquet(ckpt_dir).dropDuplicates(["chunk_key", "column"])
+    key_col = kwargs.get("key_col", "doc_id")
+    n = kwargs.get("num_partitions") or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    kwargs["num_partitions"] = n
+    for j in range(sub_jobs):
+        tag = f"j{j}of{sub_jobs}"
+        sub = df if sub_jobs == 1 else df.filter(
+            F.pmod(F.hash(F.col(key_col)), F.lit(sub_jobs)) == j
+        )
+        done = done_partitions(spark, ckpt_dir, tag)
+        if len(done) >= n:
+            continue  # sub-job fully committed: zero input scanned
+        if done and kwargs["partitioner"] == "hash":
+            sub = sub.filter(
+                ~F.pmod(F.hash(F.col(key_col)), F.lit(n)).isin(sorted(done))
+            )
+        committed = _committed_subset(spark, ckpt_dir, done)
+        manifest = encode_table(sub, committed=committed, done_marker_tag=tag, **kwargs)
+        manifest.write.mode("append").parquet(ckpt_dir)
+    return (
+        spark.read.parquet(ckpt_dir)
+        .filter(F.col("column") != DONE_COLUMN)
+        .dropDuplicates(["chunk_key", "column"])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -636,7 +781,8 @@ def manifest_summary(manifest_df):
     from pyspark.sql import functions as F
 
     return (
-        manifest_df.groupBy("column", "codec")
+        manifest_df.filter(F.col("column") != DONE_COLUMN)
+        .groupBy("column", "codec")
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum("n_values").alias("n_values"),

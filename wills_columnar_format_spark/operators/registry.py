@@ -353,42 +353,73 @@ WHERE rk <= 3
 """
 
 
-# embedding-cosine near-dup: sign-LSH bucket (first 8 dims) -> in-bucket
-# cosine -> threshold. Clones always share a bucket (signs are exact), so
-# recall on duplicate vectors is 1.0; the bucket join replaces the O(n^2)
-# all-pairs at scale.
+# embedding-cosine near-dup: multi-band sign-LSH -> in-bucket cosine ->
+# threshold. 4 bands x 16 sign bits cover ALL 64 dims (axis-aligned
+# hyperplanes: for isotropic embeddings a component sign IS a random
+# hyperplane sign, and unlike arithmetic hyperplane dots it cannot
+# disagree between engines on near-zero sums). Effective bucket space is
+# 4 x 2^16 per band instead of the old fixed 256; clones share every
+# band (signs are exact) so dup recall is 1.0, and a near-dup missing in
+# one band is caught by another. Buckets over _EMB_CAP route to the
+# exact-identical-vector star fallback (same hot-band treatment as
+# MinHash) — no-op at sandbox scale, bounds the join quadratic at 100 TB.
+
+_EMB_BANDS = 4
+_EMB_BITS = 16
+_EMB_CAP = 10_000
 
 
-def _embdup_sql(signs_expr: str, dot: str) -> str:
+def _embdup_sql(signs_expr: str, dot: str, explode_bands: str, fp_expr: str) -> str:
+    band = f"concat(CAST(j AS STRING), ':', substring(s, 1 + {_EMB_BITS} * j, {_EMB_BITS}))"
     return f"""
 WITH emb2 AS (SELECT vec_id, embedding FROM embeddings
               UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
-b AS (SELECT vec_id, embedding, {signs_expr} AS bucket FROM emb2),
+sgn AS (SELECT vec_id, embedding, {signs_expr} AS s FROM emb2),
+bands AS (SELECT vec_id, {band} AS bucket FROM sgn {explode_bands}),
+bc AS (SELECT vec_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bn FROM bands),
+cold AS (SELECT vec_id, bucket FROM bc WHERE bn <= {_EMB_CAP}),
+cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
+         FROM cold a JOIN cold c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+hot AS (SELECT DISTINCT vec_id FROM bc WHERE bn > {_EMB_CAP}),
+hfp AS (SELECT e.vec_id, {fp_expr} AS fp FROM emb2 e JOIN hot h ON e.vec_id = h.vec_id),
+reps AS (SELECT fp, MIN(vec_id) AS rep FROM hfp GROUP BY fp),
+star AS (SELECT r.rep AS d1, f.vec_id AS d2 FROM hfp f JOIN reps r ON f.fp = r.fp
+         WHERE f.vec_id > r.rep),
 pairs AS (
-  SELECT a.vec_id AS d1, c.vec_id AS d2,
+  SELECT cand.d1, cand.d2,
          {dot.format(x="a.embedding", y="c.embedding")} /
          (sqrt({dot.format(x="a.embedding", y="a.embedding")})
           * sqrt({dot.format(x="c.embedding", y="c.embedding")})) AS cos
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  FROM cand JOIN emb2 a ON a.vec_id = cand.d1 JOIN emb2 c ON c.vec_id = cand.d2
 )
 SELECT d1, d2 FROM pairs WHERE cos >= 0.999
+UNION
+SELECT d1, d2 FROM star
 """
 
 
 _SPARK_SIGNS = (
-    "concat_ws('', transform(slice(embedding, 1, 8), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+    "concat_ws('', transform(embedding, x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
 )
 _SPARK_DOT = (
     "aggregate(zip_with({x}, {y}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
     "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
 )
+_SPARK_EMB_FP = "md5(concat_ws(',', transform(e.embedding, x -> CAST(x AS STRING))))"
 _DUCK_SIGNS = (
-    "list_aggregate(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+    "list_aggregate(list_transform(embedding, x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
 )
 _DUCK_DOT = "list_inner_product({x}::DOUBLE[], {y}::DOUBLE[])"
+_DUCK_EMB_FP = "md5(array_to_string(e.embedding, ','))"
 
-SPARK_EMB_DEDUP = _embdup_sql(_SPARK_SIGNS, _SPARK_DOT)
-DUCK_EMB_DEDUP = _embdup_sql(_DUCK_SIGNS, _DUCK_DOT)
+SPARK_EMB_DEDUP = _embdup_sql(
+    _SPARK_SIGNS, _SPARK_DOT,
+    f"LATERAL VIEW explode(sequence(0, {_EMB_BANDS - 1})) e AS j", _SPARK_EMB_FP,
+)
+DUCK_EMB_DEDUP = _embdup_sql(
+    _DUCK_SIGNS, _DUCK_DOT,
+    f", (SELECT UNNEST(range({_EMB_BANDS}))::INT AS j) js", _DUCK_EMB_FP,
+)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +493,39 @@ FROM documents
 
 # ---------------------------------------------------------------------------
 # 6. Relational breadth (TPC-H-ish; exact decimal arithmetic)
+#
+# These run ON THE ENGINE'S FORMAT, not beside it: each referenced table
+# is encoded (auto codec, pruned to the query's columns) and decoded back
+# through the blob+manifest path, and the SQL runs over the decoded view.
+# The DuckDB oracle runs the same SQL on the raw parquet — equality holds
+# because the roundtrip is lossless.
 # ---------------------------------------------------------------------------
+
+
+def _codec_views(spark: SparkSession, sf_dir: str, specs: list[tuple]) -> None:
+    """Register temp views backed by encode→decode of selected columns.
+
+    ``specs``: (table, key_col, columns) — column pruning at encode time
+    is the columnar story: only the query's columns are ever encoded.
+    """
+    from ..engine import decode_table, encode_table
+
+    for table, key, cols in specs:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(
+            *dict.fromkeys([key] + cols)
+        )
+        m = encode_table(df, key_col=key, codec="auto", num_partitions=8)
+        dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
+        dec.createOrReplaceTempView(table)
+
+
+def _codec_query(sql: str, specs: list[tuple]):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _codec_views(spark, sf_dir, specs)
+        return spark.sql(sql)
+
+    return fn
+
 
 SPARK_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
@@ -538,13 +601,31 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (q_ann_ivf, DUCK_ANN_IVF),
     # multimodal
     "multimodal_meta": (q_multimodal_meta, DUCK_MULTIMODAL_META),
-    # relational breadth
-    "tpch_q1": (_sql_query(SPARK_TPCH_Q1, "lineitem"), DUCK_TPCH_Q1),
+    # relational breadth — running over decoded codec views (the scan IS
+    # the engine's format; oracles stay on raw parquet)
+    "tpch_q1": (
+        _codec_query(SPARK_TPCH_Q1, [
+            ("lineitem", "l_orderkey",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount", "l_shipdate"]),
+        ]),
+        DUCK_TPCH_Q1,
+    ),
     "nation_revenue": (
-        _sql_query(SPARK_NATION_REVENUE, "lineitem", "orders", "customer", "nation"),
+        _codec_query(SPARK_NATION_REVENUE, [
+            ("lineitem", "l_orderkey", ["l_extendedprice", "l_discount"]),
+            ("orders", "o_orderkey", ["o_custkey"]),
+            ("customer", "c_custkey", ["c_nationkey"]),
+            ("nation", "n_nationkey", ["n_name"]),
+        ]),
         DUCK_NATION_REVENUE,
     ),
-    "events_top_type": (_sql_query(SPARK_EVENTS_TOP_TYPE, "events"), DUCK_EVENTS_TOP_TYPE),
+    "events_top_type": (
+        _codec_query(SPARK_EVENTS_TOP_TYPE, [
+            ("events", "event_id", ["user_id", "event_type"]),
+        ]),
+        DUCK_EVENTS_TOP_TYPE,
+    ),
 }
 
 

@@ -44,8 +44,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     # shuffle/spill to tmpfs when available: the sandbox stand-in for a
-    # cluster's local NVMe; avoids charging rootfs I/O to shuffle stages
-    if os.path.isdir("/dev/shm"):
+    # cluster's local NVMe; avoids charging rootfs I/O to shuffle stages.
+    # Gated on capacity — tmpfs is RAM-backed and often tiny (Docker
+    # defaults /dev/shm to 64 MB), where any real spill would ENOSPC.
+    # SPARK_GRAFT_TMPFS_SHUFFLE=0/1 overrides the heuristic either way.
+    use_tmpfs = os.environ.get("SPARK_GRAFT_TMPFS_SHUFFLE")
+    if use_tmpfs is None and os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            use_tmpfs = "1" if st.f_bavail * st.f_frsize >= 8 << 30 else "0"
+        except OSError:
+            use_tmpfs = "0"
+    if use_tmpfs == "1" and os.path.isdir("/dev/shm"):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
