@@ -33,6 +33,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# best-of-N repetitions: the sandbox host is multi-tenant and identical
+# runs vary up to 3x (BENCH.md) — nothing below n=3 is comparable
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # token-table size scales with the sf of the testdata dir
@@ -95,7 +98,7 @@ def run_encode(spark, sf_dir: str, num_partitions: int | None = None,
         num_partitions = 2 * int(spark.sparkContext.defaultParallelism)
 
     dt = None
-    for _ in range(2):  # best-of-2 (noisy host, BENCH.md)
+    for _ in range(REPS):  # best-of-N (noisy host, BENCH.md)
         t0 = time.time()
         m = encode_table(
             df,
@@ -140,7 +143,7 @@ def run_decode(spark, sf_dir: str) -> dict:
     ).cache()
     m.count()  # materialize encode outside the timed region
     dt = None
-    for _ in range(2):  # best-of-2 (noisy host, BENCH.md)
+    for _ in range(REPS):  # best-of-N (noisy host, BENCH.md)
         t0 = time.time()
         dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
         out = dec.agg(F.count("*").alias("n"), F.sum("n_tok").alias("t")).collect()[0]
@@ -175,7 +178,7 @@ def _registry_benches(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(2):  # best-of-2: the sandbox host is noisy (BENCH.md)
+        for _ in range(REPS):  # best-of-N: the sandbox host is noisy (BENCH.md)
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
             dt = time.time() - t0
@@ -222,6 +225,15 @@ def main() -> None:
         tps_lo = res[lo]["tokens_per_sec"]
         tps_hi = res[hi]["tokens_per_sec"]
         eff = (tps_hi / tps_lo) / (hi / lo)
+        # same-session machine ceiling: the multi-tenant host's bandwidth
+        # envelope moves between sessions (measured 0.80 and 0.62 for the
+        # 2->8 ceiling on different days), so the job's efficiency is
+        # only interpretable against the ceiling measured NEXT TO it
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from membw_probe import bandwidth_at
+
+        bw_lo, bw_hi = bandwidth_at(lo), bandwidth_at(hi)
+        ceiling = (bw_hi / bw_lo) / (hi / lo)
         print(json.dumps({
             "metric": "encode_scaling_efficiency",
             "value": round(eff, 4),
@@ -230,6 +242,8 @@ def main() -> None:
             "cores_low": lo, "cores_high": hi,
             "tokens_per_sec_low": tps_lo, "tokens_per_sec_high": tps_hi,
             "sec_low": res[lo]["sec"], "sec_high": res[hi]["sec"],
+            "machine_bw_ceiling": round(ceiling, 4),
+            "efficiency_vs_ceiling": round(min(eff / ceiling, 2.0), 4),
         }))
         return
 
@@ -289,6 +303,7 @@ def main() -> None:
             "unit": "sec",
             "queries": queries,
             "sf": _sf_name(args.sf_dir),
+            "n": REPS,
             "cores": args.cores,
             "tokens_per_sec": enc["tokens_per_sec"],
             "compressed_bytes_per_token": enc["bytes_per_token"],

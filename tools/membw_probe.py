@@ -43,6 +43,18 @@ def _burn(_):
     return x
 
 
+def bandwidth_at(procs: int) -> float:
+    """Aggregate bandwidth-bound iters/s at ``procs`` concurrent numpy
+    streams — callable from bench.py --scaling to measure the machine's
+    SAME-SESSION scaling ceiling (the multi-tenant host's envelope moves
+    between sessions; a job efficiency is only interpretable against the
+    ceiling measured next to it)."""
+    t0 = time.time()
+    with mp.Pool(procs) as p:
+        iters = p.map(_bw, range(procs))
+    return sum(iters) / (time.time() - t0)
+
+
 def main() -> None:
     out = {"bandwidth": {}, "compute_wall": {}}
     for procs in (1, 2, 8, 32):

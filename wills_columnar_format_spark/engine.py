@@ -762,11 +762,7 @@ def runs_table(manifest_df, column: str):
                 if cols[i] != column:
                     continue
                 rv, rl = decode_runs(blobs[i].as_py())
-                arr = rv.to_arrow()
-                if pa.types.is_large_string(arr.type):
-                    arr = arr.cast(pa.string())
-                else:
-                    arr = arr.cast(pa.string())
+                arr = rv.to_arrow().cast(pa.string())
                 yield pa.RecordBatch.from_arrays(
                     [arr, pa.array(rl, type=pa.int64())], ["value", "run_length"]
                 )

@@ -35,17 +35,32 @@ DEFAULT_BAND_CAP = 10_000
 JACCARD_THRESHOLD = 0.5
 _MERSENNE_P = (1 << 31) - 1
 
-_SPARK_HEX2INT_HI = "CAST(conv(substring(md5(g2), 1, 8), 16, 10) AS BIGINT)"
-_SPARK_HEX2INT_LO = "CAST(conv(substring(md5(g2), 9, 8), 16, 10) AS BIGINT)"
+# Gram hashes use Spark's native xxhash64 (JVM codegen, ~10x cheaper
+# than md5+hex+conv). The hash family is LSH-internal: the operator's
+# OUTPUT is the exact-jaccard-verified pair set, so recall — not the
+# pair values — is all the family affects (100% vs the exact oracle at
+# sf0.01/sf0.1, revalidated after this swap). Two independent 31-bit
+# draws come from differently-seeded xxhash64 calls.
+_SPARK_HEX2INT_HI = f"pmod(xxhash64(g2), {_MERSENNE_P})"
+_SPARK_HEX2INT_LO = f"pmod(xxhash64(g2, 1), {_MERSENNE_P})"
 
 # 32 MIN-aggregate expressions in ONE groupBy instead of a 32x row
-# explosion; h_k = (h1 + k*h2) mod p universal hashing from one md5.
+# explosion; h_k = (h1 + k*h2) mod p universal hashing from one hash.
 _MH_MINS = ",\n           ".join(
     f"MIN((h1 + CAST({k} AS BIGINT) * h2) % {_MERSENNE_P}) AS m{k}" for k in range(32)
 )
 _MH_STACK = ", ".join(
     f"'{b}', concat(CAST(m{2*b} AS STRING), ':', CAST(m{2*b+1} AS STRING))" for b in range(16)
 )
+# signature-agreement estimate: #equal minima / 32 is an unbiased
+# estimator of jaccard — the cheap pre-verify filter
+_MH_EQ_SUM = " + ".join(f"(CASE WHEN a.m{k} = b.m{k} THEN 1 ELSE 0 END)" for k in range(32))
+# keep candidates with >= 4/32 agreeing minima before the exact-verify
+# join: P[Binom(32, 0.5) < 4] ~ 1e-7, so a true j >= 0.5 pair is never
+# realistically dropped, while the mass of j ~ 0.2-0.4 false-positive
+# band candidates (the 16x2 banding is recall-tuned, precision-poor)
+# skips the expensive gram-intersection join
+_MH_EQ_MIN = 4
 
 # Two-token shingles of the doubled doc set; DISTINCT per doc.
 GRAMS_SQL = """
@@ -56,12 +71,21 @@ WHERE size(t) >= 2
 """
 
 
+# the 32 signature minima; materialized once (cached view) — it is
+# referenced three times below (banding + both sides of the agreement
+# prefilter) and Spark would otherwise inline-recompute the groupBy per
+# reference
+MINS_SQL = f"""
+WITH gh AS (SELECT doc_id, {_SPARK_HEX2INT_HI} AS h1, {_SPARK_HEX2INT_LO} AS h2 FROM mh_grams)
+SELECT doc_id,
+       {_MH_MINS}
+FROM gh GROUP BY doc_id
+"""
+
+
 def _body_sql(band_cap: int) -> str:
     return f"""
-WITH gh AS (SELECT doc_id, {_SPARK_HEX2INT_HI} AS h1, {_SPARK_HEX2INT_LO} AS h2 FROM mh_grams),
-mins AS (SELECT doc_id,
-           {_MH_MINS}
-         FROM gh GROUP BY doc_id),
+WITH mins AS (SELECT * FROM mh_mins),
 bands AS (SELECT doc_id, concat(band, ':', sig) AS sig
           FROM mins LATERAL VIEW stack(16, {_MH_STACK}) s AS band, sig),
 bsz AS (SELECT sig, COUNT(*) AS bn FROM bands GROUP BY sig),
@@ -80,8 +104,11 @@ allband AS (SELECT * FROM cold UNION ALL SELECT * FROM repbands),
 absz AS (SELECT sig, COUNT(*) AS bn FROM allband GROUP BY sig),
 joinable AS (SELECT a.doc_id, a.sig FROM allband a JOIN absz z ON a.sig = z.sig
              WHERE z.bn <= {band_cap}),
-cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         FROM joinable a JOIN joinable b ON a.sig = b.sig AND a.doc_id < b.doc_id),
+cand0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM joinable a JOIN joinable b ON a.sig = b.sig AND a.doc_id < b.doc_id),
+cand AS (SELECT c.d1, c.d2 FROM cand0 c
+         JOIN mins a ON a.doc_id = c.d1 JOIN mins b ON b.doc_id = c.d2
+         WHERE {_MH_EQ_SUM} >= {_MH_EQ_MIN}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM mh_grams GROUP BY doc_id),
 inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
           FROM cand JOIN mh_grams g1 ON g1.doc_id = cand.d1
@@ -110,8 +137,11 @@ def minhash_lsh_pairs(
     docs.select("doc_id", "text").createOrReplaceTempView("mh_docs")
     grams = spark.sql(GRAMS_SQL)
     grams.cache().createOrReplaceTempView("mh_grams")
+    mins = spark.sql(MINS_SQL)
+    mins.cache().createOrReplaceTempView("mh_mins")
     try:
         out = spark.sql(_body_sql(band_cap))
         return out.localCheckpoint(eager=True)  # materialize before uncache
     finally:
+        spark.catalog.uncacheTable("mh_mins")
         spark.catalog.uncacheTable("mh_grams")

@@ -92,6 +92,34 @@ FROM embeddings
 """
 
 
+def q_roundtrip_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in null support: deterministically null out rows of a string
+    and an int column, encode with allow_nulls=True (adds #valid
+    sub-columns), decode — equality incl. null placement proves the
+    validity-mask roundtrip."""
+    from pyspark.sql import functions as F
+
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 11 == 0, None).otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8,
+                     allow_nulls=True)
+    return decode_table(m, df.schema, assume_unique=True, arranged=True)
+
+
+ORACLE_ROUNDTRIP_NULLABLE = """
+SELECT doc_id, text,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+       CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS n_chars
+FROM documents
+"""
+
+
 def q_rle_run_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-on-compressed: value counts aggregated on RLE runs without
     expansion (reference src/test_rle.rs:8-17 generalized)."""
@@ -255,9 +283,22 @@ grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS g2 FROM pos),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)
 """
 
+# Hot-gram cap for the all-pairs intersection join: a gram shared by k
+# docs contributes k^2 join rows, so one boilerplate bigram in 10^6 docs
+# is 10^12 rows. Grams above the doc-frequency cap are excluded from the
+# JOIN (sizes keep the full sets, so jaccard is slightly UNDER-estimated
+# for pairs whose only overlap is boilerplate — the conservative
+# direction for dedup). The cap is far above any sandbox-scale df, so
+# oracle equality is exact at sf0.01/sf0.1; it is mirrored in BOTH
+# dialects so the queries stay equal at any scale.
+_GRAM_DF_CAP = 100_000
+
 _JACCARD_TAIL = f"""
+jg AS (SELECT doc_id, g2 FROM (
+         SELECT doc_id, g2, COUNT(*) OVER (PARTITION BY g2) AS df FROM grams) gdf
+       WHERE df <= {_GRAM_DF_CAP}),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-          FROM grams a JOIN grams b ON a.g2 = b.g2 AND a.doc_id < b.doc_id
+          FROM jg a JOIN jg b ON a.g2 = b.g2 AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
 SELECT d1, d2, CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DOUBLE) AS jaccard
 FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
@@ -581,6 +622,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_lineitem": (q_roundtrip_lineitem, ORACLE_ROUNDTRIP_LINEITEM),
     "roundtrip_events": (q_roundtrip_events, ORACLE_ROUNDTRIP_EVENTS),
     "roundtrip_embeddings": (q_roundtrip_embeddings, ORACLE_ROUNDTRIP_EMBEDDINGS),
+    "roundtrip_nullable": (q_roundtrip_nullable, ORACLE_ROUNDTRIP_NULLABLE),
     "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
