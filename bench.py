@@ -95,7 +95,11 @@ def run_encode(spark, sf_dir: str, num_partitions: int | None = None,
     stats = df.agg(F.sum("n_tok").alias("t"), F.count("*").alias("n")).collect()[0]
     total_tokens, n = int(stats.t), int(stats.n)
     if num_partitions is None:
-        num_partitions = 2 * int(spark.sparkContext.defaultParallelism)
+        # half the cores: this box's memory bus saturates at ~8 streams
+        # (tools/membw_probe.py), and BIGGER chunks compress better
+        # (dict_rank's dictionary amortizes over more values) — measured
+        # 1.97 B/token at 64 parts vs 1.85-1.88 at 8-16 on the same data
+        num_partitions = max(8, int(spark.sparkContext.defaultParallelism) // 2)
 
     dt = None
     for _ in range(REPS):  # best-of-N (noisy host, BENCH.md)
@@ -106,7 +110,7 @@ def run_encode(spark, sf_dir: str, num_partitions: int | None = None,
             codec="auto",
             num_partitions=num_partitions,
             partitioner=partitioner,
-            chunk_rows=8192,
+            chunk_rows=65536,
         )
         agg = m.agg(
             F.sum("bytes_in").alias("bi"),
@@ -139,7 +143,8 @@ def run_decode(spark, sf_dir: str) -> dict:
     path, _ = _token_table_path(sf_dir)
     df = spark.read.parquet(path)
     m = encode_table(
-        df, key_col="doc_id", codec="auto", num_partitions=CPUS, partitioner="hash", chunk_rows=8192
+        df, key_col="doc_id", codec="auto", num_partitions=max(8, CPUS // 2),
+        partitioner="hash", chunk_rows=65536,
     ).cache()
     m.count()  # materialize encode outside the timed region
     dt = None
@@ -285,7 +290,7 @@ def main() -> None:
     try:
         queries: dict[str, float] = {}
         _warmup(spark, args.sf_dir)
-        enc = run_encode(spark, args.sf_dir, num_partitions=2 * args.cores)
+        enc = run_encode(spark, args.sf_dir)
         queries["encode_tokens"] = enc["sec"]
         extra = {"encode": enc}
         if not args.encode_only:

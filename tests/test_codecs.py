@@ -32,7 +32,7 @@ ALL_TYPE_PAIRS = [
 
 
 @pytest.mark.parametrize("vals", ALL_TYPE_PAIRS, ids=lambda v: str(v.dtype))
-@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "for_bitpack", "delta", "dict_rle", "auto"])
+@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "for_bitpack", "delta", "dict_rle", "dict_rank", "auto"])
 def test_encode_decode_all_int_types(vals, codec):
     """Reference test_encode_decode_several (test_lib.rs:34-45): roundtrip
     2-value columns for every supported type."""

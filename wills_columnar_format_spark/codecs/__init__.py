@@ -5,6 +5,7 @@ from __future__ import annotations
 from .base import Codec, ColumnValues, Encoded
 from .delta import DeltaCodec
 from .dict_rle import DictRleCodec
+from .dict_varint import DictVarintCodec
 from .dictionary import DictCodec
 from .foref import ForCodec
 from .fsplit import FloatSplitCodec
@@ -20,8 +21,9 @@ FSST = FsstCodec()
 DICT_RLE = DictRleCodec()
 DELTA = DeltaCodec()
 FLOAT_SPLIT = FloatSplitCodec()
+DICT_VARINT = DictVarintCodec()
 
-ALL_CODECS: list[Codec] = [PLAIN, RLE, DICT, FOR, FSST, DICT_RLE, DELTA, FLOAT_SPLIT]
+ALL_CODECS: list[Codec] = [PLAIN, RLE, DICT, FOR, FSST, DICT_RLE, DELTA, FLOAT_SPLIT, DICT_VARINT]
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in ALL_CODECS}
 BY_NAME: dict[str, Codec] = {c.name: c for c in ALL_CODECS}
 
@@ -37,6 +39,7 @@ __all__ = [
     "DICT_RLE",
     "DELTA",
     "FLOAT_SPLIT",
+    "DICT_VARINT",
     "ALL_CODECS",
     "BY_ID",
     "BY_NAME",

@@ -1,0 +1,177 @@
+"""Frequency-ranked dictionary + patched bit-packed codes ("dict_rank"):
+entropy-aware coding for skewed alphabets with byte-aligned, fully
+vectorized kernels (PFOR-style patching, see PAPERS.md / FastLanes).
+
+Token streams (the north-rule payload) are Zipf-distributed over an
+ARBITRARILY-LABELED vocab: the common values are not small integers, so
+plain varints see ~2.6 B/token and fixed-width dict/bitpack is stuck at
+ceil(log2(|vocab|)) bits regardless of skew. Two steps fix that:
+
+1. rank the dictionary by descending chunk frequency → code ids become
+   Zipf-RANKED (top-1024 ranks hold ~76% of the synthetic token mass);
+2. pack ranks at a narrow primary width w chosen by exact argmin over
+   the chunk's rank-mass curve — ranks ≥ 2^w−1 store an escape marker
+   inline and their full-width value in a patch stream (PFOR patching).
+
+Measured 1.81 B/token on the synthetic token table vs 2.00 for
+for_bitpack (order-0 entropy floor 1.45 B; fractional-bit coders are out
+of scope per the lightweight-codec rule). Real LLM token streams are
+MORE skewed (GPT-2 top-128 ≈ half the mass), widening the gap.
+
+Deterministic (resume contract): ranks order by (count desc, value asc)
+and w is an exact function of the count curve.
+
+Params layout: varint(k) ‖ zigzag-varint dict values in rank order.
+Page layout: varint(n) ‖ u8 w ‖ u8 full_width ‖ varint(n_exc) ‖
+             packed ranks ×n @ w bits ‖ packed exceptions ×n_exc @ full.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import dtypes
+from ..format import (
+    Footer,
+    PageInfo,
+    _read_uvarint,
+    _write_uvarint,
+    uvarint_decode,
+    uvarint_encode,
+    zigzag_decode,
+    zigzag_encode,
+)
+from .base import Codec, ColumnValues, Encoded
+from .bitpack import bit_width, pack_bits, packed_nbytes, unpack_bits
+
+
+def rank_encode(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(dictionary in rank order as int64, uint64 rank codes, rank counts)."""
+    v = vals.astype(np.int64, copy=False)
+    uniq, inverse, counts = np.unique(v, return_inverse=True, return_counts=True)
+    # stable rank: count desc, value asc (uniq is value-ascending, so a
+    # stable sort on -counts preserves value order within equal counts)
+    order = np.argsort(-counts, kind="stable")
+    ranks_of_uniq = np.empty(len(uniq), dtype=np.uint64)
+    ranks_of_uniq[order] = np.arange(len(uniq), dtype=np.uint64)
+    return uniq[order], ranks_of_uniq[inverse], counts[order]
+
+
+def choose_width(rank_counts: np.ndarray, n: int) -> tuple[int, int]:
+    """(primary width w, full width) minimizing exact packed cost."""
+    d = len(rank_counts)
+    full = max(1, bit_width(max(d - 1, 0)))
+    if d <= 1 or n == 0:
+        return full, full
+    cum = np.cumsum(rank_counts)
+    best_w, best_cost = full, packed_nbytes(n, full)
+    for w in range(1, full):
+        cap = (1 << w) - 1
+        inline = int(cum[min(cap - 1, d - 1)])
+        n_exc = n - inline
+        cost = packed_nbytes(n, w) + packed_nbytes(n_exc, full)
+        if cost < best_cost:
+            best_w, best_cost = w, cost
+    return best_w, full
+
+
+def expected_cost(rank_counts: np.ndarray, n: int, rank_stretch: float = 1.0) -> float:
+    """Estimated packed bytes for ``n`` values whose rank-mass curve is
+    ``rank_counts`` (sample counts, descending), with sample ranks
+    stretched by ``rank_stretch`` toward the full-chunk distinct count
+    (selector estimation; pure function of the sample)."""
+    d_eff = max(1, int(len(rank_counts) * rank_stretch))
+    full = max(1, bit_width(d_eff - 1))
+    if len(rank_counts) == 0:
+        return 0.0
+    cum = np.cumsum(rank_counts.astype(np.float64))
+    total = float(cum[-1])
+    best = packed_nbytes(n, full)
+    for w in range(1, full):
+        cap = (1 << w) - 1
+        # sample index whose stretched rank reaches cap
+        idx = min(int(cap / max(rank_stretch, 1e-9)), len(rank_counts)) - 1
+        inline_frac = float(cum[idx]) / total if idx >= 0 else 0.0
+        n_exc = int(n * (1.0 - inline_frac))
+        best = min(best, packed_nbytes(n, w) + packed_nbytes(n_exc, full))
+    return float(best)
+
+
+class DictVarintCodec(Codec):
+    codec_id = 8
+    name = "dict_rank"
+
+    def supports(self, tag: int) -> bool:
+        return tag in dtypes.INTEGER_TAGS
+
+    def encode(self, col: ColumnValues, target_page_size: int) -> Encoded:
+        v = col.vals
+        n = len(v)
+        if n == 0:
+            return Encoded(pages=[], page_infos=[], params=b"\x00")
+        dict_vals, codes, rank_counts = rank_encode(v)
+        w, full = choose_width(rank_counts, n)
+        cap = np.uint64((1 << w) - 1)
+        params = bytearray()
+        _write_uvarint(params, len(dict_vals))
+        dbuf, _ = uvarint_encode(zigzag_encode(dict_vals))
+        params += dbuf.tobytes()
+        per_page = max(1, (target_page_size * 8) // max(w, 1))
+        pages: list[bytes] = []
+        infos: list[PageInfo] = []
+        offset = 0
+        for s in range(0, n, per_page):
+            e = min(s + per_page, n)
+            pc = codes[s:e]
+            if w < full:
+                exc_mask = pc >= cap
+                primary = np.where(exc_mask, cap, pc)
+                exceptions = pc[exc_mask]
+            else:
+                primary = pc
+                exceptions = pc[:0]
+            head = bytearray()
+            _write_uvarint(head, e - s)
+            head.append(w)
+            head.append(full)
+            _write_uvarint(head, len(exceptions))
+            page = bytes(head) + pack_bits(primary, w) + pack_bits(exceptions, full)
+            pages.append(page)
+            infos.append(PageInfo(offset, len(page), e - s, e - s))
+            offset += len(page)
+        return Encoded(pages=pages, page_infos=infos, params=bytes(params))
+
+    def decode(self, data: memoryview, footer: Footer) -> ColumnValues:
+        params = np.frombuffer(footer.params, dtype=np.uint8)
+        k, off = _read_uvarint(params, 0)
+        dz, _ = uvarint_decode(params[off:], k) if k else (np.empty(0, np.uint64), 0)
+        dict_vals = zigzag_decode(dz)
+        chunks = []
+        for p in footer.pages:
+            raw = np.frombuffer(data, dtype=np.uint8, count=p.byte_len, offset=p.file_offset)
+            n, hoff = _read_uvarint(raw, 0)
+            w = int(raw[hoff]); full = int(raw[hoff + 1]); hoff += 2
+            n_exc, hoff = _read_uvarint(raw, hoff)
+            nb = packed_nbytes(n, w)
+            primary = unpack_bits(raw[hoff : hoff + nb], n, w)
+            hoff += nb
+            if n_exc:
+                exc = unpack_bits(raw[hoff : hoff + packed_nbytes(n_exc, full)], n_exc, full)
+                cap = np.uint64((1 << w) - 1)
+                mask = primary == cap
+                primary = primary.copy()
+                primary[mask] = exc
+            chunks.append(primary)
+        codes = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+        out = dict_vals[codes.astype(np.int64)] if k else np.empty(0, np.int64)
+        tag = footer.data_type
+        if tag == dtypes.UNSIGNED_INTEGER:
+            return ColumnValues(tag=tag, vals=out.astype(np.uint64))
+        if tag == dtypes.UNSIGNED_BYTE:
+            return ColumnValues(tag=tag, vals=out.astype(np.uint8))
+        if tag == dtypes.SIGNED_BYTE:
+            return ColumnValues(tag=tag, vals=out.astype(np.int8))
+        return ColumnValues(tag=tag, vals=out)
+
+    def estimate_size(self, stats) -> float:
+        return float(stats.dict_varint_bytes)

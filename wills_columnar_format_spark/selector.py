@@ -26,7 +26,7 @@ from .codecs import ALL_CODECS, BY_NAME, Codec, ColumnValues
 from .codecs.fsst import build_symbol_table, compress
 from .codecs.plain import numeric_value_sizes
 from .codecs.rle import run_starts_numeric, run_starts_varlen
-from .format import uvarint_lengths
+from .format import uvarint_lengths, zigzag_encode
 
 # Below this many values, encoding with every candidate and keeping the
 # argmin costs less than a mis-pick (tiny chunks); above it, the sampled
@@ -52,6 +52,8 @@ class ColumnStats:
     est_n_runs: int = 1
     delta_width: int = 64  # bits per (delta - min_delta); 64 = inapplicable
     fsplit_payload_bytes: float = float("inf")  # float tags only
+    dict_varint_bytes: float = float("inf")  # integer tags only
+    for_bits: float = 64.0  # avg per-PAGE FOR width from windowed prefix
 
 
 def _sample_indices(n: int, k: int) -> np.ndarray:
@@ -112,11 +114,23 @@ def compute_stats(col: ColumnValues) -> ColumnStats:
     dict_bytes = est_distinct * val_sz
     # delta width from the contiguous prefix (diffs need adjacency)
     delta_width = 64
+    for_bits = 64.0
     if col.tag in dtypes.INTEGER_TAGS and len(pref) > 1:
         p64 = pref.astype(np.int64, copy=False)
         if abs(vmin) < _INT64_MAX >> 1 and abs(vmax) < _INT64_MAX >> 1:
             d = np.diff(p64)
             delta_width = max(1, int(int(d.max() - d.min()).bit_length()))
+            # windowed FOR width: per-page min-subtraction adapts to
+            # LOCAL value ranges (e.g. a source's sub-vocabulary in a
+            # sorted chunk), which a single global min/max width badly
+            # overstates — measure it on ~page-sized contiguous windows
+            wpref = v[: min(n, 1 << 17)].astype(np.int64, copy=False)
+            win = 1 << 15
+            widths = [
+                max(1, int(int(wpref[s : s + win].max() - wpref[s : s + win].min()).bit_length()))
+                for s in range(0, len(wpref), win)
+            ]
+            for_bits = float(np.mean(widths)) if widths else 64.0
     # float split estimate: encode the contiguous prefix (~one page) and
     # scale — like the FSST sample-compression estimate above, a pure
     # function of the values (resume determinism)
@@ -125,9 +139,29 @@ def compute_stats(col: ColumnValues) -> ColumnStats:
         from .codecs.fsplit import split_encoded_nbytes
 
         fsplit = split_encoded_nbytes(pref, col.tag) * (n / max(len(pref), 1)) + 16.0
+    # dict_rank estimate: exact patched-bitpack cost over the sample's
+    # frequency-rank mass curve, with sample ranks stretched to the
+    # full-chunk distinct estimate (tail ranks cost the bytes; a raw
+    # sample rank would understate them)
+    dict_varint = float("inf")
+    if col.tag in dtypes.INTEGER_TAGS and len(sv):
+        from .codecs.dict_varint import expected_cost
+
+        # rank-mass curves need a deeper sample than the generic 16k one:
+        # the patched width decision hinges on mid-tail ranks (~1k-8k),
+        # which a 16k draw estimates poorly when distinct ~ 50k. A 128k
+        # strided draw costs one extra np.unique (~10 ms) only when this
+        # codec is actually applicable.
+        didx = _sample_indices(n, 1 << 17)
+        _, dcnts = np.unique(v[didx], return_counts=True)
+        order = np.sort(dcnts)[::-1]
+        deep_distinct = _estimate_distinct(dcnts, len(didx), n)
+        stretch = max(1.0, deep_distinct / max(len(dcnts), 1))
+        dict_varint = expected_cost(order, n, stretch) + deep_distinct * (val_sz + 0.5)
     return ColumnStats(n, plain, rle, est_distinct, dict_bytes, vmin, vmax, float("inf"),
                        est_n_runs=n_runs, delta_width=delta_width,
-                       fsplit_payload_bytes=fsplit)
+                       fsplit_payload_bytes=fsplit, dict_varint_bytes=dict_varint,
+                       for_bits=for_bits)
 
 
 def _hash_varlen_sample(col: ColumnValues, idx: np.ndarray) -> np.ndarray:
@@ -172,10 +206,10 @@ def applicable_codecs(col: ColumnValues) -> list[Codec]:
     for c in ALL_CODECS:
         if not c.supports(col.tag):
             continue
-        if c.name in ("for_bitpack", "delta"):
+        if c.name in ("for_bitpack", "delta", "dict_varint"):
             v = col.vals
             if col.tag == dtypes.UNSIGNED_INTEGER and len(v) and int(v.max()) > _INT64_MAX >> 1:
-                continue  # int64 difference math would overflow
+                continue  # int64 difference/view math would overflow
             if (
                 c.name == "delta"
                 and col.tag == dtypes.SIGNED_INTEGER
@@ -185,6 +219,98 @@ def applicable_codecs(col: ColumnValues) -> list[Codec]:
                 continue
         out.append(c)
     return out
+
+
+def exact_integer_costs(col: ColumnValues, target_page_size: int) -> dict[str, float]:
+    """EXACT encoded sizes (± page-header rounding) for every integer
+    codec, without encoding: one full unique + one diff + vectorized
+    varint-length passes. Sampled estimates mispick by 5-20% on
+    mixed-vocabulary token chunks (delta/FOR widths are page-local,
+    rank curves need full counts); exact accounting costs ~15% of one
+    encode and decides the headline bytes/token. Pure function of the
+    values (resume determinism)."""
+    from .codecs.bitpack import bit_width, packed_nbytes
+    from .codecs.dict_varint import choose_width
+    from .codecs.plain import numeric_value_sizes
+
+    v = col.vals
+    n = len(v)
+    tag = col.tag
+    costs: dict[str, float] = {}
+    _SIZE_SAMPLE = 1 << 18  # exact varint-size sums above this use a strided mean
+
+    def _sizes_sum(arr: np.ndarray) -> float:
+        if len(arr) <= _SIZE_SAMPLE:
+            return float(numeric_value_sizes(arr, tag).sum())
+        idx = _sample_indices(len(arr), 1 << 16)
+        return float(numeric_value_sizes(arr[idx], tag).mean()) * len(arr)
+
+    plain_payload = _sizes_sum(v)
+    costs["plain"] = plain_payload + 3.0 * max(1, int(plain_payload) // target_page_size)
+
+    # runs (shared by rle / dict_rle)
+    starts = run_starts_numeric(v)
+    run_lens = np.diff(np.append(starts, n))
+    rl_sum = float(uvarint_lengths(run_lens.astype(np.uint64)).sum())
+    rle_payload = _sizes_sum(v[starts]) + rl_sum
+    costs["rle"] = rle_payload + 3.0 * max(1, int(rle_payload) // target_page_size)
+
+    # dictionary domain (shared by dict / dict_rle / dict_rank)
+    uniq, counts = np.unique(v, return_counts=True)
+    k = len(uniq)
+    width = max(1, bit_width(max(k - 1, 0)))
+    dict_payload = _sizes_sum(uniq) + 3
+    costs["dict"] = dict_payload + packed_nbytes(n, width) + 3.0 * max(1, n * width // 8 // target_page_size)
+    costs["dict_rle"] = (
+        dict_payload + packed_nbytes(len(starts), width) + rl_sum
+        + 3.0 * max(1, (len(starts) * width // 8) // target_page_size)
+    )
+    rc = np.sort(counts)[::-1]
+    w_dr, full_dr = choose_width(rc, n)
+    if w_dr < full_dr:
+        cap = (1 << w_dr) - 1
+        cum = np.cumsum(rc)
+        n_exc = n - int(cum[min(cap - 1, k - 1)])
+    else:
+        n_exc = 0
+    dr_pages = max(1, (n * max(w_dr, 1) // 8) // target_page_size)
+    dr_dict = (
+        float(uvarint_lengths(zigzag_encode(uniq.astype(np.int64))).sum())
+        if k <= _SIZE_SAMPLE
+        else 3.0 * k
+    )
+    costs["dict_rank"] = (
+        dr_dict + 4
+        + packed_nbytes(n, w_dr) + packed_nbytes(n_exc, full_dr) + 8.0 * dr_pages
+    )
+
+    # frame-of-reference: exact per-page widths under the codec's own
+    # pagination rule (global width -> rows/page -> per-page min/max);
+    # page count is bounded (~n*width/target), so the python loop is tiny
+    if n:
+        gmin, gmax = int(v.min()), int(v.max())
+        gwidth = max(1, bit_width(gmax - gmin))
+        per_page = max(1, (target_page_size * 8) // gwidth)
+        total = 0.0
+        for s in range(0, n, per_page):
+            seg = v[s : min(s + per_page, n)]
+            pw = bit_width(int(seg.max()) - int(seg.min()))
+            total += packed_nbytes(len(seg), max(pw, 0)) + 8
+        costs["for_bitpack"] = total
+
+        # delta: same shape over first-differences
+        if n > 1:
+            deltas = np.diff(v.astype(np.int64, copy=False))
+            dg = max(1, bit_width(int(deltas.max() - deltas.min())))
+            per_page = max(2, (target_page_size * 8) // dg)
+            total = 0.0
+            for s in range(0, n, per_page):
+                e = min(s + per_page, n)
+                d = deltas[s : e - 1]
+                pw = bit_width(int(d.max() - d.min())) if len(d) else 0
+                total += packed_nbytes(len(d), pw) + 14
+            costs["delta"] = total
+    return costs
 
 
 def choose_codec(col: ColumnValues, target_page_size: int) -> tuple[Codec, "Encoded | None"]:
@@ -203,6 +329,15 @@ def choose_codec(col: ColumnValues, target_page_size: int) -> tuple[Codec, "Enco
             if best_size is None or size < best_size or (size == best_size and c.codec_id < best.codec_id):
                 best, best_size, best_enc = c, size, enc
         return best, best_enc
+    if col.tag in dtypes.INTEGER_TAGS:
+        # exact accounting for the north-rule payload (see docstring)
+        costs = exact_integer_costs(col, target_page_size)
+        by_name = {c.name: c for c in cands}
+        best_name = min(
+            (nm for nm in costs if nm in by_name),
+            key=lambda nm: (costs[nm], by_name[nm].codec_id),
+        )
+        return by_name[best_name], None
     stats = compute_stats(col)
     best = min(cands, key=lambda c: (c.estimate_size(stats), c.codec_id))
     return best, None
