@@ -52,7 +52,10 @@ def _token_table_path(sf_dir: str) -> tuple[str, int]:
 
     n_rows = _SF_ROWS.get(_sf_name(sf_dir), 200_000)
     path = os.path.join(BENCH_ROOT, f"tokens_{n_rows}")
-    ensure_token_table(path, n_rows)
+    # 32 files, like a real multi-writer ingest: the partitioner='none'
+    # path parallelizes at file granularity, so a single-file table would
+    # bench the scan layout, not the engine
+    ensure_token_table(path, n_rows, rows_per_file=max(1, n_rows // 32))
     return path, n_rows
 
 
