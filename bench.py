@@ -145,8 +145,11 @@ def run_decode(spark, sf_dir: str) -> dict:
 
     path, _ = _token_table_path(sf_dir)
     df = spark.read.parquet(path)
+    # decode parallelism = manifest partitions: use full cores here (the
+    # size-optimal encode config halves them for dictionary amortization,
+    # but this bench measures DECODE throughput)
     m = encode_table(
-        df, key_col="doc_id", codec="auto", num_partitions=max(8, CPUS // 2),
+        df, key_col="doc_id", codec="auto", num_partitions=CPUS,
         partitioner="hash", chunk_rows=65536,
     ).cache()
     m.count()  # materialize encode outside the timed region

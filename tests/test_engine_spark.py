@@ -263,3 +263,37 @@ def test_nullable_list_columns_optin_roundtrip(spark):
     # default path: loud rejection, not silent corruption
     with _pt.raises(Exception, match="null"):
         encode_table(df, key_col="k", num_partitions=2).count()
+
+
+def test_decode_column_pruning(spark):
+    """decode_table(columns=[...]) touches only the requested fields'
+    blobs (manifest-level projection pushdown) and returns the projected
+    schema in the requested order."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    m = encode_table(df, key_col="doc_id", num_partitions=4)
+    dec = decode_table(m, df.schema, assume_unique=True, arranged=True,
+                       columns=["doc_id", "lang"])
+    assert dec.columns == ["doc_id", "lang"]
+    got = {r.doc_id: r.lang for r in dec.collect()}
+    want = {r.doc_id: r.lang for r in df.select("doc_id", "lang").collect()}
+    assert got == want
+
+    # pruning must reach the checkpointed manifest's parquet scan
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        decode_table(m, df.schema, columns=["doc_id", "nope"])
+
+    ckpt = "/tmp/wcfs_prune_ckpt"
+    import shutil
+    shutil.rmtree(ckpt, ignore_errors=True)
+    m.write.parquet(ckpt)
+    m2 = spark.read.parquet(ckpt)
+    dec2 = decode_table(m2, df.schema, columns=["doc_id", "n_chars"])
+    plan = dec2._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters")[1][:600]
+    assert dec2.count() == df.count()

@@ -542,7 +542,7 @@ def make_decode_fn(out_schema: pa.Schema):
 
 
 def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
-                 assume_unique=False, arranged=False):
+                 assume_unique=False, arranged=False, columns=None):
     """Decode a manifest back to the original rows (order not preserved
     globally; chunk-local order is exact — verify by joining on the key).
 
@@ -556,6 +556,11 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     manifest this is a Catalyst filter pushed into the parquet scan, so a
     point lookup over a 10^12-row encode reads a handful of chunk blobs).
     With ``key_col`` also set, rows are exact-filtered after decode.
+
+    ``columns=[...]`` projects at the MANIFEST level: only the named
+    fields' blobs (plus their #lengths/#values/#valid sub-columns) are
+    read, shuffled, and decoded — the columnar projection-pushdown
+    analogue, pushed into the checkpointed manifest's parquet scan.
 
     ``assume_unique=True`` skips the duplicate-collapse aggregate and
     ``arranged=True`` skips the chunk-grouping shuffle — both are safe
@@ -571,6 +576,19 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
     manifest_df = manifest_df.filter(F.col("column") != DONE_COLUMN)
+    if columns is not None:
+        # COLUMN PRUNING at the manifest level: only the requested
+        # fields' blobs are ever read/shuffled/decoded — on a
+        # checkpointed manifest the In() filter pushes into the parquet
+        # scan, so a 2-column projection of a 100-column table reads
+        # 2 columns' bytes, not 100
+        wanted = list(dict.fromkeys(columns))
+        missing = [c for c in wanted if out_schema.get_field_index(c) < 0]
+        if missing:
+            raise KeyError(f"columns not in schema: {missing}")
+        out_schema = pa.schema([out_schema.field(c) for c in wanted])
+        phys = [s for c in wanted for s in (c, f"{c}#lengths", f"{c}#values", f"{c}#valid")]
+        manifest_df = manifest_df.filter(F.col("column").isin(phys))
     if key_range is not None:
         # prune BEFORE the dedup aggregate: Catalyst cannot push a
         # non-grouping-column filter through dropDuplicates, and pruning
