@@ -45,16 +45,46 @@ from .base import Codec, ColumnValues, Encoded
 from .bitpack import bit_width, pack_bits, packed_nbytes, unpack_bits
 
 
+# bincount beats sort-based unique when the value range is comparable to
+# the alphabet (token vocabs): O(n + range) vs O(n log n)
+_BINCOUNT_MAX_RANGE = 1 << 22
+
+
+def value_counts(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted unique int64 values, counts) — bincount fast path for
+    narrow ranges, sort-based unique otherwise. Identical output either
+    way (resume determinism)."""
+    v = v.astype(np.int64, copy=False)
+    if len(v) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    vmin, vmax = int(v.min()), int(v.max())
+    rng = vmax - vmin + 1
+    if 0 < rng <= _BINCOUNT_MAX_RANGE and rng <= 8 * len(v) + 65536:
+        counts_full = np.bincount(v - vmin, minlength=rng)
+        nz = np.flatnonzero(counts_full)
+        return nz + vmin, counts_full[nz]
+    uniq, counts = np.unique(v, return_counts=True)
+    return uniq, counts
+
+
 def rank_encode(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(dictionary in rank order as int64, uint64 rank codes, rank counts)."""
     v = vals.astype(np.int64, copy=False)
-    uniq, inverse, counts = np.unique(v, return_inverse=True, return_counts=True)
+    uniq, counts = value_counts(v)
     # stable rank: count desc, value asc (uniq is value-ascending, so a
     # stable sort on -counts preserves value order within equal counts)
     order = np.argsort(-counts, kind="stable")
     ranks_of_uniq = np.empty(len(uniq), dtype=np.uint64)
     ranks_of_uniq[order] = np.arange(len(uniq), dtype=np.uint64)
-    return uniq[order], ranks_of_uniq[inverse], counts[order]
+    vmin, vmax = int(uniq[0]), int(uniq[-1])
+    rng = vmax - vmin + 1
+    if rng <= _BINCOUNT_MAX_RANGE:
+        lut = np.zeros(rng, dtype=np.uint64)
+        lut[uniq - vmin] = ranks_of_uniq
+        codes = lut[v - vmin]
+    else:
+        codes = ranks_of_uniq[np.searchsorted(uniq, v)]
+    return uniq[order], codes, counts[order]
 
 
 def choose_width(rank_counts: np.ndarray, n: int) -> tuple[int, int]:

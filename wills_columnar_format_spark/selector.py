@@ -255,8 +255,11 @@ def exact_integer_costs(col: ColumnValues, target_page_size: int) -> dict[str, f
     rle_payload = _sizes_sum(v[starts]) + rl_sum
     costs["rle"] = rle_payload + 3.0 * max(1, int(rle_payload) // target_page_size)
 
-    # dictionary domain (shared by dict / dict_rle / dict_rank)
-    uniq, counts = np.unique(v, return_counts=True)
+    # dictionary domain (shared by dict / dict_rle / dict_rank);
+    # bincount fast path for narrow alphabets (token vocabs)
+    from .codecs.dict_varint import value_counts
+
+    uniq, counts = value_counts(v)
     k = len(uniq)
     width = max(1, bit_width(max(k - 1, 0)))
     dict_payload = _sizes_sum(uniq) + 3
