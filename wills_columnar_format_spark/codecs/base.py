@@ -130,6 +130,39 @@ class ColumnValues:
             return bool(np.array_equal(self.vals, other.vals))
         return bool(np.array_equal(self.offsets, other.offsets) and np.array_equal(self.data, other.data))
 
+    def value_counts_int64(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted unique int64 values, counts), cached on the instance —
+        codec selection (exact integer costing) and the dictionary codecs
+        both need it; computing the unique twice per chunk was measured
+        at ~15% of the encode path."""
+        vc = getattr(self, "_vc_cache", None)
+        if vc is None:
+            vc = value_counts(self.vals)
+            self._vc_cache = vc
+        return vc
+
+
+# bincount beats sort-based unique when the value range is comparable to
+# the alphabet (token vocabs): O(n + range) vs O(n log n)
+_BINCOUNT_MAX_RANGE = 1 << 22
+
+
+def value_counts(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted unique int64 values, counts) — bincount fast path for
+    narrow ranges, sort-based unique otherwise. Identical output either
+    way (resume determinism)."""
+    v = v.astype(np.int64, copy=False)
+    if len(v) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    vmin, vmax = int(v.min()), int(v.max())
+    rng = vmax - vmin + 1
+    if 0 < rng <= _BINCOUNT_MAX_RANGE and rng <= 8 * len(v) + 65536:
+        counts_full = np.bincount(v - vmin, minlength=rng)
+        nz = np.flatnonzero(counts_full)
+        return nz + vmin, counts_full[nz]
+    uniq, counts = np.unique(v, return_counts=True)
+    return uniq, counts
+
 
 @dataclass
 class Encoded:

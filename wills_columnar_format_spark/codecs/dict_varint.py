@@ -45,32 +45,13 @@ from .base import Codec, ColumnValues, Encoded
 from .bitpack import bit_width, pack_bits, packed_nbytes, unpack_bits
 
 
-# bincount beats sort-based unique when the value range is comparable to
-# the alphabet (token vocabs): O(n + range) vs O(n log n)
-_BINCOUNT_MAX_RANGE = 1 << 22
+from .base import _BINCOUNT_MAX_RANGE, value_counts  # noqa: F401  (re-export)
 
 
-def value_counts(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(sorted unique int64 values, counts) — bincount fast path for
-    narrow ranges, sort-based unique otherwise. Identical output either
-    way (resume determinism)."""
-    v = v.astype(np.int64, copy=False)
-    if len(v) == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    vmin, vmax = int(v.min()), int(v.max())
-    rng = vmax - vmin + 1
-    if 0 < rng <= _BINCOUNT_MAX_RANGE and rng <= 8 * len(v) + 65536:
-        counts_full = np.bincount(v - vmin, minlength=rng)
-        nz = np.flatnonzero(counts_full)
-        return nz + vmin, counts_full[nz]
-    uniq, counts = np.unique(v, return_counts=True)
-    return uniq, counts
-
-
-def rank_encode(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def rank_encode(col: ColumnValues) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(dictionary in rank order as int64, uint64 rank codes, rank counts)."""
-    v = vals.astype(np.int64, copy=False)
-    uniq, counts = value_counts(v)
+    v = col.vals.astype(np.int64, copy=False)
+    uniq, counts = col.value_counts_int64()
     # stable rank: count desc, value asc (uniq is value-ascending, so a
     # stable sort on -counts preserves value order within equal counts)
     order = np.argsort(-counts, kind="stable")
@@ -139,7 +120,7 @@ class DictVarintCodec(Codec):
         n = len(v)
         if n == 0:
             return Encoded(pages=[], page_infos=[], params=b"\x00")
-        dict_vals, codes, rank_counts = rank_encode(v)
+        dict_vals, codes, rank_counts = rank_encode(col)
         w, full = choose_width(rank_counts, n)
         cap = np.uint64((1 << w) - 1)
         params = bytearray()

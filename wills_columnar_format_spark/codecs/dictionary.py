@@ -24,7 +24,9 @@ from .plain import decode_numeric_payload, encode_numeric_payload
 
 def dictionary_encode(col: ColumnValues) -> tuple[ColumnValues, np.ndarray]:
     """(dictionary values, uint64 codes). Dictionary is sorted-unique —
-    deterministic for resumable re-encodes (SURVEY.md §7.3)."""
+    deterministic for resumable re-encodes (SURVEY.md §7.3). Numeric
+    columns reuse the chunk's cached value counts (selector computed
+    them already) and index via a range LUT when the alphabet is narrow."""
     if col.tag in dtypes.VARLEN_TAGS:
         import pyarrow.compute as pc
 
@@ -32,8 +34,21 @@ def dictionary_encode(col: ColumnValues) -> tuple[ColumnValues, np.ndarray]:
         uniq = pc.unique(arr).sort()
         codes = pc.index_in(arr, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.uint64)
         return ColumnValues.from_arrow(uniq), codes
-    uniq, inverse = np.unique(col.vals, return_inverse=True)
-    return ColumnValues(tag=col.tag, vals=uniq), inverse.astype(np.uint64)
+    from .base import _BINCOUNT_MAX_RANGE
+
+    uniq64, _ = col.value_counts_int64()
+    v64 = col.vals.astype(np.int64, copy=False)
+    if len(uniq64) == 0:
+        return ColumnValues(tag=col.tag, vals=col.vals[:0]), np.empty(0, np.uint64)
+    vmin = int(uniq64[0])
+    rng = int(uniq64[-1]) - vmin + 1
+    if 0 < rng <= _BINCOUNT_MAX_RANGE:
+        lut = np.zeros(rng, dtype=np.uint64)
+        lut[uniq64 - vmin] = np.arange(len(uniq64), dtype=np.uint64)
+        codes = lut[v64 - vmin]
+    else:
+        codes = np.searchsorted(uniq64, v64).astype(np.uint64)
+    return ColumnValues(tag=col.tag, vals=uniq64.astype(col.vals.dtype, copy=False)), codes
 
 
 class DictCodec(Codec):

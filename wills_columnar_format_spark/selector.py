@@ -85,14 +85,20 @@ def compute_stats(col: ColumnValues) -> ColumnStats:
         _, cnts = np.unique(hsh, return_counts=True)
         est_distinct = _estimate_distinct(cnts, len(idx), n)
         dict_bytes = est_distinct * (avg_len + 1.5)
-        # FSST estimate: compress the sampled bytes
-        sample_data = sub.data[: 1 << 15]
-        table = build_symbol_table(sample_data)
-        if len(sample_data):
-            ratio = len(compress(sample_data, table)) / len(sample_data)
+        # FSST estimate: compress the sampled bytes — skipped when RLE
+        # already beats any possible FSST outcome (a near-constant column
+        # like `source`: building+running the symbol table there was ~30ms
+        # per chunk of pure waste)
+        if rle < 0.05 * plain:
+            fsst = float("inf")
         else:
-            ratio = 1.0
-        fsst = float(col.offsets[-1]) * ratio + float(uvarint_lengths(lens.astype(np.uint64)).sum()) + 1024
+            sample_data = sub.data[: 1 << 15]
+            table = build_symbol_table(sample_data)
+            if len(sample_data):
+                ratio = len(compress(sample_data, table)) / len(sample_data)
+            else:
+                ratio = 1.0
+            fsst = float(col.offsets[-1]) * ratio + float(uvarint_lengths(lens.astype(np.uint64)).sum()) + 1024
         return ColumnStats(n, plain, rle, est_distinct, dict_bytes, 0, 0, fsst,
                            est_n_runs=n_runs)
     v = col.vals
@@ -256,10 +262,9 @@ def exact_integer_costs(col: ColumnValues, target_page_size: int) -> dict[str, f
     costs["rle"] = rle_payload + 3.0 * max(1, int(rle_payload) // target_page_size)
 
     # dictionary domain (shared by dict / dict_rle / dict_rank);
-    # bincount fast path for narrow alphabets (token vocabs)
-    from .codecs.dict_varint import value_counts
-
-    uniq, counts = value_counts(v)
+    # cached on the ColumnValues — the winning dictionary codec's encode
+    # reuses the same counts instead of recomputing the unique
+    uniq, counts = col.value_counts_int64()
     k = len(uniq)
     width = max(1, bit_width(max(k - 1, 0)))
     dict_payload = _sizes_sum(uniq) + 3
