@@ -43,8 +43,11 @@ def test_hot_band_star_fallback(spark):
 
 
 def test_cold_bands_unaffected_by_cap(spark):
-    """With no hot bands, the capped operator returns exactly the
-    uncapped result (the oracle-equality guarantee at sandbox scale)."""
+    """A cap that no band exceeds must leave results identical to an
+    effectively-uncapped run — tested with a cap ADJACENT to the actual
+    max band population, so boundary mis-filtering would be caught."""
+    from wills_columnar_format_spark.operators.dedup import GRAMS_SQL, MINS_SQL
+
     docs = spark.range(200).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
@@ -55,13 +58,28 @@ def test_cold_bands_unaffected_by_cap(spark):
             ],
         ).alias("text"),
     )
-    capped = minhash_lsh_pairs(spark, docs, band_cap=10_000).orderBy("d1", "d2")
-    tiny_cap = minhash_lsh_pairs(spark, docs, band_cap=10_000_000).orderBy("d1", "d2")
-    assert [r.asDict() for r in capped.collect()] == [
-        r.asDict() for r in tiny_cap.collect()
+    # measure the true max band population (identical docs share bands:
+    # ~200/7 ≈ 29 per group) and pick the cap just above it
+    docs.createOrReplaceTempView("mh_docs")
+    spark.sql(GRAMS_SQL).createOrReplaceTempView("mh_grams")
+    spark.sql(MINS_SQL).createOrReplaceTempView("mh_mins")
+    from wills_columnar_format_spark.operators import dedup as D
+
+    max_band = spark.sql(
+        f"WITH mins AS (SELECT * FROM mh_mins), "
+        f"bands AS (SELECT doc_id, concat(band, ':', sig) AS sig FROM mins "
+        f"LATERAL VIEW stack(16, {D._MH_STACK}) s AS band, sig) "
+        "SELECT MAX(cnt) AS m FROM (SELECT sig, COUNT(*) AS cnt FROM bands GROUP BY sig)"
+    ).collect()[0].m
+    assert 20 <= max_band <= 40  # the boundary cap below is genuinely adjacent
+
+    boundary_cap = minhash_lsh_pairs(spark, docs, band_cap=max_band).orderBy("d1", "d2")
+    uncapped = minhash_lsh_pairs(spark, docs, band_cap=10_000_000).orderBy("d1", "d2")
+    assert [r.asDict() for r in boundary_cap.collect()] == [
+        r.asDict() for r in uncapped.collect()
     ]
     # docs sharing id%7 are identical -> pairs exist
-    assert capped.count() > 0
+    assert uncapped.count() > 0
 
 
 def test_embedding_hot_bucket_star_fallback(spark):
@@ -99,3 +117,25 @@ def test_embedding_hot_bucket_star_fallback(spark):
     star_expected = 2 * n_hot - 1
     assert rows == star_expected + 50
     assert elapsed < 120
+
+
+def test_hot_band_fallback_is_case_sensitive(spark):
+    """The star-fallback fingerprint must match gram semantics (case-
+    sensitive): case-differing hot docs are NOT duplicates (their grams
+    share nothing), so they must form separate star groups with no
+    cross-case pairs."""
+    n = 2_000
+    upper = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("FOO BAR BAZ QUX QUUX CORGE GRAULT").alias("text"),
+    )
+    lower = spark.range(n, 2 * n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("foo bar baz qux quux corge grault").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(spark, upper.unionAll(lower), band_cap=64)
+    rows = pairs.collect()
+    # each case-group stars to its own min id; no pair crosses the groups
+    assert len(rows) == 2 * (n - 1)
+    for r in rows:
+        assert (r.d1 < n) == (r.d2 < n), f"cross-case pair {r}"

@@ -96,7 +96,7 @@ def test_done_markers_and_partition_prefilter(spark, token_df, tmp_path_factory)
         token_df, ckpt, key_col="doc_id", num_partitions=4, chunk_rows=2048,
         fail_parts=frozenset({2}),
     )
-    assert done_partitions(spark, ckpt, "j0of1") == {0, 1, 3}
+    assert done_partitions(spark, ckpt, "j0of1n4") == {0, 1, 3}
 
     # the prefilter predicate must replicate Spark's HashPartitioning
     # placement: manifest part_id == pmod(hash(key), N) for every chunk
@@ -113,7 +113,7 @@ def test_done_markers_and_partition_prefilter(spark, token_df, tmp_path_factory)
     m2 = encode_table_resumable(
         token_df, ckpt, key_col="doc_id", num_partitions=4, chunk_rows=2048,
     )
-    assert done_partitions(spark, ckpt, "j0of1") == {0, 1, 2, 3}
+    assert done_partitions(spark, ckpt, "j0of1n4") == {0, 1, 2, 3}
     # decode equals input
     dec = decode_table(m2, token_df.schema)
     assert dec.count() == N_ROWS
@@ -151,3 +151,26 @@ def test_sub_jobs_resume(spark, token_df, tmp_path_factory):
     cs_1 = {(r.chunk_key, r.column): r.checksum for r in m1.collect()}
     for k in set(cs_s) & set(cs_1):
         assert cs_s[k] == cs_1[k]
+
+
+def test_resume_with_changed_partition_count_refuses(spark, token_df, tmp_path_factory):
+    """Chunk identity is content-based, so a resume under a different
+    partition layout would produce NEW chunk keys alongside the old ones
+    and silently duplicate rows on decode. The engine must refuse."""
+    import pytest as _pt
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_n") / "m")
+    encode_table_resumable(
+        token_df, ckpt, key_col="doc_id", num_partitions=4, chunk_rows=2048,
+        fail_parts=frozenset({2}),
+    )
+    with _pt.raises(ValueError, match="num_partitions"):
+        encode_table_resumable(
+            token_df, ckpt, key_col="doc_id", num_partitions=8, chunk_rows=2048,
+        )
+    # same layout resumes fine and completes the table
+    m = encode_table_resumable(
+        token_df, ckpt, key_col="doc_id", num_partitions=4, chunk_rows=2048,
+    )
+    dec = decode_table(m, token_df.schema)
+    assert dec.count() == N_ROWS

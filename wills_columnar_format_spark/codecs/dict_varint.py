@@ -86,28 +86,6 @@ def choose_width(rank_counts: np.ndarray, n: int) -> tuple[int, int]:
     return best_w, full
 
 
-def expected_cost(rank_counts: np.ndarray, n: int, rank_stretch: float = 1.0) -> float:
-    """Estimated packed bytes for ``n`` values whose rank-mass curve is
-    ``rank_counts`` (sample counts, descending), with sample ranks
-    stretched by ``rank_stretch`` toward the full-chunk distinct count
-    (selector estimation; pure function of the sample)."""
-    d_eff = max(1, int(len(rank_counts) * rank_stretch))
-    full = max(1, bit_width(d_eff - 1))
-    if len(rank_counts) == 0:
-        return 0.0
-    cum = np.cumsum(rank_counts.astype(np.float64))
-    total = float(cum[-1])
-    best = packed_nbytes(n, full)
-    for w in range(1, full):
-        cap = (1 << w) - 1
-        # sample index whose stretched rank reaches cap
-        idx = min(int(cap / max(rank_stretch, 1e-9)), len(rank_counts)) - 1
-        inline_frac = float(cum[idx]) / total if idx >= 0 else 0.0
-        n_exc = int(n * (1.0 - inline_frac))
-        best = min(best, packed_nbytes(n, w) + packed_nbytes(n_exc, full))
-    return float(best)
-
-
 class DictVarintCodec(Codec):
     codec_id = 8
     name = "dict_rank"
@@ -185,4 +163,6 @@ class DictVarintCodec(Codec):
         return ColumnValues(tag=tag, vals=out)
 
     def estimate_size(self, stats) -> float:
-        return float(stats.dict_varint_bytes)
+        # integer columns are decided by selector.exact_integer_costs;
+        # the estimate path never sees this codec
+        return float(stats.dict_varint_bytes)  # inf by default

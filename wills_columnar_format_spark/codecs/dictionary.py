@@ -40,6 +40,12 @@ def dictionary_encode(col: ColumnValues) -> tuple[ColumnValues, np.ndarray]:
     v64 = col.vals.astype(np.int64, copy=False)
     if len(uniq64) == 0:
         return ColumnValues(tag=col.tag, vals=col.vals[:0]), np.empty(0, np.uint64)
+    if col.tag == dtypes.UNSIGNED_INTEGER and int(uniq64[0]) < 0:
+        # values >= 2^63 wrap negative in the int64 cache, which would
+        # store the dictionary out of UNSIGNED order — keep the
+        # sorted-unique invariant via the direct unsigned path
+        uniq, inverse = np.unique(col.vals, return_inverse=True)
+        return ColumnValues(tag=col.tag, vals=uniq), inverse.astype(np.uint64)
     vmin = int(uniq64[0])
     rng = int(uniq64[-1]) - vmin + 1
     if 0 < rng <= _BINCOUNT_MAX_RANGE:

@@ -699,6 +699,40 @@ def _committed_subset(spark, ckpt_dir: str, done: set[int]) -> frozenset:
     return frozenset((r.chunk_key, r.column, r.checksum) for r in mdf.collect())
 
 
+def _check_resume_layout(spark, ckpt_dir: str, sub_jobs: int, n: int) -> None:
+    """Refuse to resume a checkpoint written under a different
+    (sub_jobs, num_partitions) layout: chunk identity is content-based,
+    so a different partitioning produces DIFFERENT chunk keys and the
+    old and new chunks would both survive dropDuplicates — silently
+    duplicating rows on decode."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    if not _has_manifest(ckpt_dir):
+        return
+    rows = (
+        spark.read.parquet(ckpt_dir)
+        .filter(F.col("column") == DONE_COLUMN)
+        .select("chunk_key")
+        .distinct()
+        .collect()
+    )
+    for r in rows:
+        parts = r.chunk_key.split(":")
+        if len(parts) < 3:
+            continue
+        m = re.fullmatch(r"j(\d+)of(\d+)n(\d+)", parts[1])
+        if m and (int(m.group(2)), int(m.group(3))) != (sub_jobs, n):
+            raise ValueError(
+                f"checkpoint {ckpt_dir!r} was written with sub_jobs="
+                f"{m.group(2)}, num_partitions={m.group(3)}; resume with the "
+                f"same layout (got sub_jobs={sub_jobs}, num_partitions={n}) "
+                "or start a fresh checkpoint dir — mixing layouts would "
+                "duplicate chunks"
+            )
+
+
 def encode_table_resumable(df, ckpt_dir: str, sub_jobs: int = 1, **kwargs):
     """Encode with a per-partition checkpoint manifest (north-rule
     resumability). Returns the full manifest DataFrame (markers filtered,
@@ -737,8 +771,13 @@ def encode_table_resumable(df, ckpt_dir: str, sub_jobs: int = 1, **kwargs):
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     kwargs["num_partitions"] = n
+    _check_resume_layout(spark, ckpt_dir, sub_jobs, n)
     for j in range(sub_jobs):
-        tag = f"j{j}of{sub_jobs}"
+        # the tag binds num_partitions: done ids are only meaningful under
+        # the SAME pmod(hash, n) layout — a resume with a different n must
+        # see an empty done-set (full, chunk-level-deduped re-encode)
+        # rather than silently dropping rows another layout never encoded
+        tag = f"j{j}of{sub_jobs}n{n}"
         sub = df if sub_jobs == 1 else df.filter(
             F.pmod(F.hash(F.col(key_col)), F.lit(sub_jobs)) == j
         )

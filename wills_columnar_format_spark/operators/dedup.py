@@ -91,7 +91,11 @@ bands AS (SELECT doc_id, concat(band, ':', sig) AS sig
 bsz AS (SELECT sig, COUNT(*) AS bn FROM bands GROUP BY sig),
 cold AS (SELECT b.doc_id, b.sig FROM bands b JOIN bsz z ON b.sig = z.sig WHERE z.bn <= {band_cap}),
 hotdocs AS (SELECT DISTINCT b.doc_id FROM bands b JOIN bsz z ON b.sig = z.sig WHERE z.bn > {band_cap}),
-hfp AS (SELECT d.doc_id, md5(lower(trim(d.text))) AS fp
+-- fingerprint must match gram semantics EXACTLY (case-sensitive trim):
+-- a lower()'d fingerprint would report case-differing docs as jaccard-1.0
+-- duplicates without verification, and the same pair could then appear in
+-- both star and verified with conflicting jaccard values
+hfp AS (SELECT d.doc_id, md5(trim(d.text)) AS fp
         FROM mh_docs d JOIN hotdocs h ON d.doc_id = h.doc_id),
 reps AS (SELECT fp, MIN(doc_id) AS rep FROM hfp GROUP BY fp),
 star AS (SELECT r.rep AS d1, f.doc_id AS d2, CAST(1.0 AS DOUBLE) AS jaccard

@@ -118,25 +118,16 @@ def compute_stats(col: ColumnValues) -> ColumnStats:
     _, cnts = np.unique(sv, return_counts=True)
     est_distinct = _estimate_distinct(cnts, len(idx), n)
     dict_bytes = est_distinct * val_sz
-    # delta width from the contiguous prefix (diffs need adjacency)
+    # NOTE: integer chunks never reach the estimate path — choose_codec
+    # routes them to exact_integer_costs (sampled delta/FOR widths and
+    # rank curves mispicked by 5-20%); the integer fields below serve
+    # direct compute_stats callers only.
     delta_width = 64
-    for_bits = 64.0
     if col.tag in dtypes.INTEGER_TAGS and len(pref) > 1:
         p64 = pref.astype(np.int64, copy=False)
         if abs(vmin) < _INT64_MAX >> 1 and abs(vmax) < _INT64_MAX >> 1:
             d = np.diff(p64)
             delta_width = max(1, int(int(d.max() - d.min()).bit_length()))
-            # windowed FOR width: per-page min-subtraction adapts to
-            # LOCAL value ranges (e.g. a source's sub-vocabulary in a
-            # sorted chunk), which a single global min/max width badly
-            # overstates — measure it on ~page-sized contiguous windows
-            wpref = v[: min(n, 1 << 17)].astype(np.int64, copy=False)
-            win = 1 << 15
-            widths = [
-                max(1, int(int(wpref[s : s + win].max() - wpref[s : s + win].min()).bit_length()))
-                for s in range(0, len(wpref), win)
-            ]
-            for_bits = float(np.mean(widths)) if widths else 64.0
     # float split estimate: encode the contiguous prefix (~one page) and
     # scale — like the FSST sample-compression estimate above, a pure
     # function of the values (resume determinism)
@@ -145,29 +136,9 @@ def compute_stats(col: ColumnValues) -> ColumnStats:
         from .codecs.fsplit import split_encoded_nbytes
 
         fsplit = split_encoded_nbytes(pref, col.tag) * (n / max(len(pref), 1)) + 16.0
-    # dict_rank estimate: exact patched-bitpack cost over the sample's
-    # frequency-rank mass curve, with sample ranks stretched to the
-    # full-chunk distinct estimate (tail ranks cost the bytes; a raw
-    # sample rank would understate them)
-    dict_varint = float("inf")
-    if col.tag in dtypes.INTEGER_TAGS and len(sv):
-        from .codecs.dict_varint import expected_cost
-
-        # rank-mass curves need a deeper sample than the generic 16k one:
-        # the patched width decision hinges on mid-tail ranks (~1k-8k),
-        # which a 16k draw estimates poorly when distinct ~ 50k. A 128k
-        # strided draw costs one extra np.unique (~10 ms) only when this
-        # codec is actually applicable.
-        didx = _sample_indices(n, 1 << 17)
-        _, dcnts = np.unique(v[didx], return_counts=True)
-        order = np.sort(dcnts)[::-1]
-        deep_distinct = _estimate_distinct(dcnts, len(didx), n)
-        stretch = max(1.0, deep_distinct / max(len(dcnts), 1))
-        dict_varint = expected_cost(order, n, stretch) + deep_distinct * (val_sz + 0.5)
     return ColumnStats(n, plain, rle, est_distinct, dict_bytes, vmin, vmax, float("inf"),
                        est_n_runs=n_runs, delta_width=delta_width,
-                       fsplit_payload_bytes=fsplit, dict_varint_bytes=dict_varint,
-                       for_bits=for_bits)
+                       fsplit_payload_bytes=fsplit)
 
 
 def _hash_varlen_sample(col: ColumnValues, idx: np.ndarray) -> np.ndarray:
