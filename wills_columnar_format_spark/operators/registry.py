@@ -120,6 +120,28 @@ FROM documents
 """
 
 
+def q_roundtrip_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming incremental encode: the documents table lands
+    as files in a watched directory, encode_stream drains them via
+    foreachBatch into the manifest, and the decoded manifest equals the
+    source table — the full value-hash oracle for the streaming path."""
+    import os
+    import tempfile
+
+    from ..engine import decode_table
+    from ..streaming import encode_stream, read_manifest
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_stream_q_")
+    in_dir = os.path.join(work, "in")
+    man_dir = os.path.join(work, "manifest")
+    df.repartition(3).write.mode("overwrite").parquet(in_dir)
+    q = encode_stream(spark, in_dir, man_dir, df.schema, key_col="doc_id",
+                      num_partitions=4)
+    q.awaitTermination()
+    return decode_table(read_manifest(spark, man_dir), df.schema)
+
+
 def q_rle_run_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-on-compressed: value counts aggregated on RLE runs without
     expansion (reference src/test_rle.rs:8-17 generalized)."""
@@ -623,6 +645,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_events": (q_roundtrip_events, ORACLE_ROUNDTRIP_EVENTS),
     "roundtrip_embeddings": (q_roundtrip_embeddings, ORACLE_ROUNDTRIP_EMBEDDINGS),
     "roundtrip_nullable": (q_roundtrip_nullable, ORACLE_ROUNDTRIP_NULLABLE),
+    "roundtrip_streaming": (q_roundtrip_streaming, ORACLE_ROUNDTRIP_DOCUMENTS),
     "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
