@@ -163,6 +163,31 @@ def decompress(buf: np.ndarray, table: list[bytes], out_len: int) -> np.ndarray:
     return out
 
 
+def _strided_sample(col: ColumnValues) -> np.ndarray:
+    data = col.data
+    if len(data) <= SAMPLE_BYTES:
+        return data
+    stride = len(data) // SAMPLE_BYTES + 1
+    # strided chunk sample keeps local structure for n-gram counting
+    idx = np.arange(0, len(data) - 64, stride * 64)
+    from .base import ragged_arange
+
+    pos = np.repeat(idx, 64) + ragged_arange(np.full(len(idx), 64, np.int64))
+    return data[pos]
+
+
+def symbol_table_for(col: ColumnValues) -> list[bytes]:
+    """The chunk's symbol table, cached on the instance — the selector's
+    size estimate and the actual encode share one build (was two ~30ms
+    builds per string chunk). Deterministic: built from the strided
+    sample, a pure function of the chunk bytes."""
+    tbl = getattr(col, "_fsst_table", None)
+    if tbl is None:
+        tbl = build_symbol_table(_strided_sample(col))
+        col._fsst_table = tbl
+    return tbl
+
+
 class FsstCodec(Codec):
     codec_id = 4
     name = "fsst"
@@ -170,20 +195,8 @@ class FsstCodec(Codec):
     def supports(self, tag: int) -> bool:
         return tag in dtypes.VARLEN_TAGS
 
-    def _sample(self, col: ColumnValues) -> np.ndarray:
-        data = col.data
-        if len(data) <= SAMPLE_BYTES:
-            return data
-        stride = len(data) // SAMPLE_BYTES + 1
-        # strided chunk sample keeps local structure for n-gram counting
-        idx = np.arange(0, len(data) - 64, stride * 64)
-        from .base import ragged_arange
-
-        pos = np.repeat(idx, 64) + ragged_arange(np.full(len(idx), 64, np.int64))
-        return data[pos]
-
     def encode(self, col: ColumnValues, target_page_size: int) -> Encoded:
-        table = build_symbol_table(self._sample(col))
+        table = symbol_table_for(col)
         params = bytearray()
         _write_uvarint(params, len(table))
         params += bytes(bytearray(len(s) for s in table))

@@ -23,7 +23,7 @@ import numpy as np
 
 from . import dtypes
 from .codecs import ALL_CODECS, BY_NAME, Codec, ColumnValues
-from .codecs.fsst import build_symbol_table, compress
+from .codecs.fsst import compress, symbol_table_for
 from .codecs.plain import numeric_value_sizes
 from .codecs.rle import run_starts_numeric, run_starts_varlen
 from .format import uvarint_lengths, zigzag_encode
@@ -92,8 +92,10 @@ def compute_stats(col: ColumnValues) -> ColumnStats:
         if rle < 0.05 * plain:
             fsst = float("inf")
         else:
+            # the SAME cached table the encode would use (one build per
+            # chunk); ratio measured on a prefix slice of the data
+            table = symbol_table_for(col)
             sample_data = sub.data[: 1 << 15]
-            table = build_symbol_table(sample_data)
             if len(sample_data):
                 ratio = len(compress(sample_data, table)) / len(sample_data)
             else:
