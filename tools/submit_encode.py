@@ -26,14 +26,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="input table path (parquet dir)")
+    ap.add_argument("--input", required=True,
+                    help="input: parquet path OR Iceberg/catalog table identifier")
     ap.add_argument("--checkpoint", required=True, help="manifest checkpoint dir")
     ap.add_argument("--key-col", default="doc_id")
-    ap.add_argument("--weight-col", default=None, help="byte-skew weight column (e.g. n_tok)")
+    ap.add_argument("--weight-col", default=None,
+                    help="byte-skew weight column (e.g. n_tok); NOTE resume "
+                         "defaults to the deterministic hash partitioner, so "
+                         "this only takes effect with an explicit "
+                         "partitioner='weight' one-shot encode")
     ap.add_argument("--codec", default="auto")
     ap.add_argument("--num-partitions", type=int, default=None)
-    ap.add_argument("--chunk-rows", type=int, default=16384)
-    ap.add_argument("--snapshot-id", default=None, help="input snapshot id for lineage")
+    ap.add_argument("--chunk-rows", type=int, default=65536)
+    ap.add_argument("--sub-jobs", type=int, default=1,
+                    help="split the encode into K disjoint append jobs; a crash "
+                         "loses at most 1/K of the work (engine.py resume docs)")
+    ap.add_argument("--snapshot-id", default=None,
+                    help="input snapshot id for lineage (auto-resolved for Iceberg tables)")
     ap.add_argument("--cores", type=int, default=None, help="local mode cores (standalone runs)")
     args = ap.parse_args()
 
@@ -41,6 +50,7 @@ def main() -> None:
 
     from wills_columnar_format_spark.engine import encode_table_resumable, manifest_summary
     from wills_columnar_format_spark.session import get_spark, ship_package
+    from wills_columnar_format_spark.sources import load_table
 
     active = SparkSession.getActiveSession()
     if active is not None:  # launched via spark-submit: session is configured
@@ -49,17 +59,18 @@ def main() -> None:
     else:
         spark = get_spark(app="wcfs-encode", cores=args.cores)
 
-    df = spark.read.parquet(args.input)
+    df, snap, kind = load_table(spark, args.input)
     t0 = time.time()
     manifest = encode_table_resumable(
         df,
         args.checkpoint,
+        sub_jobs=args.sub_jobs,
         key_col=args.key_col,
         codec=args.codec,
         num_partitions=args.num_partitions,
         chunk_rows=args.chunk_rows,
         weight_col=args.weight_col,
-        snapshot_id=args.snapshot_id,
+        snapshot_id=args.snapshot_id or snap,
     )
     agg = manifest.agg(
         F.count("*").alias("chunks"),
