@@ -31,10 +31,13 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True, help="manifest checkpoint dir")
     ap.add_argument("--key-col", default="doc_id")
     ap.add_argument("--weight-col", default=None,
-                    help="byte-skew weight column (e.g. n_tok); NOTE resume "
-                         "defaults to the deterministic hash partitioner, so "
-                         "this only takes effect with an explicit "
-                         "partitioner='weight' one-shot encode")
+                    help="byte-skew weight column (e.g. n_tok); requires "
+                         "--partitioner weight")
+    ap.add_argument("--partitioner", default="hash",
+                    choices=["hash", "range", "weight", "none"],
+                    help="hash (default) is the resume-safe deterministic "
+                         "layout; weight enables byte-balanced bucketing via "
+                         "--weight-col; none trusts key-ordered ingest")
     ap.add_argument("--codec", default="auto")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--chunk-rows", type=int, default=65536)
@@ -59,7 +62,7 @@ def main() -> None:
     else:
         spark = get_spark(app="wcfs-encode", cores=args.cores)
 
-    df, snap, kind = load_table(spark, args.input)
+    df, snap, _kind = load_table(spark, args.input)
     t0 = time.time()
     manifest = encode_table_resumable(
         df,
@@ -70,6 +73,7 @@ def main() -> None:
         num_partitions=args.num_partitions,
         chunk_rows=args.chunk_rows,
         weight_col=args.weight_col,
+        partitioner=args.partitioner,
         snapshot_id=args.snapshot_id or snap,
     )
     agg = manifest.agg(

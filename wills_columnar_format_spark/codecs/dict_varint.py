@@ -164,5 +164,5 @@ class DictVarintCodec(Codec):
 
     def estimate_size(self, stats) -> float:
         # integer columns are decided by selector.exact_integer_costs;
-        # the estimate path never sees this codec
-        return float(stats.dict_varint_bytes)  # inf by default
+        # the sampled-estimate path never sees this codec
+        return float("inf")

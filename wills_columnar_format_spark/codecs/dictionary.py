@@ -43,7 +43,9 @@ def dictionary_encode(col: ColumnValues) -> tuple[ColumnValues, np.ndarray]:
     if col.tag == dtypes.UNSIGNED_INTEGER and int(uniq64[0]) < 0:
         # values >= 2^63 wrap negative in the int64 cache, which would
         # store the dictionary out of UNSIGNED order — keep the
-        # sorted-unique invariant via the direct unsigned path
+        # sorted-unique invariant via the direct unsigned path (a second
+        # full sort, accepted: this corner excludes most other codecs
+        # anyway and the wrapped-rotation remap isn't worth the subtlety)
         uniq, inverse = np.unique(col.vals, return_inverse=True)
         return ColumnValues(tag=col.tag, vals=uniq), inverse.astype(np.uint64)
     vmin = int(uniq64[0])

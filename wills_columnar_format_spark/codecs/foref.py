@@ -78,9 +78,8 @@ class ForCodec(Codec):
         return ColumnValues(tag=tag, vals=out)
 
     def estimate_size(self, stats) -> float:
-        # windowed prefix width (selector): per-page min subtraction
-        # tracks LOCAL ranges, so the global min/max width would badly
-        # overstate cost on locally-clustered data
-        width = min(float(max(1, bit_width(int(stats.vmax - stats.vmin)) if stats.n else 1)),
-                    stats.for_bits)
-        return float(stats.n * width / 8.0 + 12 * max(1, stats.n >> 15))
+        # NOTE integer chunks are decided by selector.exact_integer_costs
+        # (per-page widths computed exactly); this sampled path only runs
+        # for direct compute_stats callers
+        width = max(0, bit_width(int(stats.vmax - stats.vmin))) if stats.n else 0
+        return float(packed_nbytes(stats.n, max(width, 1)) + 12)

@@ -699,7 +699,13 @@ def _committed_subset(spark, ckpt_dir: str, done: set[int]) -> frozenset:
     return frozenset((r.chunk_key, r.column, r.checksum) for r in mdf.collect())
 
 
-def _check_resume_layout(spark, ckpt_dir: str, sub_jobs: int, n: int) -> None:
+def _layout_tag(j: int, sub_jobs: int, n: int, key_col: str, partitioner: str) -> str:
+    """Done-marker tag binding the job index to the FULL resume layout."""
+    return f"j{j}/of{sub_jobs}-n{n}-{key_col}-{partitioner}"
+
+
+def _check_resume_layout(spark, ckpt_dir: str, sub_jobs: int, n: int,
+                         key_col: str, partitioner: str) -> None:
     """Refuse to resume a checkpoint written under a different
     (sub_jobs, num_partitions) layout: chunk identity is content-based,
     so a different partitioning produces DIFFERENT chunk keys and the
@@ -718,18 +724,24 @@ def _check_resume_layout(spark, ckpt_dir: str, sub_jobs: int, n: int) -> None:
         .distinct()
         .collect()
     )
+    expect_suffix = _layout_tag(0, sub_jobs, n, key_col, partitioner).split("/", 1)[1]
     for r in rows:
         parts = r.chunk_key.split(":")
         if len(parts) < 3:
             continue
-        m = re.fullmatch(r"j(\d+)of(\d+)n(\d+)", parts[1])
-        if m and (int(m.group(2)), int(m.group(3))) != (sub_jobs, n):
+        tag = parts[1]
+        m = re.fullmatch(r"j\d+/(.+)", tag)
+        if m is None or m.group(1) != expect_suffix:
+            # covers a DIFFERENT (sub_jobs, n, key_col, partitioner) combo
+            # AND markers from older tag formats whose layout is unknown —
+            # either way, proceeding could silently duplicate or drop rows
             raise ValueError(
-                f"checkpoint {ckpt_dir!r} was written with sub_jobs="
-                f"{m.group(2)}, num_partitions={m.group(3)}; resume with the "
-                f"same layout (got sub_jobs={sub_jobs}, num_partitions={n}) "
-                "or start a fresh checkpoint dir — mixing layouts would "
-                "duplicate chunks"
+                f"checkpoint {ckpt_dir!r} holds done markers for layout "
+                f"{tag!r}, but this resume uses {expect_suffix!r} "
+                f"(sub_jobs={sub_jobs}, num_partitions={n}, key_col/"
+                "partitioner as shown). Resume with the original layout or "
+                "start a fresh checkpoint dir — mixing layouts duplicates "
+                "or drops chunks"
             )
 
 
@@ -771,13 +783,14 @@ def encode_table_resumable(df, ckpt_dir: str, sub_jobs: int = 1, **kwargs):
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     kwargs["num_partitions"] = n
-    _check_resume_layout(spark, ckpt_dir, sub_jobs, n)
+    partitioner = kwargs["partitioner"]
+    _check_resume_layout(spark, ckpt_dir, sub_jobs, n, key_col, partitioner)
     for j in range(sub_jobs):
-        # the tag binds num_partitions: done ids are only meaningful under
-        # the SAME pmod(hash, n) layout — a resume with a different n must
-        # see an empty done-set (full, chunk-level-deduped re-encode)
-        # rather than silently dropping rows another layout never encoded
-        tag = f"j{j}of{sub_jobs}n{n}"
+        # the tag binds the FULL layout (sub_jobs, n, key_col,
+        # partitioner): done ids are only meaningful under the same
+        # pmod(hash(key), n) placement, and _check_resume_layout refuses
+        # any mismatch rather than silently duplicating or dropping rows
+        tag = _layout_tag(j, sub_jobs, n, key_col, partitioner)
         sub = df if sub_jobs == 1 else df.filter(
             F.pmod(F.hash(F.col(key_col)), F.lit(sub_jobs)) == j
         )

@@ -131,15 +131,23 @@ def q_roundtrip_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine import decode_table
     from ..streaming import encode_stream, read_manifest
 
+    import shutil
+
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     work = tempfile.mkdtemp(prefix="wcfs_stream_q_")
-    in_dir = os.path.join(work, "in")
-    man_dir = os.path.join(work, "manifest")
-    df.repartition(3).write.mode("overwrite").parquet(in_dir)
-    q = encode_stream(spark, in_dir, man_dir, df.schema, key_col="doc_id",
-                      num_partitions=4)
-    q.awaitTermination()
-    return decode_table(read_manifest(spark, man_dir), df.schema)
+    try:
+        in_dir = os.path.join(work, "in")
+        man_dir = os.path.join(work, "manifest")
+        df.repartition(3).write.mode("overwrite").parquet(in_dir)
+        q = encode_stream(spark, in_dir, man_dir, df.schema, key_col="doc_id",
+                          num_partitions=4)
+        q.awaitTermination()
+        out = decode_table(read_manifest(spark, man_dir), df.schema)
+        # materialize before the work dir (incl. the manifest the decode
+        # reads) is deleted — decode_table is lazy
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_rle_run_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

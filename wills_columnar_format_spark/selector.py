@@ -52,8 +52,6 @@ class ColumnStats:
     est_n_runs: int = 1
     delta_width: int = 64  # bits per (delta - min_delta); 64 = inapplicable
     fsplit_payload_bytes: float = float("inf")  # float tags only
-    dict_varint_bytes: float = float("inf")  # integer tags only
-    for_bits: float = 64.0  # avg per-PAGE FOR width from windowed prefix
 
 
 def _sample_indices(n: int, k: int) -> np.ndarray:
