@@ -303,6 +303,13 @@ def main() -> None:
             enc_ns = run_encode(spark, args.sf_dir, partitioner="none")
             queries["encode_tokens_noshuffle"] = enc_ns["sec"]
             extra["encode_noshuffle"] = enc_ns
+            # range layout: doc_id embeds the source, so range partitioning
+            # clusters each chunk to one source's vocabulary — the north
+            # star's "explicit range partitioning on doc_id" (one-shot
+            # encodes; resume keeps hash for deterministic boundaries)
+            enc_rg = run_encode(spark, args.sf_dir, partitioner="range")
+            queries["encode_tokens_range"] = enc_rg["sec"]
+            extra["encode_range"] = enc_rg
             dec = run_decode(spark, args.sf_dir)
             queries["decode_tokens"] = dec["sec"]
             extra["decode"] = dec
@@ -318,6 +325,9 @@ def main() -> None:
             "cores": args.cores,
             "tokens_per_sec": enc["tokens_per_sec"],
             "compressed_bytes_per_token": enc["bytes_per_token"],
+            "compressed_bytes_per_token_range": (
+                extra.get("encode_range", {}).get("bytes_per_token")
+            ),
             **extra,
         }))
     finally:

@@ -225,10 +225,15 @@ def exact_integer_costs(col: ColumnValues, target_page_size: int) -> dict[str, f
     plain_payload = _sizes_sum(v)
     costs["plain"] = plain_payload + 3.0 * max(1, int(plain_payload) // target_page_size)
 
-    # runs (shared by rle / dict_rle)
+    # runs (shared by rle / dict_rle); run lengths < 128 are exactly one
+    # varint byte each — the common non-adjacent case (runs ≈ n) would
+    # otherwise pay 3 full passes of uvarint_lengths for a known answer
     starts = run_starts_numeric(v)
     run_lens = np.diff(np.append(starts, n))
-    rl_sum = float(uvarint_lengths(run_lens.astype(np.uint64)).sum())
+    if len(run_lens) and int(run_lens.max()) < 128:
+        rl_sum = float(len(run_lens))
+    else:
+        rl_sum = float(uvarint_lengths(run_lens.astype(np.uint64)).sum())
     rle_payload = _sizes_sum(v[starts]) + rl_sum
     costs["rle"] = rle_payload + 3.0 * max(1, int(rle_payload) // target_page_size)
 
