@@ -153,6 +153,56 @@ def test_sub_jobs_resume(spark, token_df, tmp_path_factory):
         assert cs_s[k] == cs_1[k]
 
 
+def test_sub_job_split_decorrelated_from_partition_hash(spark, token_df, tmp_path_factory):
+    """The sub-job split hash must be independent of the Murmur3
+    partition-placement hash: with sub_jobs=4 and n=8 (gcd 4) every
+    sub-job's chunks must still land across ALL 8 partitions. The old
+    pmod(hash(key), 4) split reached only 8/gcd = 2 of them — 75% empty
+    tasks per sub-job and 4x-inflated data-bearing partitions."""
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_sj") / "m")
+    m = encode_table_resumable(
+        token_df, ckpt, sub_jobs=4, key_col="doc_id", num_partitions=8,
+        chunk_rows=64,
+    )
+    # each chunk belongs wholly to one sub-job (the split filter precedes
+    # partitioning), so the chunk's min_key recovers its sub-job id
+    placed = (
+        m.filter(F.col("min_key") != "")
+        .select(
+            "part_id",
+            F.pmod(F.xxhash64(F.col("min_key")), F.lit(4)).alias("sub_job"),
+        )
+        .groupBy("sub_job")
+        .agg(F.countDistinct("part_id").alias("n_parts"))
+        .collect()
+    )
+    assert len(placed) == 4
+    for r in placed:
+        assert r.n_parts == 8, f"sub-job {r.sub_job} reached only {r.n_parts}/8 partitions"
+    # the tag binds the decorrelated split family (old of4 tags refused)
+    markers = spark.read.parquet(ckpt).filter(F.col("column") == "__done__")
+    tags = {r.chunk_key.split(":")[1] for r in markers.select("chunk_key").collect()}
+    assert all("of4xx-" in t for t in tags)
+
+
+def test_none_partitioner_resume_skips_completed(spark, token_df, tmp_path_factory):
+    """With partitioner='none' the task layout is the SCAN's split count,
+    not num_partitions — a completed encode must satisfy the full-sub-job
+    skip on resume (no re-scan, no checkpoint growth)."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt_none") / "m")
+    kw = dict(key_col="doc_id", chunk_rows=2048, partitioner="none",
+              num_partitions=1000)  # deliberately wrong vs the scan layout
+    m1 = encode_table_resumable(token_df, ckpt, **kw)
+    n_files_rows = spark.read.parquet(ckpt).count()
+    m2 = encode_table_resumable(token_df, ckpt, **kw)
+    # second run skipped entirely: nothing appended (markers included)
+    assert spark.read.parquet(ckpt).count() == n_files_rows
+    dec = decode_table(m2, token_df.schema)
+    assert dec.count() == N_ROWS
+
+
 def test_resume_with_changed_partition_count_refuses(spark, token_df, tmp_path_factory):
     """Chunk identity is content-based, so a resume under a different
     partition layout would produce NEW chunk keys alongside the old ones

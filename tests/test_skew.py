@@ -48,6 +48,23 @@ def _imbalance(manifest) -> float:
     return max(sizes) / (sum(sizes) / len(sizes))
 
 
+def test_file_sampling_fast_path_gated_on_bare_scan(spark, skewed_df):
+    """The file-sampling fast path re-reads raw files, so it must engage
+    only when the optimized plan is scan+project: any row-distribution-
+    changing node (Filter/Sample/Limit/Join) would make the sampled
+    bounds diverge from the rows actually encoded."""
+    from wills_columnar_format_spark.engine import _is_bare_scan
+
+    assert _is_bare_scan(skewed_df)
+    assert _is_bare_scan(skewed_df.select("doc_id", "n_tok"))
+    assert not _is_bare_scan(skewed_df.filter(F.col("n_tok") > 8))
+    assert not _is_bare_scan(skewed_df.sample(0.5, seed=1))
+    assert not _is_bare_scan(skewed_df.limit(10))
+    assert not _is_bare_scan(
+        skewed_df.join(skewed_df.select("doc_id"), "doc_id")
+    )
+
+
 def test_weight_bucketing_bounds_byte_skew(spark, skewed_df):
     m_range = encode_table(skewed_df, key_col="doc_id", codec="plain",
                            num_partitions=8, partitioner="range", chunk_rows=100_000)

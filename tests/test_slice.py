@@ -123,6 +123,35 @@ def test_checkpointed_manifest_filter_pushes_to_parquet(spark, tmp_path_factory)
     assert got == list(range(1000, 1101))
 
 
+def test_nan_zone_maps_kept_conservatively(spark):
+    """Pre-round-2 encoders stored NaN (not NULL) in min/max_key_num for
+    non-numeric keys; Spark evaluates NaN <= hi as false, so a numeric
+    key_range against such an old manifest drops every chunk unless the
+    opt-in ``legacy_nan_zonemaps`` keep is on (opt-in because isnan is
+    not parquet-translatable and would forfeit PushedFilters pruning on
+    current-format checkpoints — see the pushdown test above)."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.range(0, 2_000).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("k"),
+        F.col("id").cast("int").alias("v"),
+    )
+    m = encode_table(df, key_col="k", num_partitions=2, chunk_rows=256)
+    # simulate the old encoder's manifest: NaN zone maps on every chunk
+    nan = F.lit(float("nan"))
+    m_old = (m.withColumn("min_key_num", nan)
+              .withColumn("max_key_num", nan)).localCheckpoint(eager=True)
+    dec = decode_table(m_old, df.schema, key_range=(100, 199), key_col="v",
+                       legacy_nan_zonemaps=True)
+    got = sorted(r.v for r in dec.select("v").collect())
+    assert got == list(range(100, 200))
+    # without the flag the NaN chunks are (documentedly) pruned away
+    dec0 = decode_table(m_old, df.schema, key_range=(100, 199), key_col="v")
+    assert dec0.count() == 0
+
+
 def test_numeric_range_on_string_keyed_manifest_not_silently_empty(spark):
     """A numeric key_range against a manifest whose key column is a
     STRING (zone maps NULL) must keep chunks conservatively and

@@ -301,6 +301,34 @@ def make_encode_fn(
     return encode_fn
 
 
+_BARE_SCAN_NODES = {
+    "Project", "LogicalRelation", "Relation",
+    "DataSourceV2Relation", "DataSourceV2ScanRelation",
+}
+
+
+def _is_bare_scan(df) -> bool:
+    """True when the optimized logical plan contains only scan+project
+    nodes — the precondition for the file-sampling fast path. Any other
+    node (Filter, Sample, GlobalLimit, Join, ...) changes the row
+    distribution, so re-reading raw files would sample a different
+    population than the rows actually encoded. Walks plan node class
+    names via py4j; unknown shapes or py4j errors report False (the
+    caller falls back to the full-scan sample)."""
+    try:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() not in _BARE_SCAN_NODES:
+                return False
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return True
+    except Exception:
+        return False
+
+
 def weight_balanced_bucket_expr(df, key_col: str, weight_col: str, num_buckets: int, sample_rows: int = 100_000):
     """Size-aware bucketing: sample (key, weight), pick key bounds at equal
     cumulative-weight quantiles, return a Column assigning each row its
@@ -320,12 +348,11 @@ def weight_balanced_bucket_expr(df, key_col: str, weight_col: str, num_buckets: 
 
     sample = None
     try:
-        files = df.inputFiles()
-        # the file fast path re-reads raw files; a filtered plan would
-        # sample a different distribution than the rows actually encoded
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        if "Filter " in plan or "Filter\n" in plan or "Filter(" in plan:
-            files = []
+        # the file fast path re-reads raw files; any row-distribution-
+        # changing plan node (Filter/Sample/Limit/Join/...) would make
+        # the sample diverge from the rows actually encoded, so it is
+        # gated on a scan+project-only optimized plan
+        files = df.inputFiles() if _is_bare_scan(df) else []
     except Exception:
         files = []
     if len(files) > 20:
@@ -542,7 +569,8 @@ def make_decode_fn(out_schema: pa.Schema):
 
 
 def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
-                 assume_unique=False, arranged=False, columns=None):
+                 assume_unique=False, arranged=False, columns=None,
+                 legacy_nan_zonemaps=False):
     """Decode a manifest back to the original rows (order not preserved
     globally; chunk-local order is exact — verify by joining on the key).
 
@@ -602,10 +630,20 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
             # conservatively — the exact post-filter below removes their
             # rows — instead of being silently dropped; IS NULL is itself
             # parquet-pushable so the scan still prunes.
+            #
+            # ``legacy_nan_zonemaps``: pre-round-2 encoders stored NaN
+            # (not NULL) for non-numeric keys, and Spark evaluates
+            # NaN <= hi as false — the flag adds an isnan keep for such
+            # checkpoints. It is opt-in because isnan is NOT a parquet-
+            # translatable predicate: OR-ing it in drops the whole
+            # zone-map disjunct from PushedFilters, forfeiting row-group
+            # pruning (asserted in tests/test_slice.py). Current-format
+            # manifests never contain NaN zone maps.
             mn, mx = F.col("min_key_num"), F.col("max_key_num")
-            manifest_df = manifest_df.filter(
-                ((mx >= F.lit(lo)) & (mn <= F.lit(hi))) | mn.isNull()
-            )
+            keep = ((mx >= F.lit(lo)) & (mn <= F.lit(hi))) | mn.isNull()
+            if legacy_nan_zonemaps:
+                keep = keep | F.isnan(mn)
+            manifest_df = manifest_df.filter(keep)
         else:
             mn, mx = F.col("min_key"), F.col("max_key")
             manifest_df = manifest_df.filter((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
@@ -700,8 +738,19 @@ def _committed_subset(spark, ckpt_dir: str, done: set[int]) -> frozenset:
 
 
 def _layout_tag(j: int, sub_jobs: int, n: int, key_col: str, partitioner: str) -> str:
-    """Done-marker tag binding the job index to the FULL resume layout."""
-    return f"j{j}/of{sub_jobs}-n{n}-{key_col}-{partitioner}"
+    """Done-marker tag binding the job index to the FULL resume layout.
+
+    The ``xx`` marker (sub_jobs > 1 only) binds the sub-job split hash
+    family: the split moved from Murmur3 — which is the same hash the
+    hash partitioner uses, so with gcd(sub_jobs, n) > 1 each sub-job
+    could reach only n/gcd of the n partitions — to xxhash64, which is
+    independent of the partition placement hash. Checkpoints written
+    under the old (correlated) split carry ``of{sub_jobs}`` tags without
+    the marker and are refused on resume rather than silently mixing two
+    different key→sub-job assignments. sub_jobs == 1 has no split, so
+    its tag (and old single-job checkpoints) are unchanged."""
+    sj = f"of{sub_jobs}xx" if sub_jobs > 1 else "of1"
+    return f"j{j}/{sj}-n{n}-{key_col}-{partitioner}"
 
 
 def _check_resume_layout(spark, ckpt_dir: str, sub_jobs: int, n: int,
@@ -784,6 +833,14 @@ def encode_table_resumable(df, ckpt_dir: str, sub_jobs: int = 1, **kwargs):
     )
     kwargs["num_partitions"] = n
     partitioner = kwargs["partitioner"]
+    if partitioner == "none":
+        # with 'none' the task layout is the SCAN's file/split count, not
+        # num_partitions — the done-count skip and the layout tag must
+        # bind the real partition count or a completed encode would never
+        # satisfy ``len(done) >= n`` and every resume would re-scan
+        # (duplicates collapse via content keys, but the full pass is
+        # wasted and the checkpoint grows each run)
+        n = max(1, df.rdd.getNumPartitions())
     _check_resume_layout(spark, ckpt_dir, sub_jobs, n, key_col, partitioner)
     for j in range(sub_jobs):
         # the tag binds the FULL layout (sub_jobs, n, key_col,
@@ -791,8 +848,13 @@ def encode_table_resumable(df, ckpt_dir: str, sub_jobs: int = 1, **kwargs):
         # pmod(hash(key), n) placement, and _check_resume_layout refuses
         # any mismatch rather than silently duplicating or dropping rows
         tag = _layout_tag(j, sub_jobs, n, key_col, partitioner)
+        # sub-job split via xxhash64: decorrelated from the Murmur3
+        # partition hash, so every sub-job's rows spread over ALL n
+        # partitions (pmod(hash(key), sub_jobs) with gcd(sub_jobs, n) = g
+        # > 1 reaches only n/g of them — 75% empty tasks at the typical
+        # power-of-two sub_jobs=4 / n=32)
         sub = df if sub_jobs == 1 else df.filter(
-            F.pmod(F.hash(F.col(key_col)), F.lit(sub_jobs)) == j
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(sub_jobs)) == j
         )
         done = done_partitions(spark, ckpt_dir, tag)
         if len(done) >= n:
