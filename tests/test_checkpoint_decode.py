@@ -1,0 +1,194 @@
+"""Shuffle-free decode of checkpointed manifests.
+
+The default decode regroups chunk rows with ``repartition(n,
+"chunk_key")`` — at 100 TB that shuffles every compressed byte once for
+nothing, because a checkpointed manifest is already chunk-clustered on
+disk (each chunk is emitted as one contiguous RecordBatch, one file per
+write task). ``decode_checkpoint`` is the reference decoder's sequential
+no-shuffle page loop (src/decode.rs:52-66) lifted to the cluster: one
+task per manifest file, pyarrow read with pushed projection/zone-map
+predicates, group decode in place. These tests pin:
+
+* the returned plan has NO Exchange;
+* bit-identical roundtrips (scalar, list, nullable columns), including
+  files with multiple parquet row groups;
+* file-level zone-map pruning (a point lookup schedules fewer tasks);
+* the clustered-layout gate: duplicated (resumed/merged) and torn
+  (maxRecordsPerFile) checkpoints fall back to the shuffling path and
+  still decode correctly.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark.data import ensure_token_table
+from wills_columnar_format_spark.engine import (
+    decode_checkpoint,
+    encode_table,
+)
+
+N_ROWS = 4_000
+
+
+@pytest.fixture(scope="module")
+def token_df(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tok_ckpt") / "token_table")
+    ensure_token_table(path, N_ROWS, seed=11)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def ckpt(spark, token_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ckpt_cd") / "m")
+    encode_table(
+        token_df, key_col="doc_id", codec="auto", num_partitions=4,
+        chunk_rows=512,
+    ).write.parquet(path)
+    return path
+
+
+def _assert_equals_source(dec, token_df):
+    bad = (
+        dec.alias("d").join(token_df.alias("o"), "doc_id")
+        .filter(~(F.col("d.tokens") == F.col("o.tokens"))
+                | (F.col("d.n_tok") != F.col("o.n_tok")))
+        .count()
+    )
+    assert bad == 0
+    assert dec.count() == token_df.count()
+
+
+def test_no_exchange_and_lossless(spark, token_df, ckpt):
+    dec = decode_checkpoint(spark, ckpt, token_df.schema)
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    _assert_equals_source(dec, token_df)
+
+
+def test_multi_row_group_files(spark, token_df, tmp_path_factory):
+    """Chunk groups spanning parquet ROW-GROUP boundaries within a file
+    must decode correctly — the sequential per-file read preserves order
+    across row groups (the hazard that makes trusting Spark's byte-range
+    split planning unsafe, and why decode_checkpoint reads per FILE)."""
+    path = str(tmp_path_factory.mktemp("ckpt_rg") / "m")
+    (
+        encode_table(token_df, key_col="doc_id", codec="auto",
+                     num_partitions=2, chunk_rows=128)
+        .write.parquet(path)
+    )
+    # rewrite each manifest file with tiny row groups (order preserved):
+    # chunk groups now straddle row-group boundaries inside every file
+    import glob
+
+    import os
+
+    import pyarrow.parquet as pq
+    for f in glob.glob(f"{path}/*.parquet"):
+        pq.write_table(pq.read_table(f), f, row_group_size=3)
+    for crc in glob.glob(f"{path}/.*.crc"):  # stale Hadoop checksums
+        os.remove(crc)
+    n_rg = max(pq.ParquetFile(f).num_row_groups
+               for f in glob.glob(f"{path}/*.parquet"))
+    assert n_rg > 1
+    dec = decode_checkpoint(spark, path, token_df.schema)
+    _assert_equals_source(dec, token_df)
+
+
+def test_key_range_prunes_files_and_rows(spark, token_df, ckpt):
+    # doc_id keys are strings "{source}-{number:09d}": a string range
+    lo, hi = "code-000000000", "code-000000999"
+    dec = decode_checkpoint(spark, ckpt, token_df.schema,
+                            key_range=(lo, hi), key_col="doc_id")
+    total_files = decode_checkpoint(spark, ckpt, token_df.schema).rdd.getNumPartitions()
+    assert dec.rdd.getNumPartitions() <= total_files  # file-level pruning
+    got = sorted(r.doc_id for r in dec.select("doc_id").collect())
+    expect = sorted(
+        r.doc_id for r in token_df.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_numeric_key_range_prunes_files(spark, tmp_path_factory):
+    """Numeric zone maps prune whole FILES before any task is scheduled:
+    a range-partitioned encode puts each key range in few files, so a
+    point lookup schedules strictly fewer tasks than a full decode."""
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("int").alias("v")
+    )
+    path = str(tmp_path_factory.mktemp("ckpt_num") / "m")
+    encode_table(df, key_col="k", num_partitions=8, partitioner="range",
+                 chunk_rows=1024).write.parquet(path)
+    full = decode_checkpoint(spark, path, df.schema)
+    hit = decode_checkpoint(spark, path, df.schema, key_range=(5_000, 5_200),
+                            key_col="k")
+    assert hit.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+    got = sorted(r.k for r in hit.select("k").collect())
+    assert got == list(range(5_000, 5_201))
+
+
+def test_column_projection(spark, token_df, ckpt):
+    dec = decode_checkpoint(spark, ckpt, token_df.schema,
+                            columns=["doc_id", "n_tok"])
+    assert dec.columns == ["doc_id", "n_tok"]
+    bad = (
+        dec.alias("d").join(token_df.alias("o"), "doc_id")
+        .filter(F.col("d.n_tok") != F.col("o.n_tok")).count()
+    )
+    assert bad == 0
+    assert dec.count() == N_ROWS
+
+
+def test_nullable_roundtrip(spark, tmp_path_factory):
+    df = spark.range(0, 3_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.concat(F.lit("s"), F.col("id").cast("string"))).alias("s"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") * 3).cast("int")).alias("v"),
+    )
+    path = str(tmp_path_factory.mktemp("ckpt_null") / "m")
+    encode_table(df, key_col="k", num_partitions=2, chunk_rows=256,
+                 allow_nulls=True).write.parquet(path)
+    dec = decode_checkpoint(spark, path, df.schema)
+    joined = dec.alias("d").join(df.alias("o"), "k")
+    bad = joined.filter(
+        ~(F.col("d.s").eqNullSafe(F.col("o.s")))
+        | ~(F.col("d.v").eqNullSafe(F.col("o.v")))
+    ).count()
+    assert bad == 0
+    assert dec.count() == 3_000
+
+
+def test_duplicated_checkpoint_falls_back(spark, token_df, tmp_path_factory):
+    """A resumed/merged checkpoint with duplicate (chunk_key, column)
+    rows fails the clustered gate and decodes via the shuffling path
+    (dropDuplicates) — correct either way, never silently doubled."""
+    path = str(tmp_path_factory.mktemp("ckpt_dup") / "m")
+    # hash partitioner: deterministic chunk boundaries, so the replayed
+    # write produces byte-identical manifest rows (the streaming-replay /
+    # resume duplication scenario; range sampling would instead create a
+    # second, different layout — a corrupt merge no decode path accepts)
+    m = encode_table(token_df, key_col="doc_id", codec="auto",
+                     num_partitions=4, chunk_rows=512, partitioner="hash")
+    m.write.parquet(path)
+    m.write.mode("append").parquet(path)
+    with pytest.warns(UserWarning, match="not chunk-clustered"):
+        dec = decode_checkpoint(spark, path, token_df.schema)
+    _assert_equals_source(dec, token_df)
+
+
+def test_torn_checkpoint_falls_back(spark, token_df, tmp_path_factory):
+    """maxRecordsPerFile splits one task's output across files, tearing
+    chunk groups — the gate must detect it (a chunk spanning two files)
+    and fall back rather than decode torn groups."""
+    path = str(tmp_path_factory.mktemp("ckpt_torn") / "m")
+    (
+        encode_table(token_df, key_col="doc_id", codec="auto",
+                     num_partitions=2, chunk_rows=512)
+        .write.option("maxRecordsPerFile", 3).parquet(path)
+    )
+    with pytest.warns(UserWarning, match="not chunk-clustered"):
+        dec = decode_checkpoint(spark, path, token_df.schema)
+    _assert_equals_source(dec, token_df)

@@ -128,8 +128,8 @@ def q_roundtrip_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..engine import decode_table
-    from ..streaming import encode_stream, read_manifest
+    from ..engine import decode_checkpoint
+    from ..streaming import encode_stream
 
     import shutil
 
@@ -142,7 +142,10 @@ def q_roundtrip_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = encode_stream(spark, in_dir, man_dir, df.schema, key_col="doc_id",
                           num_partitions=4)
         q.awaitTermination()
-        out = decode_table(read_manifest(spark, man_dir), df.schema)
+        # streamed manifests are chunk-clustered like batch checkpoints,
+        # so the shuffle-free decode applies (replayed/duplicated batches
+        # fail its clustered gate and fall back to the shuffling path)
+        out = decode_checkpoint(spark, man_dir, df.schema)
         # materialize before the work dir (incl. the manifest the decode
         # reads) is deleted — decode_table is lazy
         return out.localCheckpoint(eager=True)
@@ -205,6 +208,57 @@ ORACLE_POINT_LOOKUP = (
     "SELECT doc_id, text, lang, source, n_chars FROM documents "
     "WHERE doc_id BETWEEN 100 AND 149"
 )
+
+
+def q_roundtrip_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode → write the manifest to a checkpoint dir → decode it back
+    WITHOUT a shuffle (``decode_checkpoint``: one task per manifest file,
+    sequential pyarrow read over the chunk-clustered layout — the
+    reference decoder's no-shuffle page loop, src/decode.rs:52-66, at
+    cluster scale). Equality with the identity oracle proves the
+    persisted-manifest path is lossless end-to-end."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import decode_checkpoint, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_ckpt_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        encode_table(df, key_col="doc_id", codec="auto",
+                     num_partitions=8).write.parquet(ckpt)
+        out = decode_checkpoint(spark, ckpt, df.schema)
+        # materialize before the checkpoint dir is deleted (lazy plan)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_point_lookup_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range decode on a CHECKPOINTED manifest through the
+    shuffle-free path: whole files are pruned by the driver-side
+    metadata pass (file-level zone maps), then row groups inside each
+    file by the pushed pyarrow predicate — the at-scale point-lookup
+    story (a 10^12-row encode's manifest is itself a big table)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import decode_checkpoint, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_cklk_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        encode_table(df, key_col="doc_id", codec="auto", num_partitions=8,
+                     partitioner="range", chunk_rows=64).write.parquet(ckpt)
+        out = decode_checkpoint(spark, ckpt, df.schema,
+                                key_range=(100, 149), key_col="doc_id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_compression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,6 +711,8 @@ REGISTRY: dict[str, tuple] = {
     "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
+    "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
+    "point_lookup_checkpoint": (q_point_lookup_checkpoint, ORACLE_POINT_LOOKUP),
     "compression_metrics": (q_compression_metrics, None),
     # text analysis
     "text_token_count": (_sql_query(SPARK_TOKEN_COUNT, "documents"), DUCK_TOKEN_COUNT),
