@@ -61,8 +61,8 @@ def test_cold_bands_unaffected_by_cap(spark):
     # measure the true max band population (identical docs share bands:
     # ~200/7 ≈ 29 per group) and pick the cap just above it
     docs.createOrReplaceTempView("mh_docs")
-    spark.sql(GRAMS_SQL).createOrReplaceTempView("mh_grams")
-    spark.sql(MINS_SQL).createOrReplaceTempView("mh_mins")
+    spark.sql(GRAMS_SQL.format(docs="mh_docs")).createOrReplaceTempView("mh_grams")
+    spark.sql(MINS_SQL.format(grams="mh_grams")).createOrReplaceTempView("mh_mins")
     from wills_columnar_format_spark.operators import dedup as D
 
     max_band = spark.sql(

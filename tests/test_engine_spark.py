@@ -297,3 +297,17 @@ def test_decode_column_pruning(spark):
     plan = dec2._jdf.queryExecution().toString()
     assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters")[1][:600]
     assert dec2.count() == df.count()
+
+
+def test_nation_revenue_broadcasts_small_sides(spark):
+    """The decoded codec views carry no stats (mapInArrow output), so the
+    dimension sides of nation_revenue must be declared broadcast — no
+    SortMergeJoin may appear against the lineitem fact side."""
+    from wills_columnar_format_spark.operators.registry import REGISTRY
+
+    fn, _ = REGISTRY["nation_revenue"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert df.count() == 25

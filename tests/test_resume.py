@@ -153,6 +153,52 @@ def test_sub_jobs_resume(spark, token_df, tmp_path_factory):
         assert cs_s[k] == cs_1[k]
 
 
+def test_anti_join_resume_past_committed_cap(spark, token_df, tmp_path_factory, monkeypatch):
+    """A merged manifest bigger than MAX_COMMITTED_COLLECT (simulated by
+    shrinking the cap) must NOT silently re-encode everything: the
+    keys-only planning pass anti-joins planned chunk keys against the
+    manifest and only the missing chunks are encoded."""
+    import wills_columnar_format_spark.engine as eng
+    from wills_columnar_format_spark.engine import encode_table
+
+    kw = dict(key_col="doc_id", num_partitions=4, chunk_rows=2048)
+    monkeypatch.setattr(eng, "MAX_COMMITTED_COLLECT", 10)
+
+    # fully-merged manifest, NO done markers (the merged-checkpoint
+    # scenario the partition-granular fast path can't help with)
+    ckpt_full = str(tmp_path_factory.mktemp("ckpt_aj1") / "m")
+    encode_table(token_df, partitioner="hash", **kw).write.parquet(ckpt_full)
+    n0 = spark.read.parquet(ckpt_full).count()
+    assert n0 > 10  # the shrunken cap really is exceeded
+    m = encode_table_resumable(token_df, ckpt_full, **kw)
+    n1 = spark.read.parquet(ckpt_full).count()
+    assert n1 == n0 + 4  # ONLY the 4 done markers appended: zero re-encode
+    dec = decode_table(m, token_df.schema)
+    assert dec.count() == N_ROWS
+
+    # partially-merged manifest: one partition's chunks missing — the
+    # anti-join re-encodes exactly that partition's chunks
+    ckpt_part = str(tmp_path_factory.mktemp("ckpt_aj2") / "m")
+    encode_table(token_df, partitioner="hash",
+                 fail_parts=frozenset({2}), **kw).write.parquet(ckpt_part)
+    n0p = spark.read.parquet(ckpt_part).count()
+    miss = (
+        encode_table(token_df, partitioner="hash", **kw)
+        .filter(F.col("part_id") == 2).count()
+    )
+    assert miss > 0
+    m2 = encode_table_resumable(token_df, ckpt_part, **kw)
+    n1p = spark.read.parquet(ckpt_part).count()
+    assert n1p == n0p + miss + 4  # the missing chunks + markers, no more
+    dec2 = decode_table(m2, token_df.schema)
+    assert dec2.count() == N_ROWS
+    bad = (
+        dec2.alias("d").join(token_df.alias("o"), "doc_id")
+        .filter(~(F.col("d.tokens") == F.col("o.tokens"))).count()
+    )
+    assert bad == 0
+
+
 def test_sub_job_split_decorrelated_from_partition_hash(spark, token_df, tmp_path_factory):
     """The sub-job split hash must be independent of the Murmur3
     partition-placement hash: with sub_jobs=4 and n=8 (gcd 4) every

@@ -28,16 +28,28 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
                     help="input: parquet path OR Iceberg/catalog table identifier")
-    ap.add_argument("--checkpoint", required=True, help="manifest checkpoint dir")
+    ap.add_argument("--checkpoint", default=None,
+                    help="manifest checkpoint dir (RESUMABLE mode: append "
+                         "jobs, done markers, hash layout)")
+    ap.add_argument("--output", default=None,
+                    help="manifest output dir (ONE-SHOT mode: single job, "
+                         "range layout by default — measured 32%% smaller "
+                         "output than hash on source-keyed ids; decodable "
+                         "shuffle-free via decode_checkpoint)")
     ap.add_argument("--key-col", default="doc_id")
     ap.add_argument("--weight-col", default=None,
                     help="byte-skew weight column (e.g. n_tok); requires "
                          "--partitioner weight")
-    ap.add_argument("--partitioner", default="hash",
+    ap.add_argument("--partitioner", default=None,
                     choices=["hash", "range", "weight", "none"],
-                    help="hash (default) is the resume-safe deterministic "
-                         "layout; weight enables byte-balanced bucketing via "
-                         "--weight-col; none trusts key-ordered ingest")
+                    help="default: 'range' for one-shot --output (best "
+                         "compression: clusters each chunk to one key "
+                         "range/source), 'hash' for --checkpoint (resume-ONLY "
+                         "layout: Spark's range sampler is nondeterministic "
+                         "across runs, so only hash reproduces chunk "
+                         "boundaries); 'none' trusts key-ordered ingest "
+                         "(e.g. Iceberg sort-ordered writes) and skips the "
+                         "shuffle entirely")
     ap.add_argument("--codec", default="auto")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--chunk-rows", type=int, default=65536)
@@ -48,10 +60,19 @@ def main() -> None:
                     help="input snapshot id for lineage (auto-resolved for Iceberg tables)")
     ap.add_argument("--cores", type=int, default=None, help="local mode cores (standalone runs)")
     args = ap.parse_args()
+    if (args.checkpoint is None) == (args.output is None):
+        ap.error("exactly one of --checkpoint (resumable) or --output "
+                 "(one-shot) is required")
+    if args.partitioner is None:
+        args.partitioner = "hash" if args.checkpoint else "range"
 
     from pyspark.sql import SparkSession, functions as F
 
-    from wills_columnar_format_spark.engine import encode_table_resumable, manifest_summary
+    from wills_columnar_format_spark.engine import (
+        encode_table,
+        encode_table_resumable,
+        manifest_summary,
+    )
     from wills_columnar_format_spark.session import get_spark, ship_package
     from wills_columnar_format_spark.sources import load_table
 
@@ -64,10 +85,7 @@ def main() -> None:
 
     df, snap, _kind = load_table(spark, args.input)
     t0 = time.time()
-    manifest = encode_table_resumable(
-        df,
-        args.checkpoint,
-        sub_jobs=args.sub_jobs,
+    kw = dict(
         key_col=args.key_col,
         codec=args.codec,
         num_partitions=args.num_partitions,
@@ -76,6 +94,16 @@ def main() -> None:
         partitioner=args.partitioner,
         snapshot_id=args.snapshot_id or snap,
     )
+    if args.checkpoint:
+        manifest = encode_table_resumable(
+            df, args.checkpoint, sub_jobs=args.sub_jobs, **kw
+        )
+    else:
+        # one-shot: single all-or-nothing job, no resume state; the
+        # written manifest stays chunk-clustered, so decode_checkpoint
+        # reads it back without a shuffle
+        encode_table(df, **kw).write.parquet(args.output)
+        manifest = spark.read.parquet(args.output)
     agg = manifest.agg(
         F.count("*").alias("chunks"),
         F.sum("n_values").alias("values"),
@@ -89,7 +117,8 @@ def main() -> None:
         "bytes_in": int(agg.bytes_in),
         "bytes_out": int(agg.bytes_out),
         "ratio": round(int(agg.bytes_out) / max(int(agg.bytes_in), 1), 4),
-        "checkpoint": args.checkpoint,
+        "manifest_dir": args.checkpoint or args.output,
+        "mode": "resumable" if args.checkpoint else "one-shot",
     }))
 
 

@@ -208,8 +208,16 @@ def make_encode_fn(
     committed: frozenset | None = None,
     fail_parts: frozenset | None = None,
     done_marker_tag: str | None = None,
+    todo: frozenset | None = None,
 ):
-    """Build the mapInArrow encode function (pure closure, Spark-serializable)."""
+    """Build the mapInArrow encode function (pure closure, Spark-serializable).
+
+    ``committed`` skips chunks already in the manifest by exact
+    (chunk_key, column, checksum); ``todo`` is its INVERSE for huge
+    manifests — only chunk_keys in the set are encoded (produced by the
+    resume planning pass anti-joining planned keys against the
+    manifest, so the driver ships the small not-yet-done set instead of
+    the unbounded committed one)."""
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -245,6 +253,10 @@ def make_encode_fn(
             # content-based chunk identity: stable across runs even if the
             # physical partitioning drifted (resume correctness)
             chunk_key = _checksum(_arrow_to_columnvalues(keys))
+            if todo is not None and chunk_key not in todo:
+                # committed in a previous run (anti-join planning pass):
+                # skip the whole chunk without touching its values
+                return pa.RecordBatch.from_pydict(rows, schema=_MANIFEST_PA)
             for field in table.schema:
                 arr = table.column(field.name).combine_chunks()
                 for sub_name, cv in _sub_columns(field.name, arr, allow_nulls=allow_nulls):
@@ -382,6 +394,29 @@ def weight_balanced_bucket_expr(df, key_col: str, weight_col: str, num_buckets: 
     return F.size(F.filter(bounds_arr, lambda b: b <= F.col(key_col)))
 
 
+def _partition_for_encode(df, key_col: str, num_partitions: int, weight_col,
+                          partitioner: str, sort_within: bool):
+    """The encode layout: one shuffle chosen by ``partitioner``, then an
+    in-partition sort on the key. Shared by the encode pass and the
+    keys-only resume planning pass — chunk identity is content-based on
+    the key sequence, so both must produce bit-identical layouts."""
+    from pyspark.sql import functions as F
+
+    if partitioner == "weight" and weight_col is not None and weight_col in df.columns:
+        bucket = weight_balanced_bucket_expr(df, key_col, weight_col, num_buckets=4 * num_partitions)
+        df = df.withColumn("__bucket", bucket)
+        df = df.repartition(num_partitions, "__bucket").drop("__bucket")
+    elif partitioner == "hash":
+        df = df.repartition(num_partitions, F.col(key_col))
+    elif partitioner == "none":
+        pass  # trust the scan layout (already clustered on the key)
+    else:
+        df = df.repartitionByRange(num_partitions, key_col)
+    if sort_within and partitioner != "none":
+        df = df.sortWithinPartitions(key_col)
+    return df
+
+
 def encode_table(
     df,
     key_col: str = "doc_id",
@@ -398,6 +433,7 @@ def encode_table(
     partitioner: str | None = None,
     allow_nulls: bool = False,
     done_marker_tag: str | None = None,
+    todo: frozenset | None = None,
 ):
     """Encode ``df``'s columns into a blob+lineage manifest DataFrame.
 
@@ -433,18 +469,8 @@ def encode_table(
 
     if partitioner is None:
         partitioner = "weight" if (weight_col is not None and weight_col in df.columns) else "range"
-    if partitioner == "weight" and weight_col is not None and weight_col in df.columns:
-        bucket = weight_balanced_bucket_expr(df, key_col, weight_col, num_buckets=4 * num_partitions)
-        df = df.withColumn("__bucket", bucket)
-        df = df.repartition(num_partitions, "__bucket").drop("__bucket")
-    elif partitioner == "hash":
-        df = df.repartition(num_partitions, F.col(key_col))
-    elif partitioner == "none":
-        pass  # trust the scan layout (already clustered on the key)
-    else:
-        df = df.repartitionByRange(num_partitions, key_col)
-    if sort_within and partitioner != "none":
-        df = df.sortWithinPartitions(key_col)
+    df = _partition_for_encode(df, key_col, num_partitions, weight_col,
+                               partitioner, sort_within)
 
     fn = make_encode_fn(
         key_col=key_col,
@@ -456,6 +482,7 @@ def encode_table(
         committed=committed,
         fail_parts=fail_parts,
         done_marker_tag=done_marker_tag,
+        todo=todo,
     )
     return df.mapInArrow(fn, schema=MANIFEST_DDL)
 
@@ -902,27 +929,108 @@ def done_partitions(spark, ckpt_dir: str, tag: str) -> set[int]:
     return {r.part_id for r in rows}
 
 
-# Above this many not-yet-done chunk rows, skip the frozenset collect:
-# re-encoding is idempotent (content-based chunk keys + byte-identical
-# codec choice) and dropDuplicates on read collapses any overlap.
+# Above this many not-yet-done chunk rows, skip the frozenset collect
+# and switch to the anti-join planning pass (``planned_chunk_keys``):
+# the driver then ships only the small NOT-yet-encoded key set. If even
+# that overflows, re-encoding is idempotent (content-based chunk keys +
+# byte-identical codec choice) and dropDuplicates on read collapses any
+# overlap.
 MAX_COMMITTED_COLLECT = 2_000_000
 
 
-def _committed_subset(spark, ckpt_dir: str, done: set[int]) -> frozenset:
+def _committed_subset(spark, ckpt_dir: str, done: set[int]):
     """Committed chunk keys restricted to NOT-done partitions (the only
-    ones the resumed run re-encodes). In the all-or-nothing task-commit
-    model this is empty or tiny; the cap guards merged manifests."""
+    ones the resumed run re-encodes), plus an overflow flag. In the
+    all-or-nothing task-commit model the set is empty or tiny; merged/
+    copied manifests can exceed the cap, which signals the caller to
+    plan via anti-join instead."""
     from pyspark.sql import functions as F
 
     if not _has_manifest(ckpt_dir):
-        return frozenset()
+        return frozenset(), False
     mdf = spark.read.parquet(ckpt_dir).filter(F.col("column") != DONE_COLUMN)
     if done:
         mdf = mdf.filter(~F.col("part_id").isin(sorted(done)))
     mdf = mdf.select("chunk_key", "column", "checksum")
     if mdf.limit(MAX_COMMITTED_COLLECT + 1).count() > MAX_COMMITTED_COLLECT:
-        return frozenset()
-    return frozenset((r.chunk_key, r.column, r.checksum) for r in mdf.collect())
+        return frozenset(), True
+    return frozenset((r.chunk_key, r.column, r.checksum) for r in mdf.collect()), False
+
+
+def planned_chunk_keys(df, key_col: str, num_partitions: int,
+                       chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                       partitioner: str = "hash", sort_within: bool = True):
+    """Keys-only planning pass: the ``chunk_key`` every chunk of a full
+    encode of ``df`` WOULD get, as a 1-column DataFrame.
+
+    Reads ONLY the key column (columnar projection — a fraction of the
+    table's bytes) through the exact same partition/sort/slice pipeline
+    as the encode pass; chunk boundaries sit at fixed row offsets and
+    the key sequence is deterministic under 'hash'/'none' layouts, so
+    the produced keys are bit-identical to the encode's. Used by resume
+    to anti-join planned keys against a too-big-to-collect manifest."""
+
+    part = _partition_for_encode(df.select(key_col), key_col, num_partitions,
+                                 None, partitioner, sort_within)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def key_of(table: pa.Table) -> str:
+            keys = table.column(key_col).combine_chunks()
+            return _checksum(_arrow_to_columnvalues(keys))
+
+        out: list[str] = []
+        buf: list[pa.RecordBatch] = []
+        nbuf = 0
+        for b in batches:
+            buf.append(b)
+            nbuf += b.num_rows
+            while nbuf >= chunk_rows:
+                t = pa.Table.from_batches(buf)
+                head = t.slice(0, chunk_rows).combine_chunks()
+                rest = t.slice(chunk_rows)
+                out.append(key_of(head))
+                buf = rest.to_batches(max_chunksize=max(rest.num_rows, 1)) if rest.num_rows else []
+                nbuf = rest.num_rows
+        if nbuf:
+            out.append(key_of(pa.Table.from_batches(buf).combine_chunks()))
+        if out:
+            yield pa.RecordBatch.from_pydict(
+                {"chunk_key": out}, schema=pa.schema([("chunk_key", pa.string())])
+            )
+
+    return part.mapInArrow(fn, schema="chunk_key string")
+
+
+def _todo_from_anti_join(spark, ckpt_dir: str, sub, key_col: str, n: int,
+                         chunk_rows: int, partitioner: str,
+                         sort_within: bool) -> frozenset | None:
+    """Resume state for manifests too big to collect: anti-join the
+    planned chunk keys of the remaining input against the manifest's
+    committed keys; what survives is the (small) set still to encode.
+    Returns None when the layout can't be pre-planned (weight/range
+    partitioners sample nondeterministically) or the todo set itself
+    overflows — callers then fall back to idempotent full re-encode."""
+    if partitioner not in ("hash", "none"):
+        return None
+    from pyspark.sql import functions as F
+
+    planned = planned_chunk_keys(sub, key_col, n, chunk_rows=chunk_rows,
+                                 partitioner=partitioner, sort_within=sort_within)
+    mkeys = (
+        spark.read.parquet(ckpt_dir)
+        .filter(F.col("column") != DONE_COLUMN)
+        .select("chunk_key")
+        .distinct()
+    )
+    todo_rows = (
+        planned.distinct()
+        .join(mkeys, "chunk_key", "left_anti")
+        .limit(MAX_COMMITTED_COLLECT + 1)
+        .collect()
+    )
+    if len(todo_rows) > MAX_COMMITTED_COLLECT:
+        return None
+    return frozenset(r.chunk_key for r in todo_rows)
 
 
 def _layout_tag(j: int, sub_jobs: int, n: int, key_col: str, partitioner: str) -> str:
@@ -997,8 +1105,11 @@ def encode_table_resumable(df, ckpt_dir: str, sub_jobs: int = 1, **kwargs):
     the rest. Chunk-level checksum skipping remains as defense for
     merged/copied manifests, restricted to not-done partitions and capped
     (MAX_COMMITTED_COLLECT) so the driver never materializes an unbounded
-    set; past the cap, idempotent re-encode + dropDuplicates-on-read
-    keep correctness.
+    set; past the cap the set is INVERTED — a keys-only planning pass
+    anti-joins the would-be chunk keys against the manifest and ships
+    only the small not-yet-encoded set (``_todo_from_anti_join``) — and
+    only if that too overflows does idempotent re-encode +
+    dropDuplicates-on-read take over.
 
     ``sub_jobs > 1`` splits the input into ``sub_jobs`` disjoint key sets
     encoded as separate append jobs: a crash loses at most 1/sub_jobs of
@@ -1051,8 +1162,20 @@ def encode_table_resumable(df, ckpt_dir: str, sub_jobs: int = 1, **kwargs):
             sub = sub.filter(
                 ~F.pmod(F.hash(F.col(key_col)), F.lit(n)).isin(sorted(done))
             )
-        committed = _committed_subset(spark, ckpt_dir, done)
-        manifest = encode_table(sub, committed=committed, done_marker_tag=tag, **kwargs)
+        committed, overflow = _committed_subset(spark, ckpt_dir, done)
+        todo = None
+        if overflow:
+            # the committed set is too big for the driver: invert it —
+            # plan the chunk keys of the remaining input (keys-only scan)
+            # and anti-join against the manifest; only the NOT-yet-done
+            # keys (small, by resume assumption) ship to executors
+            todo = _todo_from_anti_join(
+                spark, ckpt_dir, sub, key_col, n,
+                kwargs.get("chunk_rows", DEFAULT_CHUNK_ROWS),
+                partitioner, kwargs.get("sort_within", True),
+            )
+        manifest = encode_table(sub, committed=committed, todo=todo,
+                                done_marker_tag=tag, **kwargs)
         manifest.write.mode("append").parquet(ckpt_dir)
     return (
         spark.read.parquet(ckpt_dir)

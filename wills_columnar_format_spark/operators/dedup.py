@@ -63,8 +63,12 @@ _MH_EQ_SUM = " + ".join(f"(CASE WHEN a.m{k} = b.m{k} THEN 1 ELSE 0 END)" for k i
 _MH_EQ_MIN = 4
 
 # Two-token shingles of the doubled doc set; DISTINCT per doc.
+# All relation names are .format() placeholders ({docs}/{grams}/{mins}):
+# view names are suffixed per invocation so two concurrent
+# minhash_lsh_pairs calls on one SparkSession cannot clobber each
+# other's views or uncache each other's data mid-query.
 GRAMS_SQL = """
-WITH toks AS (SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM mh_docs)
+WITH toks AS (SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM {docs})
 SELECT DISTINCT doc_id, concat(element_at(t, CAST(i AS INT)), ' ', element_at(t, CAST(i AS INT) + 1)) AS g2
 FROM toks LATERAL VIEW explode(sequence(1, size(t) - 1)) e AS i
 WHERE size(t) >= 2
@@ -76,16 +80,17 @@ WHERE size(t) >= 2
 # prefilter) and Spark would otherwise inline-recompute the groupBy per
 # reference
 MINS_SQL = f"""
-WITH gh AS (SELECT doc_id, {_SPARK_HEX2INT_HI} AS h1, {_SPARK_HEX2INT_LO} AS h2 FROM mh_grams)
+WITH gh AS (SELECT doc_id, {_SPARK_HEX2INT_HI} AS h1, {_SPARK_HEX2INT_LO} AS h2 FROM {{grams}})
 SELECT doc_id,
        {_MH_MINS}
 FROM gh GROUP BY doc_id
 """
 
 
-def _body_sql(band_cap: int) -> str:
+def _body_sql(band_cap: int, docs: str = "mh_docs", grams: str = "mh_grams",
+              mins_v: str = "mh_mins") -> str:
     return f"""
-WITH mins AS (SELECT * FROM mh_mins),
+WITH mins AS (SELECT * FROM {mins_v}),
 bands AS (SELECT doc_id, concat(band, ':', sig) AS sig
           FROM mins LATERAL VIEW stack(16, {_MH_STACK}) s AS band, sig),
 bsz AS (SELECT sig, COUNT(*) AS bn FROM bands GROUP BY sig),
@@ -96,7 +101,7 @@ hotdocs AS (SELECT DISTINCT b.doc_id FROM bands b JOIN bsz z ON b.sig = z.sig WH
 -- duplicates without verification, and the same pair could then appear in
 -- both star and verified with conflicting jaccard values
 hfp AS (SELECT d.doc_id, md5(trim(d.text)) AS fp
-        FROM mh_docs d JOIN hotdocs h ON d.doc_id = h.doc_id),
+        FROM {docs} d JOIN hotdocs h ON d.doc_id = h.doc_id),
 reps AS (SELECT fp, MIN(doc_id) AS rep FROM hfp GROUP BY fp),
 star AS (SELECT r.rep AS d1, f.doc_id AS d2, CAST(1.0 AS DOUBLE) AS jaccard
          FROM hfp f JOIN reps r ON f.fp = r.fp WHERE f.doc_id > r.rep),
@@ -113,10 +118,10 @@ cand0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
 cand AS (SELECT c.d1, c.d2 FROM cand0 c
          JOIN mins a ON a.doc_id = c.d1 JOIN mins b ON b.doc_id = c.d2
          WHERE {_MH_EQ_SUM} >= {_MH_EQ_MIN}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM mh_grams GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM {grams} GROUP BY doc_id),
 inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
-          FROM cand JOIN mh_grams g1 ON g1.doc_id = cand.d1
-                    JOIN mh_grams g2t ON g2t.doc_id = cand.d2 AND g2t.g2 = g1.g2
+          FROM cand JOIN {grams} g1 ON g1.doc_id = cand.d1
+                    JOIN {grams} g2t ON g2t.doc_id = cand.d2 AND g2t.g2 = g1.g2
           GROUP BY g1.doc_id, g2t.doc_id),
 verified AS (
   SELECT d1, d2, CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DOUBLE) AS jaccard
@@ -136,16 +141,25 @@ def minhash_lsh_pairs(
 
     The grams relation is materialized ONCE (cached view + eager
     localCheckpoint) — Spark inlines CTEs, so the expensive
-    explode+DISTINCT would otherwise run once per reference.
+    explode+DISTINCT would otherwise run once per reference. View names
+    are uuid-suffixed per invocation: concurrent calls on one
+    SparkSession each see their own views and caches.
     """
-    docs.select("doc_id", "text").createOrReplaceTempView("mh_docs")
-    grams = spark.sql(GRAMS_SQL)
-    grams.cache().createOrReplaceTempView("mh_grams")
-    mins = spark.sql(MINS_SQL)
-    mins.cache().createOrReplaceTempView("mh_mins")
+    import uuid
+
+    s = uuid.uuid4().hex[:8]
+    docs_v, grams_v, mins_v = f"mh_docs_{s}", f"mh_grams_{s}", f"mh_mins_{s}"
+    docs.select("doc_id", "text").createOrReplaceTempView(docs_v)
+    grams = spark.sql(GRAMS_SQL.format(docs=docs_v))
+    grams.cache().createOrReplaceTempView(grams_v)
+    mins = spark.sql(MINS_SQL.format(grams=grams_v))
+    mins.cache().createOrReplaceTempView(mins_v)
     try:
-        out = spark.sql(_body_sql(band_cap))
+        out = spark.sql(_body_sql(band_cap, docs=docs_v, grams=grams_v,
+                                  mins_v=mins_v))
         return out.localCheckpoint(eager=True)  # materialize before uncache
     finally:
-        spark.catalog.uncacheTable("mh_mins")
-        spark.catalog.uncacheTable("mh_grams")
+        spark.catalog.uncacheTable(mins_v)
+        spark.catalog.uncacheTable(grams_v)
+        for v in (docs_v, grams_v, mins_v):
+            spark.catalog.dropTempView(v)

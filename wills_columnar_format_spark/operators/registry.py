@@ -262,13 +262,57 @@ def q_point_lookup_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_compression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codec + bytes in/out per column (lineage metrics; no SQL oracle —
-    the compressed sizes are engine-defined)."""
-    from ..engine import encode_table, manifest_summary
+    """Engine-independent compression-lineage facts, value-hashable by a
+    DuckDB oracle: per column the manifest's logical value count (sum of
+    chunk ``n_values`` — must equal the table's row count) and a genuine
+    roundtrip-verification flag (decode joined back to the source,
+    per-column mismatch counts). The engine-defined byte counts / codec
+    names stay available via ``manifest_summary`` (and are asserted
+    auto ≤ plain in tests) but are excluded here so the driver can
+    hash-compare the query cross-engine."""
+    from ..engine import decode_table, encode_table
 
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8)
-    return manifest_summary(m)
+    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8).cache()
+    try:
+        n_src = df.count()
+        nv = {
+            r.column: r.nv
+            for r in m.groupBy("column").agg(F.sum("n_values").alias("nv")).collect()
+        }
+        dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
+        j = dec.alias("d").join(df.alias("o"), "doc_id")
+        agg = j.agg(
+            F.count("*").alias("__joined"),
+            *[
+                F.sum((F.col(f"d.{c}") != F.col(f"o.{c}")).cast("long")).alias(c)
+                for c in cols
+                if c != "doc_id"
+            ],
+        ).collect()[0]
+        # doc_id roundtrips iff every decoded row found its source row
+        key_ok = agg["__joined"] == n_src
+        rows = [
+            (
+                c,
+                int(nv.get(c, -1)),
+                bool(key_ok and (c == "doc_id" or agg[c] == 0)),
+            )
+            for c in cols
+        ]
+        return spark.createDataFrame(
+            rows, "column_name string, n_values bigint, roundtrip_ok boolean"
+        )
+    finally:
+        m.unpersist()
+
+
+DUCK_COMPRESSION_METRICS = "\nUNION ALL ".join(
+    f"SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_values, "
+    "TRUE AS roundtrip_ok FROM documents"
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]
+)
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +435,30 @@ WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
 
 SPARK_NGRAM_JACCARD = f"WITH {_SPARK_DOCS2}, {SPARK_GRAMS2}, {_JACCARD_TAIL}"
 DUCK_NGRAM_JACCARD = f"WITH {_SPARK_DOCS2}, {DUCK_GRAMS2}, {_JACCARD_TAIL}"
+
+# ORACLE-ONLY: even under the gram-df cap the intersection join is
+# all-pairs — one gram at df=100k contributes ~10^10 join rows, so this
+# query must never be the production dedup path (that is
+# dedup_minhash_lsh, whose banding + capping bound the quadratic). The
+# guard below refuses corpora past sandbox/oracle scale.
+_EXACT_JACCARD_MAX_DOCS = 1_000_000
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram jaccard — the RECALL ORACLE for MinHash+LSH
+    (its only sanctioned role). Guarded against production-scale input:
+    the gram-intersection self-join is quadratic in per-gram doc
+    frequency and does not survive 100 TB."""
+    _views(spark, sf_dir, "documents")
+    n = spark.table("documents").count()
+    if n > _EXACT_JACCARD_MAX_DOCS:
+        raise ValueError(
+            f"dedup_ngram_jaccard is the exact oracle for MinHash+LSH and "
+            f"is all-pairs quadratic; refusing {n} docs (max "
+            f"{_EXACT_JACCARD_MAX_DOCS}). Use dedup_minhash_lsh for "
+            "production-scale near-dup detection."
+        )
+    return spark.sql(SPARK_NGRAM_JACCARD)
 
 # MinHash + LSH lives in operators/dedup.py (32 universal-hash minima
 # from ONE md5 per gram, 16 bands x 2 rows, hot-band capping, exact
@@ -558,6 +626,44 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, emb, n_clusters=8, k=3, n_queries=10)
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF config that would actually run at scale — seeded k-means
+    quantizer (~√n centroids) + multi-probe (nprobe = half the clusters)
+    — pinned cross-engine as a recall-floor check against the in-engine
+    brute-force top-3. The synthetic embeddings are ISOTROPIC random
+    vectors (IVF's worst case: neighbors barely cluster — measured
+    recall 0.58/0.80/0.90 at nprobe 4/8/12 of 22, tests/
+    test_similarity.py), so a perfect-recall oracle cannot hold; the
+    contract is recall@3 ≥ 0.8 at a 50% probe fraction, which holds
+    across scale factors. DuckDB cannot replicate k-means, so the CLAIM
+    — the floor — is the cross-engine-hashed fact; a quantizer or probe
+    regression flips the boolean and breaks the hash loudly."""
+    import numpy as np
+
+    from .similarity import ivf_topk, kmeans_centroids
+
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    n_clusters = max(4, int(np.sqrt(n)))
+    C = kmeans_centroids(emb, n_clusters, seed=0)
+    ivf = ivf_topk(spark, emb, n_clusters=len(C), k=3, n_queries=10,
+                   centroids=C, nprobe=max(4, n_clusters // 2))
+    bf = spark.sql(SPARK_COSINE_TOPK)
+    hits = ivf.join(bf, ["query_id", "neighbor_id"]).count()
+    total = bf.count()
+    return spark.createDataFrame(
+        [(total // 3, bool(hits / total >= 0.8))],
+        "n_queries bigint, recall_floor_met boolean",
+    )
+
+
+DUCK_ANN_IVF_RECALL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_floor_met
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 DUCK_ANN_IVF = """
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
@@ -664,7 +770,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 DUCK_TPCH_Q1 = SPARK_TPCH_Q1
 
-SPARK_NATION_REVENUE = """
+_NATION_REVENUE_BODY = """
 SELECT n.n_name AS nation,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
@@ -674,7 +780,19 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
-DUCK_NATION_REVENUE = SPARK_NATION_REVENUE
+# The decoded codec views come out of mapInArrow, which carries NO size
+# stats — AQE/Catalyst can't see that orders/customer/nation are small
+# and would SortMergeJoin them against lineitem. The explicit hints make
+# every small side a broadcast (lineitem, the fact table, never
+# shuffles). At true 100 TB scale orders/customer grow with the fact
+# table and only nation(/region) stay broadcast-able — there the hint
+# set shrinks to the genuine dims and AQE (with stats from a persisted
+# decode) handles the rest; the principle under test is that codec-view
+# joins must declare their dimension sides.
+SPARK_NATION_REVENUE = _NATION_REVENUE_BODY.replace(
+    "SELECT n.n_name", "SELECT /*+ BROADCAST(o), BROADCAST(c), BROADCAST(n) */ n.n_name", 1
+)
+DUCK_NATION_REVENUE = _NATION_REVENUE_BODY
 
 SPARK_EVENTS_TOP_TYPE = """
 WITH cnt AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type),
@@ -713,7 +831,7 @@ REGISTRY: dict[str, tuple] = {
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
     "point_lookup_checkpoint": (q_point_lookup_checkpoint, ORACLE_POINT_LOOKUP),
-    "compression_metrics": (q_compression_metrics, None),
+    "compression_metrics": (q_compression_metrics, DUCK_COMPRESSION_METRICS),
     # text analysis
     "text_token_count": (_sql_query(SPARK_TOKEN_COUNT, "documents"), DUCK_TOKEN_COUNT),
     "text_quality": (_sql_query(SPARK_TEXT_QUALITY, "documents"), DUCK_TEXT_QUALITY),
@@ -721,13 +839,14 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprint": (_sql_query(SPARK_FINGERPRINT, "documents"), DUCK_FINGERPRINT),
     # deduplication
     "dedup_exact": (_sql_query(SPARK_DEDUP_EXACT, "documents"), DUCK_DEDUP_EXACT),
-    "dedup_ngram_jaccard": (_sql_query(SPARK_NGRAM_JACCARD, "documents"), DUCK_NGRAM_JACCARD),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DUCK_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_MINHASH),
     "dedup_simhash": (_sql_query(SPARK_SIMHASH, "documents"), DUCK_SIMHASH),
     # similarity
     "cosine_topk": (_sql_query(SPARK_COSINE_TOPK, "embeddings"), DUCK_COSINE_TOPK),
     "dedup_embedding": (_sql_query(SPARK_EMB_DEDUP, "embeddings"), DUCK_EMB_DEDUP),
     "ann_ivf_topk": (q_ann_ivf, DUCK_ANN_IVF),
+    "ann_ivf_recall": (q_ann_ivf_recall, DUCK_ANN_IVF_RECALL),
     # multimodal
     "multimodal_meta": (q_multimodal_meta, DUCK_MULTIMODAL_META),
     # relational breadth — running over decoded codec views (the scan IS
