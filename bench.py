@@ -362,7 +362,10 @@ def main() -> None:
         total = round(sum(queries.values()), 3)
         # headline bytes/token reports the LAYOUT-APPROPRIATE number: the
         # one-shot default layout is range (submit_encode --output); hash
-        # is the resume-only layout and is reported alongside
+        # is the resume-only layout and is reported alongside. In
+        # --encode-only mode only the hash encode ran, so the headline
+        # and default_layout both say hash — never mix the two layouts'
+        # numbers under one label across runs.
         rg_bpt = extra.get("encode_range", {}).get("bytes_per_token")
         print(json.dumps({
             "metric": "e2e_bench_total",
@@ -379,7 +382,7 @@ def main() -> None:
             ),
             "compressed_bytes_per_token_hash": enc["bytes_per_token"],
             "compressed_bytes_per_token_range": rg_bpt,
-            "default_layout": "range",
+            "default_layout": "range" if rg_bpt is not None else "hash",
             **extra,
         }))
     finally:

@@ -63,6 +63,9 @@ def main() -> None:
     if (args.checkpoint is None) == (args.output is None):
         ap.error("exactly one of --checkpoint (resumable) or --output "
                  "(one-shot) is required")
+    if args.output and args.sub_jobs != 1:
+        ap.error("--sub-jobs requires --checkpoint: one-shot --output is a "
+                 "single all-or-nothing job with no crash granularity")
     if args.partitioner is None:
         args.partitioner = "hash" if args.checkpoint else "range"
 

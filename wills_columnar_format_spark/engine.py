@@ -171,6 +171,29 @@ def _sub_columns(name: str, arr: pa.Array, allow_nulls: bool = False) -> list[tu
 DONE_COLUMN = "__done__"
 
 
+def _iter_chunk_tables(batches: Iterator[pa.RecordBatch], chunk_rows: int) -> Iterator[pa.Table]:
+    """Slice an Arrow batch stream into combined tables of exactly
+    ``chunk_rows`` rows (last chunk short). THE chunking definition:
+    shared by the encode pass and the keys-only resume planning pass —
+    chunk identity is content-based on the row sequence, so both must
+    slice bit-identically (a divergence would make resume silently skip
+    real chunks)."""
+    buf: list[pa.RecordBatch] = []
+    nbuf = 0
+    for b in batches:
+        buf.append(b)
+        nbuf += b.num_rows
+        while nbuf >= chunk_rows:
+            t = pa.Table.from_batches(buf)
+            head = t.slice(0, chunk_rows).combine_chunks()
+            rest = t.slice(chunk_rows)
+            yield head
+            buf = rest.to_batches(max_chunksize=max(rest.num_rows, 1)) if rest.num_rows else []
+            nbuf = rest.num_rows
+    if nbuf:
+        yield pa.Table.from_batches(buf).combine_chunks()
+
+
 def _done_marker_batch(part_id: int, tag: str, n_chunks: int, snapshot_id) -> pa.RecordBatch:
     """Partition-completion marker row (resume bookkeeping, filtered out of
     every data path). chunk_key is unique per (tag, part) so markers from
@@ -282,25 +305,9 @@ def make_encode_fn(
                     rows["blob"].append(blob)
             return pa.RecordBatch.from_pydict(rows, schema=_MANIFEST_PA)
 
-        buf: list[pa.RecordBatch] = []
-        nbuf = 0
         chunk_id = 0
-        for b in batches:
-            buf.append(b)
-            nbuf += b.num_rows
-            while nbuf >= chunk_rows:
-                t = pa.Table.from_batches(buf)
-                head = t.slice(0, chunk_rows).combine_chunks()
-                rest = t.slice(chunk_rows)
-                rb = encode_chunk(head, chunk_id)
-                if rb.num_rows:
-                    yield rb
-                chunk_id += 1
-                buf = rest.to_batches(max_chunksize=max(rest.num_rows, 1)) if rest.num_rows else []
-                nbuf = rest.num_rows
-        if nbuf:
-            t = pa.Table.from_batches(buf).combine_chunks()
-            rb = encode_chunk(t, chunk_id)
+        for tbl in _iter_chunk_tables(batches, chunk_rows):
+            rb = encode_chunk(tbl, chunk_id)
             if rb.num_rows:
                 yield rb
             chunk_id += 1
@@ -785,7 +792,6 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.dataset as pds
-        import pyarrow.parquet as pq
         from pyarrow import fs as pafs
 
         filt = pds.field("column") != DONE_COLUMN
@@ -811,11 +817,17 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
                     fsys, p = pafs.FileSystem.from_uri(path)
                 else:
                     fsys, p = pafs.LocalFileSystem(), path
-                tbl = pq.read_table(
-                    p, filesystem=fsys, filters=filt,
+                # STREAM the file: single-threaded scanner preserves row
+                # (hence chunk-group) order across row groups while
+                # holding only ~batch_size blobs at a time — a manifest
+                # file is one encode task's whole output, which at the
+                # 100 TB target does not fit task memory as one table.
+                # 32 rows/batch ≈ a few chunk groups of ~1 MB blobs.
+                scanner = pds.dataset(p, filesystem=fsys, format="parquet").scanner(
                     columns=["chunk_key", "column", "blob"],
+                    filter=filt, use_threads=False, batch_size=32,
                 )
-                yield from decode(iter(tbl.to_batches()))
+                yield from decode(scanner.to_batches())
 
     return fn
 
@@ -838,8 +850,21 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
 
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
-    mdf = _manifest_metadata(spark, ckpt_dir)
-    if not _checkpoint_is_clustered(mdf):
+    full_schema = out_schema
+    out_schema, phys = _project_out_schema(out_schema, columns)
+    fdf = _manifest_metadata(spark, ckpt_dir)
+    if phys is not None:
+        from pyspark.sql import functions as F
+
+        fdf = fdf.filter(F.col("column").isin(phys))
+    if key_range is not None:
+        fdf = fdf.filter(_zone_keep_expr(key_range, legacy_nan_zonemaps))
+    # gate on the PRUNED metadata: a point lookup verifies only the
+    # chunks it will read (a torn/duplicated chunk's copies share the
+    # same zone maps and projection, so every hazard the full-manifest
+    # check would catch in the read set survives the pruning too —
+    # while hazards OUTSIDE the read set are irrelevant to this decode)
+    if not _checkpoint_is_clustered(fdf):
         import warnings
 
         warnings.warn(
@@ -847,18 +872,10 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
             "torn chunks) — falling back to the shuffling decode path"
         )
         return decode_table(
-            spark.read.parquet(ckpt_dir), out_schema, key_range=key_range,
+            spark.read.parquet(ckpt_dir), full_schema, key_range=key_range,
             key_col=key_col, columns=columns,
             legacy_nan_zonemaps=legacy_nan_zonemaps,
         )
-    out_schema, phys = _project_out_schema(out_schema, columns)
-    fdf = mdf
-    if phys is not None:
-        from pyspark.sql import functions as F
-
-        fdf = fdf.filter(F.col("column").isin(phys))
-    if key_range is not None:
-        fdf = fdf.filter(_zone_keep_expr(key_range, legacy_nan_zonemaps))
     files = sorted(r["__file"] for r in fdf.select("__file").distinct().collect())
     if not files:
         return spark.createDataFrame([], from_arrow_schema(out_schema))
@@ -974,25 +991,10 @@ def planned_chunk_keys(df, key_col: str, num_partitions: int,
                                  None, partitioner, sort_within)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        def key_of(table: pa.Table) -> str:
-            keys = table.column(key_col).combine_chunks()
-            return _checksum(_arrow_to_columnvalues(keys))
-
         out: list[str] = []
-        buf: list[pa.RecordBatch] = []
-        nbuf = 0
-        for b in batches:
-            buf.append(b)
-            nbuf += b.num_rows
-            while nbuf >= chunk_rows:
-                t = pa.Table.from_batches(buf)
-                head = t.slice(0, chunk_rows).combine_chunks()
-                rest = t.slice(chunk_rows)
-                out.append(key_of(head))
-                buf = rest.to_batches(max_chunksize=max(rest.num_rows, 1)) if rest.num_rows else []
-                nbuf = rest.num_rows
-        if nbuf:
-            out.append(key_of(pa.Table.from_batches(buf).combine_chunks()))
+        for tbl in _iter_chunk_tables(batches, chunk_rows):
+            keys = tbl.column(key_col).combine_chunks()
+            out.append(_checksum(_arrow_to_columnvalues(keys)))
         if out:
             yield pa.RecordBatch.from_pydict(
                 {"chunk_key": out}, schema=pa.schema([("chunk_key", pa.string())])
@@ -1008,9 +1010,14 @@ def _todo_from_anti_join(spark, ckpt_dir: str, sub, key_col: str, n: int,
     planned chunk keys of the remaining input against the manifest's
     committed keys; what survives is the (small) set still to encode.
     Returns None when the layout can't be pre-planned (weight/range
-    partitioners sample nondeterministically) or the todo set itself
+    partitioners sample nondeterministically; hash WITHOUT the
+    in-partition sort leaves row order at the mercy of shuffle-block
+    fetch order, so planned keys would not match encode keys and
+    committed chunks would be silently skipped) or the todo set itself
     overflows — callers then fall back to idempotent full re-encode."""
     if partitioner not in ("hash", "none"):
+        return None
+    if partitioner == "hash" and not sort_within:
         return None
     from pyspark.sql import functions as F
 

@@ -149,17 +149,29 @@ def minhash_lsh_pairs(
 
     s = uuid.uuid4().hex[:8]
     docs_v, grams_v, mins_v = f"mh_docs_{s}", f"mh_grams_{s}", f"mh_mins_{s}"
-    docs.select("doc_id", "text").createOrReplaceTempView(docs_v)
-    grams = spark.sql(GRAMS_SQL.format(docs=docs_v))
-    grams.cache().createOrReplaceTempView(grams_v)
-    mins = spark.sql(MINS_SQL.format(grams=grams_v))
-    mins.cache().createOrReplaceTempView(mins_v)
+    cached = []
     try:
+        # everything from the first view on sits inside the try: a
+        # failure mid-setup (analysis error, cancelled job) must not
+        # leak uuid-named views/caches that nothing can reach again
+        docs.select("doc_id", "text").createOrReplaceTempView(docs_v)
+        grams = spark.sql(GRAMS_SQL.format(docs=docs_v))
+        grams.cache().createOrReplaceTempView(grams_v)
+        cached.append(grams_v)
+        mins = spark.sql(MINS_SQL.format(grams=grams_v))
+        mins.cache().createOrReplaceTempView(mins_v)
+        cached.append(mins_v)
         out = spark.sql(_body_sql(band_cap, docs=docs_v, grams=grams_v,
                                   mins_v=mins_v))
         return out.localCheckpoint(eager=True)  # materialize before uncache
     finally:
-        spark.catalog.uncacheTable(mins_v)
-        spark.catalog.uncacheTable(grams_v)
+        for v in reversed(cached):
+            try:
+                spark.catalog.uncacheTable(v)
+            except Exception:
+                pass
         for v in (docs_v, grams_v, mins_v):
-            spark.catalog.dropTempView(v)
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass

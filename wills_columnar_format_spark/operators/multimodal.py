@@ -52,9 +52,14 @@ def extract_binary_meta(df, payload_col: str, id_col: str):
             head = np.full(len(arr), -1, dtype=np.int32)
             nz = lens > 0
             head[nz] = data[off[:-1][nz]]
+            ids = b.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
             yield pa.RecordBatch.from_arrays(
                 [
-                    b.column(id_col),
+                    # declared schema says bigint: cast narrower id types
+                    # (the old pandas path coerced silently)
+                    ids.cast(pa.int64()),
                     pa.array(lens, type=pa.int64()),
                     pa.array(head, type=pa.int32()),
                 ],

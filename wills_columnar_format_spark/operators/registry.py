@@ -286,7 +286,9 @@ def q_compression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = j.agg(
             F.count("*").alias("__joined"),
             *[
-                F.sum((F.col(f"d.{c}") != F.col(f"o.{c}")).cast("long")).alias(c)
+                # null-safe: a decode that corrupts a value to NULL must
+                # count as a mismatch, not vanish from the SUM
+                F.sum((~F.col(f"d.{c}").eqNullSafe(F.col(f"o.{c}"))).cast("long")).alias(c)
                 for c in cols
                 if c != "doc_id"
             ],
