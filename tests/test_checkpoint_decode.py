@@ -192,3 +192,66 @@ def test_torn_checkpoint_falls_back(spark, token_df, tmp_path_factory):
     with pytest.warns(UserWarning, match="not chunk-clustered"):
         dec = decode_checkpoint(spark, path, token_df.schema)
     _assert_equals_source(dec, token_df)
+
+
+def test_compact_checkpoint_restores_clustered_layout(spark, token_df, tmp_path_factory):
+    """A duplicated (resumed/merged) checkpoint pays the shuffling decode
+    on every read; one compact_checkpoint shuffle collapses duplicates,
+    re-clusters chunks file-contiguously, and every subsequent
+    decode_checkpoint runs shuffle-free with no fallback warning."""
+    import warnings as W
+
+    from wills_columnar_format_spark.engine import compact_checkpoint, encode_table
+
+    src = str(tmp_path_factory.mktemp("ckpt_cmp") / "src")
+    dst = str(tmp_path_factory.mktemp("ckpt_cmp") / "dst")
+    m = encode_table(token_df, key_col="doc_id", codec="auto",
+                     num_partitions=4, chunk_rows=512, partitioner="hash")
+    m.write.parquet(src)
+    m.write.mode("append").parquet(src)  # replay duplicates
+    with pytest.warns(UserWarning, match="not chunk-clustered"):
+        decode_checkpoint(spark, src, token_df.schema).count()
+
+    compact_checkpoint(spark, src, dst, num_files=4)
+    with W.catch_warnings():
+        W.simplefilter("error")  # any fallback warning fails the test
+        dec = decode_checkpoint(spark, dst, token_df.schema)
+        plan = dec._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        _assert_equals_source(dec, token_df)
+
+
+def test_compact_checkpoint_heals_torn_layout(spark, token_df, tmp_path_factory):
+    from wills_columnar_format_spark.engine import compact_checkpoint, encode_table
+
+    src = str(tmp_path_factory.mktemp("ckpt_cmt") / "src")
+    dst = str(tmp_path_factory.mktemp("ckpt_cmt") / "dst")
+    (
+        encode_table(token_df, key_col="doc_id", codec="auto",
+                     num_partitions=2, chunk_rows=512)
+        .write.option("maxRecordsPerFile", 3).parquet(src)
+    )
+    compact_checkpoint(spark, src, dst, num_files=2)
+    dec = decode_checkpoint(spark, dst, token_df.schema)
+    assert "Exchange" not in dec._jdf.queryExecution().executedPlan().toString()
+    _assert_equals_source(dec, token_df)
+
+
+def test_value_range_checkpoint_prunes_files_and_chunks(spark, tmp_path_factory):
+    """value_range on a checkpointed manifest prunes whole files (driver
+    metadata pass) and chunks inside each file (per-file qualifying-key
+    lists pushed into the pyarrow read) — still zero Exchange."""
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    path = str(tmp_path_factory.mktemp("ckpt_vr") / "m")
+    encode_table(df, key_col="k", num_partitions=8, partitioner="range",
+                 chunk_rows=1024).write.parquet(path)
+    full = decode_checkpoint(spark, path, df.schema)
+    hit = decode_checkpoint(spark, path, df.schema,
+                            value_range=("v", 30_000, 30_600))
+    assert "Exchange" not in hit._jdf.queryExecution().executedPlan().toString()
+    assert hit.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+    got = sorted(r.v for r in hit.select("v").collect())
+    assert got == [v for v in range(0, 60_000, 3) if 30_000 <= v <= 30_600]

@@ -171,3 +171,70 @@ def test_numeric_range_on_string_keyed_manifest_not_silently_empty(spark):
     dec = decode_table(m, df.schema, key_range=(100, 199), key_col="v")
     got = sorted(r.v for r in dec.select("v").collect())
     assert got == list(range(100, 200))
+
+
+def test_value_range_decode_prunes_and_is_exact(spark):
+    """Value zone maps on a NON-key column: when the data is clustered
+    on that column (here: v monotone in the range-partitioned key), a
+    value_range decode touches a fraction of the chunks and returns
+    exactly the rows a plain filter would."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import (
+        _value_range_keys,
+        decode_table,
+        encode_table,
+    )
+
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),          # monotone in k: clustered
+        (F.col("id") % 13).cast("int").alias("w"),
+    )
+    m = encode_table(df, key_col="k", num_partitions=8, partitioner="range",
+                     chunk_rows=1024).cache()
+    try:
+        n_all = m.select("chunk_key").distinct().count()
+        lo, hi = 30_000, 30_600  # v in [30000, 30600] -> k in [10000, 10200]
+        n_hit = (_value_range_keys(m, ("v", lo, hi))
+                 .select("chunk_key").distinct().count())
+        assert n_hit < n_all / 4  # pruning really skipped most chunks
+        dec = decode_table(m, df.schema, value_range=("v", lo, hi))
+        got = sorted(r.v for r in dec.select("v").collect())
+        assert got == [v for v in range(0, 60_000, 3) if lo <= v <= hi]
+        # full rows survive (the non-filtered column too)
+        bad = (dec.alias("d").join(df.alias("o"), "k")
+               .filter(F.col("d.w") != F.col("o.w")).count())
+        assert bad == 0
+    finally:
+        m.unpersist()
+
+
+def test_value_range_on_uncorrelated_column_still_exact(spark):
+    """On a column uncorrelated with the layout the zone maps prune
+    nothing — the decode must degrade to a plain filter, never drop or
+    duplicate rows."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("int").alias("v")
+    )
+    m = encode_table(df, key_col="k", num_partitions=4, partitioner="range",
+                     chunk_rows=512)
+    dec = decode_table(m, df.schema, value_range=("v", 10, 12))
+    assert dec.count() == df.filter((F.col("v") >= 10) & (F.col("v") <= 12)).count()
+
+
+def test_value_range_requires_column_in_output(spark):
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    m = encode_table(df, key_col="k", num_partitions=2)
+    import pytest as _pt
+
+    with _pt.raises(KeyError, match="value_range"):
+        decode_table(m, df.schema, columns=["k"], value_range=("v", 0, 10))

@@ -45,6 +45,8 @@ MANIFEST_FIELDS = [
     ("max_key", "string"),
     ("min_key_num", "double"),
     ("max_key_num", "double"),
+    ("val_min", "double"),
+    ("val_max", "double"),
     ("snapshot_id", "string"),
     ("blob", "binary"),
 ]
@@ -66,6 +68,8 @@ _MANIFEST_PA = pa.schema(
         ("max_key", pa.string()),
         ("min_key_num", pa.float64()),
         ("max_key_num", pa.float64()),
+        ("val_min", pa.float64()),
+        ("val_max", pa.float64()),
         ("snapshot_id", pa.string()),
         ("blob", pa.large_binary()),
     ]
@@ -83,6 +87,32 @@ def _arrow_to_columnvalues(arr: pa.Array) -> ColumnValues:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     return ColumnValues.from_arrow(arr)
+
+
+def _value_zone_map(cv: ColumnValues):
+    """Per-chunk [min, max] of a numeric sub-column's VALUES — zone maps
+    for every numeric column, not just the key (the reference's V1
+    row-skipping wish, org:187-194, generalized: a value-range decode
+    prunes chunks by any numeric column's lineage interval). NULL for
+    non-numeric/empty columns (conservative keep on the read side).
+    Bounds are widened to the enclosing float64 for >2^53 ints, and NaN
+    values are ignored (NaN rows never match a range; an all-NaN chunk
+    gets NULL maps)."""
+    if cv.vals is None or not cv.n or not np.issubdtype(cv.vals.dtype, np.number):
+        return None, None
+    if np.issubdtype(cv.vals.dtype, np.floating):
+        with np.errstate(all="ignore"):
+            mn_, mx_ = np.nanmin(cv.vals), np.nanmax(cv.vals)
+        if np.isnan(mn_) or np.isnan(mx_):
+            return None, None
+        return float(mn_), float(mx_)
+    mn_, mx_ = cv.vals.min(), cv.vals.max()
+    vmin, vmax = float(mn_), float(mx_)
+    if vmin > mn_:
+        vmin = float(np.nextafter(vmin, -np.inf))
+    if vmax < mx_:
+        vmax = float(np.nextafter(vmax, np.inf))
+    return vmin, vmax
 
 
 def _checksum(col: ColumnValues) -> str:
@@ -214,6 +244,8 @@ def _done_marker_batch(part_id: int, tag: str, n_chunks: int, snapshot_id) -> pa
             "max_key": [""],
             "min_key_num": [None],
             "max_key_num": [None],
+            "val_min": [None],
+            "val_max": [None],
             "snapshot_id": [snapshot_id],
             "blob": [b""],
         },
@@ -287,6 +319,7 @@ def make_encode_fn(
                     if committed and (chunk_key, sub_name, csum) in committed:
                         continue  # idempotent resume: chunk already encoded
                     blob, footer = _encode_one(cv, codec, target_page_size)
+                    vmin, vmax = _value_zone_map(cv)
                     rows["part_id"].append(part_id)
                     rows["chunk_id"].append(chunk_id)
                     rows["chunk_key"].append(chunk_key)
@@ -301,6 +334,8 @@ def make_encode_fn(
                     rows["max_key"].append(max_key)
                     rows["min_key_num"].append(min_num)
                     rows["max_key_num"].append(max_num)
+                    rows["val_min"].append(vmin)
+                    rows["val_max"].append(vmax)
                     rows["snapshot_id"].append(snapshot_id)
                     rows["blob"].append(blob)
             return pa.RecordBatch.from_pydict(rows, schema=_MANIFEST_PA)
@@ -618,9 +653,28 @@ def _project_out_schema(out_schema: pa.Schema, columns):
     return pruned, phys
 
 
+def _value_range_keys(manifest_df, value_range):
+    """Manifest rows (chunk_key level) whose ``value_range`` column MAY
+    hold values in [lo, hi], per the per-chunk value zone maps. NULL
+    maps (non-numeric / all-NaN / pre-zone-map manifests) keep the chunk
+    conservatively — the exact post-filter removes stray rows."""
+    from pyspark.sql import functions as F
+
+    vcol, lo, hi = value_range
+    return (
+        manifest_df.filter(
+            (F.col("column") == vcol)
+            & (
+                ((F.col("val_max") >= F.lit(lo)) & (F.col("val_min") <= F.lit(hi)))
+                | F.col("val_min").isNull()
+            )
+        )
+    )
+
+
 def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                  assume_unique=False, arranged=False, columns=None,
-                 legacy_nan_zonemaps=False):
+                 legacy_nan_zonemaps=False, value_range=None):
     """Decode a manifest back to the original rows (order not preserved
     globally; chunk-local order is exact — verify by joining on the key).
 
@@ -639,6 +693,16 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     fields' blobs (plus their #lengths/#values/#valid sub-columns) are
     read, shuffled, and decoded — the columnar projection-pushdown
     analogue, pushed into the checkpointed manifest's parquet scan.
+
+    ``value_range=(column, lo, hi)`` prunes chunks by ANY numeric
+    column's per-chunk value zone maps (the key-range idea generalized:
+    e.g. decode only chunks whose ``n_chars`` interval intersects
+    [lo, hi]) via a BROADCAST semi-join on the qualifying chunk keys —
+    no blob shuffle — then exact-filters the decoded rows. The named
+    column must be in the decoded output. Pays off when the data is
+    clustered on that column (sorted ingest, correlated keys); on
+    uncorrelated columns every chunk intersects and it degrades to a
+    plain filter, never worse.
 
     ``assume_unique=True`` skips the duplicate-collapse aggregate and
     ``arranged=True`` skips the chunk-grouping shuffle — both are safe
@@ -692,6 +756,20 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         else:
             mn, mx = F.col("min_key"), F.col("max_key")
             manifest_df = manifest_df.filter((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
+    if value_range is not None:
+        vcol, lo, hi = value_range
+        if out_schema.get_field_index(vcol) < 0:
+            raise KeyError(
+                f"value_range column {vcol!r} must be in the decoded output "
+                "(the zone-map prune is approximate; the exact row filter "
+                "needs the column)"
+            )
+        if "val_min" in manifest_df.columns:
+            hit = _value_range_keys(manifest_df, value_range).select("chunk_key").distinct()
+            # broadcast semi-join: the qualifying-key set is small after
+            # pruning and the blob side must NOT shuffle
+            manifest_df = manifest_df.join(F.broadcast(hit), "chunk_key", "left_semi")
+        # else: pre-zone-map manifest — no pruning, exact filter only
     if not assume_unique:
         manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
     if arranged and assume_unique:
@@ -705,6 +783,9 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     if key_range is not None and key_col is not None:
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
+    if value_range is not None:
+        vcol, lo, hi = value_range
+        out = out.filter((F.col(vcol) >= F.lit(lo)) & (F.col(vcol) <= F.lit(hi)))
     return out
 
 
@@ -738,15 +819,12 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
 def _manifest_metadata(spark, ckpt_dir: str):
     from pyspark.sql import functions as F
 
-    return (
-        spark.read.parquet(ckpt_dir)
-        .filter(F.col("column") != DONE_COLUMN)
-        .select(
-            "chunk_key", "column", "min_key", "max_key",
-            "min_key_num", "max_key_num",
-            F.input_file_name().alias("__file"),
-        )
-    )
+    mdf = spark.read.parquet(ckpt_dir).filter(F.col("column") != DONE_COLUMN)
+    cols = ["chunk_key", "column", "min_key", "max_key",
+            "min_key_num", "max_key_num"]
+    if "val_min" in mdf.columns:  # pre-zone-map checkpoints lack these
+        cols += ["val_min", "val_max"]
+    return mdf.select(*cols, F.input_file_name().alias("__file"))
 
 
 def _checkpoint_is_clustered(mdf) -> bool:
@@ -782,8 +860,14 @@ def _zone_keep_expr(key_range, legacy_nan_zonemaps: bool):
     return (mx >= F.lit(lo)) & (mn <= F.lit(hi))
 
 
+# Driver-side cap on the value-range hit-key set shipped to readers:
+# past this, chunk-level pruning degrades to file-level only (plus the
+# exact post-filter) instead of materializing an unbounded key list.
+VALUE_PRUNE_MAX_KEYS = 100_000
+
+
 def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
-                        legacy_nan_zonemaps: bool):
+                        legacy_nan_zonemaps: bool, keyed_files: bool = False):
     """mapInArrow function over a (path string) DataFrame: each task reads
     one manifest parquet file sequentially and decodes its chunk groups.
     Projection and zone-map predicates are pushed into the pyarrow read
@@ -812,7 +896,13 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
 
         decode = make_decode_fn(out_schema)
         for b in batches:
-            for path in b.column("path").to_pylist():
+            key_lists = b.column("keys").to_pylist() if keyed_files else None
+            for i, path in enumerate(b.column("path").to_pylist()):
+                row_filt = filt
+                if key_lists is not None and key_lists[i] is not None:
+                    # chunk-level value-range pruning: only this file's
+                    # zone-map-qualifying chunks are read at all
+                    row_filt = row_filt & pds.field("chunk_key").isin(key_lists[i])
                 if "://" in path or path.startswith("file:"):
                     fsys, p = pafs.FileSystem.from_uri(path)
                 else:
@@ -825,7 +915,7 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
                 # 32 rows/batch ≈ a few chunk groups of ~1 MB blobs.
                 scanner = pds.dataset(p, filesystem=fsys, format="parquet").scanner(
                     columns=["chunk_key", "column", "blob"],
-                    filter=filt, use_threads=False, batch_size=32,
+                    filter=row_filt, use_threads=False, batch_size=32,
                 )
                 yield from decode(scanner.to_batches())
 
@@ -833,7 +923,8 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
 
 
 def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
-                      key_col=None, columns=None, legacy_nan_zonemaps=False):
+                      key_col=None, columns=None, legacy_nan_zonemaps=False,
+                      value_range=None):
     """Decode a CHECKPOINTED manifest directory without shuffling a single
     blob: one task per manifest file, sequential pyarrow read, group
     decode in place (see the section comment above for why the layout
@@ -842,9 +933,14 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
     ``key_range`` prunes twice — whole FILES via a driver-side metadata
     pass (file-level zone maps), then row groups/rows inside each file
     via the pushed pyarrow predicate. ``columns`` projects the same way
-    ``decode_table`` does. Checkpoints that fail the clustered-layout
-    check (duplicates from resumed runs, chunks torn across files) fall
-    back to ``decode_table``'s shuffling path transparently.
+    ``decode_table`` does. ``value_range=(column, lo, hi)`` prunes by
+    any numeric column's per-chunk value zone maps: whole files first,
+    then chunk-level inside each file via a per-file qualifying-key list
+    (bounded by VALUE_PRUNE_MAX_KEYS; past the cap it degrades to
+    file-level + exact post-filter). Checkpoints that fail the
+    clustered-layout check (duplicates from resumed runs, chunks torn
+    across files) fall back to ``decode_table``'s shuffling path
+    transparently.
     """
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
@@ -869,30 +965,111 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
 
         warnings.warn(
             f"checkpoint {ckpt_dir!r} is not chunk-clustered (duplicate or "
-            "torn chunks) — falling back to the shuffling decode path"
+            "torn chunks) — falling back to the shuffling decode path. "
+            "compact_checkpoint(src, dst) restores the clustered layout "
+            "(one shuffle) and makes every later decode shuffle-free"
         )
         return decode_table(
             spark.read.parquet(ckpt_dir), full_schema, key_range=key_range,
             key_col=key_col, columns=columns,
-            legacy_nan_zonemaps=legacy_nan_zonemaps,
+            legacy_nan_zonemaps=legacy_nan_zonemaps, value_range=value_range,
         )
-    files = sorted(r["__file"] for r in fdf.select("__file").distinct().collect())
+    file_keys = None  # path -> qualifying chunk_key list (value_range only)
+    if value_range is not None:
+        vcol = value_range[0]
+        if out_schema.get_field_index(vcol) < 0:
+            raise KeyError(
+                f"value_range column {vcol!r} must be in the decoded output "
+                "(the zone-map prune is approximate; the exact row filter "
+                "needs the column)"
+            )
+        if "val_min" in fdf.columns:
+            hits = _value_range_keys(fdf, value_range).select("__file", "chunk_key").distinct()
+            rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
+            if len(rows) <= VALUE_PRUNE_MAX_KEYS:
+                file_keys = {}
+                for r in rows:
+                    file_keys.setdefault(r["__file"], []).append(r.chunk_key)
+            else:
+                # too many qualifying chunks to ship: file-level only
+                file_keys = {r["__file"]: None for r in hits.select("__file").distinct().collect()}
+    if file_keys is not None:
+        files = sorted(file_keys)
+    else:
+        files = sorted(r["__file"] for r in fdf.select("__file").distinct().collect())
     if not files:
         return spark.createDataFrame([], from_arrow_schema(out_schema))
+    keyed = file_keys is not None
+    rows_in = [(f, file_keys[f] if keyed else None) for f in files]
     files_df = spark.createDataFrame(
-        spark.sparkContext.parallelize([(f,) for f in files], len(files)),
-        "path string",
+        spark.sparkContext.parallelize(rows_in, len(files)),
+        "path string, keys array<string>",
     )
     out = files_df.mapInArrow(
-        make_file_decode_fn(out_schema, phys, key_range, legacy_nan_zonemaps),
+        make_file_decode_fn(out_schema, phys, key_range, legacy_nan_zonemaps,
+                            keyed_files=keyed),
         schema=from_arrow_schema(out_schema),
     )
-    if key_range is not None and key_col is not None:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if key_range is not None and key_col is not None:
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
+    if value_range is not None:
+        vcol, lo, hi = value_range
+        out = out.filter((F.col(vcol) >= F.lit(lo)) & (F.col(vcol) <= F.lit(hi)))
     return out
+
+
+def compact_checkpoint(spark, src_dir: str, dst_dir: str,
+                       num_files: int | None = None) -> str:
+    """Rewrite a checkpoint manifest into the clustered layout: done
+    markers stripped, duplicate (chunk_key, column) rows collapsed, every
+    chunk's rows contiguous within exactly one file.
+
+    Resumed/merged/maxRecordsPerFile-torn checkpoints fail
+    ``decode_checkpoint``'s clustered gate and pay the shuffling decode
+    on EVERY read; compacting pays ONE shuffle now and makes every
+    subsequent decode shuffle-free. The whole rewrite is a single
+    shuffle: ``repartition(chunk_key)`` co-locates all copies of a chunk,
+    the in-partition sort makes duplicates adjacent, and a streaming
+    Arrow pass drops them — no second dropDuplicates exchange.
+    """
+    from pyspark.sql import functions as F
+
+    mdf = (
+        spark.read.parquet(src_dir)
+        .filter(F.col("column") != DONE_COLUMN)
+        .select(*[n for n, _ in MANIFEST_FIELDS])  # pin column order to the DDL
+        .repartition(num_files or max(1, spark.sparkContext.defaultParallelism),
+                     "chunk_key")
+        .sortWithinPartitions("chunk_key", "column", "checksum")
+    )
+
+    def drop_adjacent_dups(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        last = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ks = pc.binary_join_element_wise(
+                b.column("chunk_key"), b.column("column"), "\x00"
+            ).to_numpy(zero_copy_only=False)
+            keep = np.ones(len(ks), dtype=bool)
+            keep[1:] = ks[1:] != ks[:-1]
+            if last is not None and ks[0] == last:
+                keep[0] = False
+            last = ks[-1]
+            out = b.filter(pa.array(keep))
+            if out.num_rows:
+                yield out
+
+    (
+        mdf.mapInArrow(drop_adjacent_dups, schema=MANIFEST_DDL)
+        .write.parquet(dst_dir)
+    )
+    return dst_dir
 
 
 # ---------------------------------------------------------------------------

@@ -261,6 +261,28 @@ def q_point_lookup_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_value_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through compressed data on a NON-key numeric
+    column: every chunk carries per-column value zone maps, and
+    ``value_range`` decodes only chunks whose [val_min, val_max]
+    interval for that column intersects the range (broadcast semi-join
+    on qualifying chunk keys — no blob shuffle), then exact-filters.
+    The reference's V1 row-skipping wish (org:187-194) generalized
+    beyond the sort key."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8,
+                     partitioner="range", chunk_rows=64)
+    return decode_table(m, df.schema, value_range=("n_chars", 200, 900))
+
+
+ORACLE_VALUE_RANGE_SCAN = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "WHERE n_chars BETWEEN 200 AND 900"
+)
+
+
 def q_compression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-independent compression-lineage facts, value-hashable by a
     DuckDB oracle: per column the manifest's logical value count (sum of
@@ -833,6 +855,7 @@ REGISTRY: dict[str, tuple] = {
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
     "point_lookup_checkpoint": (q_point_lookup_checkpoint, ORACLE_POINT_LOOKUP),
+    "value_range_scan": (q_value_range_scan, ORACLE_VALUE_RANGE_SCAN),
     "compression_metrics": (q_compression_metrics, DUCK_COMPRESSION_METRICS),
     # text analysis
     "text_token_count": (_sql_query(SPARK_TOKEN_COUNT, "documents"), DUCK_TOKEN_COUNT),
