@@ -1,0 +1,90 @@
+"""Sequence packing: the distributed two-phase prefix sum must equal the
+naive single-partition window, stay invariant to the partition count,
+and never collapse to one task."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark.operators.packing import (
+    doc_offsets,
+    sequence_pack_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # ragged lengths incl. docs longer than a sequence (straddle several)
+    return spark.range(0, 5_000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 700 + 1).cast("int").alias("n_chars"),
+    ).localCheckpoint(eager=True)
+
+
+def _naive_offsets(spark, docs):
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").alias("n"),
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("bigint").alias("off"),
+    )
+
+
+def test_offsets_match_naive_window(spark, docs):
+    got = {r.doc_id: (r.n, r.off) for r in doc_offsets(docs, "doc_id", "n_chars", 8).collect()}
+    exp = {r.doc_id: (r.n, r.off) for r in _naive_offsets(spark, docs).collect()}
+    assert got == exp
+
+
+def test_offsets_invariant_to_partition_count(spark, docs):
+    a = sorted((r.doc_id, r.off) for r in doc_offsets(docs, "doc_id", "n_chars", 2).collect())
+    b = sorted((r.doc_id, r.off) for r in doc_offsets(docs, "doc_id", "n_chars", 16).collect())
+    assert a == b
+
+
+def test_pack_spans_exact(spark, docs):
+    L = 512
+    spans = {r.seq_id: (r.n_docs, r.n_units, r.first_doc, r.last_doc)
+             for r in sequence_pack_spans(docs, L, "doc_id", "n_chars", 8).collect()}
+    # reference: naive python packing
+    rows = sorted((r.doc_id, r.n_chars) for r in docs.collect())
+    exp = {}
+    off = 0
+    for doc_id, n in rows:
+        if n <= 0:
+            continue
+        for s in range(off // L, (off + n - 1) // L + 1):
+            nd, nu, fd, ld = exp.get(s, (0, 0, None, None))
+            ov = min((s + 1) * L, off + n) - max(s * L, off)
+            exp[s] = (nd + 1, nu + ov,
+                      doc_id if fd is None else min(fd, doc_id),
+                      doc_id if ld is None else max(ld, doc_id))
+        off += n
+    assert spans == exp
+    # every sequence is exactly L units except the last
+    total = sum(n for _, n in rows)
+    for s, (_, nu, _, _) in spans.items():
+        assert nu == (L if s < max(spans) else total - L * max(spans))
+
+
+def test_no_single_partition_window(spark, docs):
+    """The scale property: no stage may run the ORDER-BY-everything
+    window (SinglePartition exchange) — the whole point of the two-phase
+    prefix sum."""
+    out = sequence_pack_spans(docs, 512, "doc_id", "n_chars", 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_zero_length_docs_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5)], "doc_id bigint, n_chars int"
+    )
+    spans = sequence_pack_spans(df, 8, "doc_id", "n_chars", 2).collect()
+    by_seq = {r.seq_id: r for r in spans}
+    # 15 units total, L=8: seq0 = first 8 units of doc1; seq1 = doc1's
+    # last 2 units + all 5 of doc3. doc2 (empty) appears nowhere.
+    assert by_seq[0].n_docs == 1 and by_seq[0].first_doc == 1 and by_seq[0].last_doc == 1
+    assert by_seq[0].n_units == 8
+    assert by_seq[1].n_units == 7 and by_seq[1].n_docs == 2
+    assert by_seq[1].first_doc == 1 and by_seq[1].last_doc == 3

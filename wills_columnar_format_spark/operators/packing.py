@@ -1,0 +1,110 @@
+"""Sequence packing: the concat-and-chunk layout LLM training uses.
+
+Documents are laid end-to-end in deterministic key order and cut into
+fixed-length training sequences; a document can straddle a boundary.
+``sequence_pack_spans`` computes, per sequence, which documents land in
+it and how many of their tokens — WITHOUT exploding tokens and WITHOUT
+a single-partition window.
+
+Scale shape (the point): the global offset of each document is a prefix
+sum over the total key order. The naive Spark expression — a window
+over ``ORDER BY key`` with no partition — collapses to ONE task at any
+scale. Here it is the textbook two-phase distributed prefix sum:
+
+1. range-partition + sort by key (the one shuffle);
+2. per-partition totals → driver cumsum (``num_partitions`` longs — the
+   only driver state) → broadcast map;
+3. within-partition running sum (window PARTITIONED by the physical
+   partition id — parallel) + the partition's base offset.
+
+The result depends only on the total key order, not on where partition
+boundaries fall, so Spark's nondeterministic range sampling does not
+affect the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def doc_offsets(df: DataFrame, key_col: str, len_col: str,
+                num_partitions: int | None = None) -> DataFrame:
+    """(key, n, off): each row's exclusive prefix sum of ``len_col`` in
+    global ``key_col`` order, via the distributed two-phase prefix sum
+    described in the module docstring."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = (
+        df.select(key_col, len_col)
+        .repartitionByRange(num_partitions, key_col)
+        .sortWithinPartitions(key_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # localCheckpoint pins the (nondeterministically sampled) range
+    # partitioning: the totals job and the downstream job must see the
+    # SAME partition boundaries or base offsets would mismatch rows
+    parts = parts.localCheckpoint(eager=True)
+    totals = {
+        r["__pid"]: r["t"]
+        for r in parts.groupBy("__pid").agg(F.sum(len_col).alias("t")).collect()
+    }
+    base = {}
+    acc = 0
+    for pid in sorted(totals):
+        base[pid] = acc
+        acc += int(totals[pid])
+    base_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in base.items() for x in kv]),
+        F.col("__pid"),
+    ) if base else F.lit(0)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.withColumn("__run", F.sum(len_col).over(w))
+        .withColumn("off", (base_expr + F.col("__run") - F.col(len_col)).cast("bigint"))
+        .select(F.col(key_col), F.col(len_col).alias("n"), "off")
+    )
+
+
+def sequence_pack_spans(df: DataFrame, seq_len: int, key_col: str,
+                        len_col: str, num_partitions: int | None = None) -> DataFrame:
+    """Per-sequence packing summary for fixed-length sequences of
+    ``seq_len`` units: (seq_id, n_docs, n_units, first_doc, last_doc).
+
+    A document at global offset ``off`` with length ``n`` overlaps
+    sequences floor(off/L) .. floor((off+n-1)/L); the per-sequence unit
+    count sums each overlap ``min((s+1)L, off+n) - max(sL, off)``.
+    Every sequence is exactly ``seq_len`` units except the last.
+    Zero-length documents are dropped (they occupy no sequence)."""
+    offs = doc_offsets(df, key_col, len_col, num_partitions).filter(F.col("n") > 0)
+    L = F.lit(seq_len)
+    spans = (
+        offs.withColumn("s_first", F.floor(F.col("off") / L))
+        .withColumn("s_last", F.floor((F.col("off") + F.col("n") - 1) / L))
+        # a doc spans (n/L + 2) sequences at most — the explode is tiny
+        .select(
+            key_col, "n", "off",
+            F.explode(F.sequence("s_first", "s_last")).alias("seq_id"),
+        )
+        .withColumn(
+            "overlap",
+            F.least((F.col("seq_id") + 1) * L, F.col("off") + F.col("n"))
+            - F.greatest(F.col("seq_id") * L, F.col("off")),
+        )
+    )
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("overlap").cast("bigint").alias("n_units"),
+            F.min(key_col).alias("first_doc"),
+            F.max(key_col).alias("last_doc"),
+        )
+        .withColumn("seq_id", F.col("seq_id").cast("bigint"))
+        .select("seq_id", "n_docs", "n_units", "first_doc", "last_doc")
+    )

@@ -402,6 +402,45 @@ SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
 """
 DUCK_FINGERPRINT = SPARK_FINGERPRINT
 
+_PACK_SEQ_LEN = 2048
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk, the LLM training layout):
+    documents laid end-to-end in doc_id order and cut into fixed
+    2048-unit sequences; per sequence: how many docs, how many units,
+    first/last doc. Computed with a DISTRIBUTED two-phase prefix sum
+    (operators/packing.py) — the naive ORDER-BY-everything window would
+    collapse to one task at 100 TB; the oracle uses exactly that naive
+    window, pinning the distributed result to it."""
+    from .packing import sequence_pack_spans
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sequence_pack_spans(df, seq_len=_PACK_SEQ_LEN, key_col="doc_id",
+                               len_col="n_chars", num_partitions=8)
+
+
+DUCK_SEQUENCE_PACK = f"""
+WITH o AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n,
+         CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, n, off,
+         UNNEST(range(off // {_PACK_SEQ_LEN}, (off + n - 1) // {_PACK_SEQ_LEN} + 1)) AS seq_id
+  FROM o WHERE n > 0
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST((seq_id + 1) * {_PACK_SEQ_LEN}, off + n)
+                - GREATEST(seq_id * {_PACK_SEQ_LEN}, off)) AS BIGINT) AS n_units,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM sp GROUP BY seq_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 3. Deduplication (on documents doubled with shifted ids so exact and
 #    near-dup groups exist deterministically in both engines)
@@ -862,6 +901,7 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (_sql_query(SPARK_TEXT_QUALITY, "documents"), DUCK_TEXT_QUALITY),
     "lang_id": (_sql_query(SPARK_LANG_ID, "documents"), DUCK_LANG_ID),
     "doc_fingerprint": (_sql_query(SPARK_FINGERPRINT, "documents"), DUCK_FINGERPRINT),
+    "sequence_pack": (q_sequence_pack, DUCK_SEQUENCE_PACK),
     # deduplication
     "dedup_exact": (_sql_query(SPARK_DEDUP_EXACT, "documents"), DUCK_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DUCK_NGRAM_JACCARD),
