@@ -238,3 +238,55 @@ def test_value_range_requires_column_in_output(spark):
 
     with _pt.raises(KeyError, match="value_range"):
         decode_table(m, df.schema, columns=["k"], value_range=("v", 0, 10))
+
+
+def test_value_range_extremes_never_lose_rows(spark):
+    """Zone-map widening at the edges: huge int64s (beyond float64's
+    exact range), negatives, and NaN floats must never cause a
+    value_range decode to DROP matching rows (conservative-keep is the
+    invariant; extra chunks are removed by the exact post-filter)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    rng = np.random.default_rng(5)
+    n = 4_000
+    big = rng.integers(2**62, 2**63 - 1, n // 4, dtype=np.int64)
+    neg = rng.integers(-(2**62), 0, n // 4, dtype=np.int64)
+    mid = rng.integers(-1000, 1000, n // 2, dtype=np.int64)
+    v = np.concatenate([big, neg, mid])
+    f = rng.standard_normal(n)
+    pdf = pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64),
+        "v": v,
+        "f": f,
+    })
+    # NaN must be injected Spark-side: createDataFrame turns pandas NaN
+    # into NULL, which the null-free default format rejects
+    df = spark.createDataFrame(pdf).withColumn(
+        "f", F.when(F.col("k") % 20 == 0, F.lit(float("nan"))).otherwise(F.col("f"))
+    )
+    f = np.where(np.arange(n) % 20 == 0, np.nan, f)
+    m = encode_table(df, key_col="k", num_partitions=4, partitioner="range",
+                     chunk_rows=256).cache()
+    try:
+        for lo, hi in [
+            (int(v.min()), int(v.min()) + 10),          # at the low edge
+            (2**62 + 5, 2**63 - 1),                      # huge positives
+            (-50, 50),                                   # dense middle
+        ]:
+            dec = decode_table(m, df.schema, value_range=("v", lo, hi))
+            got = sorted(r.v for r in dec.select("v").collect())
+            exp = sorted(int(x) for x in v[(v >= lo) & (v <= hi)])
+            assert got == exp, (lo, hi)
+        # float column with NaNs: range filter never returns NaN rows and
+        # never loses finite matches
+        dec = decode_table(m, df.schema, value_range=("f", -0.5, 0.5))
+        got = sorted(r.f for r in dec.select("f").collect())
+        fin = f[~np.isnan(f)]
+        exp = sorted(float(x) for x in fin[(fin >= -0.5) & (fin <= 0.5)])
+        assert got == exp
+    finally:
+        m.unpersist()

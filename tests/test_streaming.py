@@ -66,3 +66,29 @@ def test_streaming_incremental_encode(spark, dirs, tmp_path_factory):
         .count()
     )
     assert bad == 0
+
+
+def test_windowed_event_counts_equals_batch(spark, tmp_path_factory):
+    """The streaming tumbling-window aggregation (watermark + window +
+    stateful count, drained with availableNow) must equal the batch
+    GROUP BY hour over the same static input."""
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.streaming import windowed_event_counts
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path_factory.mktemp("win_in") / "events")
+    df.repartition(3).write.parquet(in_dir)
+    got = {
+        (r.window_start, r.n)
+        for r in windowed_event_counts(
+            spark, in_dir, df.schema, ts_col="ts",
+            query_name="wcfs_win_test",
+        ).collect()
+    }
+    exp = {
+        (r.h, r.n)
+        for r in df.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp and len(got) > 0

@@ -153,6 +153,39 @@ def q_roundtrip_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling-window aggregation (watermark +
+    window + stateful count) over the events table landed as stream
+    files — the bounded-state streaming-agg shape, checked against the
+    batch GROUP BY hour oracle (a drained availableNow stream over
+    static input must equal the batch answer)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import windowed_event_counts
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_winq_")
+    try:
+        in_dir = os.path.join(work, "in")
+        df.repartition(3).write.mode("overwrite").parquet(in_dir)
+        out = windowed_event_counts(
+            spark, in_dir, df.schema, ts_col="ts", window="1 hour",
+            query_name=f"wcfs_win_{uuid.uuid4().hex[:8]}",
+        ).select("window_start", F.col("n").cast("bigint").alias("n"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_STREAM_WINDOW_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+
 def q_rle_run_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-on-compressed: value counts aggregated on RLE runs without
     expansion (reference src/test_rle.rs:8-17 generalized)."""
@@ -889,6 +922,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_embeddings": (q_roundtrip_embeddings, ORACLE_ROUNDTRIP_EMBEDDINGS),
     "roundtrip_nullable": (q_roundtrip_nullable, ORACLE_ROUNDTRIP_NULLABLE),
     "roundtrip_streaming": (q_roundtrip_streaming, ORACLE_ROUNDTRIP_DOCUMENTS),
+    "stream_window_counts": (q_stream_window_counts, DUCK_STREAM_WINDOW_COUNTS),
     "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),

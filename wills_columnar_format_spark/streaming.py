@@ -71,3 +71,48 @@ def encode_stream(
 def read_manifest(spark, manifest_dir: str):
     """The accumulated manifest as a DataFrame (dedup'd for replays)."""
     return spark.read.parquet(manifest_dir).dropDuplicates(["chunk_key", "column"])
+
+
+def windowed_event_counts(
+    spark,
+    input_path: str,
+    schema,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    query_name: str = "wcfs_window_counts",
+):
+    """Streaming tumbling-window aggregation with late-data handling:
+    ``readStream`` → ``withWatermark`` → ``groupBy(window(ts))`` →
+    in-memory sink, drained with ``availableNow``. The stateful-agg
+    shape a 100 TB event pipeline runs continuously — state is bounded
+    by the watermark horizon (windows older than the watermark are
+    finalized and evicted), so executor state does not grow with stream
+    length. Returns the final counts DataFrame
+    (window_start, window_end, n)."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    # watermarks require TIMESTAMP (with local tz); parquet NTZ event
+    # times are cast in, and window bounds cast back to NTZ so the
+    # output dtype matches the source column's
+    stream = stream.withColumn("__evt", F.col(ts_col).cast("timestamp"))
+    agg = (
+        stream.withWatermark("__evt", watermark)
+        .groupBy(F.window(F.col("__evt"), window).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            F.col("n"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
