@@ -65,6 +65,20 @@ def _spark(cores: int):
     return get_spark(app="bench", cores=cores, shuffle_partitions=max(cores, 8))
 
 
+def _best_of(run_once):
+    """Time ``run_once`` REPS times: (best_sec, per_rep_samples,
+    last_result). Best-of-N because the host is multi-tenant with a long
+    variance tail (BENCH.md); the raw samples ship in the bench JSON so
+    outliers are diagnosable without re-runs."""
+    reps: list[float] = []
+    result = None
+    for _ in range(REPS):
+        t0 = time.time()
+        result = run_once()
+        reps.append(round(time.time() - t0, 3))
+    return min(reps), reps, result
+
+
 def _warmup(spark, sf_dir: str) -> None:
     """Spin up python workers / JIT / shuffle infra outside the timed
     region (a long-lived cluster amortizes this; a fresh local JVM
@@ -104,9 +118,7 @@ def run_encode(spark, sf_dir: str, num_partitions: int | None = None,
         # 1.97 B/token at 64 parts vs 1.85-1.88 at 8-16 on the same data
         num_partitions = max(8, int(spark.sparkContext.defaultParallelism) // 2)
 
-    reps: list[float] = []
-    for _ in range(REPS):  # best-of-N (noisy host, BENCH.md)
-        t0 = time.time()
+    def run_once():
         m = encode_table(
             df,
             key_col="doc_id",
@@ -115,13 +127,13 @@ def run_encode(spark, sf_dir: str, num_partitions: int | None = None,
             partitioner=partitioner,
             chunk_rows=65536,
         )
-        agg = m.agg(
+        return m.agg(
             F.sum("bytes_in").alias("bi"),
             F.sum("bytes_out").alias("bo"),
             F.count("*").alias("chunks"),
         ).collect()[0]
-        reps.append(round(time.time() - t0, 3))
-    dt = min(reps)
+
+    dt, reps, agg = _best_of(run_once)
     tok_values_bytes = total_tokens * 4  # int32 payload
     return {
         "sec": round(dt, 3),
@@ -154,13 +166,11 @@ def run_decode(spark, sf_dir: str) -> dict:
         partitioner="hash", chunk_rows=65536,
     ).cache()
     m.count()  # materialize encode outside the timed region
-    reps: list[float] = []
-    for _ in range(REPS):  # best-of-N (noisy host, BENCH.md)
-        t0 = time.time()
+    def run_once():
         dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
-        out = dec.agg(F.count("*").alias("n"), F.sum("n_tok").alias("t")).collect()[0]
-        reps.append(round(time.time() - t0, 3))
-    dt = min(reps)
+        return dec.agg(F.count("*").alias("n"), F.sum("n_tok").alias("t")).collect()[0]
+
+    dt, reps, out = _best_of(run_once)
     m.unpersist()
     return {"sec": round(dt, 3), "reps": reps, "rows": int(out.n),
             "tokens": int(out.t), "tokens_per_sec": round(int(out.t) / dt, 1)}
@@ -184,13 +194,11 @@ def run_decode_checkpoint(spark, sf_dir: str) -> dict:
         df, key_col="doc_id", codec="auto", num_partitions=CPUS,
         partitioner="hash", chunk_rows=65536,
     ).write.parquet(ckpt)
-    reps: list[float] = []
-    for _ in range(REPS):  # best-of-N (noisy host, BENCH.md)
-        t0 = time.time()
+    def run_once():
         dec = decode_checkpoint(spark, ckpt, df.schema)
-        out = dec.agg(F.count("*").alias("n"), F.sum("n_tok").alias("t")).collect()[0]
-        reps.append(round(time.time() - t0, 3))
-    dt = min(reps)
+        return dec.agg(F.count("*").alias("n"), F.sum("n_tok").alias("t")).collect()[0]
+
+    dt, reps, out = _best_of(run_once)
     return {"sec": round(dt, 3), "reps": reps, "rows": int(out.n),
             "tokens": int(out.t), "tokens_per_sec": round(int(out.t) / dt, 1)}
 
@@ -221,13 +229,9 @@ def _registry_benches(spark, sf_dir: str):
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}
     for name in names:
-        samples: list[float] = []
-        for _ in range(REPS):  # best-of-N: the sandbox host is noisy (BENCH.md)
-            t0 = time.time()
-            n = qs[name](spark, sf_dir).count()
-            samples.append(round(time.time() - t0, 3))
-            assert n >= 0
-        out[name] = min(samples)
+        best, samples, n = _best_of(lambda: qs[name](spark, sf_dir).count())
+        assert n >= 0
+        out[name] = best
         rep_map[name] = samples
     return out, rep_map
 

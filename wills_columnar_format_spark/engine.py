@@ -653,6 +653,28 @@ def _project_out_schema(out_schema: pa.Schema, columns):
     return pruned, phys
 
 
+def _zone_keep_expr(key_range, legacy_nan_zonemaps: bool):
+    """Spark Column keeping manifest rows whose chunk may hold keys in
+    ``key_range``. Numeric ranges use the cast-free val_*_num columns
+    (parquet-pushable; NULL maps kept conservatively — the exact
+    post-filter removes stray rows). ``legacy_nan_zonemaps`` adds an
+    isnan keep for pre-round-2 manifests that stored NaN instead of
+    NULL; it is opt-in because isnan is NOT parquet-translatable and
+    OR-ing it in drops the whole disjunct from PushedFilters
+    (asserted in tests/test_slice.py)."""
+    from pyspark.sql import functions as F
+
+    lo, hi = key_range
+    if isinstance(lo, (int, float)) and not isinstance(lo, bool):
+        mn, mx = F.col("min_key_num"), F.col("max_key_num")
+        keep = ((mx >= F.lit(lo)) & (mn <= F.lit(hi))) | mn.isNull()
+        if legacy_nan_zonemaps:
+            keep = keep | F.isnan(mn)
+        return keep
+    mn, mx = F.col("min_key"), F.col("max_key")
+    return (mx >= F.lit(lo)) & (mn <= F.lit(hi))
+
+
 def _value_range_keys(manifest_df, value_range):
     """Manifest rows (chunk_key level) whose ``value_range`` column MAY
     hold values in [lo, hi], per the per-chunk value zone maps. NULL
@@ -729,33 +751,13 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     if key_range is not None:
         # prune BEFORE the dedup aggregate: Catalyst cannot push a
         # non-grouping-column filter through dropDuplicates, and pruning
-        # first keeps the manifest shuffle proportional to chunks HIT
-        lo, hi = key_range
-        if isinstance(lo, (int, float)) and not isinstance(lo, bool):
-            # native numeric zone-map columns: the filter is cast-free, so
-            # on a checkpointed manifest it pushes into the parquet scan
-            # (row-group stats pruning — check PushedFilters in .explain).
-            # Chunks with NULL zone maps (non-numeric key column) are kept
-            # conservatively — the exact post-filter below removes their
-            # rows — instead of being silently dropped; IS NULL is itself
-            # parquet-pushable so the scan still prunes.
-            #
-            # ``legacy_nan_zonemaps``: pre-round-2 encoders stored NaN
-            # (not NULL) for non-numeric keys, and Spark evaluates
-            # NaN <= hi as false — the flag adds an isnan keep for such
-            # checkpoints. It is opt-in because isnan is NOT a parquet-
-            # translatable predicate: OR-ing it in drops the whole
-            # zone-map disjunct from PushedFilters, forfeiting row-group
-            # pruning (asserted in tests/test_slice.py). Current-format
-            # manifests never contain NaN zone maps.
-            mn, mx = F.col("min_key_num"), F.col("max_key_num")
-            keep = ((mx >= F.lit(lo)) & (mn <= F.lit(hi))) | mn.isNull()
-            if legacy_nan_zonemaps:
-                keep = keep | F.isnan(mn)
-            manifest_df = manifest_df.filter(keep)
-        else:
-            mn, mx = F.col("min_key"), F.col("max_key")
-            manifest_df = manifest_df.filter((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
+        # first keeps the manifest shuffle proportional to chunks HIT.
+        # On a checkpointed manifest the keep expression pushes into the
+        # parquet scan (row-group stats pruning — check PushedFilters);
+        # see _zone_keep_expr for the NULL/NaN conservative-keep rules.
+        manifest_df = manifest_df.filter(
+            _zone_keep_expr(key_range, legacy_nan_zonemaps)
+        )
     if value_range is not None:
         vcol, lo, hi = value_range
         if out_schema.get_field_index(vcol) < 0:
@@ -844,22 +846,6 @@ def _checkpoint_is_clustered(mdf) -> bool:
     return bad.isEmpty()
 
 
-def _zone_keep_expr(key_range, legacy_nan_zonemaps: bool):
-    """Spark Column keeping manifest rows whose chunk may hold keys in
-    ``key_range`` (same semantics as decode_table's pruning)."""
-    from pyspark.sql import functions as F
-
-    lo, hi = key_range
-    if isinstance(lo, (int, float)) and not isinstance(lo, bool):
-        mn, mx = F.col("min_key_num"), F.col("max_key_num")
-        keep = ((mx >= F.lit(lo)) & (mn <= F.lit(hi))) | mn.isNull()
-        if legacy_nan_zonemaps:
-            keep = keep | F.isnan(mn)
-        return keep
-    mn, mx = F.col("min_key"), F.col("max_key")
-    return (mx >= F.lit(lo)) & (mn <= F.lit(hi))
-
-
 # Driver-side cap on the value-range hit-key set shipped to readers:
 # past this, chunk-level pruning degrades to file-level only (plus the
 # exact post-filter) instead of materializing an unbounded key list.
@@ -867,7 +853,7 @@ VALUE_PRUNE_MAX_KEYS = 100_000
 
 
 def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
-                        legacy_nan_zonemaps: bool, keyed_files: bool = False):
+                        legacy_nan_zonemaps: bool):
     """mapInArrow function over a (path string) DataFrame: each task reads
     one manifest parquet file sequentially and decodes its chunk groups.
     Projection and zone-map predicates are pushed into the pyarrow read
@@ -896,7 +882,10 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
 
         decode = make_decode_fn(out_schema)
         for b in batches:
-            key_lists = b.column("keys").to_pylist() if keyed_files else None
+            key_lists = (
+                b.column("keys").to_pylist()
+                if "keys" in b.schema.names else None
+            )
             for i, path in enumerate(b.column("path").to_pylist()):
                 row_filt = filt
                 if key_lists is not None and key_lists[i] is not None:
@@ -999,15 +988,13 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
         files = sorted(r["__file"] for r in fdf.select("__file").distinct().collect())
     if not files:
         return spark.createDataFrame([], from_arrow_schema(out_schema))
-    keyed = file_keys is not None
-    rows_in = [(f, file_keys[f] if keyed else None) for f in files]
+    rows_in = [(f, file_keys[f] if file_keys is not None else None) for f in files]
     files_df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows_in, len(files)),
         "path string, keys array<string>",
     )
     out = files_df.mapInArrow(
-        make_file_decode_fn(out_schema, phys, key_range, legacy_nan_zonemaps,
-                            keyed_files=keyed),
+        make_file_decode_fn(out_schema, phys, key_range, legacy_nan_zonemaps),
         schema=from_arrow_schema(out_schema),
     )
     from pyspark.sql import functions as F

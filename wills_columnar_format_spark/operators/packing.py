@@ -55,6 +55,9 @@ def doc_offsets(df: DataFrame, key_col: str, len_col: str,
     for pid in sorted(totals):
         base[pid] = acc
         acc += int(totals[pid])
+    # base offsets ride as a literal map expression — 2·P literals, fine
+    # for the partition counts this targets (≤ thousands); past ~10^4
+    # partitions a broadcast join on __pid would be the better carrier
     base_expr = F.element_at(
         F.create_map(*[F.lit(x) for kv in base.items() for x in kv]),
         F.col("__pid"),
