@@ -311,3 +311,17 @@ def test_nation_revenue_broadcasts_small_sides(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert df.count() == 25
+
+
+def test_region_part_revenue_broadcasts_dims(spark):
+    """The Q9-style snowflake joins every dimension side as a broadcast
+    (decoded views have no stats) — the lineitem fact side never enters
+    a SortMergeJoin."""
+    from wills_columnar_format_spark.operators.registry import REGISTRY
+
+    fn, _ = REGISTRY["region_part_revenue"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert df.count() > 0

@@ -890,6 +890,29 @@ SPARK_NATION_REVENUE = _NATION_REVENUE_BODY.replace(
 )
 DUCK_NATION_REVENUE = _NATION_REVENUE_BODY
 
+# TPC-H Q9-style snowflake over the remaining dimension tables
+# (part/supplier/region complete the 10-table coverage): revenue by
+# region and part brand through a 5-way join of decoded codec views.
+_REGION_PART_BODY = """
+SELECT r.r_name AS region, p.p_brand AS brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, p.p_brand
+"""
+# same broadcast rationale as nation_revenue: decoded views carry no
+# stats, and every non-lineitem side here is dimension-shaped
+SPARK_REGION_PART_REVENUE = _REGION_PART_BODY.replace(
+    "SELECT r.r_name",
+    "SELECT /*+ BROADCAST(p), BROADCAST(s), BROADCAST(n), BROADCAST(r) */ r.r_name",
+    1,
+)
+DUCK_REGION_PART_REVENUE = _REGION_PART_BODY
+
 SPARK_EVENTS_TOP_TYPE = """
 WITH cnt AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type),
 r AS (SELECT user_id, event_type, n,
@@ -972,6 +995,17 @@ REGISTRY: dict[str, tuple] = {
             ("events", "event_id", ["user_id", "event_type"]),
         ]),
         DUCK_EVENTS_TOP_TYPE,
+    ),
+    "region_part_revenue": (
+        _codec_query(SPARK_REGION_PART_REVENUE, [
+            ("lineitem", "l_orderkey",
+             ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+            ("part", "p_partkey", ["p_brand"]),
+            ("supplier", "s_suppkey", ["s_nationkey"]),
+            ("nation", "n_nationkey", ["n_regionkey"]),
+            ("region", "r_regionkey", ["r_name"]),
+        ]),
+        DUCK_REGION_PART_REVENUE,
     ),
 }
 
