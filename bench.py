@@ -214,7 +214,10 @@ def _registry_benches(spark, sf_dir: str):
         "roundtrip_documents",
         "roundtrip_lineitem",
         "roundtrip_events",
+        "roundtrip_checkpoint",
         "point_lookup",
+        "value_range_scan",
+        "sequence_pack",
         "rle_run_counts",
         "text_quality",
         "lang_id",
