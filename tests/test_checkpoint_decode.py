@@ -255,3 +255,22 @@ def test_value_range_checkpoint_prunes_files_and_chunks(spark, tmp_path_factory)
     assert hit.rdd.getNumPartitions() < full.rdd.getNumPartitions()
     got = sorted(r.v for r in hit.select("v").collect())
     assert got == [v for v in range(0, 60_000, 3) if 30_000 <= v <= 30_600]
+
+
+def test_compact_checkpoint_accepts_legacy_manifests(spark, token_df, tmp_path_factory):
+    """Compaction is the tool the fallback warning points legacy
+    checkpoints at, so it must accept manifests written before the
+    value-zone-map columns existed (filled with typed NULLs)."""
+    src = str(tmp_path_factory.mktemp("ckpt_leg") / "src")
+    dst = str(tmp_path_factory.mktemp("ckpt_leg") / "dst")
+    m = encode_table(token_df, key_col="doc_id", codec="auto",
+                     num_partitions=2, chunk_rows=512, partitioner="hash")
+    # simulate a round-2 manifest: the zone-map columns don't exist
+    m.drop("val_min", "val_max").write.parquet(src)
+    m.drop("val_min", "val_max").write.mode("append").parquet(src)  # dups
+
+    from wills_columnar_format_spark.engine import compact_checkpoint
+    compact_checkpoint(spark, src, dst, num_files=2)
+    dec = decode_checkpoint(spark, dst, token_df.schema)
+    assert "Exchange" not in dec._jdf.queryExecution().executedPlan().toString()
+    _assert_equals_source(dec, token_df)

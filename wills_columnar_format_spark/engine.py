@@ -106,7 +106,10 @@ def _value_zone_map(cv: ColumnValues):
         if np.isnan(mn_) or np.isnan(mx_):
             return None, None
         return float(mn_), float(mx_)
-    mn_, mx_ = cv.vals.min(), cv.vals.max()
+    # exact-int comparison (Python int vs float compares exactly):
+    # comparing against the np.int64 would coerce BOTH sides to float64
+    # and the >2^53 rounding guard would never fire
+    mn_, mx_ = int(cv.vals.min()), int(cv.vals.max())
     vmin, vmax = float(mn_), float(mx_)
     if vmin > mn_:
         vmin = float(np.nextafter(vmin, -np.inf))
@@ -675,6 +678,22 @@ def _zone_keep_expr(key_range, legacy_nan_zonemaps: bool):
     return (mx >= F.lit(lo)) & (mn <= F.lit(hi))
 
 
+def _require_value_col(out_schema: pa.Schema, vcol: str) -> None:
+    if out_schema.get_field_index(vcol) < 0:
+        raise KeyError(
+            f"value_range column {vcol!r} must be in the decoded output "
+            "(the zone-map prune is approximate; the exact row filter "
+            "needs the column)"
+        )
+
+
+def _value_exact_filter(df, value_range):
+    from pyspark.sql import functions as F
+
+    vcol, lo, hi = value_range
+    return df.filter((F.col(vcol) >= F.lit(lo)) & (F.col(vcol) <= F.lit(hi)))
+
+
 def _value_range_keys(manifest_df, value_range):
     """Manifest rows (chunk_key level) whose ``value_range`` column MAY
     hold values in [lo, hi], per the per-chunk value zone maps. NULL
@@ -759,17 +778,14 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
             _zone_keep_expr(key_range, legacy_nan_zonemaps)
         )
     if value_range is not None:
-        vcol, lo, hi = value_range
-        if out_schema.get_field_index(vcol) < 0:
-            raise KeyError(
-                f"value_range column {vcol!r} must be in the decoded output "
-                "(the zone-map prune is approximate; the exact row filter "
-                "needs the column)"
-            )
+        _require_value_col(out_schema, value_range[0])
         if "val_min" in manifest_df.columns:
             hit = _value_range_keys(manifest_df, value_range).select("chunk_key").distinct()
             # broadcast semi-join: the qualifying-key set is small after
-            # pruning and the blob side must NOT shuffle
+            # pruning and the blob side must NOT shuffle. NOTE: the hit
+            # subquery evaluates the manifest lineage a second time —
+            # cache()/checkpoint the manifest first when it flows
+            # straight from encode_table, or the encode runs twice.
             manifest_df = manifest_df.join(F.broadcast(hit), "chunk_key", "left_semi")
         # else: pre-zone-map manifest — no pruning, exact filter only
     if not assume_unique:
@@ -786,8 +802,7 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
     if value_range is not None:
-        vcol, lo, hi = value_range
-        out = out.filter((F.col(vcol) >= F.lit(lo)) & (F.col(vcol) <= F.lit(hi)))
+        out = _value_exact_filter(out, value_range)
     return out
 
 
@@ -965,13 +980,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
         )
     file_keys = None  # path -> qualifying chunk_key list (value_range only)
     if value_range is not None:
-        vcol = value_range[0]
-        if out_schema.get_field_index(vcol) < 0:
-            raise KeyError(
-                f"value_range column {vcol!r} must be in the decoded output "
-                "(the zone-map prune is approximate; the exact row filter "
-                "needs the column)"
-            )
+        _require_value_col(out_schema, value_range[0])
         if "val_min" in fdf.columns:
             hits = _value_range_keys(fdf, value_range).select("__file", "chunk_key").distinct()
             rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
@@ -1003,8 +1012,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
     if value_range is not None:
-        vcol, lo, hi = value_range
-        out = out.filter((F.col(vcol) >= F.lit(lo)) & (F.col(vcol) <= F.lit(hi)))
+        out = _value_exact_filter(out, value_range)
     return out
 
 
@@ -1024,10 +1032,18 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
     """
     from pyspark.sql import functions as F
 
+    src = spark.read.parquet(src_dir)
+    # pin column order to the DDL; fields a legacy checkpoint predates
+    # (e.g. round-2 manifests without val_min/val_max) are filled with
+    # typed NULLs — compaction is exactly the tool the fallback warning
+    # points legacy/merged checkpoints at, so it must accept them
+    ordered = [
+        F.col(n) if n in src.columns else F.lit(None).cast(t).alias(n)
+        for n, t in MANIFEST_FIELDS
+    ]
     mdf = (
-        spark.read.parquet(src_dir)
-        .filter(F.col("column") != DONE_COLUMN)
-        .select(*[n for n, _ in MANIFEST_FIELDS])  # pin column order to the DDL
+        src.filter(F.col("column") != DONE_COLUMN)
+        .select(*ordered)
         .repartition(num_files or max(1, spark.sparkContext.defaultParallelism),
                      "chunk_key")
         .sortWithinPartitions("chunk_key", "column", "checksum")

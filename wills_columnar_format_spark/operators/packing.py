@@ -36,6 +36,15 @@ def doc_offsets(df: DataFrame, key_col: str, len_col: str,
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # offsets are exact-integer arithmetic: a float length column would
+    # silently diverge between the driver-cumsum'd partition bases
+    # (int-truncated) and the fractional window sums
+    ltype = dict(df.dtypes).get(len_col)
+    if ltype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"doc_offsets requires an integral length column; {len_col!r} "
+            f"is {ltype!r}"
+        )
     parts = (
         df.select(key_col, len_col)
         .repartitionByRange(num_partitions, key_col)
@@ -54,7 +63,8 @@ def doc_offsets(df: DataFrame, key_col: str, len_col: str,
     acc = 0
     for pid in sorted(totals):
         base[pid] = acc
-        acc += int(totals[pid])
+        # SUM over an all-NULL partition is NULL — contributes nothing
+        acc += int(totals[pid] or 0)
     # base offsets ride as a literal map expression — 2·P literals, fine
     # for the partition counts this targets (≤ thousands); past ~10^4
     # partitions a broadcast join on __pid would be the better carrier
@@ -87,8 +97,12 @@ def sequence_pack_spans(df: DataFrame, seq_len: int, key_col: str,
     offs = doc_offsets(df, key_col, len_col, num_partitions).filter(F.col("n") > 0)
     L = F.lit(seq_len)
     spans = (
-        offs.withColumn("s_first", F.floor(F.col("off") / L))
-        .withColumn("s_last", F.floor((F.col("off") + F.col("n") - 1) / L))
+        # integer DIV, not floor(double /): double division loses
+        # exactness once offsets approach 2^53 and can misassign a
+        # boundary doc to the neighboring sequence (the DuckDB oracle
+        # uses integer // — these must agree at any scale)
+        offs.withColumn("s_first", F.expr(f"off DIV {seq_len}"))
+        .withColumn("s_last", F.expr(f"(off + n - 1) DIV {seq_len}"))
         # a doc spans (n/L + 2) sequences at most — the explode is tiny
         .select(
             key_col, "n", "off",

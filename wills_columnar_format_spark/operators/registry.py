@@ -305,9 +305,14 @@ def q_value_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine import decode_table, encode_table
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # cache: the value_range hit subquery re-evaluates the manifest
+    # lineage, which would otherwise run the encode twice
     m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8,
-                     partitioner="range", chunk_rows=64)
-    return decode_table(m, df.schema, value_range=("n_chars", 200, 900))
+                     partitioner="range", chunk_rows=64).cache()
+    out = decode_table(m, df.schema, value_range=("n_chars", 200, 900))
+    out = out.localCheckpoint(eager=True)
+    m.unpersist()
+    return out
 
 
 ORACLE_VALUE_RANGE_SCAN = (

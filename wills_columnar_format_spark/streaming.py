@@ -84,26 +84,43 @@ def windowed_event_counts(
 ):
     """Streaming tumbling-window aggregation with late-data handling:
     ``readStream`` → ``withWatermark`` → ``groupBy(window(ts))`` →
-    in-memory sink, drained with ``availableNow``. The stateful-agg
-    shape a 100 TB event pipeline runs continuously — state is bounded
-    by the watermark horizon (windows older than the watermark are
-    finalized and evicted), so executor state does not grow with stream
-    length. Returns the final counts DataFrame
-    (window_start, window_end, n)."""
+    in-memory sink, drained with ``availableNow``. Returns the final
+    counts DataFrame (window_start, window_end, n), materialized; the
+    memory-sink temp view is dropped before returning so repeated calls
+    don't accumulate catalog entries.
+
+    This drain-and-inspect configuration uses ``complete`` output mode,
+    which retains ALL window state for the run — correct and bounded
+    for a finite ``availableNow`` drain (every window, including the
+    trailing ones the watermark hasn't closed, reaches the result). A
+    CONTINUOUS 100 TB event pipeline must instead run the same
+    watermark+window aggregation in ``append`` mode to a durable sink:
+    there the watermark finalizes and EVICTS windows older than the
+    horizon, so state stays bounded as the stream runs forever (the
+    trade: a window only emits once the watermark passes its end).
+
+    Event-time columns arriving as TIMESTAMP_NTZ are shifted to
+    instants whose UTC wall equals the NTZ wall (``from_utc_timestamp``
+    on the session-tz cast) and window bounds shifted back — hour
+    truncation therefore matches the naive wall-clock GROUP BY in any
+    fixed-offset session timezone, including fractional-hour ones
+    (DST-transition walls remain inherently ambiguous)."""
     from pyspark.sql import functions as F
 
+    tz = spark.conf.get("spark.sql.session.timeZone")
     stream = spark.readStream.schema(schema).parquet(input_path)
-    # watermarks require TIMESTAMP (with local tz); parquet NTZ event
-    # times are cast in, and window bounds cast back to NTZ so the
-    # output dtype matches the source column's
-    stream = stream.withColumn("__evt", F.col(ts_col).cast("timestamp"))
+    # watermarks require TIMESTAMP; make the instant's UTC wall equal
+    # the NTZ wall so epoch-aligned windows truncate on wall hours
+    stream = stream.withColumn(
+        "__evt", F.from_utc_timestamp(F.col(ts_col).cast("timestamp"), tz)
+    )
     agg = (
         stream.withWatermark("__evt", watermark)
         .groupBy(F.window(F.col("__evt"), window).alias("w"))
         .agg(F.count("*").alias("n"))
         .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
-            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            F.to_utc_timestamp(F.col("w.start"), tz).cast("timestamp_ntz").alias("window_start"),
+            F.to_utc_timestamp(F.col("w.end"), tz).cast("timestamp_ntz").alias("window_end"),
             F.col("n"),
         )
     )
@@ -115,4 +132,6 @@ def windowed_event_counts(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name)
+    out = spark.table(query_name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(query_name)
+    return out
