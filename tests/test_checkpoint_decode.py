@@ -274,3 +274,57 @@ def test_compact_checkpoint_accepts_legacy_manifests(spark, token_df, tmp_path_f
     dec = decode_checkpoint(spark, dst, token_df.schema)
     assert "Exchange" not in dec._jdf.queryExecution().executedPlan().toString()
     _assert_equals_source(dec, token_df)
+
+
+def test_verify_checksums_clean_and_corrupted(spark, tmp_path_factory):
+    """verify_checksums re-hashes every decoded sub-column against the
+    encoder's recorded blake2b. A corrupted checkpoint whose blobs were
+    SWAPPED between chunks decodes without error and would silently
+    return wrong rows — verification must catch exactly that."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 1_024).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path_factory.mktemp("ckpt_sum") / "m")
+    encode_table(df, key_col="k", num_partitions=2, chunk_rows=256,
+                 partitioner="range").write.parquet(path)
+
+    # clean manifest: verified decode equals the source (both paths)
+    dec = decode_checkpoint(spark, path, df.schema, verify_checksums=True)
+    assert dec.count() == 1_024
+    from wills_columnar_format_spark.engine import decode_table
+    dec2 = decode_table(spark.read.parquet(path), df.schema,
+                        verify_checksums=True)
+    assert dec2.count() == 1_024
+
+    # corrupt: swap the 'v' blobs of two chunks inside one file — each
+    # still decodes fine, so only the checksum check can notice
+    swapped = False
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        t = pq.read_table(f)
+        d = t.to_pydict()
+        idx = [i for i, c in enumerate(d["column"]) if c == "v"]
+        if len(idx) >= 2:
+            a, b = idx[0], idx[1]
+            d["blob"][a], d["blob"][b] = d["blob"][b], d["blob"][a]
+            import pyarrow as pa
+            pq.write_table(pa.table(d, schema=t.schema), f)
+            swapped = True
+            break
+    assert swapped
+    for crc in glob.glob(f"{path}/.*.crc"):
+        os.remove(crc)
+
+    # unverified decode returns the full (silently wrong) row count
+    assert decode_checkpoint(spark, path, df.schema).count() == 1_024
+    # verified decode raises loudly on both paths
+    with pytest.raises(Exception, match="checksum mismatch"):
+        decode_checkpoint(spark, path, df.schema,
+                          verify_checksums=True).count()
+    with pytest.raises(Exception, match="checksum mismatch"):
+        decode_table(spark.read.parquet(path), df.schema,
+                     verify_checksums=True).count()

@@ -119,11 +119,26 @@ def _value_zone_map(cv: ColumnValues):
 
 
 def _checksum(col: ColumnValues) -> str:
+    """Content hash of a sub-column's VALUES, canonicalized to
+    class-widest dtypes (signed→int64, unsigned→uint64, float→float64,
+    offsets→int64) so it is a function of the values, not the storage
+    width. The decoder returns class-widened arrays (the reference's
+    width coarsening, src/lib.rs:103-108), so a width-sensitive hash
+    would false-positive ``verify_checksums`` on every narrow column
+    (int32 lengths, uint8 validity masks). The widening casts are
+    injective, so no distinct inputs collide."""
     h = hashlib.blake2b(digest_size=12)
     if col.vals is not None:
-        h.update(np.ascontiguousarray(col.vals).tobytes())
+        v = col.vals
+        if v.dtype.kind == "i":
+            v = v.astype(np.int64, copy=False)
+        elif v.dtype.kind in ("u", "b"):
+            v = v.astype(np.uint64, copy=False)
+        elif v.dtype.kind == "f":
+            v = v.astype(np.float64, copy=False)
+        h.update(np.ascontiguousarray(v).tobytes())
     else:
-        h.update(np.ascontiguousarray(col.offsets).tobytes())
+        h.update(np.ascontiguousarray(col.offsets.astype(np.int64, copy=False)).tobytes())
         h.update(np.ascontiguousarray(col.data).tobytes())
     return h.hexdigest()
 
@@ -558,23 +573,23 @@ def _decode_blob(blob: bytes) -> ColumnValues:
     return codec.decode(data_section(blob), footer)
 
 
-def _rebuild_field(field: pa.Field, blobs: dict[str, bytes]) -> pa.Array:
+def _rebuild_field(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
     t = field.type
-    arr = _rebuild_values(field, blobs)
+    arr = _rebuild_values(field, cvs)
     vkey = f"{field.name}#valid"
-    if vkey in blobs:
+    if vkey in cvs:
         import pyarrow.compute as pc
 
-        valid = _decode_blob(blobs[vkey]).vals.astype(bool)
+        valid = cvs[vkey].vals.astype(bool)
         arr = pc.if_else(pa.array(valid), arr, pa.scalar(None, type=arr.type))
     return arr
 
 
-def _rebuild_values(field: pa.Field, blobs: dict[str, bytes]) -> pa.Array:
+def _rebuild_values(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
     t = field.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        lens_cv = _decode_blob(blobs[f"{field.name}#lengths"])
-        vals_cv = _decode_blob(blobs[f"{field.name}#values"])
+        lens_cv = cvs[f"{field.name}#lengths"]
+        vals_cv = cvs[f"{field.name}#values"]
         lens = lens_cv.vals.astype(np.int64)
         offsets = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
@@ -586,7 +601,7 @@ def _rebuild_values(field: pa.Field, blobs: dict[str, bytes]) -> pa.Array:
         if pa.types.is_large_list(t):
             return pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), values)
         return pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32), type=pa.int32()), values)
-    cv = _decode_blob(blobs[field.name])
+    cv = cvs[field.name]
     if cv.vals is not None:
         npt = _ARROW_NP.get(t)
         if npt is None and (
@@ -600,20 +615,38 @@ def _rebuild_values(field: pa.Field, blobs: dict[str, bytes]) -> pa.Array:
     return cv.to_arrow().cast(t)
 
 
-def make_decode_fn(out_schema: pa.Schema):
+def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False):
     """mapInArrow decode over manifest rows, grouped by chunk_key.
 
     Requires rows of one chunk_key group to be contiguous in the stream —
     ``decode_table`` arranges that with an explicit repartition +
     sortWithinPartitions.
+
+    With ``verify_checksums`` every decoded sub-column is re-hashed and
+    compared against the blake2b the ENCODER recorded in the manifest —
+    an end-to-end integrity check (storage bit rot, codec regressions)
+    costing one hash pass per chunk on top of the decode. Requires the
+    ``checksum`` column in the stream.
     """
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending_key = None
         pending: dict[str, bytes] = {}
+        expect: dict[str, str] = {}
 
         def flush():
-            arrays = [_rebuild_field(f, pending) for f in out_schema]
+            cvs = {c: _decode_blob(b) for c, b in pending.items()}
+            if verify_checksums:
+                for c, cv in cvs.items():
+                    got = _checksum(cv)
+                    if got != expect[c]:
+                        raise IOError(
+                            f"checksum mismatch decoding chunk "
+                            f"{pending_key!r} column {c!r}: manifest says "
+                            f"{expect[c]}, decoded values hash to {got} — "
+                            "corrupted blob or codec regression"
+                        )
+            arrays = [_rebuild_field(f, cvs) for f in out_schema]
             rb = pa.RecordBatch.from_arrays(arrays, schema=out_schema)
             # stream cache-sized batches back to the JVM: one 16k-row chunk
             # of token arrays is ~12 MB as a single RecordBatch, which
@@ -626,6 +659,7 @@ def make_decode_fn(out_schema: pa.Schema):
             keys = b.column("chunk_key").to_pylist()
             cols = b.column("column").to_pylist()
             blobs = b.column("blob")
+            sums = b.column("checksum").to_pylist() if verify_checksums else None
             for i in range(b.num_rows):
                 key = keys[i]
                 if key != pending_key:
@@ -633,7 +667,10 @@ def make_decode_fn(out_schema: pa.Schema):
                         yield from flush()
                     pending_key = key
                     pending = {}
+                    expect = {}
                 pending[cols[i]] = blobs[i].as_py()
+                if sums is not None:
+                    expect[cols[i]] = sums[i]
         if pending_key is not None and pending:
             yield from flush()
 
@@ -715,7 +752,8 @@ def _value_range_keys(manifest_df, value_range):
 
 def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                  assume_unique=False, arranged=False, columns=None,
-                 legacy_nan_zonemaps=False, value_range=None):
+                 legacy_nan_zonemaps=False, value_range=None,
+                 verify_checksums=False):
     """Decode a manifest back to the original rows (order not preserved
     globally; chunk-local order is exact — verify by joining on the key).
 
@@ -744,6 +782,12 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     clustered on that column (sorted ingest, correlated keys); on
     uncorrelated columns every chunk intersects and it degrades to a
     plain filter, never worse.
+
+    ``verify_checksums=True`` re-hashes every decoded sub-column and
+    compares against the encoder's recorded blake2b, raising on
+    mismatch — the end-to-end integrity check for persisted manifests
+    (storage bit rot, mixed-up blobs, codec regressions), one hash pass
+    per chunk on top of the decode.
 
     ``assume_unique=True`` skips the duplicate-collapse aggregate and
     ``arranged=True`` skips the chunk-grouping shuffle — both are safe
@@ -797,7 +841,10 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     else:
         n = max(1, manifest_df.select("part_id").rdd.getNumPartitions())
         grouped = manifest_df.repartition(n, "chunk_key").sortWithinPartitions("chunk_key", "column")
-    out = grouped.mapInArrow(make_decode_fn(out_schema), schema=from_arrow_schema(out_schema))
+    out = grouped.mapInArrow(
+        make_decode_fn(out_schema, verify_checksums=verify_checksums),
+        schema=from_arrow_schema(out_schema),
+    )
     if key_range is not None and key_col is not None:
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
@@ -868,7 +915,8 @@ VALUE_PRUNE_MAX_KEYS = 100_000
 
 
 def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
-                        legacy_nan_zonemaps: bool):
+                        legacy_nan_zonemaps: bool,
+                        verify_checksums: bool = False):
     """mapInArrow function over a (path string) DataFrame: each task reads
     one manifest parquet file sequentially and decodes its chunk groups.
     Projection and zone-map predicates are pushed into the pyarrow read
@@ -895,7 +943,10 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
                 zf = (pds.field("max_key") >= str(lo)) & (pds.field("min_key") <= str(hi))
             filt = filt & zf
 
-        decode = make_decode_fn(out_schema)
+        decode = make_decode_fn(out_schema, verify_checksums=verify_checksums)
+        read_cols = ["chunk_key", "column", "blob"]
+        if verify_checksums:
+            read_cols.append("checksum")
         for b in batches:
             key_lists = (
                 b.column("keys").to_pylist()
@@ -918,7 +969,7 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
                 # 100 TB target does not fit task memory as one table.
                 # 32 rows/batch ≈ a few chunk groups of ~1 MB blobs.
                 scanner = pds.dataset(p, filesystem=fsys, format="parquet").scanner(
-                    columns=["chunk_key", "column", "blob"],
+                    columns=read_cols,
                     filter=row_filt, use_threads=False, batch_size=32,
                 )
                 yield from decode(scanner.to_batches())
@@ -928,7 +979,7 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
 
 def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
                       key_col=None, columns=None, legacy_nan_zonemaps=False,
-                      value_range=None):
+                      value_range=None, verify_checksums=False):
     """Decode a CHECKPOINTED manifest directory without shuffling a single
     blob: one task per manifest file, sequential pyarrow read, group
     decode in place (see the section comment above for why the layout
@@ -977,6 +1028,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
             spark.read.parquet(ckpt_dir), full_schema, key_range=key_range,
             key_col=key_col, columns=columns,
             legacy_nan_zonemaps=legacy_nan_zonemaps, value_range=value_range,
+            verify_checksums=verify_checksums,
         )
     file_keys = None  # path -> qualifying chunk_key list (value_range only)
     if value_range is not None:
@@ -1003,7 +1055,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
         "path string, keys array<string>",
     )
     out = files_df.mapInArrow(
-        make_file_decode_fn(out_schema, phys, key_range, legacy_nan_zonemaps),
+        make_file_decode_fn(out_schema, phys, key_range, legacy_nan_zonemaps,
+                            verify_checksums=verify_checksums),
         schema=from_arrow_schema(out_schema),
     )
     from pyspark.sql import functions as F
@@ -1231,9 +1284,17 @@ def _layout_tag(j: int, sub_jobs: int, n: int, key_col: str, partitioner: str) -
     under the old (correlated) split carry ``of{sub_jobs}`` tags without
     the marker and are refused on resume rather than silently mixing two
     different key→sub-job assignments. sub_jobs == 1 has no split, so
-    its tag (and old single-job checkpoints) are unchanged."""
+    its tag (and old single-job checkpoints) are unchanged.
+
+    The ``ck2`` suffix binds the CHECKSUM definition: chunk keys are
+    content hashes, and round 3 canonicalized the hash to class-widest
+    dtypes (so ``verify_checksums`` survives the decoder's width
+    coarsening). A checkpoint written under the old width-sensitive
+    hash has different chunk keys for every narrow-typed key column;
+    resuming it would re-encode chunks under NEW keys alongside the old
+    rows and silently duplicate on decode — refuse instead."""
     sj = f"of{sub_jobs}xx" if sub_jobs > 1 else "of1"
-    return f"j{j}/{sj}-n{n}-{key_col}-{partitioner}"
+    return f"j{j}/{sj}-n{n}-{key_col}-{partitioner}-ck2"
 
 
 def _check_resume_layout(spark, ckpt_dir: str, sub_jobs: int, n: int,

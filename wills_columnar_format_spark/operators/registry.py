@@ -248,8 +248,10 @@ def q_roundtrip_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHOUT a shuffle (``decode_checkpoint``: one task per manifest file,
     sequential pyarrow read over the chunk-clustered layout — the
     reference decoder's no-shuffle page loop, src/decode.rs:52-66, at
-    cluster scale). Equality with the identity oracle proves the
-    persisted-manifest path is lossless end-to-end."""
+    cluster scale), re-hashing every decoded sub-column against the
+    encoder's recorded blake2b (verify_checksums — the integrity check a
+    persisted-manifest consumer should run). Equality with the identity
+    oracle proves the path is lossless end-to-end."""
     import os
     import shutil
     import tempfile
@@ -262,7 +264,7 @@ def q_roundtrip_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt = os.path.join(work, "m")
         encode_table(df, key_col="doc_id", codec="auto",
                      num_partitions=8).write.parquet(ckpt)
-        out = decode_checkpoint(spark, ckpt, df.schema)
+        out = decode_checkpoint(spark, ckpt, df.schema, verify_checksums=True)
         # materialize before the checkpoint dir is deleted (lazy plan)
         return out.localCheckpoint(eager=True)
     finally:
