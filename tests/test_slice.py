@@ -290,3 +290,37 @@ def test_value_range_extremes_never_lose_rows(spark):
         assert got == exp
     finally:
         m.unpersist()
+
+
+def test_value_range_on_timestamp_column(spark):
+    """Temporal columns ride the integer codecs as epoch micros, and
+    their zone maps are queryable: value_range with naive datetime
+    bounds on a TIMESTAMP_NTZ column equals the plain filter (the shift
+    through the session timezone cancels)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "event_type"
+    )
+    m = encode_table(df, key_col="event_id", num_partitions=2,
+                     chunk_rows=512).cache()
+    try:
+        lo, hi = datetime(2024, 1, 5, 0, 0), datetime(2024, 1, 7, 12, 0)
+        dec = decode_table(m, df.schema, value_range=("ts", lo, hi))
+        exp = df.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        assert dec.count() == exp.count()
+        if exp.count():
+            bad = (dec.alias("d").join(exp.alias("o"), "event_id")
+                   .filter(F.col("d.ts") != F.col("o.ts")).count())
+            assert bad == 0
+    finally:
+        m.unpersist()
+    # unsupported types fail loudly, not silently
+    import pytest as _pt
+
+    with _pt.raises(TypeError, match="value_range"):
+        decode_table(m, df.schema, value_range=("event_type", "a", "b"))

@@ -101,7 +101,12 @@ def _value_zone_map(cv: ColumnValues):
     if cv.vals is None or not cv.n or not np.issubdtype(cv.vals.dtype, np.number):
         return None, None
     if np.issubdtype(cv.vals.dtype, np.floating):
-        with np.errstate(all="ignore"):
+        import warnings
+
+        with warnings.catch_warnings():
+            # nanmin warns (warnings.warn, not the FP error state) on
+            # all-NaN input — that case is handled below, silently
+            warnings.simplefilter("ignore", RuntimeWarning)
             mn_, mx_ = np.nanmin(cv.vals), np.nanmax(cv.vals)
         if np.isnan(mn_) or np.isnan(mx_):
             return None, None
@@ -629,13 +634,22 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False):
     ``checksum`` column in the stream.
     """
 
+    # only the sub-columns the output schema references are decoded —
+    # a projection decode must not pay decompression for columns it
+    # never returns (verification consequently covers the decoded set)
+    needed = {
+        s
+        for f in out_schema
+        for s in (f.name, f"{f.name}#lengths", f"{f.name}#values", f"{f.name}#valid")
+    }
+
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending_key = None
         pending: dict[str, bytes] = {}
         expect: dict[str, str] = {}
 
         def flush():
-            cvs = {c: _decode_blob(b) for c, b in pending.items()}
+            cvs = {c: _decode_blob(b) for c, b in pending.items() if c in needed}
             if verify_checksums:
                 for c, cv in cvs.items():
                     got = _checksum(cv)
@@ -644,7 +658,10 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False):
                             f"checksum mismatch decoding chunk "
                             f"{pending_key!r} column {c!r}: manifest says "
                             f"{expect[c]}, decoded values hash to {got} — "
-                            "corrupted blob or codec regression"
+                            "corrupted blob, codec regression, or a "
+                            "checkpoint written before the ck2 width-"
+                            "canonical hash (re-encode it, or decode "
+                            "without verify_checksums)"
                         )
             arrays = [_rebuild_field(f, cvs) for f in out_schema]
             rb = pa.RecordBatch.from_arrays(arrays, schema=out_schema)
@@ -715,20 +732,53 @@ def _zone_keep_expr(key_range, legacy_nan_zonemaps: bool):
     return (mx >= F.lit(lo)) & (mn <= F.lit(hi))
 
 
-def _require_value_col(out_schema: pa.Schema, vcol: str) -> None:
+def _prepare_value_range(out_schema: pa.Schema, value_range):
+    """Resolve a ``value_range`` request against the output schema:
+    returns ``(vcol, zone_lo, zone_hi, lit_lo, lit_hi)`` — numeric
+    bounds for the zone-map prune (zone maps store the NORMALIZED
+    values: temporal columns ride the integer codecs as epoch
+    micros/days, engine._normalize_temporal) and typed Spark literals
+    for the exact row filter. Supports numeric columns, TIMESTAMP_NTZ
+    (naive datetime bounds; the literal shift through the session tz
+    cancels on the cast back to NTZ) and DATE (date bounds)."""
+    from datetime import date, datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    vcol, lo, hi = value_range
     if out_schema.get_field_index(vcol) < 0:
         raise KeyError(
             f"value_range column {vcol!r} must be in the decoded output "
             "(the zone-map prune is approximate; the exact row filter "
             "needs the column)"
         )
-
-
-def _value_exact_filter(df, value_range):
-    from pyspark.sql import functions as F
-
-    vcol, lo, hi = value_range
-    return df.filter((F.col(vcol) >= F.lit(lo)) & (F.col(vcol) <= F.lit(hi)))
+    t = out_schema.field(vcol).type
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return vcol, lo, hi, F.lit(lo), F.lit(hi)
+    if pa.types.is_timestamp(t) and t.tz is None and t.unit == "us":
+        if not all(isinstance(b, datetime) and b.tzinfo is None for b in (lo, hi)):
+            raise TypeError(
+                f"value_range on TIMESTAMP_NTZ column {vcol!r} takes "
+                "naive datetime bounds"
+            )
+        epoch = datetime(1970, 1, 1)
+        zlo = (lo - epoch) // timedelta(microseconds=1)
+        zhi = (hi - epoch) // timedelta(microseconds=1)
+        # lit(naive dt) builds a session-tz TIMESTAMP; casting back to
+        # NTZ re-renders in the same tz, so the wall value is preserved
+        # regardless of session timezone
+        return (vcol, zlo, zhi,
+                F.lit(lo).cast("timestamp_ntz"), F.lit(hi).cast("timestamp_ntz"))
+    if pa.types.is_date32(t):
+        if not all(isinstance(b, date) and not isinstance(b, datetime) for b in (lo, hi)):
+            raise TypeError(f"value_range on DATE column {vcol!r} takes date bounds")
+        d0 = date(1970, 1, 1)
+        return vcol, (lo - d0).days, (hi - d0).days, F.lit(lo), F.lit(hi)
+    raise TypeError(
+        f"value_range does not support column {vcol!r} of type {t} — "
+        "numeric, TIMESTAMP_NTZ (us), and DATE columns carry usable "
+        "zone maps; filter other types after decode"
+    )
 
 
 def _value_range_keys(manifest_df, value_range):
@@ -821,16 +871,23 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         manifest_df = manifest_df.filter(
             _zone_keep_expr(key_range, legacy_nan_zonemaps)
         )
+    vr = None
     if value_range is not None:
-        _require_value_col(out_schema, value_range[0])
+        vr = _prepare_value_range(out_schema, value_range)
         if "val_min" in manifest_df.columns:
-            hit = _value_range_keys(manifest_df, value_range).select("chunk_key").distinct()
-            # broadcast semi-join: the qualifying-key set is small after
-            # pruning and the blob side must NOT shuffle. NOTE: the hit
-            # subquery evaluates the manifest lineage a second time —
-            # cache()/checkpoint the manifest first when it flows
-            # straight from encode_table, or the encode runs twice.
-            manifest_df = manifest_df.join(F.broadcast(hit), "chunk_key", "left_semi")
+            hit = _value_range_keys(manifest_df, vr[:3]).select("chunk_key").distinct()
+            # broadcast semi-join: the qualifying-key set must NOT
+            # shuffle the blob side, and it must stay DRIVER-SAFE — on
+            # an uncorrelated column every chunk qualifies, and an
+            # uncapped broadcast of millions of chunk keys would OOM the
+            # driver where a plain post-filter succeeds. Past the cap,
+            # skip pruning (the exact filter below is always applied).
+            # NOTE: the hit subquery evaluates the manifest lineage a
+            # second time — cache()/checkpoint the manifest first when
+            # it flows straight from encode_table, or the encode runs
+            # twice.
+            if hit.limit(VALUE_PRUNE_MAX_KEYS + 1).count() <= VALUE_PRUNE_MAX_KEYS:
+                manifest_df = manifest_df.join(F.broadcast(hit), "chunk_key", "left_semi")
         # else: pre-zone-map manifest — no pruning, exact filter only
     if not assume_unique:
         manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
@@ -848,8 +905,8 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     if key_range is not None and key_col is not None:
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
-    if value_range is not None:
-        out = _value_exact_filter(out, value_range)
+    if vr is not None:
+        out = out.filter((F.col(vr[0]) >= vr[3]) & (F.col(vr[0]) <= vr[4]))
     return out
 
 
@@ -1031,10 +1088,11 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
             verify_checksums=verify_checksums,
         )
     file_keys = None  # path -> qualifying chunk_key list (value_range only)
+    vr = None
     if value_range is not None:
-        _require_value_col(out_schema, value_range[0])
+        vr = _prepare_value_range(out_schema, value_range)
         if "val_min" in fdf.columns:
-            hits = _value_range_keys(fdf, value_range).select("__file", "chunk_key").distinct()
+            hits = _value_range_keys(fdf, vr[:3]).select("__file", "chunk_key").distinct()
             rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
             if len(rows) <= VALUE_PRUNE_MAX_KEYS:
                 file_keys = {}
@@ -1064,8 +1122,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
     if key_range is not None and key_col is not None:
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
-    if value_range is not None:
-        out = _value_exact_filter(out, value_range)
+    if vr is not None:
+        out = out.filter((F.col(vr[0]) >= vr[3]) & (F.col(vr[0]) <= vr[4]))
     return out
 
 
@@ -1284,7 +1342,8 @@ def _layout_tag(j: int, sub_jobs: int, n: int, key_col: str, partitioner: str) -
     under the old (correlated) split carry ``of{sub_jobs}`` tags without
     the marker and are refused on resume rather than silently mixing two
     different key→sub-job assignments. sub_jobs == 1 has no split, so
-    its tag (and old single-job checkpoints) are unchanged.
+    the marker is omitted there (but the ``ck2`` suffix below still
+    invalidates ALL pre-round-3 checkpoints, single-job included).
 
     The ``ck2`` suffix binds the CHECKSUM definition: chunk keys are
     content hashes, and round 3 canonicalized the hash to class-widest

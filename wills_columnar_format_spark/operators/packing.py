@@ -32,7 +32,20 @@ def doc_offsets(df: DataFrame, key_col: str, len_col: str,
                 num_partitions: int | None = None) -> DataFrame:
     """(key, n, off): each row's exclusive prefix sum of ``len_col`` in
     global ``key_col`` order, via the distributed two-phase prefix sum
-    described in the module docstring."""
+    described in the module docstring.
+
+    The pinned (localCheckpoint'ed) projection backing the result stays
+    in executor storage until the returned plan is garbage-collected;
+    callers that materialize the result and are done with it can free
+    the blocks immediately via ``_doc_offsets_pinned`` (as
+    ``sequence_pack_spans`` does)."""
+    return _doc_offsets_pinned(df, key_col, len_col, num_partitions)[0]
+
+
+def _doc_offsets_pinned(df: DataFrame, key_col: str, len_col: str,
+                        num_partitions: int | None = None):
+    """doc_offsets plus the pinned projection DataFrame, so the caller
+    can ``unpersist()`` it once the offsets have been consumed."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -77,11 +90,12 @@ def doc_offsets(df: DataFrame, key_col: str, len_col: str,
         .orderBy(key_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         parts.withColumn("__run", F.sum(len_col).over(w))
         .withColumn("off", (base_expr + F.col("__run") - F.col(len_col)).cast("bigint"))
         .select(F.col(key_col), F.col(len_col).alias("n"), "off")
     )
+    return out, parts
 
 
 def sequence_pack_spans(df: DataFrame, seq_len: int, key_col: str,
@@ -93,8 +107,11 @@ def sequence_pack_spans(df: DataFrame, seq_len: int, key_col: str,
     sequences floor(off/L) .. floor((off+n-1)/L); the per-sequence unit
     count sums each overlap ``min((s+1)L, off+n) - max(sL, off)``.
     Every sequence is exactly ``seq_len`` units except the last.
-    Zero-length documents are dropped (they occupy no sequence)."""
-    offs = doc_offsets(df, key_col, len_col, num_partitions).filter(F.col("n") > 0)
+    Zero-length documents are dropped (they occupy no sequence). The
+    result is MATERIALIZED (small: one row per sequence) so the pinned
+    offsets projection can be freed before returning."""
+    offs, pinned = _doc_offsets_pinned(df, key_col, len_col, num_partitions)
+    offs = offs.filter(F.col("n") > 0)
     L = F.lit(seq_len)
     spans = (
         # integer DIV, not floor(double /): double division loses
@@ -114,7 +131,7 @@ def sequence_pack_spans(df: DataFrame, seq_len: int, key_col: str,
             - F.greatest(F.col("seq_id") * L, F.col("off")),
         )
     )
-    return (
+    res = (
         spans.groupBy("seq_id")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
@@ -124,4 +141,7 @@ def sequence_pack_spans(df: DataFrame, seq_len: int, key_col: str,
         )
         .withColumn("seq_id", F.col("seq_id").cast("bigint"))
         .select("seq_id", "n_docs", "n_units", "first_doc", "last_doc")
+        .localCheckpoint(eager=True)
     )
+    pinned.unpersist()  # free the offsets projection's storage blocks
+    return res
