@@ -323,6 +323,36 @@ ORACLE_VALUE_RANGE_SCAN = (
 )
 
 
+def q_value_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal filter pushdown through compressed data: event
+    timestamps ride the integer codecs as epoch micros and carry value
+    zone maps like any numeric column, so a datetime range decodes only
+    the chunks whose time interval intersects — the time-slice query an
+    event pipeline runs constantly. Sorted-by-time ingest makes the
+    pruning near-perfect; here events are keyed by event_id (which is
+    time-correlated in the synthetic data), exercising the real path."""
+    from datetime import datetime
+
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = encode_table(df, key_col="event_id", codec="auto", num_partitions=8,
+                     chunk_rows=1024).cache()
+    out = decode_table(
+        m, df.schema,
+        value_range=("ts", datetime(2024, 1, 5), datetime(2024, 1, 8)),
+    ).localCheckpoint(eager=True)
+    m.unpersist()
+    return out
+
+
+ORACLE_VALUE_RANGE_TIME = (
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+    "WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' "
+    "AND TIMESTAMP '2024-01-08 00:00:00'"
+)
+
+
 def q_compression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-independent compression-lineage facts, value-hashable by a
     DuckDB oracle: per column the manifest's logical value count (sum of
@@ -959,6 +989,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
     "point_lookup_checkpoint": (q_point_lookup_checkpoint, ORACLE_POINT_LOOKUP),
     "value_range_scan": (q_value_range_scan, ORACLE_VALUE_RANGE_SCAN),
+    "value_range_time": (q_value_range_time, ORACLE_VALUE_RANGE_TIME),
     "compression_metrics": (q_compression_metrics, DUCK_COMPRESSION_METRICS),
     # text analysis
     "text_token_count": (_sql_query(SPARK_TOKEN_COUNT, "documents"), DUCK_TOKEN_COUNT),
