@@ -78,3 +78,35 @@ def test_footer_roundtrip():
 def test_footer_bad_magic():
     with pytest.raises(ValueError):
         Footer.deserialize(b"NOPE\x01\x00\x00\x00\x00")
+
+
+def test_checksum_is_width_canonical():
+    """The content hash must be a function of VALUES, not storage width:
+    the encoder hashes input arrays (int32 lengths, uint8 masks) while
+    the decoder returns class-widened values — verify_checksums depends
+    on both hashing identically."""
+    import numpy as np
+
+    from wills_columnar_format_spark.codecs.base import ColumnValues
+    from wills_columnar_format_spark.engine import _checksum
+
+    v32 = np.array([1, -2, 30_000, 0], dtype=np.int32)
+    assert _checksum(ColumnValues.from_numpy(v32)) == _checksum(
+        ColumnValues.from_numpy(v32.astype(np.int64))
+    )
+    u8 = np.array([0, 1, 1, 0, 255], dtype=np.uint8)
+    assert _checksum(ColumnValues.from_numpy(u8)) == _checksum(
+        ColumnValues.from_numpy(u8.astype(np.uint64))
+    )
+    f32 = np.array([0.5, -1.25, 3e7], dtype=np.float32)
+    assert _checksum(ColumnValues.from_numpy(f32)) == _checksum(
+        ColumnValues.from_numpy(f32.astype(np.float64))
+    )
+    # different VALUES must still differ
+    assert _checksum(ColumnValues.from_numpy(v32)) != _checksum(
+        ColumnValues.from_numpy(v32 + 1)
+    )
+    # NOTE: int64 -1 and uint64 2^64-1 share bit patterns and therefore
+    # hash equal — harmless, because the decoder preserves the encoded
+    # signedness class (dtype_tag), so a verify never compares a chunk
+    # against the other class's hash.
