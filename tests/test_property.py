@@ -108,3 +108,47 @@ def test_float_roundtrip_property(codec, vals):
     if len(vals) > 3:
         s = decode_column_slice(blob, 1, len(vals) - 1, dtype=vals.dtype)
         assert np.array_equal(s.vals.view(uint), vals[1 : len(vals) - 1].view(uint))
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_value_zone_map_always_encloses_ints(vals):
+    """Zone maps must ENCLOSE the values at any magnitude: for >2^53
+    ints float64 rounds, and a bound rounded inward would wrongly prune
+    a chunk whose true extreme matches the query range."""
+    from wills_columnar_format_spark.codecs.base import ColumnValues
+    from wills_columnar_format_spark.engine import _value_zone_map
+
+    arr = np.array(vals, dtype=np.int64)
+    vmin, vmax = _value_zone_map(ColumnValues.from_numpy(arr))
+    assert vmin <= int(arr.min())  # exact int-vs-float comparison
+    assert vmax >= int(arr.max())
+    # and stay tight: within one float64 ulp of the true extremes
+    assert vmin >= np.nextafter(float(int(arr.min())), -np.inf)
+    assert vmax <= np.nextafter(float(int(arr.max())), np.inf)
+
+
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=1, max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_value_zone_map_floats_nan_safe(vals):
+    from wills_columnar_format_spark.codecs.base import ColumnValues
+    from wills_columnar_format_spark.engine import _value_zone_map
+
+    arr = np.array(vals, dtype=np.float64)
+    vmin, vmax = _value_zone_map(ColumnValues.from_numpy(arr))
+    fin = arr[~np.isnan(arr)]
+    if len(fin) == 0:
+        assert vmin is None and vmax is None  # all-NaN -> NULL maps
+    else:
+        assert vmin == fin.min() and vmax == fin.max()
+        assert not np.isnan(vmin) and not np.isnan(vmax)
