@@ -301,20 +301,63 @@ def test_verify_checksums_clean_and_corrupted(spark, tmp_path_factory):
                         verify_checksums=True)
     assert dec2.count() == 1_024
 
-    # corrupt: swap the 'v' blobs of two chunks inside one file — each
-    # still decodes fine, so only the checksum check can notice
+    # corrupt: swap the 'v' blobs of two EQUAL-SIZED chunks inside one
+    # file — each still decodes fine (same values_count, so the rebuilt
+    # arrays line up), so only the checksum check can notice. Chunks of
+    # UNEQUAL size must not be paired: range sampling sometimes splits
+    # 1024 rows as 510/514, and swapping a 254-value blob under a
+    # 256-value chunk crashes the unverified decode at from_arrays
+    # instead of silently succeeding (the flake this guard removes).
+    from wills_columnar_format_spark.format import read_footer
+
     swapped = False
     for f in sorted(glob.glob(f"{path}/*.parquet")):
         t = pq.read_table(f)
         d = t.to_pydict()
         idx = [i for i, c in enumerate(d["column"]) if c == "v"]
-        if len(idx) >= 2:
-            a, b = idx[0], idx[1]
+        by_count = {}
+        pair = None
+        for i in idx:
+            n = read_footer(d["blob"][i]).values_count
+            if n in by_count:
+                pair = (by_count[n], i)
+                break
+            by_count[n] = i
+        if pair is not None:
+            a, b = pair
             d["blob"][a], d["blob"][b] = d["blob"][b], d["blob"][a]
             import pyarrow as pa
             pq.write_table(pa.table(d, schema=t.schema), f)
             swapped = True
             break
+    if not swapped:
+        # no within-file pair (uneven split left every chunk in a file a
+        # different size): swap equal-count v blobs ACROSS the two files
+        # — same corruption, same detectability
+        import pyarrow as pa
+
+        files = sorted(glob.glob(f"{path}/*.parquet"))
+        tabs = {f: pq.read_table(f).to_pydict() for f in files}
+        sites = {}  # values_count -> (file, row)
+        for f in files:
+            d = tabs[f]
+            for i, c in enumerate(d["column"]):
+                if c != "v":
+                    continue
+                n = read_footer(d["blob"][i]).values_count
+                if n in sites and sites[n][0] != f:
+                    (fa, a) = sites[n]
+                    da, db = tabs[fa], d
+                    da["blob"][a], db["blob"][i] = db["blob"][i], da["blob"][a]
+                    for ff, dd in ((fa, da), (f, db)):
+                        pq.write_table(
+                            pa.table(dd, schema=pq.read_schema(ff)), ff
+                        )
+                    swapped = True
+                    break
+                sites.setdefault(n, (f, i))
+            if swapped:
+                break
     assert swapped
     for crc in glob.glob(f"{path}/.*.crc"):
         os.remove(crc)

@@ -9,7 +9,23 @@ from pyspark.sql import functions as F
 from wills_columnar_format_spark.operators.packing import (
     doc_offsets,
     sequence_pack_spans,
+    sequence_pack_tokens,
 )
+
+
+@pytest.fixture(scope="module")
+def tok_docs(spark):
+    """Docs with actual token arrays (deterministic, ragged lengths,
+    some longer than a sequence, one empty)."""
+    return spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        # slice-to-n so n=0 yields an EMPTY array (bare sequence(1, 0)
+        # would descend to [1, 0])
+        F.expr(
+            "slice(transform(sequence(1, greatest(cast((id * 37) % 700 as int), 1)), "
+            "i -> cast(id * 1000 + i as int)), 1, cast((id * 37) % 700 as int))"
+        ).alias("toks"),
+    ).localCheckpoint(eager=True)
 
 
 @pytest.fixture(scope="module")
@@ -74,6 +90,72 @@ def test_no_single_partition_window(spark, docs):
     out = sequence_pack_spans(docs, 512, "doc_id", "n_chars", 8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_pack_tokens_payload_exact(spark, tok_docs):
+    """The packed sequences ARE the concatenated token stream: flattening
+    seq 0..max in order reproduces every doc's tokens in doc_id order,
+    every sequence is exactly L tokens except the last, and per-sequence
+    counts agree with sequence_pack_spans."""
+    L = 512
+    out = {r.seq_id: (r.n_tokens, r.tokens)
+           for r in sequence_pack_tokens(tok_docs, L, "doc_id", "toks", 8).collect()}
+    stream = [
+        t
+        for r in sorted(tok_docs.collect(), key=lambda r: r.doc_id)
+        for t in r.toks
+    ]
+    assert sorted(out) == list(range((len(stream) + L - 1) // L))
+    rebuilt = [t for s in sorted(out) for t in out[s][1]]
+    assert rebuilt == stream
+    last = max(out)
+    for s, (n, toks) in out.items():
+        assert n == len(toks)
+        assert n == (L if s < last else len(stream) - L * last)
+    # geometry agrees with the span summary (lengths-only path)
+    lens = tok_docs.select("doc_id", F.size("toks").alias("n_chars"))
+    spans = {r.seq_id: r.n_units
+             for r in sequence_pack_spans(lens, L, "doc_id", "n_chars", 8).collect()}
+    assert {s: n for s, (n, _) in out.items()} == spans
+
+
+def test_pack_tokens_partition_count_invariant(spark, tok_docs):
+    a = sorted((r.seq_id, tuple(r.tokens))
+               for r in sequence_pack_tokens(tok_docs, 512, "doc_id", "toks", 2).collect())
+    b = sorted((r.seq_id, tuple(r.tokens))
+               for r in sequence_pack_tokens(tok_docs, 512, "doc_id", "toks", 16).collect())
+    assert a == b
+
+
+def test_pack_tokens_no_single_partition_window(spark, tok_docs):
+    """Payload path scale property: no SinglePartition exchange AND no
+    Window at all — per-row offsets come from the per-partition Arrow
+    cumsum, so the token payload moves through exactly two exchanges
+    (the range shuffle in, the seq_id shuffle out)."""
+    out = sequence_pack_tokens(tok_docs, 512, "doc_id", "toks", 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_offsets_broadcast_carrier_matches_literal(spark, docs, monkeypatch):
+    """Past BASE_CARRIER_MAX_LITERALS partitions the base offsets ride a
+    broadcast join instead of a create_map literal: same offsets, and
+    the plan no longer inlines the 2·P literals."""
+    import wills_columnar_format_spark.operators.packing as pk
+
+    lit_df = doc_offsets(docs, "doc_id", "n_chars", 8)
+    lit_plan = lit_df._jdf.queryExecution().executedPlan().toString()
+    assert "element_at(" in lit_plan  # the literal-map carrier
+    exp = sorted((r.doc_id, r.off) for r in lit_df.collect())
+    monkeypatch.setattr(pk, "BASE_CARRIER_MAX_LITERALS", 2)
+    got_df = doc_offsets(docs, "doc_id", "n_chars", 8)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "element_at(" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    got = sorted((r.doc_id, r.off) for r in got_df.collect())
+    assert got == exp
 
 
 def test_zero_length_docs_dropped(spark):

@@ -324,3 +324,44 @@ def test_value_range_on_timestamp_column(spark):
 
     with _pt.raises(TypeError, match="value_range"):
         decode_table(m, df.schema, value_range=("event_type", "a", "b"))
+
+
+def test_value_range_ntz_bounds_survive_session_timezone(spark):
+    """The NTZ exact-filter literals must be timezone-free: with the
+    session timezone set away from the driver's, lit(naive).cast(ntz)
+    would shift the bounds by the tz offset and silently drop boundary
+    rows. The string->NTZ construction involves no timezone, so the
+    result must match a driver-side Python filter exactly under ANY
+    session tz (regression for ADVICE r3 high)."""
+    from datetime import datetime
+
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts"
+    )
+    # driver-side ground truth: NTZ collects as naive wall datetimes,
+    # independent of session timezone
+    rows = {r["event_id"]: r["ts"] for r in df.collect()}
+    lo, hi = datetime(2024, 1, 5, 0, 0), datetime(2024, 1, 7, 12, 0)
+    expected = {k for k, ts in rows.items() if lo <= ts <= hi}
+    assert expected, "bounds must hit some rows for the test to bite"
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/Los_Angeles", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            m = encode_table(df, key_col="event_id", num_partitions=2,
+                             chunk_rows=512).cache()
+            try:
+                got = {
+                    r["event_id"]
+                    for r in decode_table(
+                        m, df.schema, value_range=("ts", lo, hi)
+                    ).collect()
+                }
+            finally:
+                m.unpersist()
+            assert got == expected, f"NTZ bounds shifted under session tz {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -92,3 +92,60 @@ def test_windowed_event_counts_equals_batch(spark, tmp_path_factory):
         .agg(F.count("*").alias("n")).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_windowed_append_evicts_and_drops_late(spark, tmp_path_factory):
+    """The production append-mode config: windows emit to the durable
+    parquet sink exactly when the watermark passes their end (and are
+    then EVICTED from state), rows later than the watermark are DROPPED
+    rather than reopening finalized windows, and state stays bounded by
+    the number of open windows — the three properties that make the
+    aggregation runnable forever at 100 TB."""
+    from datetime import datetime
+
+    from wills_columnar_format_spark.streaming import windowed_event_counts_append
+
+    work = tmp_path_factory.mktemp("win_append")
+    in_dir, sink = str(work / "in"), str(work / "sink")
+    os.makedirs(in_dir)
+
+    def land(name, hours):
+        spark.createDataFrame(
+            [(i, datetime(2024, 1, 1, h, 30)) for i, h in enumerate(hours)],
+            "event_id bigint, ts timestamp_ntz",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = "event_id bigint, ts timestamp_ntz"
+    from pyspark.sql.types import _parse_datatype_string
+
+    sch = _parse_datatype_string(schema)
+
+    # drain 1: events in hours 0..5; watermark ends at max(ts)-1h =
+    # 04:30, so windows [0,1) .. [3,4) finalize; [4,5) and [5,6) stay
+    # open (absent from the sink)
+    land("a", [0, 0, 1, 2, 3, 4, 5])
+    q = windowed_event_counts_append(spark, in_dir, sink, sch, ts_col="ts",
+                                     window="1 hour", watermark="1 hour")
+    q.awaitTermination()
+    got1 = {
+        (r.window_start.hour, r.n)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got1 == {(0, 2), (1, 1), (2, 1), (3, 1)}
+
+    # drain 2: one LATE row (hour 0 — its window already finalized) and
+    # one new row at hour 7. The late row must be dropped: window [0,1)
+    # must NOT re-emit or change. Watermark advances to 06:30, so
+    # [4,5), [5,6) finalize; [7,8) stays open.
+    land("b", [0, 7])
+    q = windowed_event_counts_append(spark, in_dir, sink, sch, ts_col="ts",
+                                     window="1 hour", watermark="1 hour")
+    q.awaitTermination()
+    # bounded state: only the open windows remain in the state store
+    prog = q.lastProgress
+    state_rows = prog["stateOperators"][0]["numRowsTotal"]
+    assert state_rows <= 2, f"state not bounded by open windows: {state_rows}"
+    got2 = sorted(
+        (r.window_start.hour, r.n) for r in spark.read.parquet(sink).collect()
+    )
+    assert got2 == [(0, 2), (1, 1), (2, 1), (3, 1), (4, 1), (5, 1)]

@@ -764,11 +764,14 @@ def _prepare_value_range(out_schema: pa.Schema, value_range):
         epoch = datetime(1970, 1, 1)
         zlo = (lo - epoch) // timedelta(microseconds=1)
         zhi = (hi - epoch) // timedelta(microseconds=1)
-        # lit(naive dt) builds a session-tz TIMESTAMP; casting back to
-        # NTZ re-renders in the same tz, so the wall value is preserved
-        # regardless of session timezone
+        # The literals MUST be built timezone-free: lit(naive datetime)
+        # interprets the wall via the DRIVER-local tz but the cast back
+        # to NTZ renders in the SESSION tz, shifting the bounds whenever
+        # the two differ. String -> NTZ parsing involves no timezone.
+        fmt = "%Y-%m-%d %H:%M:%S.%f"
         return (vcol, zlo, zhi,
-                F.lit(lo).cast("timestamp_ntz"), F.lit(hi).cast("timestamp_ntz"))
+                F.lit(lo.strftime(fmt)).cast("timestamp_ntz"),
+                F.lit(hi.strftime(fmt)).cast("timestamp_ntz"))
     if pa.types.is_date32(t):
         if not all(isinstance(b, date) and not isinstance(b, datetime) for b in (lo, hi)):
             raise TypeError(f"value_range on DATE column {vcol!r} takes date bounds")
@@ -900,7 +903,7 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         grouped = manifest_df.repartition(n, "chunk_key").sortWithinPartitions("chunk_key", "column")
     out = grouped.mapInArrow(
         make_decode_fn(out_schema, verify_checksums=verify_checksums),
-        schema=from_arrow_schema(out_schema),
+        schema=from_arrow_schema(out_schema, prefer_timestamp_ntz=True),
     )
     if key_range is not None and key_col is not None:
         lo, hi = key_range
@@ -1106,7 +1109,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
     else:
         files = sorted(r["__file"] for r in fdf.select("__file").distinct().collect())
     if not files:
-        return spark.createDataFrame([], from_arrow_schema(out_schema))
+        return spark.createDataFrame([], from_arrow_schema(out_schema, prefer_timestamp_ntz=True))
     rows_in = [(f, file_keys[f] if file_keys is not None else None) for f in files]
     files_df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows_in, len(files)),
@@ -1115,7 +1118,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
     out = files_df.mapInArrow(
         make_file_decode_fn(out_schema, phys, key_range, legacy_nan_zonemaps,
                             verify_checksums=verify_checksums),
-        schema=from_arrow_schema(out_schema),
+        schema=from_arrow_schema(out_schema, prefer_timestamp_ntz=True),
     )
     from pyspark.sql import functions as F
 

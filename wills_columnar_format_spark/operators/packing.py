@@ -27,6 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Base offsets ride as a literal create_map expression up to this many
+# partitions (2·P literals in the plan — cheap, no extra join). Past it
+# the literal plan itself bloats (10^5 partitions = 2·10^5 expression
+# nodes shipped with every task binary), so the carrier switches to a
+# broadcast join on __pid: plan size O(1), data size P rows.
+BASE_CARRIER_MAX_LITERALS = 4096
+
 
 def doc_offsets(df: DataFrame, key_col: str, len_col: str,
                 num_partitions: int | None = None) -> DataFrame:
@@ -43,9 +50,15 @@ def doc_offsets(df: DataFrame, key_col: str, len_col: str,
 
 
 def _doc_offsets_pinned(df: DataFrame, key_col: str, len_col: str,
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        carry: list[str] | None = None):
     """doc_offsets plus the pinned projection DataFrame, so the caller
-    can ``unpersist()`` it once the offsets have been consumed."""
+    can ``unpersist()`` it once the offsets have been consumed.
+
+    ``carry`` names extra payload columns to thread through the range
+    shuffle alongside (key, len) — ``sequence_pack_tokens`` carries the
+    token arrays this way so the payload rides the ONE shuffle instead
+    of joining back on the key afterwards (a second full-data shuffle)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -59,7 +72,7 @@ def _doc_offsets_pinned(df: DataFrame, key_col: str, len_col: str,
             f"is {ltype!r}"
         )
     parts = (
-        df.select(key_col, len_col)
+        df.select(key_col, len_col, *(carry or []))
         .repartitionByRange(num_partitions, key_col)
         .sortWithinPartitions(key_col)
         .withColumn("__pid", F.spark_partition_id())
@@ -78,24 +91,93 @@ def _doc_offsets_pinned(df: DataFrame, key_col: str, len_col: str,
         base[pid] = acc
         # SUM over an all-NULL partition is NULL — contributes nothing
         acc += int(totals[pid] or 0)
-    # base offsets ride as a literal map expression — 2·P literals, fine
-    # for the partition counts this targets (≤ thousands); past ~10^4
-    # partitions a broadcast join on __pid would be the better carrier
-    base_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in base.items() for x in kv]),
-        F.col("__pid"),
-    ) if base else F.lit(0)
+    if carry:
+        # Payload case: a Window(partitionBy __pid) would force an
+        # Exchange on __pid and move the carried payload through a
+        # SECOND shuffle. The rows are already sorted by key within
+        # their pinned partitions, so the running sum is a per-partition
+        # Arrow pass instead: one cumsum per task, zero extra shuffle.
+        out = _offsets_arrow_pass(parts, base, key_col, len_col, carry)
+        return out, parts
+    if not base:
+        withbase = parts.withColumn("__base", F.lit(0).cast("bigint"))
+    elif len(base) <= BASE_CARRIER_MAX_LITERALS:
+        # small partition counts: 2·P literals inline in the plan
+        base_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in base.items() for x in kv]),
+            F.col("__pid"),
+        )
+        withbase = parts.withColumn("__base", base_expr.cast("bigint"))
+    else:
+        # large partition counts: the literal map would bloat every task
+        # binary; carry the P bases as a broadcast-joined relation
+        # instead (plan stays O(1); BroadcastHashJoin streams the probe
+        # side so within-partition row order — which the window below
+        # re-sorts anyway — is preserved)
+        bdf = spark.createDataFrame(
+            [(int(p), int(b)) for p, b in base.items()],
+            "__pid int, __base bigint",
+        )
+        withbase = parts.join(F.broadcast(bdf), "__pid", "left")
     w = (
         Window.partitionBy("__pid")
         .orderBy(key_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (
-        parts.withColumn("__run", F.sum(len_col).over(w))
-        .withColumn("off", (base_expr + F.col("__run") - F.col(len_col)).cast("bigint"))
-        .select(F.col(key_col), F.col(len_col).alias("n"), "off")
+        withbase.withColumn("__run", F.sum(len_col).over(w))
+        .withColumn("off", (F.col("__base") + F.col("__run") - F.col(len_col)).cast("bigint"))
+        .select(F.col(key_col), F.col(len_col).alias("n"), "off", *(carry or []))
     )
     return out, parts
+
+
+def _offsets_arrow_pass(parts: DataFrame, base: dict, key_col: str,
+                        len_col: str, carry: list[str]) -> DataFrame:
+    """Per-partition running sum as one Arrow pass: rows arrive sorted
+    by ``key_col`` within their pinned partition (each tagged with a
+    constant ``__pid``), so each task accumulates a cumulative sum
+    starting at its partition's precomputed base offset. No Exchange —
+    the carried payload columns stream through untouched."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+    in_schema = to_arrow_schema(parts.schema)
+    out_fields = [
+        in_schema.field(key_col),
+        pa.field("n", pa.int64()),
+        pa.field("off", pa.int64()),
+        *[in_schema.field(c) for c in carry],
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def fn(batches):
+        acc = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if acc is None:
+                pid = b.column("__pid")[0].as_py()
+                acc = int(base.get(pid, 0))
+            n = b.column(len_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            run = np.cumsum(n)
+            off = acc + run - n
+            acc += int(run[-1]) if len(run) else 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(key_col),
+                    pa.array(n, type=pa.int64()),
+                    pa.array(off, type=pa.int64()),
+                    *[b.column(c) for c in carry],
+                ],
+                schema=out_schema,
+            )
+
+    return parts.mapInArrow(
+        fn, schema=from_arrow_schema(out_schema, prefer_timestamp_ntz=True)
+    )
 
 
 def sequence_pack_spans(df: DataFrame, seq_len: int, key_col: str,
@@ -145,3 +227,91 @@ def sequence_pack_spans(df: DataFrame, seq_len: int, key_col: str,
     )
     pinned.unpersist()  # free the offsets projection's storage blocks
     return res
+
+
+def sequence_pack_tokens(df: DataFrame, seq_len: int, key_col: str,
+                         tokens_col: str,
+                         num_partitions: int | None = None) -> DataFrame:
+    """The packed training sequences THEMSELVES: (seq_id, n_tokens,
+    tokens), where ``tokens`` is every document's token array laid
+    end-to-end in global ``key_col`` order and cut into exact
+    ``seq_len``-token sequences (the last one short). The payload
+    companion to ``sequence_pack_spans`` — spans pin the geometry, this
+    emits the data an LLM training job actually reads.
+
+    Scale shape: the token arrays ride the ONE range shuffle of the
+    two-phase prefix sum (``carry=`` threading — no join-back of the
+    payload), per-row offsets are a per-partition Arrow cumsum (no
+    Window Exchange), and each document is sliced into at most
+    ``n/seq_len + 2`` pieces which shuffle ONCE on ``seq_id`` for
+    reassembly. Total movement ≈ 2× the token payload, independent of
+    document count; per-sequence state is bounded by ``seq_len``.
+
+    Zero-length documents are dropped (they occupy no sequence).
+    Element type of ``tokens`` is preserved from the input arrays.
+    """
+    work = df.select(
+        F.col(key_col),
+        F.col(tokens_col).alias("__toks"),
+    ).withColumn("__n", F.coalesce(F.size("__toks"), F.lit(0)).cast("bigint"))
+    offs, _pinned = _doc_offsets_pinned(
+        work, key_col, "__n", num_partitions, carry=["__toks"]
+    )
+    # NOTE: the pinned projection stays in executor storage until the
+    # returned plan is garbage-collected — the result is the full data,
+    # so there is nothing small to materialize-and-free here (unlike
+    # sequence_pack_spans).
+    offs = offs.filter(F.col("n") > 0)
+    L = F.lit(seq_len)
+    pieces = (
+        # integer DIV for 2^53 exactness (same reasoning as the spans)
+        offs.withColumn("s_first", F.expr(f"off DIV {seq_len}"))
+        .withColumn("s_last", F.expr(f"(off + n - 1) DIV {seq_len}"))
+        .select(
+            "n", "off", "__toks",
+            F.explode(F.sequence("s_first", "s_last")).alias("seq_id"),
+        )
+        # where this piece starts inside the sequence, and which slice
+        # of the document it carries (1-based slice; within-doc
+        # positions fit int32 — a single document larger than 2^31
+        # tokens would have failed collection upstream long before)
+        .withColumn(
+            "pos_in_seq",
+            F.greatest(F.col("off") - F.col("seq_id") * L, F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "start_in_doc",
+            F.greatest(F.col("seq_id") * L - F.col("off"), F.lit(0)),
+        )
+        .withColumn(
+            "take",
+            F.least((F.col("seq_id") + 1) * L, F.col("off") + F.col("n"))
+            - F.greatest(F.col("seq_id") * L, F.col("off")),
+        )
+        .select(
+            "seq_id",
+            "pos_in_seq",
+            F.slice(
+                "__toks",
+                (F.col("start_in_doc") + 1).cast("int"),
+                F.col("take").cast("int"),
+            ).alias("piece"),
+        )
+    )
+    return (
+        pieces.groupBy("seq_id")
+        # pieces of one sequence tile it without overlap, so pos_in_seq
+        # is unique within the group and array_sort's struct ordering
+        # (first field first) reassembles deterministically despite
+        # collect_list's nondeterministic arrival order
+        .agg(F.collect_list(F.struct("pos_in_seq", "piece")).alias("__ps"))
+        .withColumn(
+            "tokens",
+            F.flatten(F.transform(F.array_sort("__ps"), lambda x: x["piece"])),
+        )
+        .select(
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            "tokens",
+        )
+    )

@@ -186,6 +186,52 @@ FROM events GROUP BY date_trunc('hour', ts)
 """
 
 
+def q_stream_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming shape: the same watermark + tumbling
+    window aggregation in APPEND mode to a durable parquet sink
+    (streaming.py windowed_event_counts_append). A window reaches the
+    sink exactly when the watermark (max event time - 1h) passes its
+    end — and its state is then evicted, which is what bounds state on
+    a forever-running 100 TB pipeline. The oracle computes precisely
+    the finalized-window set: hours whose window end <= max(ts) - 1h.
+    Eviction + dropped-late semantics are pinned in
+    tests/test_streaming.py (the oracle's single drain has no late
+    rows by construction)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import windowed_event_counts_append
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_winapp_")
+    try:
+        in_dir = os.path.join(work, "in")
+        sink = os.path.join(work, "sink")
+        df.repartition(3).write.mode("overwrite").parquet(in_dir)
+        q = windowed_event_counts_append(
+            spark, in_dir, sink, df.schema, ts_col="ts",
+            window="1 hour", watermark="1 hour",
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .select("window_start", F.col("n").cast("bigint").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_STREAM_WINDOW_APPEND = """
+SELECT date_trunc('hour', ts) AS window_start, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+GROUP BY 1
+"""
+
+
 def q_rle_run_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-on-compressed: value counts aggregated on RLE runs without
     expansion (reference src/test_rle.rs:8-17 generalized)."""
@@ -508,6 +554,55 @@ SELECT CAST(seq_id AS BIGINT) AS seq_id,
                 - GREATEST(seq_id * {_PACK_SEQ_LEN}, off)) AS BIGINT) AS n_units,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM sp GROUP BY seq_id
+"""
+
+
+def q_sequence_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed training sequences THEMSELVES (the payload companion
+    to sequence_pack): documents flow through the columnar engine
+    (encode -> shuffle-free decode), are tokenized to codepoint ids,
+    laid end-to-end in doc_id order, and cut into exact 2048-token
+    sequences (last short). Each output row is one training sequence:
+    (seq_id, n_tokens, tokens array<int>).
+
+    Scale shape (operators/packing.py sequence_pack_tokens): token
+    arrays ride the ONE range shuffle of the two-phase prefix sum,
+    per-row offsets are a per-partition Arrow cumsum (no Window
+    Exchange), and pieces shuffle once on seq_id for reassembly —
+    ~2x-payload total movement, per-sequence state bounded by seq_len.
+    The oracle is the naive ORDER-BY-everything window over the fully
+    exploded token stream, pinning payload bytes, not just geometry."""
+    from ..engine import decode_table, encode_table
+    from .packing import sequence_pack_tokens
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    manifest = encode_table(df, key_col="doc_id", num_partitions=8)
+    dec = decode_table(manifest, df.schema, assume_unique=True, arranged=True)
+    toks = dec.select(
+        "doc_id",
+        F.transform(F.split("text", ""), lambda c: F.ascii(c)).alias("toks"),
+    )
+    return sequence_pack_tokens(toks, seq_len=_PACK_SEQ_LEN, key_col="doc_id",
+                                tokens_col="toks", num_partitions=8)
+
+
+DUCK_SEQUENCE_PACK_TOKENS = f"""
+WITH o AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(length(text)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off,
+         text
+  FROM documents
+),
+tok AS (
+  SELECT off + i - 1 AS gpos,
+         CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS INTEGER) AS t
+  FROM (SELECT off, text, UNNEST(range(1, n + 1)) AS i FROM o WHERE n > 0)
+)
+SELECT CAST(gpos // {_PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       LIST(t ORDER BY gpos) AS tokens
+FROM tok GROUP BY 1
 """
 
 
@@ -983,6 +1078,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_nullable": (q_roundtrip_nullable, ORACLE_ROUNDTRIP_NULLABLE),
     "roundtrip_streaming": (q_roundtrip_streaming, ORACLE_ROUNDTRIP_DOCUMENTS),
     "stream_window_counts": (q_stream_window_counts, DUCK_STREAM_WINDOW_COUNTS),
+    "stream_window_append": (q_stream_window_append, DUCK_STREAM_WINDOW_APPEND),
     "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
@@ -997,6 +1093,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (_sql_query(SPARK_LANG_ID, "documents"), DUCK_LANG_ID),
     "doc_fingerprint": (_sql_query(SPARK_FINGERPRINT, "documents"), DUCK_FINGERPRINT),
     "sequence_pack": (q_sequence_pack, DUCK_SEQUENCE_PACK),
+    "sequence_pack_tokens": (q_sequence_pack_tokens, DUCK_SEQUENCE_PACK_TOKENS),
     # deduplication
     "dedup_exact": (_sql_query(SPARK_DEDUP_EXACT, "documents"), DUCK_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DUCK_NGRAM_JACCARD),

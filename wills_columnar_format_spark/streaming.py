@@ -105,25 +105,7 @@ def windowed_event_counts(
     truncation therefore matches the naive wall-clock GROUP BY in any
     fixed-offset session timezone, including fractional-hour ones
     (DST-transition walls remain inherently ambiguous)."""
-    from pyspark.sql import functions as F
-
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    stream = spark.readStream.schema(schema).parquet(input_path)
-    # watermarks require TIMESTAMP; make the instant's UTC wall equal
-    # the NTZ wall so epoch-aligned windows truncate on wall hours
-    stream = stream.withColumn(
-        "__evt", F.from_utc_timestamp(F.col(ts_col).cast("timestamp"), tz)
-    )
-    agg = (
-        stream.withWatermark("__evt", watermark)
-        .groupBy(F.window(F.col("__evt"), window).alias("w"))
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.to_utc_timestamp(F.col("w.start"), tz).cast("timestamp_ntz").alias("window_start"),
-            F.to_utc_timestamp(F.col("w.end"), tz).cast("timestamp_ntz").alias("window_end"),
-            F.col("n"),
-        )
-    )
+    agg = _windowed_agg(spark, input_path, schema, ts_col, window, watermark)
     q = (
         agg.writeStream.format("memory")
         .queryName(query_name)
@@ -135,3 +117,80 @@ def windowed_event_counts(
     out = spark.table(query_name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(query_name)
     return out
+
+
+def _windowed_agg(spark, input_path, schema, ts_col, window, watermark,
+                  max_files_per_trigger=None):
+    """The shared watermark+tumbling-window aggregation plan: returns
+    (window_start, window_end, n) with NTZ wall-clock window bounds (see
+    windowed_event_counts for the timezone-shift reasoning)."""
+    from pyspark.sql import functions as F
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+    # watermarks require TIMESTAMP; make the instant's UTC wall equal
+    # the NTZ wall so epoch-aligned windows truncate on wall hours
+    stream = stream.withColumn(
+        "__evt", F.from_utc_timestamp(F.col(ts_col).cast("timestamp"), tz)
+    )
+    return (
+        stream.withWatermark("__evt", watermark)
+        .groupBy(F.window(F.col("__evt"), window).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.to_utc_timestamp(F.col("w.start"), tz).cast("timestamp_ntz").alias("window_start"),
+            F.to_utc_timestamp(F.col("w.end"), tz).cast("timestamp_ntz").alias("window_end"),
+            F.col("n"),
+        )
+    )
+
+
+def windowed_event_counts_append(
+    spark,
+    input_path: str,
+    sink_dir: str,
+    schema,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """The PRODUCTION shape of ``windowed_event_counts``: the same
+    watermark + tumbling-window aggregation running in ``append`` mode
+    to a durable parquet sink. Returns the started StreamingQuery.
+
+    Append mode is what makes a continuous 100 TB event pipeline
+    viable: a window only emits once the watermark passes its end, and
+    on emission its state is EVICTED — state-store size stays bounded
+    by the number of OPEN windows (watermark horizon / window length),
+    independent of how long the stream has run. The complete-mode
+    variant above, by contrast, retains every window ever seen and is
+    only appropriate for finite availableNow drains.
+
+    The cost is the same trade Spark documents for every append-mode
+    aggregation: rows arriving later than ``watermark`` past the
+    max seen event time are DROPPED (they belong to already-finalized
+    windows), and the trailing not-yet-closed windows are absent from
+    the sink until a later drain advances the watermark past them.
+    Both behaviors are pinned in tests/test_streaming.py.
+
+    Call repeatedly with ``available_now`` as data lands (the
+    cron/airflow pattern — the checkpoint carries the watermark across
+    drains, so each drain finalizes what the new data's event times
+    allow); or run continuously with ``max_files_per_trigger``.
+    """
+    agg = _windowed_agg(spark, input_path, schema, ts_col, window, watermark,
+                        max_files_per_trigger=max_files_per_trigger)
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", sink_dir.rstrip("/") + "_stream_ckpt")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
