@@ -17,7 +17,7 @@ from wills_columnar_format_spark.column import (
 )
 
 INT_DTYPES = [np.int8, np.uint8, np.int16, np.uint16, np.int32, np.uint32, np.int64, np.uint64]
-CODECS = ["plain", "rle", "dict", "for_bitpack", "delta", "dict_rle", "dict_rank", "auto"]
+CODECS = ["plain", "rle", "dict", "for_bitpack", "delta", "dict_rle", "dict_rank", "dict_rans", "auto"]
 
 
 @st.composite

@@ -11,6 +11,7 @@ from .foref import ForCodec
 from .fsplit import FloatSplitCodec
 from .fsst import FsstCodec
 from .plain import PlainCodec
+from .rans import DictRansCodec
 from .rle import RleCodec
 
 PLAIN = PlainCodec()
@@ -22,8 +23,9 @@ DICT_RLE = DictRleCodec()
 DELTA = DeltaCodec()
 FLOAT_SPLIT = FloatSplitCodec()
 DICT_VARINT = DictVarintCodec()
+DICT_RANS = DictRansCodec()
 
-ALL_CODECS: list[Codec] = [PLAIN, RLE, DICT, FOR, FSST, DICT_RLE, DELTA, FLOAT_SPLIT, DICT_VARINT]
+ALL_CODECS: list[Codec] = [PLAIN, RLE, DICT, FOR, FSST, DICT_RLE, DELTA, FLOAT_SPLIT, DICT_VARINT, DICT_RANS]
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in ALL_CODECS}
 BY_NAME: dict[str, Codec] = {c.name: c for c in ALL_CODECS}
 
@@ -40,6 +42,7 @@ __all__ = [
     "DELTA",
     "FLOAT_SPLIT",
     "DICT_VARINT",
+    "DICT_RANS",
     "ALL_CODECS",
     "BY_ID",
     "BY_NAME",

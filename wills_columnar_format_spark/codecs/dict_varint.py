@@ -14,9 +14,11 @@ ceil(log2(|vocab|)) bits regardless of skew. Two steps fix that:
    inline and their full-width value in a patch stream (PFOR patching).
 
 Measured 1.81 B/token on the synthetic token table vs 2.00 for
-for_bitpack (order-0 entropy floor 1.45 B; fractional-bit coders are out
-of scope per the lightweight-codec rule). Real LLM token streams are
-MORE skewed (GPT-2 top-128 ≈ half the mass), widening the gap.
+for_bitpack (order-0 entropy floor 1.45 B). ``dict_rans`` (rans.py)
+builds on the same rank kernel with a fractional-bit order-0 coder and
+reaches ~1.55; this codec remains the byte-aligned fallback the
+selector picks when the rANS table overhead doesn't amortize. Real LLM
+token streams are MORE skewed (GPT-2 top-128 ≈ half the mass).
 
 Deterministic (resume contract): ranks order by (count desc, value asc)
 and w is an exact function of the count curve.

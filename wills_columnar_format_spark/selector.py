@@ -183,7 +183,7 @@ def applicable_codecs(col: ColumnValues) -> list[Codec]:
     for c in ALL_CODECS:
         if not c.supports(col.tag):
             continue
-        if c.name in ("for_bitpack", "delta", "dict_varint"):
+        if c.name in ("for_bitpack", "delta", "dict_rank", "dict_rans"):
             v = col.vals
             if col.tag == dtypes.UNSIGNED_INTEGER and len(v) and int(v.max()) > _INT64_MAX >> 1:
                 continue  # int64 difference/view math would overflow
@@ -267,6 +267,13 @@ def exact_integer_costs(col: ColumnValues, target_page_size: int) -> dict[str, f
         dr_dict + 4
         + packed_nbytes(n, w_dr) + packed_nbytes(n_exc, full_dr) + 8.0 * dr_pages
     )
+
+    # dict_rans: order-0 cross-entropy of the quantized rank stream —
+    # a deterministic ~0.5%-accurate estimate (word granularity / lane
+    # remainders), far inside the margins separating codec choices
+    from .codecs.rans import rans_cost_from_counts
+
+    costs["dict_rans"] = rans_cost_from_counts(rc, n, dr_dict, target_page_size)
 
     # frame-of-reference: exact per-page widths under the codec's own
     # pagination rule (global width -> rows/page -> per-page min/max);
