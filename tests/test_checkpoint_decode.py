@@ -371,3 +371,97 @@ def test_verify_checksums_clean_and_corrupted(spark, tmp_path_factory):
     with pytest.raises(Exception, match="checksum mismatch"):
         decode_table(spark.read.parquet(path), df.schema,
                      verify_checksums=True).count()
+
+
+def test_clustered_marker_skips_gate(spark, token_df, tmp_path_factory, monkeypatch):
+    """First full decode verifies the layout and writes a `_clustered`
+    marker; the second decode must run NO gate aggregate at all (a hot
+    point-lookup service re-verifies once per checkpoint, not per
+    query). Appending files invalidates the marker via the file
+    signature and the gate runs again."""
+    import os
+
+    import wills_columnar_format_spark.engine as eng
+
+    path = str(tmp_path_factory.mktemp("ckpt_marker") / "m")
+    m = encode_table(token_df, key_col="doc_id", codec="auto",
+                     num_partitions=4, chunk_rows=512, partitioner="hash")
+    m.write.parquet(path)
+    dec = decode_checkpoint(spark, path, token_df.schema)
+    dec.count()
+    assert os.path.exists(os.path.join(path, "_clustered"))
+
+    def boom(_):
+        raise AssertionError("gate aggregate ran despite a valid marker")
+
+    monkeypatch.setattr(eng, "_checkpoint_is_clustered", boom)
+    dec2 = decode_checkpoint(spark, path, token_df.schema)
+    _assert_equals_source(dec2, token_df)
+    monkeypatch.undo()
+
+    # append (streaming/resume) -> signature mismatch -> gate runs again
+    m.write.mode("append").parquet(path)
+    with pytest.warns(UserWarning, match="not chunk-clustered"):
+        decode_checkpoint(spark, path, token_df.schema)
+
+
+def test_rechunk_compaction_recovers_compression(spark, token_df, tmp_path_factory):
+    """Streaming ingest writes small chunks; re-encoding compaction at
+    big chunks must land within 2% of a direct big-chunk batch encode
+    (dictionary/rANS table amortization) and stay losslessly decodable
+    shuffle-free."""
+    from wills_columnar_format_spark.engine import compact_checkpoint
+
+    src = str(tmp_path_factory.mktemp("ckpt_rc") / "src")
+    dst = str(tmp_path_factory.mktemp("ckpt_rc") / "dst")
+    # small-chunk ingest shape (streaming micro-batches)
+    encode_table(token_df, key_col="doc_id", codec="auto",
+                 num_partitions=4, chunk_rows=512,
+                 partitioner="hash").write.parquet(src)
+    small_bytes = spark.read.parquet(src).agg(
+        F.sum(F.length("blob"))).collect()[0][0]
+
+    compact_checkpoint(spark, src, dst, rechunk_rows=65536,
+                       schema=token_df.schema, key_col="doc_id",
+                       num_partitions=2)
+    big_bytes = spark.read.parquet(dst).agg(
+        F.sum(F.length("blob"))).collect()[0][0]
+    # reference batch encode at the same big-chunk layout
+    batch = encode_table(token_df, key_col="doc_id", codec="auto",
+                         num_partitions=2, chunk_rows=65536)
+    batch_bytes = batch.agg(F.sum(F.length("blob"))).collect()[0][0]
+
+    assert big_bytes < small_bytes  # compaction actually helped
+    assert abs(big_bytes - batch_bytes) / batch_bytes < 0.02
+
+    dec = decode_checkpoint(spark, dst, token_df.schema)
+    assert "Exchange" not in dec._jdf.queryExecution().executedPlan().toString()
+    _assert_equals_source(dec, token_df)
+
+
+def test_externally_resorted_checkpoint_raises_clearly(spark, token_df, tmp_path_factory):
+    """A manifest file re-sorted by an external tool (column-major) still
+    passes the one-file-per-chunk gate but tears every chunk's
+    sub-column group; decode must raise an IOError naming
+    compact_checkpoint, never an opaque KeyError."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("ckpt_sort") / "m")
+    encode_table(token_df, key_col="doc_id", codec="auto",
+                 num_partitions=1, chunk_rows=512,
+                 partitioner="hash").write.parquet(path)
+    f = sorted(glob.glob(os.path.join(path, "part-*.parquet")))[0]
+    t = pq.read_table(f)
+    t = t.sort_by([("column", "ascending"), ("chunk_key", "ascending")])
+    pq.write_table(t, f)
+    for crc in glob.glob(os.path.join(path, ".*.crc")):
+        os.remove(crc)  # stale Hadoop sidecars fail LocalFS reads
+    marker = os.path.join(path, "_clustered")
+    if os.path.exists(marker):
+        os.remove(marker)
+    with pytest.raises(Exception) as ei:
+        decode_checkpoint(spark, path, token_df.schema).count()
+    assert "compact_checkpoint" in str(ei.value)
