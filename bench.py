@@ -376,6 +376,12 @@ def main() -> None:
         rg_bpt = extra.get("encode_range", {}).get("bytes_per_token")
         print(json.dumps({
             "metric": "e2e_bench_total",
+            # bench_schema 2: compressed_bytes_per_token became the
+            # layout-appropriate (range) number in round 3 — it meant the
+            # hash layout in schema-1 JSONs. Trend tooling must key on
+            # the explicit _hash/_range fields when comparing across
+            # schema versions.
+            "bench_schema": 2,
             "value": total,
             "unit": "sec",
             "queries": queries,

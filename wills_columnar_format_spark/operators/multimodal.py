@@ -49,8 +49,14 @@ def extract_binary_meta(df, payload_col: str, id_col: str):
                 else np.empty(0, dtype=np.uint8)
             )
             lens = np.diff(off)
+            # the Arrow spec allows ARBITRARY offsets under null slots:
+            # lens/head there would be garbage read from unrelated buffer
+            # bytes — mask by the validity bitmap and emit NULL metadata
+            # for NULL payloads instead of trusting the offsets
+            valid = np.asarray(arr.is_valid())
+            lens[~valid] = 0
             head = np.full(len(arr), -1, dtype=np.int32)
-            nz = lens > 0
+            nz = (lens > 0) & valid
             head[nz] = data[off[:-1][nz]]
             ids = b.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
@@ -60,8 +66,8 @@ def extract_binary_meta(df, payload_col: str, id_col: str):
                     # declared schema says bigint: cast narrower id types
                     # (the old pandas path coerced silently)
                     ids.cast(pa.int64()),
-                    pa.array(lens, type=pa.int64()),
-                    pa.array(head, type=pa.int32()),
+                    pa.array(lens, type=pa.int64(), mask=~valid),
+                    pa.array(head, type=pa.int32(), mask=~valid),
                 ],
                 [id_col, "n_bytes", "head_byte"],
             )
