@@ -465,3 +465,23 @@ def test_externally_resorted_checkpoint_raises_clearly(spark, token_df, tmp_path
     with pytest.raises(Exception) as ei:
         decode_checkpoint(spark, path, token_df.schema).count()
     assert "compact_checkpoint" in str(ei.value)
+
+
+def test_schema_mismatch_diagnosed_not_blamed_on_layout(spark, token_df, tmp_path_factory):
+    """Asking decode for a column the manifest never stored must say
+    'check the schema argument', not prescribe compact_checkpoint for a
+    healthy checkpoint (review finding: the KeyError rewrap sent users
+    to re-shuffle perfectly fine data)."""
+    import pyarrow as pa
+
+    path = str(tmp_path_factory.mktemp("ckpt_sm") / "m")
+    encode_table(token_df, key_col="doc_id", codec="auto",
+                 num_partitions=2, chunk_rows=512,
+                 partitioner="hash").write.parquet(path)
+    wrong = pa.schema([pa.field("doc_id", pa.string()),
+                       pa.field("no_such_column", pa.int64())])
+    with pytest.raises(Exception) as ei:
+        decode_checkpoint(spark, path, wrong).count()
+    msg = str(ei.value)
+    assert "no manifest row seen so far carries it" in msg
+    assert "check the schema argument" in msg

@@ -468,3 +468,43 @@ def test_string_bound_truncation_conservative(spark):
         assert [r["s"] for r in dec.collect()] == [long_z]
     finally:
         m.unpersist()
+
+
+def test_persisted_manifest_value_range_skips_materialization(spark, tmp_path, monkeypatch):
+    """A persisted manifest (parquet scan + the done-marker filter) must
+    NOT be localCheckpoint-ed by the value_range path: pinning it would
+    materialize every blob into executor storage for nothing. An
+    in-flight manifest (encode lineage) MUST be pinned (nondeterministic
+    range sampling would otherwise yield different chunk keys between
+    the hit subquery and the main pass)."""
+    from wills_columnar_format_spark.engine import (
+        _cheap_rescan, decode_table, encode_table)
+
+    df = spark.range(0, 2000).selectExpr("id as k", "id % 97 as v")
+    path = str(tmp_path / "m")
+    encode_table(df, key_col="k", num_partitions=2, chunk_rows=256).write.parquet(path)
+
+    persisted = spark.read.parquet(path)
+    # patch the CONCRETE class (pyspark.sql.classic overrides the base)
+    cls = type(persisted)
+    calls = []
+    orig = cls.localCheckpoint
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+    dec = decode_table(persisted, df.schema, value_range=("v", 10, 20))
+    n = dec.count()
+    assert n == df.filter("v between 10 and 20").count()
+    assert not calls, "persisted manifest was needlessly localCheckpoint-ed"
+
+    inflight = encode_table(df, key_col="k", num_partitions=2, chunk_rows=256)
+    decode_table(inflight, df.schema, value_range=("v", 10, 20)).count()
+    assert calls, "in-flight manifest must be pinned before the hit subquery"
+
+    # the gate itself: scan+deterministic-filter is cheap, rand() is not
+    assert _cheap_rescan(persisted.filter("column <> '__done__'"))
+    assert not _cheap_rescan(persisted.filter("rand() > 0.5"))
+    assert not _cheap_rescan(inflight)

@@ -447,6 +447,37 @@ def _is_bare_scan(df) -> bool:
         return False
 
 
+_CHEAP_RESCAN_NODES = _BARE_SCAN_NODES | {"Filter"}
+
+
+def _cheap_rescan(df) -> bool:
+    """True when re-evaluating ``df`` is cheap AND deterministic: the
+    optimized plan is scan/project/filter-only with every node's
+    expressions deterministic. This is the gate for SKIPPING the
+    auto-materialization before a multi-use subquery — a persisted
+    manifest (parquet scan + the done-marker Filter) re-reads for
+    pennies and always yields the same rows, while anything with an
+    Exchange/mapInArrow (an in-flight encode) or a nondeterministic
+    filter must be pinned first. Note `_is_bare_scan` is stricter on
+    purpose (its file-sampling caller re-reads files RAW, so even a
+    deterministic Filter changes the sampled population); here a Filter
+    re-applies on re-evaluation and is fine."""
+    try:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() not in _CHEAP_RESCAN_NODES:
+                return False
+            if not node.deterministic():
+                return False
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return True
+    except Exception:
+        return False
+
+
 def weight_balanced_bucket_expr(df, key_col: str, weight_col: str, num_buckets: int, sample_rows: int = 100_000):
     """Size-aware bucketing: sample (key, weight), pick key bounds at equal
     cumulative-weight quantiles, return a Column assigning each row its
@@ -689,6 +720,7 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False):
         pending: dict[str, bytes] = {}
         expect: dict[str, str] = {}
         seen_keys: set = set()  # bounded by chunks/task — tiny strings
+        seen_cols: set = set()  # bounded by #sub-columns — tinier still
 
         def flush():
             cvs = {c: _decode_blob(b) for c, b in pending.items() if c in needed}
@@ -713,13 +745,29 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False):
                 # rewritten by an external tool (e.g. re-sorted by column
                 # then chunk_key) passes it and then tears every chunk's
                 # sub-columns apart mid-stream — name the repair tool
-                # instead of dying with a bare KeyError
+                # instead of dying with a bare KeyError. A column that
+                # NO row so far carried is more likely a schema
+                # mismatch (out_schema naming a field the manifest
+                # never stored) — compaction cannot fix that, so
+                # diagnose it separately.
+                missing = e.args[0] if e.args else str(e)
+                if missing in seen_cols:
+                    raise IOError(
+                        f"chunk {pending_key!r} is missing sub-column "
+                        f"{missing!r} in its contiguous row group, but "
+                        "other chunks carry it — manifest rows for one "
+                        "chunk are not adjacent (externally rewritten "
+                        "or re-sorted checkpoint?). compact_checkpoint("
+                        "src, dst) restores the clustered layout"
+                    ) from e
                 raise IOError(
-                    f"chunk {pending_key!r} is missing sub-column {e} in "
-                    "its contiguous row group — manifest rows for one "
-                    "chunk are not adjacent (externally rewritten or "
-                    "re-sorted checkpoint?). compact_checkpoint(src, dst) "
-                    "restores the clustered layout"
+                    f"chunk {pending_key!r} has no sub-column "
+                    f"{missing!r}, and no manifest row seen so far "
+                    "carries it — either out_schema names a column this "
+                    "manifest does not store (check the schema "
+                    "argument), or the manifest was externally "
+                    "re-sorted column-major (compact_checkpoint(src, "
+                    "dst) restores the clustered layout)"
                 ) from e
             rb = pa.RecordBatch.from_arrays(arrays, schema=out_schema)
             # stream cache-sized batches back to the JVM: one 16k-row chunk
@@ -752,6 +800,7 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False):
                     pending = {}
                     expect = {}
                 pending[cols[i]] = blobs[i].as_py()
+                seen_cols.add(cols[i])
                 if sums is not None:
                     expect[cols[i]] = sums[i]
         if pending_key is not None and pending:
@@ -964,7 +1013,7 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     if value_range is not None:
         vr = _prepare_value_range(out_schema, value_range)
         if _value_maps_col(vr[:3]) in manifest_df.columns:
-            if not _is_bare_scan(manifest_df):
+            if not _cheap_rescan(manifest_df):
                 # AUTO-MATERIALIZE an in-flight manifest (one flowing
                 # straight from encode_table) before the hit-key
                 # subquery: without it the encode lineage evaluates
@@ -972,10 +1021,14 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                 # paying the encode twice AND, under the
                 # nondeterministic range sampler, producing DIFFERENT
                 # chunk keys in each evaluation (the semi-join would
-                # silently drop chunks). Persisted manifests (bare
-                # file scans) skip this — file reads are deterministic
-                # and cheap. The pinned blocks free when the returned
-                # plan is garbage-collected.
+                # silently drop chunks). Persisted manifests
+                # (scan+filter plans — note the done-marker Filter
+                # above, so a bare-scan test would never pass here)
+                # skip this: file re-reads are deterministic and
+                # cheap, and pinning them would materialize every
+                # blob into executor storage for nothing. The pinned
+                # blocks free when the returned plan is
+                # garbage-collected.
                 manifest_df = manifest_df.localCheckpoint(eager=True)
             hit = _value_range_keys(manifest_df, vr[:3]).select("chunk_key").distinct()
             # collect the qualifying keys ONCE (blob-free: a metadata
@@ -1109,24 +1162,29 @@ def _clustered_marker_ok(ckpt_dir: str) -> bool:
     resumed checkpoint re-verifies instead of skipping the gate)."""
     import json
 
-    fsys, p = _manifest_fs(ckpt_dir)
     try:
+        # _manifest_fs stays INSIDE the try: a URI scheme pyarrow can't
+        # resolve (s3a://, hdfs:// without libhdfs) raises ArrowInvalid
+        # (a ValueError) — the marker is a pure optimization, so any
+        # failure means "no cache", never a failed decode
+        fsys, p = _manifest_fs(ckpt_dir)
         with fsys.open_input_stream(f"{p.rstrip('/')}/{_CLUSTERED_MARKER}") as f:
             rec = json.loads(f.read().decode())
-    except (OSError, ValueError):
-        return False
-    try:
         n, size = _manifest_file_sig(ckpt_dir)
-    except OSError:
+    except (OSError, ValueError):
         return False
     return rec.get("n_files") == n and rec.get("total_bytes") == size
 
 
-def _write_clustered_marker(ckpt_dir: str) -> None:
+def _write_clustered_marker(ckpt_dir: str, sig: tuple[int, int] | None = None) -> None:
+    """``sig`` must be the file signature captured BEFORE the layout was
+    verified (callers pass the pre-gate snapshot): recomputing it here
+    would stamp files a concurrent appender added AFTER verification,
+    and every later decode would trust an unverified layout."""
     import json
 
     fsys, p = _manifest_fs(ckpt_dir)
-    n, size = _manifest_file_sig(ckpt_dir)
+    n, size = sig if sig is not None else _manifest_file_sig(ckpt_dir)
     with fsys.open_output_stream(f"{p.rstrip('/')}/{_CLUSTERED_MARKER}") as f:
         f.write(json.dumps({"n_files": n, "total_bytes": size}).encode())
 
@@ -1181,10 +1239,8 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
                     # chunk-level value-range pruning: only this file's
                     # zone-map-qualifying chunks are read at all
                     row_filt = row_filt & pds.field("chunk_key").isin(key_lists[i])
-                if "://" in path or path.startswith("file:"):
-                    fsys, p = pafs.FileSystem.from_uri(path)
-                else:
-                    fsys, p = pafs.LocalFileSystem(), path
+                fsys, p = _manifest_fs(path)  # same dispatch as the
+                # driver-side marker path — one rule for both sides
                 # STREAM the file: single-threaded scanner preserves row
                 # (hence chunk-group) order across row groups while
                 # holding only ~batch_size blobs at a time — a manifest
@@ -1226,6 +1282,13 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
         out_schema = to_arrow_schema(out_schema)
     full_schema = out_schema
     out_schema, phys = _project_out_schema(out_schema, columns)
+    # file signature BEFORE the scan lists files: anything appended
+    # after this point is either seen by the gate (and verified) or
+    # newer than the marker we may write (and re-verified next call)
+    try:
+        pre_sig = _manifest_file_sig(ckpt_dir)
+    except (OSError, ValueError):
+        pre_sig = None
     fdf = _manifest_metadata(spark, ckpt_dir)
     if phys is not None:
         from pyspark.sql import functions as F
@@ -1247,11 +1310,15 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
     full_gate = key_range is None and phys is None
     if not gate_ok:
         gate_ok = _checkpoint_is_clustered(fdf)
-        if gate_ok and full_gate:
+        # the marker stamps pre_sig — the signature captured before the
+        # file listing: an appender landing between listing and here
+        # makes the stamped signature stale, so the next reader's check
+        # fails and re-verifies (never trusts never-verified files)
+        if gate_ok and full_gate and pre_sig is not None:
             try:
-                _write_clustered_marker(ckpt_dir)
-            except OSError:
-                pass  # read-only checkpoint dir: just skip the cache
+                _write_clustered_marker(ckpt_dir, sig=pre_sig)
+            except (OSError, ValueError):
+                pass  # read-only / non-pyarrow-fs dir: just skip the cache
     if not gate_ok:
         import warnings
 
@@ -1313,6 +1380,7 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
                        schema=None, key_col: str | None = None,
                        codec: str = "auto",
                        num_partitions: int | None = None,
+                       partitioner: str | None = None,
                        target_page_size: int = DEFAULT_TARGET_PAGE_SIZE) -> str:
     """Rewrite a checkpoint manifest into the clustered layout: done
     markers stripped, duplicate (chunk_key, column) rows collapsed, every
@@ -1342,16 +1410,26 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
         if schema is None or key_col is None:
             raise ValueError("rechunk_rows requires schema= and key_col=")
         dec = decode_checkpoint(spark, src_dir, schema)
+        if partitioner not in ("hash", "none"):
+            # the default (range) and weight partitioners SAMPLE their
+            # input for bounds before shuffling — unpinned, that
+            # evaluates the full checkpoint decode twice (the exact
+            # double-evaluation decode_table's value_range path fixes).
+            # Pin the decoded lineage: storage-for-compute is the right
+            # trade in a batch maintenance job (MEMORY_AND_DISK spill),
+            # and the blocks free when the job's plans are collected.
+            dec = dec.localCheckpoint(eager=False)
         manifest = encode_table(
             dec, key_col=key_col, codec=codec, chunk_rows=rechunk_rows,
-            num_partitions=num_partitions, target_page_size=target_page_size,
+            num_partitions=num_partitions, partitioner=partitioner,
+            target_page_size=target_page_size,
         )
         # one task's output per file — clustered by construction, same
         # layout contract as a fresh encode_table checkpoint write
         manifest.write.parquet(dst_dir)
         try:
             _write_clustered_marker(dst_dir)
-        except OSError:
+        except (OSError, ValueError):
             pass
         return dst_dir
 
@@ -1397,7 +1475,7 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
     )
     try:
         _write_clustered_marker(dst_dir)
-    except OSError:
+    except (OSError, ValueError):
         pass
     return dst_dir
 
