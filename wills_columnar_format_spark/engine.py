@@ -938,9 +938,89 @@ def _value_range_keys(manifest_df, value_range):
     return manifest_df.filter((F.col("column") == vcol) & keep)
 
 
+def _conjunctive_hit_keys(manifest_df, vrs, extra_cols=()):
+    """Chunk keys that may satisfy EVERY prepared value_range in ``vrs``
+    (AND semantics) — one union + one aggregate job: each predicate's
+    zone-qualifying manifest rows are tagged with the predicate's index
+    and a chunk survives iff it matched ALL indices (countDistinct, so
+    two predicates on the SAME column still count separately).
+    ``extra_cols`` rides grouping columns through (``__file`` for the
+    checkpoint path). Blob-free metadata throughout."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    cols = ["chunk_key", *extra_cols]
+    tagged = [
+        _value_range_keys(manifest_df, v[:3]).select(*cols).withColumn("__ri", F.lit(i))
+        for i, v in enumerate(vrs)
+    ]
+    allhits = reduce(lambda a, b: a.unionByName(b), tagged)
+    return (
+        allhits.groupBy(*cols)
+        .agg(F.countDistinct("__ri").alias("__nm"))
+        .filter(F.col("__nm") == len(vrs))
+        .select(*cols)
+    )
+
+
+def _prune_by_key_set(manifest_df, keys):
+    """Keep manifest rows whose chunk's KEY zone map may contain ANY of
+    ``keys`` — the multi-point generalization of ``key_range`` pruning
+    (fetch a working set of doc_ids in one decode instead of one decode
+    per key). Numeric keys test the cast-free ``*_num`` maps, strings
+    the string bounds; NULL maps keep conservatively. The probe is a
+    broadcast non-equi left_semi join: a BroadcastNestedLoopJoin over
+    blob-free METADATA (|keys| x chunk-rows comparisons) — the blob
+    side itself never moves."""
+    from pyspark.sql import functions as F
+
+    ks = list(dict.fromkeys(keys))
+    if not ks:
+        return manifest_df.filter(F.lit(False))
+    spark = manifest_df.sparkSession
+    numeric = all(
+        isinstance(k, (int, float)) and not isinstance(k, bool) for k in ks
+    )
+    if numeric:
+        kdf = spark.createDataFrame([(float(k),) for k in ks], "__k double")
+        cond = (
+            (F.col("__k") >= F.col("min_key_num"))
+            & (F.col("__k") <= F.col("max_key_num"))
+        ) | F.col("min_key_num").isNull()
+    else:
+        kdf = spark.createDataFrame([(str(k),) for k in ks], "__k string")
+        cond = (
+            (F.col("__k") >= F.col("min_key")) & (F.col("__k") <= F.col("max_key"))
+        ) | F.col("min_key").isNull()
+    return manifest_df.join(F.broadcast(kdf), cond, "left_semi")
+
+
+# literal IN-lists stay readable in plans and codegen up to this size;
+# bigger key sets post-filter through a broadcast semi-join instead
+_KEY_SET_ISIN_MAX = 1000
+
+
+def _filter_by_key_set(out, key_col, keys):
+    """Exact post-filter for ``keys=`` decodes: a literal isin for small
+    sets, a broadcast left_semi join past ``_KEY_SET_ISIN_MAX`` (a
+    100k-literal In() bloats the plan and the codegen)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    ks = list(dict.fromkeys(keys))
+    if len(ks) <= _KEY_SET_ISIN_MAX:
+        return out.filter(F.col(key_col).isin(ks))
+    field = out.schema[key_col]
+    kdf = out.sparkSession.createDataFrame(
+        [(k,) for k in ks], StructType([StructField(key_col, field.dataType)])
+    )
+    return out.join(F.broadcast(kdf), key_col, "left_semi")
+
+
 def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                  assume_unique=False, arranged=False, columns=None,
-                 legacy_nan_zonemaps=False, value_range=None,
+                 legacy_nan_zonemaps=False, value_range=None, keys=None,
                  verify_checksums=False):
     """Decode a manifest back to the original rows (order not preserved
     globally; chunk-local order is exact — verify by joining on the key).
@@ -961,15 +1041,26 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     read, shuffled, and decoded — the columnar projection-pushdown
     analogue, pushed into the checkpointed manifest's parquet scan.
 
-    ``value_range=(column, lo, hi)`` prunes chunks by ANY numeric
-    column's per-chunk value zone maps (the key-range idea generalized:
-    e.g. decode only chunks whose ``n_chars`` interval intersects
-    [lo, hi]) via a BROADCAST semi-join on the qualifying chunk keys —
-    no blob shuffle — then exact-filters the decoded rows. The named
-    column must be in the decoded output. Pays off when the data is
-    clustered on that column (sorted ingest, correlated keys); on
-    uncorrelated columns every chunk intersects and it degrades to a
-    plain filter, never worse.
+    ``value_range=(column, lo, hi)`` prunes chunks by ANY numeric or
+    string column's per-chunk value zone maps (the key-range idea
+    generalized: e.g. decode only chunks whose ``n_chars`` interval
+    intersects [lo, hi]) via a BROADCAST semi-join on the qualifying
+    chunk keys — no blob shuffle — then exact-filters the decoded rows.
+    A LIST of (column, lo, hi) tuples is AND-combined: one aggregate
+    finds the chunks whose zone maps satisfy every predicate, and every
+    exact filter applies after decode. The named columns must be in the
+    decoded output. Pays off when the data is clustered on those
+    columns (sorted ingest, correlated keys); on uncorrelated columns
+    every chunk intersects and it degrades to a plain filter, never
+    worse.
+
+    ``keys=[k1, k2, ...]`` is the multi-point lookup: chunks whose
+    [min_key, max_key] interval contains ANY of the keys are decoded
+    (broadcast non-equi semi-join against the zone maps — metadata
+    only), and with ``key_col`` set the rows are exact-filtered to the
+    key set (literal isin up to 1000 keys, broadcast semi-join past
+    that). One decode fetches a whole working set of doc_ids instead of
+    one decode per key.
 
     ``verify_checksums=True`` re-hashes every decoded sub-column and
     compares against the encoder's recorded blake2b, raising on
@@ -1009,10 +1100,20 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         manifest_df = manifest_df.filter(
             _zone_keep_expr(key_range, legacy_nan_zonemaps)
         )
-    vr = None
+    if keys is not None:
+        # multi-point lookup: chunk pruning via a broadcast non-equi
+        # semi-join of the key set against the key zone maps (metadata
+        # only — blobs never move); the exact isin/semi filter applies
+        # after decode when key_col is given
+        manifest_df = _prune_by_key_set(manifest_df, keys)
+    vrs = []
     if value_range is not None:
-        vr = _prepare_value_range(out_schema, value_range)
-        if _value_maps_col(vr[:3]) in manifest_df.columns:
+        specs = value_range if isinstance(value_range, list) else [value_range]
+        vrs = [_prepare_value_range(out_schema, s) for s in specs]
+        usable = [v for v in vrs if _value_maps_col(v[:3]) in manifest_df.columns]
+        # (non-usable = manifest predates these zone maps — no pruning
+        # for that predicate, its exact filter below still applies)
+        if usable:
             if not _cheap_rescan(manifest_df):
                 # AUTO-MATERIALIZE an in-flight manifest (one flowing
                 # straight from encode_table) before the hit-key
@@ -1030,17 +1131,19 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                 # blocks free when the returned plan is
                 # garbage-collected.
                 manifest_df = manifest_df.localCheckpoint(eager=True)
-            hit = _value_range_keys(manifest_df, vr[:3]).select("chunk_key").distinct()
-            # collect the qualifying keys ONCE (blob-free: a metadata
-            # projection of ≤ cap+1 key strings) and rebuild the probe
-            # side as a local-relation broadcast — the previous
-            # count-then-join shape re-evaluated the manifest lineage
-            # for the semi-join build, so a manifest flowing straight
-            # from encode_table paid the encode twice. DRIVER-SAFE by
-            # the same cap: on an uncorrelated column every chunk
-            # qualifies and an unbounded key set would OOM the driver
-            # where a plain post-filter succeeds; past the cap, skip
-            # pruning (the exact filter below is always applied).
+            # conjunctive pruning in ONE aggregate job: each predicate's
+            # qualifying rows are tagged with a range index, and a chunk
+            # survives only when it matched EVERY index (countDistinct —
+            # two predicates on the same column still count separately).
+            # Collect the qualifying keys once (blob-free: ≤ cap+1 key
+            # strings) and rebuild the probe side as a local-relation
+            # broadcast — re-joining the manifest lineage would pay the
+            # encode twice on in-flight manifests. DRIVER-SAFE by the
+            # cap: on uncorrelated columns every chunk qualifies and an
+            # unbounded key set would OOM the driver where a plain
+            # post-filter succeeds; past the cap, skip pruning (the
+            # exact filters below are always applied).
+            hit = _conjunctive_hit_keys(manifest_df, usable)
             rows = hit.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
             if len(rows) <= VALUE_PRUNE_MAX_KEYS:
                 spark = manifest_df.sparkSession
@@ -1050,8 +1153,6 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                 manifest_df = manifest_df.join(
                     F.broadcast(keys_df), "chunk_key", "left_semi"
                 )
-        # else: manifest predates these zone maps — no pruning, exact
-        # filter only
     if not assume_unique:
         manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
     if arranged and assume_unique:
@@ -1068,8 +1169,10 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     if key_range is not None and key_col is not None:
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
-    if vr is not None:
-        out = out.filter((F.col(vr[0]) >= vr[3]) & (F.col(vr[0]) <= vr[4]))
+    if keys is not None and key_col is not None:
+        out = _filter_by_key_set(out, key_col, keys)
+    for v in vrs:
+        out = out.filter((F.col(v[0]) >= v[3]) & (F.col(v[0]) <= v[4]))
     return out
 
 
@@ -1196,13 +1299,18 @@ VALUE_PRUNE_MAX_KEYS = 100_000
 
 
 def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
-                        legacy_nan_zonemaps: bool,
+                        legacy_nan_zonemaps: bool, point_keys=None,
                         verify_checksums: bool = False):
     """mapInArrow function over a (path string) DataFrame: each task reads
     one manifest parquet file sequentially and decodes its chunk groups.
     Projection and zone-map predicates are pushed into the pyarrow read
     (row-group stats pruning); row order — hence group contiguity — is
     preserved by the dataset scanner."""
+
+    # the pushed OR-of-containment expression grows linearly with the key
+    # set — past this, file-level pruning (driver side) + the exact
+    # post-filter carry the selectivity and the scan reads whole files
+    PUSHED_KEYS_MAX = 256
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.dataset as pds
@@ -1223,6 +1331,34 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
             else:
                 zf = (pds.field("max_key") >= str(lo)) & (pds.field("min_key") <= str(hi))
             filt = filt & zf
+        if point_keys is not None:
+            ks = list(dict.fromkeys(point_keys))
+            if 0 < len(ks) <= PUSHED_KEYS_MAX:
+                numeric = all(
+                    isinstance(k, (int, float)) and not isinstance(k, bool)
+                    for k in ks
+                )
+                if numeric:
+                    parts = [
+                        (pds.field("max_key_num") >= float(k))
+                        & (pds.field("min_key_num") <= float(k))
+                        for k in ks
+                    ]
+                    zf = parts[0]
+                    for part in parts[1:]:
+                        zf = zf | part
+                    zf = zf | pds.field("min_key_num").is_null()
+                else:
+                    parts = [
+                        (pds.field("max_key") >= str(k))
+                        & (pds.field("min_key") <= str(k))
+                        for k in ks
+                    ]
+                    zf = parts[0]
+                    for part in parts[1:]:
+                        zf = zf | part
+                    zf = zf | pds.field("min_key").is_null()
+                filt = filt & zf
 
         decode = make_decode_fn(out_schema, verify_checksums=verify_checksums)
         read_cols = ["chunk_key", "column", "blob"]
@@ -1258,7 +1394,7 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
 
 def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
                       key_col=None, columns=None, legacy_nan_zonemaps=False,
-                      value_range=None, verify_checksums=False):
+                      value_range=None, keys=None, verify_checksums=False):
     """Decode a CHECKPOINTED manifest directory without shuffling a single
     blob: one task per manifest file, sequential pyarrow read, group
     decode in place (see the section comment above for why the layout
@@ -1267,14 +1403,18 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
     ``key_range`` prunes twice — whole FILES via a driver-side metadata
     pass (file-level zone maps), then row groups/rows inside each file
     via the pushed pyarrow predicate. ``columns`` projects the same way
-    ``decode_table`` does. ``value_range=(column, lo, hi)`` prunes by
-    any numeric column's per-chunk value zone maps: whole files first,
-    then chunk-level inside each file via a per-file qualifying-key list
+    ``decode_table`` does. ``value_range=(column, lo, hi)`` — or a LIST
+    of such tuples, AND-combined — prunes by any numeric or string
+    column's per-chunk value zone maps: whole files first, then
+    chunk-level inside each file via a per-file qualifying-key list
     (bounded by VALUE_PRUNE_MAX_KEYS; past the cap it degrades to
-    file-level + exact post-filter). Checkpoints that fail the
-    clustered-layout check (duplicates from resumed runs, chunks torn
-    across files) fall back to ``decode_table``'s shuffling path
-    transparently.
+    file-level + exact post-filter). ``keys=[...]`` is the multi-point
+    lookup (see ``decode_table``): file-level pruning via the
+    driver-side metadata pass, a pushed OR-of-containment predicate
+    inside each file for ≤256 keys, exact filter with ``key_col``.
+    Checkpoints that fail the clustered-layout check (duplicates from
+    resumed runs, chunks torn across files) fall back to
+    ``decode_table``'s shuffling path transparently.
     """
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
@@ -1296,6 +1436,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
         fdf = fdf.filter(F.col("column").isin(phys))
     if key_range is not None:
         fdf = fdf.filter(_zone_keep_expr(key_range, legacy_nan_zonemaps))
+    if keys is not None:
+        fdf = _prune_by_key_set(fdf, keys)
     # gate on the PRUNED metadata: a point lookup verifies only the
     # chunks it will read (a torn/duplicated chunk's copies share the
     # same zone maps and projection, so every hazard the full-manifest
@@ -1307,7 +1449,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
     # point-lookup service re-verifies once per checkpoint, not per
     # query. Appends invalidate the marker via the file signature.
     gate_ok = _clustered_marker_ok(ckpt_dir)
-    full_gate = key_range is None and phys is None
+    full_gate = key_range is None and phys is None and keys is None
     if not gate_ok:
         gate_ok = _checkpoint_is_clustered(fdf)
         # the marker stamps pre_sig — the signature captured before the
@@ -1332,14 +1474,16 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
             spark.read.parquet(ckpt_dir), full_schema, key_range=key_range,
             key_col=key_col, columns=columns,
             legacy_nan_zonemaps=legacy_nan_zonemaps, value_range=value_range,
-            verify_checksums=verify_checksums,
+            keys=keys, verify_checksums=verify_checksums,
         )
     file_keys = None  # path -> qualifying chunk_key list (value_range only)
-    vr = None
+    vrs = []
     if value_range is not None:
-        vr = _prepare_value_range(out_schema, value_range)
-        if _value_maps_col(vr[:3]) in fdf.columns:
-            hits = _value_range_keys(fdf, vr[:3]).select("__file", "chunk_key").distinct()
+        specs = value_range if isinstance(value_range, list) else [value_range]
+        vrs = [_prepare_value_range(out_schema, s) for s in specs]
+        usable = [v for v in vrs if _value_maps_col(v[:3]) in fdf.columns]
+        if usable:
+            hits = _conjunctive_hit_keys(fdf, usable, extra_cols=("__file",))
             rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
             if len(rows) <= VALUE_PRUNE_MAX_KEYS:
                 file_keys = {}
@@ -1361,7 +1505,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
     )
     out = files_df.mapInArrow(
         make_file_decode_fn(out_schema, phys, key_range, legacy_nan_zonemaps,
-                            verify_checksums=verify_checksums),
+                            point_keys=keys, verify_checksums=verify_checksums),
         schema=from_arrow_schema(out_schema, prefer_timestamp_ntz=True),
     )
     from pyspark.sql import functions as F
@@ -1369,8 +1513,10 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
     if key_range is not None and key_col is not None:
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
-    if vr is not None:
-        out = out.filter((F.col(vr[0]) >= vr[3]) & (F.col(vr[0]) <= vr[4]))
+    if keys is not None and key_col is not None:
+        out = _filter_by_key_set(out, key_col, keys)
+    for v in vrs:
+        out = out.filter((F.col(v[0]) >= v[3]) & (F.col(v[0]) <= v[4]))
     return out
 
 

@@ -399,6 +399,77 @@ ORACLE_VALUE_RANGE_TIME = (
 )
 
 
+def q_value_range_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONJUNCTIVE filter pushdown through compressed data: a list of
+    value ranges is AND-combined at the zone-map level — one aggregate
+    tags each predicate's qualifying chunks with a range index and
+    keeps chunks matching EVERY index, so a temporal slice AND a
+    numeric band prune together before a single blob decodes (the
+    time+measure cut every event pipeline runs). Exact filters for all
+    predicates apply after decode."""
+    from datetime import datetime
+
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = encode_table(df, key_col="event_id", codec="auto", num_partitions=8,
+                     chunk_rows=1024).cache()
+    out = decode_table(
+        m, df.schema,
+        value_range=[
+            ("ts", datetime(2024, 1, 5), datetime(2024, 1, 8)),
+            ("value", 10.0, 60.0),
+        ],
+    ).localCheckpoint(eager=True)
+    m.unpersist()
+    return out
+
+
+ORACLE_VALUE_RANGE_MULTI = (
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+    "WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' "
+    "AND TIMESTAMP '2024-01-08 00:00:00' "
+    "AND value BETWEEN 10.0 AND 60.0"
+)
+
+
+# deterministic spread over the id domain — present at every sf
+_POINT_KEYS = list(range(7, 491, 35))
+
+
+def q_point_lookup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-point lookup on a checkpointed manifest: a working set of
+    doc_ids fetched in ONE shuffle-free decode — whole manifest files
+    prune via a broadcast non-equi semi-join of the key set against the
+    file-level key zone maps, qualifying chunks prune inside each file
+    via a pushed OR-of-containment predicate, and the exact isin filter
+    lands on the decoded rows. The batch-fetch shape a feature store /
+    dedup pipeline runs instead of N point queries."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import decode_checkpoint, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_keys_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        encode_table(df, key_col="doc_id", codec="auto", num_partitions=8,
+                     partitioner="range", chunk_rows=64).write.parquet(ckpt)
+        out = decode_checkpoint(spark, ckpt, df.schema,
+                                keys=_POINT_KEYS, key_col="doc_id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+ORACLE_POINT_LOOKUP_KEYS = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    f"WHERE doc_id IN ({', '.join(str(k) for k in _POINT_KEYS)})"
+)
+
+
 def q_compression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-independent compression-lineage facts, value-hashable by a
     DuckDB oracle: per column the manifest's logical value count (sum of
@@ -1086,6 +1157,8 @@ REGISTRY: dict[str, tuple] = {
     "point_lookup_checkpoint": (q_point_lookup_checkpoint, ORACLE_POINT_LOOKUP),
     "value_range_scan": (q_value_range_scan, ORACLE_VALUE_RANGE_SCAN),
     "value_range_time": (q_value_range_time, ORACLE_VALUE_RANGE_TIME),
+    "value_range_multi": (q_value_range_multi, ORACLE_VALUE_RANGE_MULTI),
+    "point_lookup_keys": (q_point_lookup_keys, ORACLE_POINT_LOOKUP_KEYS),
     "compression_metrics": (q_compression_metrics, DUCK_COMPRESSION_METRICS),
     # text analysis
     "text_token_count": (_sql_query(SPARK_TOKEN_COUNT, "documents"), DUCK_TOKEN_COUNT),
