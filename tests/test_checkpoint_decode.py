@@ -485,3 +485,51 @@ def test_schema_mismatch_diagnosed_not_blamed_on_layout(spark, token_df, tmp_pat
     msg = str(ei.value)
     assert "no manifest row seen so far carries it" in msg
     assert "check the schema argument" in msg
+
+
+def test_self_describing_checkpoint(spark, token_df, tmp_path_factory):
+    """write_checkpoint persists the table schema as a _table_schema
+    sidecar; decode_checkpoint and rechunking compaction then need no
+    schema argument (the reference's footer-makes-it-self-decoding
+    property at checkpoint granularity). Missing sidecar -> clear error
+    naming the writer helpers; compaction propagates the sidecar."""
+    from wills_columnar_format_spark.engine import (
+        compact_checkpoint, read_checkpoint_schema, write_checkpoint)
+
+    base = tmp_path_factory.mktemp("ckpt_sd")
+    path = str(base / "m")
+    m = encode_table(token_df, key_col="doc_id", codec="auto",
+                     num_partitions=2, chunk_rows=512, partitioner="hash")
+    write_checkpoint(m, path, schema=token_df.schema)
+    dec = decode_checkpoint(spark, path)  # no schema argument
+    _assert_equals_source(dec, token_df)
+
+    # rechunk compaction without schema= (sidecar supplies it) and the
+    # destination stays self-describing
+    dst = str(base / "m_c")
+    compact_checkpoint(spark, path, dst, rechunk_rows=65536,
+                       key_col="doc_id", num_partitions=2,
+                       partitioner="hash")
+    assert read_checkpoint_schema(dst) is not None
+    _assert_equals_source(decode_checkpoint(spark, dst), token_df)
+
+    # plain write: no sidecar -> decode without schema raises clearly
+    bare = str(base / "bare")
+    m.write.parquet(bare)
+    with pytest.raises(ValueError, match="write_checkpoint"):
+        decode_checkpoint(spark, bare)
+
+
+def test_metadata_compaction_propagates_sidecar(spark, token_df, tmp_path_factory):
+    from wills_columnar_format_spark.engine import (
+        compact_checkpoint, read_checkpoint_schema, write_checkpoint)
+
+    base = tmp_path_factory.mktemp("ckpt_sd2")
+    path, dst = str(base / "m"), str(base / "mc")
+    m = encode_table(token_df, key_col="doc_id", codec="auto",
+                     num_partitions=2, chunk_rows=512, partitioner="hash")
+    write_checkpoint(m, path, schema=token_df.schema)
+    write_checkpoint(m, path, schema=token_df.schema, mode="append")  # duplicate
+    compact_checkpoint(spark, path, dst)
+    assert read_checkpoint_schema(dst) is not None
+    _assert_equals_source(decode_checkpoint(spark, dst), token_df)

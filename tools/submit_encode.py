@@ -75,6 +75,8 @@ def main() -> None:
         encode_table,
         encode_table_resumable,
         manifest_summary,
+        write_checkpoint,
+        write_checkpoint_schema,
     )
     from wills_columnar_format_spark.session import get_spark, ship_package
     from wills_columnar_format_spark.sources import load_table
@@ -101,11 +103,13 @@ def main() -> None:
         manifest = encode_table_resumable(
             df, args.checkpoint, sub_jobs=args.sub_jobs, **kw
         )
+        # self-describing: decode_checkpoint / compaction need no schema
+        write_checkpoint_schema(args.checkpoint, df.schema)
     else:
         # one-shot: single all-or-nothing job, no resume state; the
         # written manifest stays chunk-clustered, so decode_checkpoint
-        # reads it back without a shuffle
-        encode_table(df, **kw).write.parquet(args.output)
+        # reads it back without a shuffle — and carries its table schema
+        write_checkpoint(encode_table(df, **kw), args.output, schema=df.schema)
         manifest = spark.read.parquet(args.output)
     agg = manifest.agg(
         F.count("*").alias("chunks"),

@@ -105,16 +105,18 @@ def _value_zone_map(cv: ColumnValues):
     if cv.vals is None or not cv.n or not np.issubdtype(cv.vals.dtype, np.number):
         return None, None
     if np.issubdtype(cv.vals.dtype, np.floating):
-        import warnings
-
-        with warnings.catch_warnings():
-            # nanmin warns (warnings.warn, not the FP error state) on
-            # all-NaN input — that case is handled below, silently
-            warnings.simplefilter("ignore", RuntimeWarning)
-            mn_, mx_ = np.nanmin(cv.vals), np.nanmax(cv.vals)
-        if np.isnan(mn_) or np.isnan(mx_):
-            return None, None
-        return float(mn_), float(mx_)
+        # NOT np.nanmin: its fmin reduction propagates SIGNALING NaNs
+        # (IEEE fmin(x, sNaN) = NaN), so one sNaN payload in the chunk
+        # would NULL the whole map where finite extremes exist — found
+        # by hypothesis with 0x7ff4dff13c31b9d6. Mask explicitly:
+        # isnan() is true for every NaN encoding.
+        mask = np.isnan(cv.vals)
+        if mask.any():
+            fin = cv.vals[~mask]
+            if fin.size == 0:
+                return None, None
+            return float(fin.min()), float(fin.max())
+        return float(cv.vals.min()), float(cv.vals.max())
     # exact-int comparison (Python int vs float compares exactly):
     # comparing against the np.int64 would coerce BOTH sides to float64
     # and the >2^53 rounding guard would never fire
@@ -1279,6 +1281,62 @@ def _clustered_marker_ok(ckpt_dir: str) -> bool:
     return rec.get("n_files") == n and rec.get("total_bytes") == size
 
 
+_TABLE_SCHEMA_SIDECAR = "_table_schema"
+
+
+def write_checkpoint(manifest_df, ckpt_dir: str, schema=None,
+                     mode: str = "error") -> str:
+    """Persist a manifest with its table schema: writes the manifest
+    parquet plus a ``_table_schema`` sidecar (the serialized Arrow
+    schema), making the checkpoint SELF-DESCRIBING — ``decode_checkpoint``
+    and re-encoding compaction then need no schema argument, the way the
+    reference's container is readable from its own footer
+    (src/lib.rs:52-73, decode needs only the blob). ``schema`` accepts a
+    Spark StructType or Arrow schema; defaults to none (plain write).
+    ``mode`` passes through to the parquet writer ("error"/"append"/
+    "overwrite"); the sidecar is (re)written after the data so an
+    appended layout keeps its schema."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    manifest_df.write.mode(mode).parquet(ckpt_dir)
+    if schema is not None:
+        write_checkpoint_schema(ckpt_dir, schema)
+    return ckpt_dir
+
+
+def write_checkpoint_schema(ckpt_dir: str, schema) -> None:
+    """Annotate an existing checkpoint dir with its table schema (the
+    ``_table_schema`` sidecar) — for manifests written by other paths
+    (resumable encode, streaming appends). Accepts a Spark StructType or
+    an Arrow schema."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if not isinstance(schema, pa.Schema):
+        schema = to_arrow_schema(schema)
+    fsys, p = _manifest_fs(ckpt_dir)
+    p = p.rstrip("/")
+    try:
+        fsys.create_dir(p, recursive=True)
+    except (OSError, ValueError):
+        pass  # object stores / pre-existing dirs
+    with fsys.open_output_stream(f"{p}/{_TABLE_SCHEMA_SIDECAR}") as f:
+        f.write(schema.serialize().to_pybytes())
+
+
+def read_checkpoint_schema(ckpt_dir: str) -> pa.Schema | None:
+    """The Arrow table schema a self-describing checkpoint records, or
+    None when the checkpoint predates / skipped the sidecar."""
+    try:
+        fsys, p = _manifest_fs(ckpt_dir)
+        with fsys.open_input_stream(
+            f"{p.rstrip('/')}/{_TABLE_SCHEMA_SIDECAR}"
+        ) as f:
+            buf = f.read()
+        return pa.ipc.read_schema(pa.py_buffer(buf))
+    except (OSError, ValueError, pa.ArrowInvalid):
+        return None
+
+
 def _write_clustered_marker(ckpt_dir: str, sig: tuple[int, int] | None = None) -> None:
     """``sig`` must be the file signature captured BEFORE the layout was
     verified (callers pass the pre-gate snapshot): recomputing it here
@@ -1392,7 +1450,7 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
     return fn
 
 
-def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
+def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                       key_col=None, columns=None, legacy_nan_zonemaps=False,
                       value_range=None, keys=None, verify_checksums=False):
     """Decode a CHECKPOINTED manifest directory without shuffling a single
@@ -1418,6 +1476,19 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema, key_range=None,
     """
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
+    if out_schema is None:
+        # self-describing checkpoint: the table schema rides a
+        # _table_schema sidecar (write_checkpoint / CLI writers) — the
+        # reference's footer-makes-the-blob-self-decoding property
+        # (src/lib.rs:52-73) at checkpoint granularity
+        out_schema = read_checkpoint_schema(ckpt_dir)
+        if out_schema is None:
+            raise ValueError(
+                f"checkpoint {ckpt_dir!r} carries no _table_schema sidecar "
+                "— pass out_schema=, or persist with write_checkpoint("
+                "manifest, dir, schema=...) / write_checkpoint_schema(dir, "
+                "schema) to make it self-describing"
+            )
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
     full_schema = out_schema
@@ -1553,8 +1624,14 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
     from pyspark.sql import functions as F
 
     if rechunk_rows is not None:
+        if schema is None:
+            schema = read_checkpoint_schema(src_dir)  # self-describing?
         if schema is None or key_col is None:
-            raise ValueError("rechunk_rows requires schema= and key_col=")
+            raise ValueError(
+                "rechunk_rows requires key_col= and a schema — pass "
+                "schema=, or write the source checkpoint with a "
+                "_table_schema sidecar (write_checkpoint)"
+            )
         dec = decode_checkpoint(spark, src_dir, schema)
         if partitioner not in ("hash", "none"):
             # the default (range) and weight partitioners SAMPLE their
@@ -1575,6 +1652,7 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
         manifest.write.parquet(dst_dir)
         try:
             _write_clustered_marker(dst_dir)
+            write_checkpoint_schema(dst_dir, schema)  # stays self-describing
         except (OSError, ValueError):
             pass
         return dst_dir
@@ -1621,6 +1699,9 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
     )
     try:
         _write_clustered_marker(dst_dir)
+        src_schema = read_checkpoint_schema(src_dir)
+        if src_schema is not None:  # propagate self-description
+            write_checkpoint_schema(dst_dir, src_schema)
     except (OSError, ValueError):
         pass
     return dst_dir

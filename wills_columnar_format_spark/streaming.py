@@ -46,6 +46,15 @@ def encode_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(input_path)
 
+    # self-describing manifest: later consumers (decode_checkpoint,
+    # rechunking compaction) need no schema argument
+    from .engine import write_checkpoint_schema
+
+    try:
+        write_checkpoint_schema(manifest_dir, schema)
+    except (OSError, ValueError):
+        pass
+
     def handle_batch(batch_df, batch_id: int) -> None:
         manifest = encode_table(
             batch_df,
