@@ -533,3 +533,17 @@ def test_metadata_compaction_propagates_sidecar(spark, token_df, tmp_path_factor
     compact_checkpoint(spark, path, dst)
     assert read_checkpoint_schema(dst) is not None
     _assert_equals_source(decode_checkpoint(spark, dst), token_df)
+
+
+def test_schema_sidecar_accepts_ddl_string(spark, tmp_path_factory):
+    """readStream.schema() takes DDL strings; the sidecar writer must
+    too (encode_stream passes its schema argument straight through)."""
+    import pyarrow as pa
+
+    from wills_columnar_format_spark.engine import (
+        read_checkpoint_schema, write_checkpoint_schema)
+
+    d = str(tmp_path_factory.mktemp("sidecar_ddl") / "m")
+    write_checkpoint_schema(d, "doc_id string, tokens array<int>")
+    s = read_checkpoint_schema(d)
+    assert s is not None and s.field("doc_id").type == pa.string()

@@ -584,3 +584,49 @@ def test_keys_checkpoint_prunes_files(spark, tmp_path):
     assert sorted(r["doc_id"] for r in dec.collect()) == sorted(want)
     full = decode_checkpoint(spark, ck, docs.schema)
     assert dec.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+
+
+def test_keys_mixed_types_raise_and_casts_work(spark):
+    """A mixed key set must raise loudly (one stray string would flip
+    numeric keys into lexicographic containment and silently prune real
+    matches); >1000 int keys against a DOUBLE key column must cast, not
+    trip createDataFrame's type verifier."""
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.range(0, 3000).selectExpr("cast(id as double) as k",
+                                         "id % 7 as v")
+    m = encode_table(df, key_col="k", num_partitions=2,
+                     chunk_rows=256).localCheckpoint(eager=True)
+    with pytest.raises(TypeError, match="all-numeric or all-string"):
+        decode_table(m, df.schema, keys=[7, "x"], key_col="k").count()
+    big = list(range(0, 1001))  # > _KEY_SET_ISIN_MAX -> semi-join path
+    got = decode_table(m, df.schema, keys=big, key_col="k").count()
+    assert got == 1001
+
+
+def test_keys_plus_value_range_persisted_skips_materialization(
+        spark, tmp_path, monkeypatch):
+    """keys= must not defeat the persisted-manifest _cheap_rescan gate:
+    combining it with value_range= on a parquet manifest still runs with
+    zero localCheckpoint calls (the keys join applies after the gate)."""
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.range(0, 5000).selectExpr("id as k", "id % 97 as v")
+    path = str(tmp_path / "m")
+    encode_table(df, key_col="k", num_partitions=2,
+                 chunk_rows=512).write.parquet(path)
+    persisted = spark.read.parquet(path)
+    cls = type(persisted)
+    calls = []
+    orig = cls.localCheckpoint
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+    got = sorted(r["k"] for r in decode_table(
+        persisted, df.schema, keys=[10, 20, 4999],
+        value_range=("v", 0, 96), key_col="k").collect())
+    assert got == [10, 20, 4999]
+    assert not calls

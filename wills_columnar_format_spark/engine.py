@@ -966,6 +966,26 @@ def _conjunctive_hit_keys(manifest_df, vrs, extra_cols=()):
     )
 
 
+def _keys_kind(keys) -> str:
+    """'num' | 'str' | 'empty' — and a loud TypeError on a mixed set: a
+    single stray string would flip numeric keys into LEXICOGRAPHIC
+    containment against str-rendered bounds ('7' <= '12' is False), so
+    chunks holding real matches would silently prune away. One rule,
+    shared by the Spark-side probe and the pushed pyarrow predicate."""
+    ks = list(keys)
+    if not ks:
+        return "empty"
+    is_num = [isinstance(k, (int, float)) and not isinstance(k, bool) for k in ks]
+    if all(is_num):
+        return "num"
+    if not any(is_num) and all(isinstance(k, str) for k in ks):
+        return "str"
+    raise TypeError(
+        "keys= must be all-numeric or all-string (matching the key "
+        f"column's type); got mixed types: {sorted({type(k).__name__ for k in ks})}"
+    )
+
+
 def _prune_by_key_set(manifest_df, keys):
     """Keep manifest rows whose chunk's KEY zone map may contain ANY of
     ``keys`` — the multi-point generalization of ``key_range`` pruning
@@ -978,13 +998,11 @@ def _prune_by_key_set(manifest_df, keys):
     from pyspark.sql import functions as F
 
     ks = list(dict.fromkeys(keys))
-    if not ks:
+    kind = _keys_kind(ks)
+    if kind == "empty":
         return manifest_df.filter(F.lit(False))
     spark = manifest_df.sparkSession
-    numeric = all(
-        isinstance(k, (int, float)) and not isinstance(k, bool) for k in ks
-    )
-    if numeric:
+    if kind == "num":
         kdf = spark.createDataFrame([(float(k),) for k in ks], "__k double")
         cond = (
             (F.col("__k") >= F.col("min_key_num"))
@@ -1006,17 +1024,21 @@ _KEY_SET_ISIN_MAX = 1000
 def _filter_by_key_set(out, key_col, keys):
     """Exact post-filter for ``keys=`` decodes: a literal isin for small
     sets, a broadcast left_semi join past ``_KEY_SET_ISIN_MAX`` (a
-    100k-literal In() bloats the plan and the codegen)."""
+    100k-literal In() bloats the plan and the codegen). The join probe
+    ships as strings and CASTS to the key column's type — Python ints
+    against a DoubleType (or floats against LongType) would otherwise
+    trip createDataFrame's type verifier where the isin path coerces
+    happily."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructField, StructType
 
     ks = list(dict.fromkeys(keys))
     if len(ks) <= _KEY_SET_ISIN_MAX:
         return out.filter(F.col(key_col).isin(ks))
     field = out.schema[key_col]
     kdf = out.sparkSession.createDataFrame(
-        [(k,) for k in ks], StructType([StructField(key_col, field.dataType)])
-    )
+        [(repr(k) if isinstance(k, float) else str(k),) for k in ks],
+        f"{key_col} string",
+    ).select(F.col(key_col).cast(field.dataType).alias(key_col))
     return out.join(F.broadcast(kdf), key_col, "left_semi")
 
 
@@ -1102,12 +1124,6 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         manifest_df = manifest_df.filter(
             _zone_keep_expr(key_range, legacy_nan_zonemaps)
         )
-    if keys is not None:
-        # multi-point lookup: chunk pruning via a broadcast non-equi
-        # semi-join of the key set against the key zone maps (metadata
-        # only — blobs never move); the exact isin/semi filter applies
-        # after decode when key_col is given
-        manifest_df = _prune_by_key_set(manifest_df, keys)
     vrs = []
     if value_range is not None:
         specs = value_range if isinstance(value_range, list) else [value_range]
@@ -1155,6 +1171,15 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                 manifest_df = manifest_df.join(
                     F.broadcast(keys_df), "chunk_key", "left_semi"
                 )
+    if keys is not None:
+        # multi-point lookup: chunk pruning via a broadcast non-equi
+        # semi-join of the key set against the key zone maps (metadata
+        # only — blobs never move); the exact isin/semi filter applies
+        # after decode when key_col is given. Applied AFTER the
+        # value_range block on purpose: its non-scan Join node would
+        # otherwise defeat the _cheap_rescan gate above and force a
+        # blob-materializing localCheckpoint on persisted manifests.
+        manifest_df = _prune_by_key_set(manifest_df, keys)
     if not assume_unique:
         manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
     if arranged and assume_unique:
@@ -1296,8 +1321,6 @@ def write_checkpoint(manifest_df, ckpt_dir: str, schema=None,
     ``mode`` passes through to the parquet writer ("error"/"append"/
     "overwrite"); the sidecar is (re)written after the data so an
     appended layout keeps its schema."""
-    from pyspark.sql.pandas.types import to_arrow_schema
-
     manifest_df.write.mode(mode).parquet(ckpt_dir)
     if schema is not None:
         write_checkpoint_schema(ckpt_dir, schema)
@@ -1307,10 +1330,15 @@ def write_checkpoint(manifest_df, ckpt_dir: str, schema=None,
 def write_checkpoint_schema(ckpt_dir: str, schema) -> None:
     """Annotate an existing checkpoint dir with its table schema (the
     ``_table_schema`` sidecar) — for manifests written by other paths
-    (resumable encode, streaming appends). Accepts a Spark StructType or
-    an Arrow schema."""
+    (resumable encode, streaming appends). Accepts a Spark StructType,
+    a DDL string (what ``readStream.schema()`` also takes), or an Arrow
+    schema."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    if isinstance(schema, str):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(schema)
     if not isinstance(schema, pa.Schema):
         schema = to_arrow_schema(schema)
     fsys, p = _manifest_fs(ckpt_dir)
@@ -1392,31 +1420,20 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
         if point_keys is not None:
             ks = list(dict.fromkeys(point_keys))
             if 0 < len(ks) <= PUSHED_KEYS_MAX:
-                numeric = all(
-                    isinstance(k, (int, float)) and not isinstance(k, bool)
-                    for k in ks
-                )
-                if numeric:
-                    parts = [
-                        (pds.field("max_key_num") >= float(k))
-                        & (pds.field("min_key_num") <= float(k))
-                        for k in ks
-                    ]
-                    zf = parts[0]
-                    for part in parts[1:]:
-                        zf = zf | part
-                    zf = zf | pds.field("min_key_num").is_null()
+                # same numeric/string classification (and mixed-set
+                # refusal) as the driver-side _prune_by_key_set — the
+                # two prune layers must never diverge
+                if _keys_kind(ks) == "num":
+                    mn, mx = pds.field("min_key_num"), pds.field("max_key_num")
+                    cast = float
                 else:
-                    parts = [
-                        (pds.field("max_key") >= str(k))
-                        & (pds.field("min_key") <= str(k))
-                        for k in ks
-                    ]
-                    zf = parts[0]
-                    for part in parts[1:]:
-                        zf = zf | part
-                    zf = zf | pds.field("min_key").is_null()
-                filt = filt & zf
+                    mn, mx = pds.field("min_key"), pds.field("max_key")
+                    cast = str
+                parts = [(mx >= cast(k)) & (mn <= cast(k)) for k in ks]
+                zf = parts[0]
+                for part in parts[1:]:
+                    zf = zf | part
+                filt = filt & (zf | mn.is_null())
 
         decode = make_decode_fn(out_schema, verify_checksums=verify_checksums)
         read_cols = ["chunk_key", "column", "blob"]
