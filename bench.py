@@ -216,8 +216,11 @@ def _registry_benches(spark, sf_dir: str):
         "roundtrip_events",
         "roundtrip_checkpoint",
         "point_lookup",
+        "point_lookup_keys",
         "value_range_scan",
+        "value_range_multi",
         "sequence_pack",
+        "sequence_pack_tokens",
         "rle_run_counts",
         "text_quality",
         "lang_id",
