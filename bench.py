@@ -221,6 +221,7 @@ def _registry_benches(spark, sf_dir: str):
         "value_range_multi",
         "sequence_pack",
         "sequence_pack_tokens",
+        "pipeline_train_data",
         "rle_run_counts",
         "text_quality",
         "lang_id",

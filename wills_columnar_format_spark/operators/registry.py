@@ -677,6 +677,65 @@ FROM tok GROUP BY 1
 """
 
 
+def q_pipeline_train_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline (the flagship composition):
+    quality gate (length + token floor) → exact dedup (min doc_id per
+    normalized fingerprint, a shuffle join on the fingerprint — no
+    broadcast of a table-sized side) → columnar ENCODE through the
+    engine → zero-shuffle decode → distributed sequence packing of the
+    survivors. One query exercising filter, dedup, compression
+    roundtrip, and the training layout — the shape a real corpus build
+    runs nightly. The oracle replays every stage in DuckDB with the
+    naive single-window packing."""
+    from ..engine import decode_table, encode_table
+    from .packing import sequence_pack_spans
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "n_chars")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    clean = df.filter((F.col("n_chars") >= 100) & (n_tokens >= 20))
+    fp = clean.withColumn("fp", F.md5(F.lower(F.trim("text"))))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fp.join(keep, ["fp", "doc_id"], "inner").drop("fp")
+    m = encode_table(deduped, key_col="doc_id", num_partitions=8)
+    dec = decode_table(m, deduped.schema, assume_unique=True, arranged=True)
+    return sequence_pack_spans(dec, seq_len=_PACK_SEQ_LEN, key_col="doc_id",
+                               len_col="n_chars", num_partitions=8)
+
+
+DUCK_PIPELINE_TRAIN_DATA = f"""
+WITH clean AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE n_chars >= 100
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY md5(lower(trim(text)))
+),
+docs AS (
+  SELECT c.doc_id, CAST(c.n_chars AS BIGINT) AS n FROM clean c
+  JOIN keep USING (doc_id)
+),
+o AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM docs
+),
+sp AS (
+  SELECT doc_id, n, off,
+         UNNEST(range(off // {_PACK_SEQ_LEN}, (off + n - 1) // {_PACK_SEQ_LEN} + 1)) AS seq_id
+  FROM o WHERE n > 0
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST((seq_id + 1) * {_PACK_SEQ_LEN}, off + n)
+                - GREATEST(seq_id * {_PACK_SEQ_LEN}, off)) AS BIGINT) AS n_units,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM sp GROUP BY seq_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 3. Deduplication (on documents doubled with shifted ids so exact and
 #    near-dup groups exist deterministically in both engines)
@@ -1167,6 +1226,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprint": (_sql_query(SPARK_FINGERPRINT, "documents"), DUCK_FINGERPRINT),
     "sequence_pack": (q_sequence_pack, DUCK_SEQUENCE_PACK),
     "sequence_pack_tokens": (q_sequence_pack_tokens, DUCK_SEQUENCE_PACK_TOKENS),
+    "pipeline_train_data": (q_pipeline_train_data, DUCK_PIPELINE_TRAIN_DATA),
     # deduplication
     "dedup_exact": (_sql_query(SPARK_DEDUP_EXACT, "documents"), DUCK_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DUCK_NGRAM_JACCARD),
