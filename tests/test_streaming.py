@@ -149,3 +149,43 @@ def test_windowed_append_evicts_and_drops_late(spark, tmp_path_factory):
         (r.window_start.hour, r.n) for r in spark.read.parquet(sink).collect()
     )
     assert got2 == [(0, 2), (1, 1), (2, 1), (3, 1), (4, 1), (5, 1)]
+
+
+def test_stream_then_rechunk_compact_schema_free(spark, dirs, tmp_path_factory):
+    """The full ingest story, nightly-compaction shape: streaming encode
+    (small 1k-row chunks, sidecar written automatically) -> re-encoding
+    compaction WITHOUT any schema argument (the _table_schema sidecar
+    supplies it) -> shuffle-free schema-free decode, lossless, with the
+    compacted layout strictly smaller than the streaming one."""
+    from wills_columnar_format_spark.engine import (
+        compact_checkpoint, decode_checkpoint, read_checkpoint_schema)
+
+    in_dir, manifest_dir = dirs
+    stage = str(tmp_path_factory.mktemp("stage_rc") / "tok")
+    write_token_table(stage, 6_000, rows_per_file=2_000)
+    files = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    _land_files(in_dir, stage, files)
+    schema = spark.read.parquet(stage).schema
+    q = encode_stream(spark, in_dir, manifest_dir, schema, num_partitions=4,
+                      chunk_rows=1024)
+    q.awaitTermination(120)
+    assert read_checkpoint_schema(manifest_dir) is not None  # sidecar landed
+
+    dst = str(tmp_path_factory.mktemp("stage_rc") / "compacted")
+    compact_checkpoint(spark, manifest_dir, dst, rechunk_rows=65536,
+                       key_col="doc_id", num_partitions=2,
+                       partitioner="hash")
+    small = spark.read.parquet(manifest_dir).agg(
+        F.sum(F.length("blob"))).collect()[0][0]
+    big = spark.read.parquet(dst).agg(F.sum(F.length("blob"))).collect()[0][0]
+    assert big < small
+
+    dec = decode_checkpoint(spark, dst)  # no schema anywhere
+    assert "Exchange" not in dec._jdf.queryExecution().executedPlan().toString()
+    orig = spark.read.parquet(stage)
+    assert dec.count() == 6_000
+    bad = (dec.alias("d").join(orig.alias("o"), "doc_id")
+           .filter(~((F.col("d.tokens") == F.col("o.tokens"))
+                     & (F.col("d.n_tok") == F.col("o.n_tok"))
+                     & (F.col("d.source") == F.col("o.source")))).count())
+    assert bad == 0
