@@ -630,3 +630,25 @@ def test_keys_plus_value_range_persisted_skips_materialization(
         value_range=("v", 0, 96), key_col="k").collect())
     assert got == [10, 20, 4999]
     assert not calls
+
+
+def test_keys_value_range_and_projection_compose_on_checkpoint(spark, tmp_path):
+    """All three pruning/projection axes at once on the shuffle-free
+    path: keys= x value_range= x columns= — results equal the plain
+    filters, zero Exchange."""
+    from wills_columnar_format_spark.engine import (
+        decode_checkpoint, encode_table)
+
+    df = spark.range(0, 10000).selectExpr(
+        "id as k", "id % 97 as v", "id % 13 as w")
+    ck = str(tmp_path / "m")
+    encode_table(df, key_col="k", num_partitions=4, chunk_rows=512,
+                 partitioner="range").write.parquet(ck)
+    dec = decode_checkpoint(
+        spark, ck, df.schema, keys=list(range(0, 10000, 500)), key_col="k",
+        value_range=[("v", 0, 50)], columns=["k", "v"])
+    assert "Exchange" not in dec._jdf.queryExecution().executedPlan().toString()
+    assert dec.columns == ["k", "v"]
+    exp = sorted(r["k"] for r in df.filter(
+        "k % 500 = 0 and v between 0 and 50").collect())
+    assert sorted(r["k"] for r in dec.collect()) == exp and exp
