@@ -170,3 +170,29 @@ def test_zero_length_docs_dropped(spark):
     assert by_seq[0].n_units == 8
     assert by_seq[1].n_units == 7 and by_seq[1].n_docs == 2
     assert by_seq[1].first_doc == 1 and by_seq[1].last_doc == 3
+
+
+def test_shuffle_order_matches_naive_window(spark, docs):
+    from wills_columnar_format_spark.operators.packing import shuffle_order
+
+    got = {r.doc_id: r.pos
+           for r in shuffle_order(docs, "doc_id", seed=7, num_partitions=8).collect()}
+    h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("7")))
+    w = Window.orderBy(h, "doc_id")
+    exp = {r.doc_id: r.pos for r in docs.select(
+        "doc_id", (F.row_number().over(w) - 1).cast("bigint").alias("pos")
+    ).collect()}
+    assert got == exp
+    assert sorted(got.values()) == list(range(docs.count()))
+
+
+def test_shuffle_order_seeds_decorrelate_and_reproduce(spark, docs):
+    from wills_columnar_format_spark.operators.packing import shuffle_order
+
+    small = docs.limit(500)
+    a1 = {r.doc_id: r.pos for r in shuffle_order(small, "doc_id", 1, 4).collect()}
+    a2 = {r.doc_id: r.pos for r in shuffle_order(small, "doc_id", 1, 16).collect()}
+    b = {r.doc_id: r.pos for r in shuffle_order(small, "doc_id", 2, 4).collect()}
+    assert a1 == a2  # partition-count invariant, reproducible
+    same = sum(1 for k in a1 if a1[k] == b[k])
+    assert same < len(a1) // 10  # different seed is a different permutation

@@ -49,6 +49,7 @@ MANIFEST_FIELDS = [
     ("val_max", "double"),
     ("val_min_str", "string"),
     ("val_max_str", "string"),
+    ("key_bloom", "binary"),
     ("snapshot_id", "string"),
     ("blob", "binary"),
 ]
@@ -74,6 +75,7 @@ _MANIFEST_PA = pa.schema(
         ("val_max", pa.float64()),
         ("val_min_str", pa.string()),
         ("val_max_str", pa.string()),
+        ("key_bloom", pa.large_binary()),
         ("snapshot_id", pa.string()),
         ("blob", pa.large_binary()),
     ]
@@ -159,6 +161,119 @@ def _value_zone_map_str(cv: ColumnValues):
     if len(smax) > _STR_BOUND_MAX_CHARS:
         smax = None  # a truncated max is NOT an upper bound; NULL = +inf
     return smin, smax
+
+
+# ---------------------------------------------------------------------------
+# per-chunk key Bloom filters
+# ---------------------------------------------------------------------------
+#
+# Zone maps prune point lookups only when the layout CLUSTERS keys — in
+# the 'hash' resume layout every chunk spans essentially the full key
+# range, so a keys= decode touches every chunk. A per-chunk Bloom filter
+# over the key values restores the prune: ~1.25 B/key of manifest
+# metadata (vs the multi-byte encoded key itself) takes a multi-point
+# lookup from all-chunks to ~the chunks that actually hold the keys,
+# with no false negatives (Bloom false positives only ever KEEP extra
+# chunks — the conservative direction; the exact post-filter always
+# applies).
+#
+# Hashing must agree bit-for-bit between the build side (chunk Arrow
+# arrays inside the encode task) and the probe side (Python scalars on
+# the driver): both canonicalize numerics to float64 (the zone maps'
+# comparison domain — int64 above 2^53 rounds identically on both
+# sides, an error only in the false-positive direction) and hash with
+# pandas' vectorized siphash (`pd.util.hash_array`, fixed default key,
+# deterministic across runs — resume re-encodes must reproduce blooms
+# byte-identically). The second hash for double hashing is a splitmix64
+# remix of the first, forced odd so the probe stride walks the whole
+# power-of-two bit space.
+
+BLOOM_BITS_PER_KEY = 10  # ~1% FPR at k=7
+BLOOM_K = 7
+BLOOM_MAX_BYTES = 1 << 18  # past this the filter is clipped (FPR rises)
+# keep-set collect cap for the decode-side prune (mirrors
+# VALUE_PRUNE_MAX_KEYS: past it, skip pruning rather than OOM the driver)
+BLOOM_PRUNE_MAX_KEYS = 100_000
+
+
+def _bloom_mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (wrapping)."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _bloom_hashes(vals: np.ndarray):
+    """(h1, h2) uint64 hash pairs for double hashing. ``vals`` must
+    already be canonicalized (float64 for numerics, object-of-str for
+    strings) — int64(7) and float64(7.0) hash differently in pandas, so
+    skipping the cast would silently break membership."""
+    from pandas.util import hash_array
+
+    h1 = hash_array(vals, categorize=False).astype(np.uint64, copy=False)
+    h2 = _bloom_mix64(h1) | np.uint64(1)
+    return h1, h2
+
+
+def _bloom_canonical(vals) -> np.ndarray | None:
+    """Canonical hash-input array for a sequence of key values, or None
+    when the values can't carry a reliable bloom (nulls/NaN present)."""
+    arr = np.asarray(vals, dtype=object)
+    if arr.size == 0:
+        return None
+    first = arr.flat[0]
+    if isinstance(first, str):
+        return arr
+    try:
+        f = arr.astype(np.float64)
+    except (TypeError, ValueError):
+        return None
+    if np.isnan(f).any():
+        return None
+    return f
+
+
+def _key_bloom(keys: pa.Array) -> bytes | None:
+    """Build the chunk's key Bloom filter from its key Arrow array.
+    Returns None (= no filter, conservative keep on read) for empty
+    chunks, null-bearing keys, and unhashable types."""
+    n = len(keys)
+    if n == 0 or keys.null_count:
+        return None
+    t = keys.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        vals = np.asarray(keys.to_pylist(), dtype=object)
+    elif (pa.types.is_integer(t) or pa.types.is_floating(t)) and not pa.types.is_boolean(t):
+        vals = keys.to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(vals).any():
+            return None
+    else:
+        return None
+    h1, h2 = _bloom_hashes(vals)
+    m_bits = 1 << max(6, int(np.ceil(np.log2(BLOOM_BITS_PER_KEY * n))))
+    m_bits = min(m_bits, BLOOM_MAX_BYTES * 8)
+    mask = np.uint64(m_bits - 1)
+    bits = np.zeros(m_bits, dtype=bool)
+    for i in range(BLOOM_K):
+        with np.errstate(over="ignore"):
+            bits[((h1 + np.uint64(i) * h2) & mask).astype(np.int64)] = True
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def _bloom_contains_any(blob: bytes, ph1: np.ndarray, ph2: np.ndarray) -> bool:
+    """True iff ANY probe key may be in the filter (all k bits set for
+    at least one probe). ``ph1``/``ph2`` are the probes' hash pairs."""
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    m_bits = buf.size * 8
+    mask = np.uint64(m_bits - 1)
+    with np.errstate(over="ignore"):
+        idx = (
+            (ph1[:, None] + np.arange(BLOOM_K, dtype=np.uint64)[None, :] * ph2[:, None])
+            & mask
+        ).astype(np.int64)
+    hit = (buf[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+    return bool(hit.all(axis=1).any())
 
 
 def _checksum(col: ColumnValues) -> str:
@@ -309,6 +424,7 @@ def _done_marker_batch(part_id: int, tag: str, n_chunks: int, snapshot_id) -> pa
             "val_max": [None],
             "val_min_str": [None],
             "val_max_str": [None],
+            "key_bloom": [None],
             "snapshot_id": [snapshot_id],
             "blob": [b""],
         },
@@ -375,6 +491,10 @@ def make_encode_fn(
                 # committed in a previous run (anti-join planning pass):
                 # skip the whole chunk without touching its values
                 return pa.RecordBatch.from_pydict(rows, schema=_MANIFEST_PA)
+            # one bloom per chunk, attached to the key sub-column's row
+            # (a chunk property, not a per-column one — storing it once
+            # keeps the manifest metadata ~1.25 B/key total)
+            kbloom = _key_bloom(keys)
             for field in table.schema:
                 arr = table.column(field.name).combine_chunks()
                 for sub_name, cv in _sub_columns(field.name, arr, allow_nulls=allow_nulls):
@@ -402,6 +522,7 @@ def make_encode_fn(
                     smin, smax = _value_zone_map_str(cv)
                     rows["val_min_str"].append(smin)
                     rows["val_max_str"].append(smax)
+                    rows["key_bloom"].append(kbloom if sub_name == key_col else None)
                     rows["snapshot_id"].append(snapshot_id)
                     rows["blob"].append(blob)
             return pa.RecordBatch.from_pydict(rows, schema=_MANIFEST_PA)
@@ -1016,6 +1137,68 @@ def _prune_by_key_set(manifest_df, keys):
     return manifest_df.join(F.broadcast(kdf), cond, "left_semi")
 
 
+def _bloom_keep_chunks(manifest_df, keys, key_col, extra_cols=(),
+                       cap=BLOOM_PRUNE_MAX_KEYS):
+    """Rows (chunk_key, *extra_cols) a ``keys=`` decode must KEEP per
+    the per-chunk key Bloom filters — bloom hit, or no bloom recorded
+    (legacy manifests / null-bearing keys: conservative keep) — or
+    None when pruning must be skipped (keep set past the driver-safety
+    cap, mirroring VALUE_PRUNE_MAX_KEYS). Metadata-only: the
+    distributed membership test reads (chunk_key, key_bloom) of the KEY
+    sub-column's rows; blobs never move, and the driver ships only the
+    probes' precomputed hash pairs."""
+    from pyspark.sql import functions as F
+
+    ks = list(dict.fromkeys(keys))
+    if _keys_kind(ks) == "empty":
+        return []
+    if _keys_kind(ks) == "num":
+        probe = np.array([float(k) for k in ks], dtype=np.float64)
+        if np.isnan(probe).any():
+            return None  # NaN never equals anything; zone maps handle it
+    else:
+        probe = np.asarray([str(k) for k in ks], dtype=object)
+    ph1, ph2 = _bloom_hashes(probe)
+    meta = manifest_df.filter(F.col("column") == F.lit(key_col)).select(
+        "chunk_key", "key_bloom", *extra_cols
+    )
+    out_schema = "chunk_key string, keep boolean" + "".join(
+        f", {c} string" for c in extra_cols
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            blooms = b.column("key_bloom")
+            keep = [
+                blooms[i].as_py() is None
+                or _bloom_contains_any(blooms[i].as_py(), ph1, ph2)
+                for i in range(b.num_rows)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [b.column("chunk_key"), pa.array(keep, pa.bool_())]
+                + [b.column(c) for c in extra_cols],
+                ["chunk_key", "keep", *extra_cols],
+            )
+
+    verdicts = meta.mapInArrow(fn, out_schema)
+    rows = verdicts.filter(F.col("keep")).limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return rows
+
+
+def _bloom_semi_join(manifest_df, keep_rows):
+    """Keep only the chunks named by ``_bloom_keep_chunks``' result (all
+    of a kept chunk's column rows survive the chunk_key semi-join)."""
+    from pyspark.sql import functions as F
+
+    spark = manifest_df.sparkSession
+    keep_df = spark.createDataFrame(
+        [(r["chunk_key"],) for r in keep_rows], "chunk_key string"
+    )
+    return manifest_df.join(F.broadcast(keep_df), "chunk_key", "left_semi")
+
+
 # literal IN-lists stay readable in plans and codegen up to this size;
 # bigger key sets post-filter through a broadcast semi-join instead
 _KEY_SET_ISIN_MAX = 1000
@@ -1124,6 +1307,14 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         manifest_df = manifest_df.filter(
             _zone_keep_expr(key_range, legacy_nan_zonemaps)
         )
+    # the deterministic-rescan verdict is read ONCE, on the scan+filter
+    # plan, BEFORE any pruning semi-join is attached: the join nodes
+    # would mask a persisted manifest's cheap plan and force a
+    # blob-materializing pin for nothing (both the value_range and the
+    # bloom multi-use subqueries below consult it)
+    cheap = True if (value_range is None and keys is None) \
+        else _cheap_rescan(manifest_df)
+    pinned = False
     vrs = []
     if value_range is not None:
         specs = value_range if isinstance(value_range, list) else [value_range]
@@ -1132,7 +1323,7 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         # (non-usable = manifest predates these zone maps — no pruning
         # for that predicate, its exact filter below still applies)
         if usable:
-            if not _cheap_rescan(manifest_df):
+            if not cheap:
                 # AUTO-MATERIALIZE an in-flight manifest (one flowing
                 # straight from encode_table) before the hit-key
                 # subquery: without it the encode lineage evaluates
@@ -1149,6 +1340,7 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                 # blocks free when the returned plan is
                 # garbage-collected.
                 manifest_df = manifest_df.localCheckpoint(eager=True)
+                pinned = True
             # conjunctive pruning in ONE aggregate job: each predicate's
             # qualifying rows are tagged with a range index, and a chunk
             # survives only when it matched EVERY index (countDistinct —
@@ -1180,6 +1372,24 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         # otherwise defeat the _cheap_rescan gate above and force a
         # blob-materializing localCheckpoint on persisted manifests.
         manifest_df = _prune_by_key_set(manifest_df, keys)
+        if key_col is not None and "key_bloom" in manifest_df.columns:
+            # Bloom pass: prunes the chunks the zone maps CAN'T — in
+            # the 'hash' resume layout every chunk spans the full key
+            # range, so without this a point lookup decodes everything.
+            # In-flight manifests must be pinned first (same
+            # nondeterministic-re-evaluation hazard as value_range:
+            # the keep set would name chunk keys of a DIFFERENT
+            # evaluation of the encode); one pin serves both passes.
+            if not cheap and not pinned:
+                manifest_df = manifest_df.localCheckpoint(eager=True)
+                pinned = True
+            keep = _bloom_keep_chunks(manifest_df, keys, key_col)
+            if keep is not None:
+                manifest_df = _bloom_semi_join(manifest_df, keep)
+    if "key_bloom" in manifest_df.columns:
+        # pruning is done with it — don't ship ~1.25 B/key of bloom
+        # bytes through the dedup/grouping shuffles below
+        manifest_df = manifest_df.drop("key_bloom")
     if not assume_unique:
         manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
     if arranged and assume_unique:
@@ -1240,6 +1450,8 @@ def _manifest_metadata(spark, ckpt_dir: str):
         cols += ["val_min", "val_max"]
     if "val_min_str" in mdf.columns:  # pre-round-4 checkpoints lack these
         cols += ["val_min_str", "val_max_str"]
+    if "key_bloom" in mdf.columns:  # pre-bloom checkpoints lack this
+        cols += ["key_bloom"]
     return mdf.select(*cols, F.input_file_name().alias("__file"))
 
 
@@ -1524,8 +1736,21 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         fdf = fdf.filter(F.col("column").isin(phys))
     if key_range is not None:
         fdf = fdf.filter(_zone_keep_expr(key_range, legacy_nan_zonemaps))
+    bloom_file_keys = None  # path -> bloom-kept chunk_key list (keys= only)
     if keys is not None:
         fdf = _prune_by_key_set(fdf, keys)
+        if key_col is not None and "key_bloom" in fdf.columns:
+            # Bloom pass (see decode_table): prunes hash-layout chunks
+            # the zone maps keep, at FILE level (fewer tasks) and at
+            # chunk level inside each file (the per-file key list rides
+            # the same carrier value_range pruning uses)
+            keep = _bloom_keep_chunks(fdf, keys, key_col,
+                                      extra_cols=("__file",))
+            if keep is not None:
+                fdf = _bloom_semi_join(fdf, keep)
+                bloom_file_keys = {}
+                for r in keep:
+                    bloom_file_keys.setdefault(r["__file"], []).append(r["chunk_key"])
     # gate on the PRUNED metadata: a point lookup verifies only the
     # chunks it will read (a torn/duplicated chunk's copies share the
     # same zone maps and projection, so every hazard the full-manifest
@@ -1580,6 +1805,11 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
             else:
                 # too many qualifying chunks to ship: file-level only
                 file_keys = {r["__file"]: None for r in hits.select("__file").distinct().collect()}
+    if file_keys is None:
+        # no value_range chunk lists — the bloom keep lists (if any)
+        # drive the per-file chunk filter instead (already intersected:
+        # a value_range pass above ran on the bloom-pruned fdf)
+        file_keys = bloom_file_keys
     if file_keys is not None:
         files = sorted(file_keys)
     else:

@@ -180,6 +180,44 @@ def _offsets_arrow_pass(parts: DataFrame, base: dict, key_col: str,
     )
 
 
+def shuffle_order(df: DataFrame, key_col: str, seed,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Deterministic global training-data shuffle: every row gets a
+    dense 0-based ``pos`` in the order of ``md5(key:seed)`` — the
+    epoch-reshuffle an LLM training job applies to its packed
+    sequences (a different ``seed`` per epoch yields an independent,
+    reproducible permutation).
+
+    Scale shape: the naive Spark expression — ``row_number() OVER
+    (ORDER BY hash)`` — collapses to ONE task. This reuses the
+    two-phase distributed prefix sum (``_doc_offsets_pinned`` with a
+    constant length of 1): one range shuffle on the hash, a
+    per-partition Arrow cumsum, and ``num_partitions`` longs of driver
+    state. The md5 is suffixed with the key itself so the sort key is
+    unique (ties would otherwise order partition-dependently): md5 hex
+    is fixed-width, so comparing the concatenation equals ordering by
+    ``(md5, key)``.
+
+    Returns ``(key_col, pos)``; positions are exactly 0..n-1."""
+    work = df.select(
+        F.concat_ws(
+            ":",
+            F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                              F.lit(str(seed)))),
+            F.col(key_col).cast("string"),
+        ).alias("__h"),
+        F.lit(1).cast("bigint").alias("__one"),
+        F.col(key_col),
+    )
+    offs, pinned = _doc_offsets_pinned(
+        work, "__h", "__one", num_partitions, carry=[key_col]
+    )
+    out = offs.select(F.col(key_col), F.col("off").alias("pos")) \
+        .localCheckpoint(eager=True)
+    pinned.unpersist()
+    return out
+
+
 def sequence_pack_spans(df: DataFrame, seq_len: int, key_col: str,
                         len_col: str, num_partitions: int | None = None) -> DataFrame:
     """Per-sequence packing summary for fixed-length sequences of

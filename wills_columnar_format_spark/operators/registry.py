@@ -470,6 +470,33 @@ ORACLE_POINT_LOOKUP_KEYS = (
 )
 
 
+def q_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-point lookup on the HASH layout — the resume/streaming
+    layout where key zone maps prune NOTHING (every chunk spans the
+    full key range): the per-chunk key Bloom filters carry the whole
+    prune (engine.py `_bloom_keep_chunks`: a distributed metadata-only
+    membership test, ~1.25 B/key of lineage, no false negatives), at
+    file level and chunk level inside each file. Without blooms this
+    decode reads every chunk; with them it reads ~|keys| chunks."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import decode_checkpoint, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_bloom_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        encode_table(df, key_col="doc_id", codec="auto", num_partitions=8,
+                     partitioner="hash", chunk_rows=64).write.parquet(ckpt)
+        out = decode_checkpoint(spark, ckpt, df.schema,
+                                keys=_POINT_KEYS, key_col="doc_id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_compression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-independent compression-lineage facts, value-hashable by a
     DuckDB oracle: per column the manifest's logical value count (sum of
@@ -734,6 +761,51 @@ SELECT CAST(seq_id AS BIGINT) AS seq_id,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM sp GROUP BY seq_id
 """
+
+
+def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle of the training corpus: every doc
+    gets a dense 0-based position in md5(doc_id:seed) order via the
+    distributed two-phase prefix sum (``shuffle_order``) — NOT the
+    single-task ``row_number() OVER (ORDER BY ...)`` the oracle uses.
+    Reproducible permutation per seed; the scale-shaped half of the
+    pack-then-shuffle layout an LLM data loader consumes."""
+    from .packing import shuffle_order
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return shuffle_order(df, "doc_id", seed=42, num_partitions=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+DUCK_TRAIN_SHUFFLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+                ORDER BY md5(concat(CAST(doc_id AS STRING), ':42')), doc_id)
+            - 1 AS BIGINT) AS pos
+FROM documents
+"""
+
+# Mixture sampling: per-source keep rates applied via a deterministic
+# uniform hash — the "2 epochs of web, 0.5 of code" weighting every
+# corpus build applies. keep iff the first 8 hex digits of
+# md5(doc_id:salt) fall under the source's rate threshold (rate · 16^8
+# rendered as fixed-width hex; 'g' sorts above every hex digit = keep
+# all). Pure map-side SQL — no shuffle, no UDF; the SAME text runs in
+# Spark and DuckDB, so the oracle pins the sampled set exactly.
+SPARK_MIXTURE_SAMPLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         substring(md5(concat(CAST(doc_id AS STRING), ':mix7')), 1, 8) AS h,
+         CAST(substring(source, 4) AS INT) % 4 AS grp
+  FROM documents
+)
+SELECT doc_id, source FROM r
+WHERE h < CASE grp WHEN 0 THEN 'g' WHEN 1 THEN '80000000'
+                   WHEN 2 THEN '40000000' ELSE '20000000' END
+"""
+DUCK_MIXTURE_SAMPLE = SPARK_MIXTURE_SAMPLE
 
 
 # ---------------------------------------------------------------------------
@@ -1218,6 +1290,7 @@ REGISTRY: dict[str, tuple] = {
     "value_range_time": (q_value_range_time, ORACLE_VALUE_RANGE_TIME),
     "value_range_multi": (q_value_range_multi, ORACLE_VALUE_RANGE_MULTI),
     "point_lookup_keys": (q_point_lookup_keys, ORACLE_POINT_LOOKUP_KEYS),
+    "point_lookup_bloom": (q_point_lookup_bloom, ORACLE_POINT_LOOKUP_KEYS),
     "compression_metrics": (q_compression_metrics, DUCK_COMPRESSION_METRICS),
     # text analysis
     "text_token_count": (_sql_query(SPARK_TOKEN_COUNT, "documents"), DUCK_TOKEN_COUNT),
@@ -1227,6 +1300,9 @@ REGISTRY: dict[str, tuple] = {
     "sequence_pack": (q_sequence_pack, DUCK_SEQUENCE_PACK),
     "sequence_pack_tokens": (q_sequence_pack_tokens, DUCK_SEQUENCE_PACK_TOKENS),
     "pipeline_train_data": (q_pipeline_train_data, DUCK_PIPELINE_TRAIN_DATA),
+    "train_shuffle": (q_train_shuffle, DUCK_TRAIN_SHUFFLE),
+    "mixture_sample": (
+        _sql_query(SPARK_MIXTURE_SAMPLE, "documents"), DUCK_MIXTURE_SAMPLE),
     # deduplication
     "dedup_exact": (_sql_query(SPARK_DEDUP_EXACT, "documents"), DUCK_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DUCK_NGRAM_JACCARD),
