@@ -217,11 +217,16 @@ def _registry_benches(spark, sf_dir: str):
         "roundtrip_checkpoint",
         "point_lookup",
         "point_lookup_keys",
+        "point_lookup_bloom",
         "value_range_scan",
         "value_range_multi",
         "sequence_pack",
         "sequence_pack_tokens",
         "pipeline_train_data",
+        "train_shuffle",
+        "mixture_sample",
+        "vocab_topk",
+        "contamination_check",
         "rle_run_counts",
         "text_quality",
         "lang_id",

@@ -421,14 +421,19 @@ def test_rechunk_compaction_recovers_compression(spark, token_df, tmp_path_facto
     small_bytes = spark.read.parquet(src).agg(
         F.sum(F.length("blob"))).collect()[0][0]
 
+    # hash partitioning on BOTH sides: the default range sampler is
+    # nondeterministic, so compacted and direct-batch chunk boundaries
+    # could drift apart and flake the 2% byte comparison below — hash
+    # boundaries are a pure function of the keys
     compact_checkpoint(spark, src, dst, rechunk_rows=65536,
                        schema=token_df.schema, key_col="doc_id",
-                       num_partitions=2)
+                       num_partitions=2, partitioner="hash")
     big_bytes = spark.read.parquet(dst).agg(
         F.sum(F.length("blob"))).collect()[0][0]
     # reference batch encode at the same big-chunk layout
     batch = encode_table(token_df, key_col="doc_id", codec="auto",
-                         num_partitions=2, chunk_rows=65536)
+                         num_partitions=2, chunk_rows=65536,
+                         partitioner="hash")
     batch_bytes = batch.agg(F.sum(F.length("blob"))).collect()[0][0]
 
     assert big_bytes < small_bytes  # compaction actually helped

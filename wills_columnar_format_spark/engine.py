@@ -216,24 +216,6 @@ def _bloom_hashes(vals: np.ndarray):
     return h1, h2
 
 
-def _bloom_canonical(vals) -> np.ndarray | None:
-    """Canonical hash-input array for a sequence of key values, or None
-    when the values can't carry a reliable bloom (nulls/NaN present)."""
-    arr = np.asarray(vals, dtype=object)
-    if arr.size == 0:
-        return None
-    first = arr.flat[0]
-    if isinstance(first, str):
-        return arr
-    try:
-        f = arr.astype(np.float64)
-    except (TypeError, ValueError):
-        return None
-    if np.isnan(f).any():
-        return None
-    return f
-
-
 def _key_bloom(keys: pa.Array) -> bytes | None:
     """Build the chunk's key Bloom filter from its key Arrow array.
     Returns None (= no filter, conservative keep on read) for empty

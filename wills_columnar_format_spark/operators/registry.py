@@ -807,6 +807,57 @@ WHERE h < CASE grp WHEN 0 THEN 'g' WHEN 1 THEN '80000000'
 """
 DUCK_MIXTURE_SAMPLE = SPARK_MIXTURE_SAMPLE
 
+# Corpus vocabulary statistics: token frequencies across the corpus —
+# the precursor to building tokenizer vocab / stopword lists. Scale
+# shape: explode is map-side, the count is a partial-aggregated
+# groupBy on the token (the classic word-count — no skew beyond the
+# head words, which partial aggregation absorbs), and the top-k sort
+# runs over the AGGREGATED vocabulary (tiny), not the corpus.
+SPARK_VOCAB_TOPK = """
+WITH words AS (
+  SELECT explode(split(lower(trim(text)), '\\\\s+')) AS w FROM documents
+),
+counts AS (
+  SELECT w, COUNT(*) AS n FROM words WHERE w <> '' GROUP BY w
+)
+SELECT w, n FROM counts ORDER BY n DESC, w LIMIT 50
+"""
+DUCK_VOCAB_TOPK = """
+WITH words AS (
+  SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT w, COUNT(*) AS n FROM words WHERE w <> '' GROUP BY w
+)
+SELECT w, n FROM counts ORDER BY n DESC, w LIMIT 50
+"""
+
+# Train/eval contamination check: how many training documents are
+# verbatim duplicates of a held-out eval slice (every LLM corpus build
+# runs this before training). Membership is an equi-join on the
+# normalized fingerprint — the (distinct) eval side is small, so at
+# scale Spark broadcasts it and the training side never shuffles. The
+# corpus is doubled with shifted ids (the dedup queries' fixture
+# pattern) so contamination deterministically EXISTS: the copies of
+# the eval originals are verbatim duplicates sitting in train.
+SPARK_CONTAMINATION = """
+WITH both_sets AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS f FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source, md5(lower(trim(text))) AS f
+  FROM documents
+),
+eval_set AS (
+  SELECT DISTINCT f FROM both_sets WHERE doc_id < 100000 AND doc_id % 17 = 0
+),
+train AS (SELECT doc_id, source, f FROM both_sets WHERE doc_id >= 100000)
+SELECT t.source, COUNT(*) AS n_contaminated, MIN(t.doc_id) AS first_doc
+FROM train t JOIN eval_set e ON t.f = e.f
+GROUP BY t.source
+"""
+DUCK_CONTAMINATION = SPARK_CONTAMINATION
+
 
 # ---------------------------------------------------------------------------
 # 3. Deduplication (on documents doubled with shifted ids so exact and
@@ -1303,6 +1354,9 @@ REGISTRY: dict[str, tuple] = {
     "train_shuffle": (q_train_shuffle, DUCK_TRAIN_SHUFFLE),
     "mixture_sample": (
         _sql_query(SPARK_MIXTURE_SAMPLE, "documents"), DUCK_MIXTURE_SAMPLE),
+    "vocab_topk": (_sql_query(SPARK_VOCAB_TOPK, "documents"), DUCK_VOCAB_TOPK),
+    "contamination_check": (
+        _sql_query(SPARK_CONTAMINATION, "documents"), DUCK_CONTAMINATION),
     # deduplication
     "dedup_exact": (_sql_query(SPARK_DEDUP_EXACT, "documents"), DUCK_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DUCK_NGRAM_JACCARD),
