@@ -71,8 +71,13 @@ def test_reencode_is_byte_identical(spark, token_df, tmp_path_factory):
     kw = dict(key_col="doc_id", num_partitions=4, chunk_rows=2048, snapshot_id="s")
     ma = encode_table_resumable(token_df, ckpt_a, **kw)
     mb = encode_table_resumable(token_df, ckpt_b, **kw)
-    a = {(r.part_id, r.chunk_id, r.column): (r.checksum, bytes(r.blob)) for r in ma.collect()}
-    b = {(r.part_id, r.chunk_id, r.column): (r.checksum, bytes(r.blob)) for r in mb.collect()}
+    # key_bloom rides the comparison: the bloom must also be a pure
+    # function of the chunk's key values (pandas siphash + splitmix64,
+    # no run-dependent state) or resumed manifests would diverge
+    a = {(r.part_id, r.chunk_id, r.column):
+         (r.checksum, bytes(r.blob), r.key_bloom) for r in ma.collect()}
+    b = {(r.part_id, r.chunk_id, r.column):
+         (r.checksum, bytes(r.blob), r.key_bloom) for r in mb.collect()}
     assert a == b
 
 
