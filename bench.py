@@ -292,7 +292,12 @@ def main() -> None:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from membw_probe import bandwidth_at
 
-        bw_lo, bw_hi = bandwidth_at(lo), bandwidth_at(hi)
+        # best-of-3 per leg: a single 3 s tenant spike during one probe
+        # would otherwise distort the ceiling arbitrarily (observed: a
+        # poisoned 2-core probe reporting a 17x "ceiling"); max estimates
+        # the unloaded envelope, same convention as the job's min-time
+        bw_lo = max(bandwidth_at(lo) for _ in range(3))
+        bw_hi = max(bandwidth_at(hi) for _ in range(3))
         ceiling = (bw_hi / bw_lo) / (hi / lo)
         print(json.dumps({
             "metric": "encode_scaling_efficiency",

@@ -1150,11 +1150,9 @@ def _bloom_keep_chunks(manifest_df, keys, key_col, extra_cols=(),
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
-            blooms = b.column("key_bloom")
             keep = [
-                blooms[i].as_py() is None
-                or _bloom_contains_any(blooms[i].as_py(), ph1, ph2)
-                for i in range(b.num_rows)
+                blob is None or _bloom_contains_any(blob, ph1, ph2)
+                for blob in b.column("key_bloom").to_pylist()
             ]
             yield pa.RecordBatch.from_arrays(
                 [b.column("chunk_key"), pa.array(keep, pa.bool_())]
@@ -1249,7 +1247,11 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     only), and with ``key_col`` set the rows are exact-filtered to the
     key set (literal isin up to 1000 keys, broadcast semi-join past
     that). One decode fetches a whole working set of doc_ids instead of
-    one decode per key.
+    one decode per key. With ``key_col`` set, manifests carrying
+    per-chunk key Bloom filters (every encode since they landed) are
+    ALSO bloom-pruned — the prune that works on the 'hash' layout,
+    where every chunk spans the full key range and zone maps keep
+    everything; bloom-less legacy manifests keep chunks conservatively.
 
     ``verify_checksums=True`` re-hashes every decoded sub-column and
     compares against the encoder's recorded blake2b, raising on
@@ -1680,7 +1682,10 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     file-level + exact post-filter). ``keys=[...]`` is the multi-point
     lookup (see ``decode_table``): file-level pruning via the
     driver-side metadata pass, a pushed OR-of-containment predicate
-    inside each file for ≤256 keys, exact filter with ``key_col``.
+    inside each file for ≤256 keys, exact filter with ``key_col`` —
+    plus, with ``key_col`` set, per-chunk key-Bloom-filter pruning at
+    file level AND chunk level inside each file (the prune that works
+    on hash-layout checkpoints, where zone maps keep every chunk).
     Checkpoints that fail the clustered-layout check (duplicates from
     resumed runs, chunks torn across files) fall back to
     ``decode_table``'s shuffling path transparently.
