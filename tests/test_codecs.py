@@ -317,3 +317,71 @@ def test_rans_single_value_and_constant():
     for vals in (np.array([123], np.int64), np.full(5000, -77, np.int64)):
         blob, _ = encode_column(vals, codec="dict_rans")
         assert np.array_equal(decode_column(blob, dtype=np.int64).vals, vals)
+
+
+# -- dict_rans format v2 (bit-packed dict mode, escape rANS stream) -----------
+
+
+def test_rans_v2_escape_mode1_selected_and_roundtrips():
+    """A long skewed tail whose hi-symbol entropy sits well below the
+    fixed escape width must select esc mode 1 (second rANS stream over
+    escape high bits) and still roundtrip exactly."""
+    from wills_columnar_format_spark.codecs.rans import (
+        _esc_plan, choose_head, rank_encode)
+
+    rng = np.random.default_rng(21)
+    # Zipf-ish over a ~60k vocab: far past every head candidate, tail
+    # mass decays so grouped hi symbols are skewed (rANS-compressible)
+    vals = ((rng.pareto(0.9, 250_000) * 25).astype(np.int64) * 1201) % 60_013
+    col = ColumnValues.from_numpy(vals)
+    _, _, rank_counts = rank_encode(col)
+    M = choose_head(rank_counts, len(vals))
+    assert len(rank_counts) > M, "fixture must actually escape"
+    emode = _esc_plan(rank_counts, M)[0]
+    assert emode == 1, "skewed tail must pick the second rANS stream"
+    blob, _ = encode_column(vals, codec="dict_rans")
+    assert np.array_equal(decode_column(blob, dtype=np.int64).vals, vals)
+
+
+def test_rans_v2_dict_bitpack_mode_selected_and_roundtrips():
+    """Dictionary values uniformly scattered over a wide range: the
+    fixed-width bit-packed dictionary beats the zigzag-varint stream
+    (byte granularity) and must be chosen — and roundtrip exactly."""
+    from wills_columnar_format_spark.codecs.rans import _dict_plan
+
+    rng = np.random.default_rng(22)
+    vals = rng.integers(-(10**12), 10**12, 40_000).astype(np.int64)
+    uniq = np.unique(vals)
+    mode, DW, nbytes = _dict_plan(uniq)
+    assert mode == 1 and 0 < DW <= 42
+    blob, _ = encode_column(vals, codec="dict_rans")
+    assert np.array_equal(decode_column(blob, dtype=np.int64).vals, vals)
+
+
+def test_rans_v2_reencode_byte_identical():
+    """Resume contract at the codec level: both v2 mode argmins are pure
+    functions of the chunk's value counts, so re-encodes of the same
+    chunk are byte-identical — on an escape-heavy chunk AND a head-only
+    chunk."""
+    rng = np.random.default_rng(23)
+    for vals in (
+        ((rng.pareto(0.9, 120_000) * 25).astype(np.int64) * 1201) % 60_013,
+        (rng.pareto(1.5, 120_000) * 10).astype(np.int64) % 500,
+    ):
+        a, _ = encode_column(vals, codec="dict_rans")
+        b, _ = encode_column(vals.copy(), codec="dict_rans")
+        assert a == b
+
+
+def test_rans_v1_params_rejected():
+    """Format v1 blobs (no leading version byte) predate any persisted
+    deployment: the decoder must refuse them loudly, never misparse."""
+    from wills_columnar_format_spark.codecs.rans import DictRansCodec
+    from wills_columnar_format_spark.format import Footer, PageInfo
+    from wills_columnar_format_spark import dtypes
+
+    # v1 params began with varint(k); k=1 gives a leading byte of 1
+    f = Footer(data_type=dtypes.SIGNED_INTEGER, codec=DictRansCodec.codec_id,
+               params=b"\x01\x02\x0e\x00", pages=[PageInfo(0, 4, 1, 1)])
+    with pytest.raises(ValueError, match="version"):
+        DictRansCodec().decode(memoryview(b"\x00\x00\x00\x00"), f)

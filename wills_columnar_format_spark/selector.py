@@ -273,7 +273,7 @@ def exact_integer_costs(col: ColumnValues, target_page_size: int) -> dict[str, f
     # remainders), far inside the margins separating codec choices
     from .codecs.rans import rans_cost_from_counts
 
-    costs["dict_rans"] = rans_cost_from_counts(rc, n, dr_dict, target_page_size)
+    costs["dict_rans"] = rans_cost_from_counts(rc, n, uniq, target_page_size)
 
     # frame-of-reference: exact per-page widths under the codec's own
     # pagination rule (global width -> rows/page -> per-page min/max);
