@@ -51,22 +51,34 @@ from .base import _BINCOUNT_MAX_RANGE, value_counts  # noqa: F401  (re-export)
 
 
 def rank_encode(col: ColumnValues) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(dictionary in rank order as int64, uint64 rank codes, rank counts)."""
-    v = col.vals.astype(np.int64, copy=False)
+    """(dictionary in rank order as int64, uint32 rank codes, rank counts).
+
+    Codes are uint32 (k ≤ chunk length « 2^32): downstream kernels
+    (pack_bits, the rANS lanes) produce byte-identical output for the
+    narrower dtype while gather/compare traffic halves — this encode
+    path saturates the memory bus before it saturates a core
+    (CLAUDE.md), so traffic is the cost that matters."""
+    v = col.vals
     uniq, counts = col.value_counts_int64()
     # stable rank: count desc, value asc (uniq is value-ascending, so a
     # stable sort on -counts preserves value order within equal counts)
     order = np.argsort(-counts, kind="stable")
-    ranks_of_uniq = np.empty(len(uniq), dtype=np.uint64)
-    ranks_of_uniq[order] = np.arange(len(uniq), dtype=np.uint64)
+    ranks_of_uniq = np.empty(len(uniq), dtype=np.uint32)
+    ranks_of_uniq[order] = np.arange(len(uniq), dtype=np.uint32)
     vmin, vmax = int(uniq[0]), int(uniq[-1])
     rng = vmax - vmin + 1
     if rng <= _BINCOUNT_MAX_RANGE:
-        lut = np.zeros(rng, dtype=np.uint64)
-        lut[uniq - vmin] = ranks_of_uniq
-        codes = lut[v - vmin]
+        lut = np.zeros(rng, dtype=np.uint32)
+        lut[(uniq - vmin).astype(np.int64)] = ranks_of_uniq
+        # keep the index subtraction in the source dtype when the exact
+        # result fits it (it does: idx ∈ [0, rng) ⊆ int32) — avoids an
+        # 8 B/value widening pass on int32 token streams
+        if v.dtype == np.int32:
+            codes = lut[v - np.int32(vmin)]
+        else:
+            codes = lut[v.astype(np.int64, copy=False) - vmin]
     else:
-        codes = ranks_of_uniq[np.searchsorted(uniq, v)]
+        codes = ranks_of_uniq[np.searchsorted(uniq, v.astype(np.int64, copy=False))]
     return uniq[order], codes, counts[order]
 
 
@@ -102,7 +114,9 @@ class DictVarintCodec(Codec):
             return Encoded(pages=[], page_infos=[], params=b"\x00")
         dict_vals, codes, rank_counts = rank_encode(col)
         w, full = choose_width(rank_counts, n)
-        cap = np.uint64((1 << w) - 1)
+        # same dtype as the codes: a uint64 literal would silently upcast
+        # every comparison/where back to 8 B/value
+        cap = codes.dtype.type((1 << w) - 1)
         params = bytearray()
         _write_uvarint(params, len(dict_vals))
         dbuf, _ = uvarint_encode(zigzag_encode(dict_vals))

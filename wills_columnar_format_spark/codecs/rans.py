@@ -248,16 +248,21 @@ def rans_encode_stream(sym: np.ndarray, qf: np.ndarray, cf: np.ndarray,
     n = len(sym)
     T = -(-n // K)
     r = n - (T - 1) * K  # lanes active in the final (partial) iteration
-    states = np.full(K, _LOWER, dtype=np.uint64)
+    # everything fits uint32 exactly: states < 2^32 by the rANS update
+    # bound (st < f·2^18 ⇒ new_st ≤ (2^18−1)·2^14 + (f−1) + c < 2^32
+    # since c+f ≤ 2^14), and f·2^(32−PB) ≤ (2^14−1)·2^18 < 2^32. 32-bit
+    # divides are ~2× faster than 64-bit and the gathers move half the
+    # bytes — output is bit-identical (same integer arithmetic).
+    states = np.full(K, _LOWER, dtype=np.uint32)
     # one whole-stream gather instead of two K-wide fancy-indexes per
     # iteration: at K ~ 10^3 the per-call numpy overhead dominates
-    f_all = qf.astype(np.uint64)[sym]
-    c_all = cf.astype(np.uint64)[sym]
-    shift_rn = np.uint64(32 - PB)
-    shift_pb = np.uint64(PB)
+    f_all = qf.astype(np.uint32)[sym]
+    c_all = cf.astype(np.uint32)[sym]
+    shift_rn = np.uint32(32 - PB)
+    shift_pb = np.uint32(PB)
     chunks: list[np.ndarray] = []
-    low16 = np.uint64(0xFFFF)
-    s16 = np.uint64(16)
+    low16 = np.uint32(0xFFFF)
+    s16 = np.uint32(16)
     for t in range(T - 1, -1, -1):
         cnt = r if t == T - 1 else K
         f = f_all[t * K : t * K + cnt]
@@ -266,10 +271,10 @@ def rans_encode_stream(sym: np.ndarray, qf: np.ndarray, cf: np.ndarray,
         mask = st >= (f << shift_rn)
         chunks.append((st & low16).astype(np.uint16)[mask][::-1])
         st = np.where(mask, st >> s16, st)
-        q, rem = np.divmod(st, f)
-        states[:cnt] = (q << shift_pb) + rem + c
+        q = st // f
+        states[:cnt] = (q << shift_pb) + (st - q * f) + c
     words = np.concatenate(chunks)[::-1] if chunks else np.empty(0, np.uint16)
-    return states.astype(np.uint32), words
+    return states, words
 
 
 def rans_decode_stream(states32: np.ndarray, words: np.ndarray,
@@ -281,17 +286,21 @@ def rans_decode_stream(states32: np.ndarray, words: np.ndarray,
     — corruption surfaces here instead of as silently wrong values."""
     T = -(-n // K)
     r = n - (T - 1) * K
-    states = states32.astype(np.uint64)
+    # uint32 mirror of the encode-side narrowing: the decode update
+    # f·(st>>14) + g obeys the same < 2^32 bound, and the renorm refill
+    # (st<<16)|word starts from st < 2^16 — identical integer results
+    # at half the gather traffic and ~2× the multiply/divide rate
+    states = states32.astype(np.uint32, copy=True)
     slot2sym = np.repeat(np.arange(len(qf), dtype=np.uint32), qf)
     # slot-indexed state-update tables: one gather each instead of
     # re-gathering qf/cf through the symbol (g_slot folds `slot - cf`)
-    f_slot = qf.astype(np.uint64)[slot2sym]
-    g_slot = np.arange(_TOTAL, dtype=np.uint64) - cf.astype(np.uint64)[slot2sym]
+    f_slot = qf.astype(np.uint32)[slot2sym]
+    g_slot = np.arange(_TOTAL, dtype=np.uint32) - cf.astype(np.uint32)[slot2sym]
     out = np.empty(n, dtype=np.uint32)
     wpos = 0
-    slot_mask = np.uint64(_TOTAL - 1)
-    shift_pb = np.uint64(PB)
-    lower = np.uint64(_LOWER)
+    slot_mask = np.uint32(_TOTAL - 1)
+    shift_pb = np.uint32(PB)
+    lower = np.uint32(_LOWER)
     for t in range(T):
         cnt = r if t == T - 1 else K
         st = states[:cnt]
@@ -304,7 +313,7 @@ def rans_decode_stream(states32: np.ndarray, words: np.ndarray,
             if wpos + m > len(words):
                 raise ValueError("rANS stream truncated (word underrun)")
             idx = np.flatnonzero(mask)
-            st[idx] = (st[idx] << np.uint64(16)) | words[wpos : wpos + m].astype(np.uint64)
+            st[idx] = (st[idx] << np.uint32(16)) | words[wpos : wpos + m].astype(np.uint32)
             wpos += m
         states[:cnt] = st
     if wpos != len(words) or not bool((states == lower).all()):
@@ -412,13 +421,13 @@ class DictRansCodec(Codec):
             params += pack_bits((qf2 - 1).astype(np.uint64), PB)
 
         if k > M:
-            sym = np.minimum(codes, np.uint64(M)).astype(np.int64)
+            sym = np.minimum(codes, np.uint32(M))
         else:
-            sym = codes.astype(np.int64)
+            sym = codes
         stream_bits = float((sc * (PB - np.log2(qf))).sum()) + esc_sbits
         per_page = _per_page(stream_bits, n, target_page_size)
 
-        lo_mask = np.uint64((1 << LO) - 1) if emode else np.uint64(0)
+        lo_mask = np.uint32((1 << LO) - 1) if emode else np.uint32(0)
         pages: list[bytes] = []
         infos: list[PageInfo] = []
         offset = 0
@@ -429,7 +438,7 @@ class DictRansCodec(Codec):
             states, words = rans_encode_stream(psym, qf, cf, K)
             if k > M:
                 pc = codes[s0:e]
-                esc = (pc[pc >= np.uint64(M)] - np.uint64(M))
+                esc = (pc[pc >= np.uint32(M)] - np.uint32(M))
             else:
                 esc = codes[:0]
             head = bytearray()
@@ -444,7 +453,7 @@ class DictRansCodec(Codec):
             )
             if len(esc):
                 if emode:
-                    hi = (esc >> np.uint64(LO)).astype(np.int64)
+                    hi = esc >> np.uint32(LO)
                     K2 = _n_lanes(len(esc))
                     st2, w2 = rans_encode_stream(hi, qf2, cf2, K2)
                     th = bytearray()
@@ -520,7 +529,9 @@ class DictRansCodec(Codec):
             hoff += 4 * K
             words = raw[hoff : hoff + 2 * n_words].copy().view("<u2")
             hoff += 2 * n_words
-            sym = rans_decode_stream(states, words, qf, cf, n, K).astype(np.int64)
+            # ranks stay uint32 to the final dictionary gather (k < 2^32;
+            # M + esc ≤ k−1 cannot overflow) — half the concat traffic
+            sym = rans_decode_stream(states, words, qf, cf, n, K)
             if n_esc:
                 if emode:
                     K2, hoff = _read_uvarint(raw, hoff)
@@ -531,22 +542,22 @@ class DictRansCodec(Codec):
                     hoff += 2 * n_w2
                     esc = rans_decode_stream(
                         st2, w2, qf2, cf2, n_esc, K2
-                    ).astype(np.int64) << LO
+                    ) << np.uint32(LO)
                     if LO:
                         lo = unpack_bits(
                             raw[hoff : hoff + packed_nbytes(n_esc, LO)], n_esc, LO
-                        ).astype(np.int64)
+                        ).astype(np.uint32)
                         esc |= lo
                 else:
                     esc = unpack_bits(
                         raw[hoff : hoff + packed_nbytes(n_esc, esc_w)], n_esc, esc_w
-                    ).astype(np.int64)
-                mask = sym == M
+                    ).astype(np.uint32)
+                mask = sym == np.uint32(M)
                 if int(mask.sum()) != n_esc:
                     raise ValueError("rANS escape count mismatch")
-                sym[mask] = M + esc
+                sym[mask] = np.uint32(M) + esc
             chunks.append(sym)
-        ranks = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+        ranks = np.concatenate(chunks) if chunks else np.empty(0, np.uint32)
         out = dict_vals[ranks] if k else np.empty(0, np.int64)
         tag = footer.data_type
         if tag == dtypes.UNSIGNED_INTEGER:

@@ -24,6 +24,23 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 
+# Allocator tuning for whatever process runs the kernels (Spark python
+# worker, pytest, a bare driver): numpy's large temporaries sit above
+# glibc malloc's default mmap threshold, so without this every big
+# array is mmap'd on alloc and munmap'd on free — a fresh page-fault
+# storm per task (measured up to ~10s on a fresh worker's first encode
+# task vs ~1s warm). session.get_spark also sets the MALLOC_*_ env vars
+# so workers start tuned; this mallopt covers processes that import the
+# engine without going through get_spark (spark-submit, plain pytest).
+try:  # pragma: no cover - platform-dependent
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL("libc.so.6")
+    _libc.mallopt(-3, 64 << 20)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, 256 << 20)  # M_TRIM_THRESHOLD
+except Exception:  # non-glibc platforms: default allocator behavior
+    pass
+
 from . import dtypes
 from .codecs import BY_ID
 from .codecs.base import ColumnValues

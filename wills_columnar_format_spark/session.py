@@ -19,6 +19,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str = "48g",
 ) -> SparkSession:
+    # glibc allocator tuning for the PYTHON WORKERS (they inherit this
+    # environment through the JVM): numpy's large temporaries sit above
+    # malloc's default mmap threshold, so every encode-kernel array is
+    # mmap'd on alloc and munmap'd on free — a fresh page-fault storm
+    # per task that measured up to 10s on a fresh worker vs ~1s once
+    # glibc's dynamic threshold adapts. Pinning the threshold above the
+    # kernel working set keeps freed pages in-process from the start.
+    # (Setting the env var disables the dynamic adaptation; harmless on
+    # non-glibc where it is simply ignored.)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(64 << 20))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 << 20))
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
