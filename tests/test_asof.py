@@ -1,0 +1,82 @@
+"""As-of join: union + running-last formulation vs hand-computed truth.
+
+Semantics under test (operators/asof.py): for each left row, the single
+most recent right row with right.ts <= left.ts (strict=True: <) within
+the key; nulls when no prior right row; right-side ties at one
+(key, ts) resolve to the greatest payload tuple.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", 10, "L1"),
+            ("a", 20, "L2"),
+            ("a", 5, "L0"),   # before any right row
+            ("b", 30, "L3"),  # equal-ts right row exists
+            ("c", 40, "L4"),  # key with no right rows at all
+        ],
+        "k string, ts bigint, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 8, 100),
+            ("a", 15, 200),
+            ("a", 20, 300),   # equal to left L2's ts
+            ("b", 30, 400),   # equal to left L3's ts
+            ("b", 30, 401),   # tie at the same (key, ts): max payload wins
+            ("b", 25, 350),
+        ],
+        "k string, ts bigint, v int",
+    )
+    return left, right
+
+
+def _rows(df):
+    return {
+        (r.tag, r.ts_right, r.v_right)
+        for r in df.select("tag", "ts_right", "v_right").collect()
+    }
+
+
+def test_asof_at_or_before(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, key_col="k", ts_col="ts",
+                    payload_cols=["v"], suffix="_right")
+    assert set(out.columns) == {"k", "ts", "tag", "ts_right", "v_right"}
+    assert _rows(out) == {
+        ("L0", None, None),       # ts 5: no right row at or before
+        ("L1", 8, 100),           # ts 10: right@8
+        ("L2", 20, 300),          # ts 20: right@20 included (<=)
+        ("L3", 30, 401),          # equal-ts tie -> greatest payload
+        ("L4", None, None),       # key never appears on the right
+    }
+
+
+def test_asof_strictly_before(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, key_col="k", ts_col="ts",
+                    payload_cols=["v"], suffix="_right", strict=True)
+    assert _rows(out) == {
+        ("L0", None, None),
+        ("L1", 8, 100),
+        ("L2", 15, 200),          # right@20 no longer visible
+        ("L3", 25, 350),          # both right@30 rows excluded
+        ("L4", None, None),
+    }
+
+
+def test_asof_row_preservation_and_plan(spark, sides):
+    """Left rows survive 1:1 (no pair explosion), and the physical plan
+    is the union-window shape: no join node at all."""
+    left, right = sides
+    out = asof_join(left, right, key_col="k", ts_col="ts", payload_cols=["v"])
+    assert out.count() == left.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan

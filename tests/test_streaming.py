@@ -151,6 +151,65 @@ def test_windowed_append_evicts_and_drops_late(spark, tmp_path_factory):
     assert got2 == [(0, 2), (1, 1), (2, 1), (3, 1), (4, 1), (5, 1)]
 
 
+def test_sessionize_stream_custom_state(spark, tmp_path_factory):
+    """The CUSTOM stateful operator (applyInPandasWithState): gap
+    sessionization with per-key open-session state. Pins the four
+    properties a forever-running pipeline needs: (1) sessions closed by
+    a later event emit immediately; (2) trailing sessions emit via
+    EVENT-TIME TIMEOUT once the watermark passes last+gap, and leave the
+    state store; (3) an open session carried across drains MERGES with
+    new in-gap events before closing; (4) rows older than the watermark
+    are DROPPED, never reopening finalized keys — and state stays
+    bounded by open sessions throughout."""
+    from datetime import datetime
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from wills_columnar_format_spark.streaming import sessionize_stream
+
+    work = tmp_path_factory.mktemp("sess_state")
+    in_dir, sink = str(work / "in"), str(work / "sink")
+    os.makedirs(in_dir)
+    sch = _parse_datatype_string("user_id bigint, ts timestamp_ntz")
+
+    def land(rows):
+        spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz") \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    def H(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    def sink_rows():
+        return sorted(
+            (r.user_id, r.session_start.hour, r.session_end.hour, r.n_events)
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    # drain 1 (gap 4h, watermark delay 0): user 1 at 00,01,10 — the 10:00
+    # event closes session {00,01} intra-batch; {10} stays open (timeout
+    # 14:00 > watermark 10:00). user 2 at 02 — timeout 06:00 <= watermark,
+    # fires in the final no-data batch.
+    land([(1, H(0)), (1, H(1)), (1, H(10)), (2, H(2))])
+    q = sessionize_stream(spark, in_dir, sink, sch, key_col="user_id",
+                          ts_col="ts", gap_seconds=4 * 3600,
+                          watermark="0 seconds")
+    q.awaitTermination()
+    assert sink_rows() == [(1, 0, 5, 2), (2, 2, 6, 1)]
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+
+    # drain 2: 10:30 MERGES into the carried open session; 20:00 closes
+    # it (emit 10:00-14:30, n=2, proving the cross-drain merge); user 2's
+    # 03:00 row is LATE (watermark 10:00) and must be dropped — no new
+    # user-2 session. State again holds exactly the one open session.
+    land([(1, H(10, 30)), (1, H(20)), (2, H(3))])
+    q = sessionize_stream(spark, in_dir, sink, sch, key_col="user_id",
+                          ts_col="ts", gap_seconds=4 * 3600,
+                          watermark="0 seconds")
+    q.awaitTermination()
+    assert sink_rows() == [(1, 0, 5, 2), (1, 10, 14, 2), (2, 2, 6, 1)]
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+
+
 def test_stream_then_rechunk_compact_schema_free(spark, dirs, tmp_path_factory):
     """The full ingest story, nightly-compaction shape: streaming encode
     (small 1k-row chunks, sidecar written automatically) -> re-encoding

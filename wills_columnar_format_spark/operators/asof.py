@@ -1,0 +1,105 @@
+"""Distributed as-of (temporal) join: for each left row, the single
+most recent right row with ``right.ts <= left.ts`` within the same key.
+
+Spark has no ASOF JOIN operator (DuckDB and Pandas do), and the naive
+formulations are scale-killers:
+
+* the range-join ``ON l.key = r.key AND r.ts <= l.ts`` + row_number
+  materializes every (left, PRIOR right) pair before picking one —
+  O(n·m) per key, quadratic on active keys;
+* a per-row correlated subquery is a driver loop.
+
+The standard distributed formulation used here is UNION + RUNNING LAST:
+tag both sides, union them (right rows carry their payload, left rows
+carry nulls), and take ``last(payload, ignorenulls=True)`` over
+``PARTITION BY key ORDER BY (ts, side)`` with side ordering right rows
+FIRST at an equal timestamp (so ``<=``, not ``<``, semantics — flip via
+``strict=True``). Left rows then read the most recent right payload in
+O((n+m) log) with exactly ONE shuffle of each side on the key, no pair
+explosion, and linear per-key memory.
+
+Scale shape (100 TB): the union shuffles each side once on the key —
+the same cost as the equi-join any formulation needs. All rows of one
+key land in one task via the window partition; per-key work is a sort +
+single pass, so only a single pathological key (≫ one task's rows)
+would hot-spot, and such a key would break ANY per-key ordered
+semantics. Ties WITHIN a side at the same (key, ts) are broken by the
+right side's ordering columns deterministically (``right_order``).
+
+Reference parity: not in the reference (batch columnar codec only,
+SURVEY.md §2.2 — no joins at all); this is an engine extension from the
+task brief's custom-operator list, matching DuckDB ASOF JOIN semantics
+(the correctness oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str] | None = None,
+    suffix: str = "_right",
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the payload of the
+    latest ``right`` row at-or-before it (``strict=True``: strictly
+    before) on ``ts_col`` within the same ``key_col``; nulls where no
+    prior right row exists.
+
+    ``payload_cols`` — right columns to carry (default: all but key/ts);
+    emitted as ``<name><suffix>`` plus ``<ts_col><suffix>`` (the matched
+    right timestamp). Right-side ties at one (key, ts) resolve to the
+    row greatest by ``payload_cols`` order (deterministic).
+    """
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in (key_col, ts_col)]
+    out_names = [f"{ts_col}{suffix}"] + [f"{c}{suffix}" for c in payload_cols]
+
+    # one struct per right row: ordered by (ts, payload...) so the
+    # running MAX of the struct IS "latest right row so far" — max()
+    # needs no ignorenulls gymnastics and breaks equal-ts ties
+    # deterministically by the payload ordering
+    rstruct = F.struct(
+        F.col(ts_col).alias("__ts"), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    # side: right rows order BEFORE left rows at an equal timestamp for
+    # <= semantics (the right row is already visible), AFTER them for <
+    side_right = 0 if not strict else 2
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__t"),
+        F.lit(side_right).alias("__side"),
+        rstruct.alias("__r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in left.columns],
+    )
+    l = left.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # struct max is lexicographic on (__ts, payload...): exactly "the
+    # right row with the greatest timestamp seen so far" (nulls sort
+    # low, so any real right row beats the left rows' null struct)
+    joined = (
+        l.unionByName(r)
+        .withColumn("__best", F.max("__r").over(w))
+        .filter(F.col("__side") == 1)
+    )
+    sel = [F.col(f"__l_{c}").alias(c) for c in left.columns]
+    sel.append(F.col("__best.__ts").alias(out_names[0]))
+    sel += [F.col(f"__best.{c}").alias(n) for c, n in zip(payload_cols, out_names[1:])]
+    return joined.select(*sel)

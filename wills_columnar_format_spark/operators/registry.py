@@ -1309,6 +1309,146 @@ DUCK_EVENTS_TOP_TYPE = SPARK_EVENTS_TOP_TYPE
 
 
 # ---------------------------------------------------------------------------
+# temporal operators: as-of join, session windows
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every 'click' event, annotated
+    with the user's most recent 'view' event at-or-before it — the
+    attribution query every event pipeline runs. Spark lacks ASOF JOIN,
+    so the operator uses the union + running-last formulation (ONE
+    shuffle per side on the key, no pair explosion); the oracle is
+    DuckDB's native ASOF LEFT JOIN — two independent implementations of
+    the same semantics."""
+    from .asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value")
+    return asof_join(clicks, views, key_col="user_id", ts_col="ts",
+                     payload_cols=["event_id", "value"], suffix="_view")
+
+
+DUCK_ASOF_JOIN_EVENTS = """
+SELECT c.event_id, c.ts, c.user_id,
+       v.ts AS ts_view, v.event_id AS event_id_view, v.value AS value_view
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN
+     (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+_SESSION_GAP = "4 hours"
+
+
+def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with Spark's BUILT-IN session windows:
+    ``groupBy(session_window(ts, gap), user_id)`` — the declarative
+    formulation Catalyst plans as one shuffle on the key plus a
+    per-partition merge (no window-function total sort). A session
+    closes when the next event is >= gap after the last (window end =
+    last event + gap); the oracle is the classic lag/gap-break cumsum
+    sessionization in DuckDB — again two independent implementations."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        df.groupBy(F.session_window(F.col("ts"), _SESSION_GAP).alias("w"),
+                   "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming sessionization (streaming.py
+    ``sessionize_stream``): per-key open-session state via
+    ``applyInPandasWithState``, closed sessions emitted append-mode to a
+    durable parquet sink, trailing sessions finalized by EVENT-TIME
+    TIMEOUT when the watermark passes ``last_event + gap``. The oracle
+    is the DuckDB gap-cumsum sessionization restricted to the sessions a
+    0-second-watermark drain finalizes: ``session_end <= max(ts)`` (the
+    globally-latest open sessions stay in the state store — that
+    eviction IS the bounded-state guarantee). Equality with the batch
+    ``session_agg`` modulo that trailing set is pinned in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import sessionize_stream
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_sess_")
+    try:
+        in_dir = os.path.join(work, "in")
+        sink = os.path.join(work, "sink")
+        df.repartition(3).write.mode("overwrite").parquet(in_dir)
+        q = sessionize_stream(
+            spark, in_dir, sink, df.schema, key_col="user_id", ts_col="ts",
+            gap_seconds=4 * 3600, watermark="0 seconds",
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_STREAM_SESSIONIZE = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         + INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+),
+g AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 4 HOUR AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT * FROM g WHERE session_end <= (SELECT max(ts) FROM events)
+"""
+
+
+DUCK_SESSION_AGG = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         + INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 4 HOUR AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1394,6 +1534,10 @@ REGISTRY: dict[str, tuple] = {
         ]),
         DUCK_EVENTS_TOP_TYPE,
     ),
+    # temporal operators
+    "asof_join_events": (q_asof_join_events, DUCK_ASOF_JOIN_EVENTS),
+    "session_agg": (q_session_agg, DUCK_SESSION_AGG),
+    "stream_sessionize": (q_stream_sessionize, DUCK_STREAM_SESSIONIZE),
     "region_part_revenue": (
         _codec_query(SPARK_REGION_PART_REVENUE, [
             ("lineitem", "l_orderkey",

@@ -157,6 +157,152 @@ def _windowed_agg(spark, input_path, schema, ts_col, window, watermark,
     )
 
 
+def sessionize_stream(
+    spark,
+    input_path: str,
+    sink_dir: str,
+    schema,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 4 * 3600,
+    watermark: str = "0 seconds",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """CUSTOM stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — per-key arbitrary state, event-time
+    timeouts, append-mode emission to a durable parquet sink. Returns
+    the started StreamingQuery.
+
+    This is the operator class the built-in aggregations cannot express:
+    per-key state is an OPEN SESSION (start, last-event, count) that
+    must survive across micro-batches and close either when a later
+    event of the same key arrives >= gap after it (emitted immediately,
+    batch-side) or when the event-time watermark passes ``last + gap``
+    (emitted by the state TIMEOUT — Spark calls the function once more
+    for the key with ``state.hasTimedOut`` set, which is what bounds
+    state on a forever-running stream: closed keys leave the store).
+
+    Semantics match ``F.session_window`` / the batch ``session_agg``
+    oracle: an event extends the session iff it lands strictly inside
+    ``last + gap``; session_end = last event + gap. The per-batch rows
+    of one key are sorted by event time inside the function (one pandas
+    sort per key-batch, vectorized); cross-batch reordering is governed
+    by the watermark exactly as for the built-in operators. State and
+    arithmetic are integer epoch MICROS end-to-end (the pandas
+    timestamp path never touches a timezone); the wrapper converts the
+    NTZ wall to instants and back with the same session-tz shift the
+    windowed aggregations use.
+
+    Scale shape (100 TB of events): one shuffle of the stream on the
+    key per micro-batch; state-store size is bounded by the number of
+    OPEN sessions (keys active within the watermark horizon), not
+    stream history; each state row is 3 longs. Reference parity: n/a —
+    the reference is batch-only (SURVEY.md §2.2); this fills the task
+    brief's custom-stateful-operator slot.
+    """
+    import pandas as pd  # noqa: F401 (worker-side type of the iterator)
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gap_us = int(gap_seconds) * 1_000_000
+    tz = spark.conf.get("spark.sql.session.timeZone")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+    stream = stream.withColumn(
+        "__evt", F.from_utc_timestamp(F.col(ts_col).cast("timestamp"), tz)
+    ).withWatermark("__evt", watermark)
+    # the watermark column itself must flow into the stateful operator
+    # (Spark ties event-time timeouts to its presence in the child plan)
+    rows = stream.select(
+        F.col(key_col).alias("k"), F.unix_micros("__evt").alias("ts_us"),
+        "__evt",
+    )
+
+    out_type = StructType([
+        StructField("k", rows.schema["k"].dataType),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ])
+    state_type = StructType([
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ])
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        k = key[0]
+        closed = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((k, start, last, n))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            parts = [pdf["ts_us"].to_numpy(dtype=np.int64) for pdf in pdf_iter]
+            ts = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+            if len(ts):
+                # vectorized gap segmentation: a break wherever the
+                # inter-event gap reaches the threshold; per-row work is
+                # numpy, the Python loop below runs once per SEGMENT
+                # (i.e. per emitted session — the output unit)
+                brk = np.flatnonzero(np.diff(ts) >= gap_us)
+                starts = np.concatenate([[0], brk + 1])
+                ends = np.concatenate([brk, [len(ts) - 1]])
+                for s, e in zip(starts.tolist(), ends.tolist()):
+                    seg = (int(ts[s]), int(ts[e]), e - s + 1)
+                    # merge with the carried state (an open session may
+                    # swallow several segments when a late row extended
+                    # its reach — cur[1] only grows, so test per segment)
+                    if cur is not None and seg[0] < cur[1] + gap_us:
+                        cur = (min(cur[0], seg[0]), max(cur[1], seg[1]),
+                               cur[2] + seg[2])
+                    else:
+                        if cur is not None:
+                            closed.append((k, *cur))
+                        cur = seg
+            if cur is not None:
+                state.update(cur)
+                # fire when the watermark passes session end (ms floor:
+                # the watermark is millisecond-granular)
+                timeout_ms = (cur[1] + gap_us) // 1000
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["k", "start_us", "last_us", "n_events"]
+            )
+
+    sessions = rows.groupBy("k").applyInPandasWithState(
+        fn, out_type, state_type, "append", GroupStateTimeout.EventTimeTimeout
+    )
+    out = sessions.select(
+        F.col("k").alias(key_col),
+        F.to_utc_timestamp(F.timestamp_micros("start_us"), tz)
+        .cast("timestamp_ntz").alias("session_start"),
+        F.to_utc_timestamp(F.timestamp_micros(F.col("last_us") + F.lit(gap_us)), tz)
+        .cast("timestamp_ntz").alias("session_end"),
+        F.col("n_events"),
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", sink_dir.rstrip("/") + "_stream_ckpt")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts_append(
     spark,
     input_path: str,
