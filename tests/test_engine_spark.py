@@ -325,3 +325,52 @@ def test_region_part_revenue_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert df.count() > 0
+
+
+def test_column_stats_metadata_pushdown(spark):
+    """engine.column_stats: MIN/MAX/COUNT from zone maps alone must equal
+    the real aggregates for clean numeric columns, and must EXCLUDE (not
+    mis-report) nullable columns, all-NaN-chunk floats, and strings."""
+    import math
+
+    from wills_columnar_format_spark.engine import column_stats, encode_table
+
+    df = spark.sql(
+        """
+        SELECT id AS k,
+               CAST(id * 3 - 7000 AS INT) AS v,
+               CAST(id AS DOUBLE) / 8 AS f,
+               CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS INT) END AS nv,
+               concat('s', CAST(id % 7 AS STRING)) AS s
+        FROM range(8000)
+        """
+    )
+    m = encode_table(df, key_col="k", num_partitions=4, chunk_rows=1024,
+                     allow_nulls=True).cache()
+    stats = {r.column_name: r for r in column_stats(m).collect()}
+    # clean numeric columns: exact
+    for col, lo, hi in (("k", 0, 7999), ("v", -7000, 7999 * 3 - 7000),
+                        ("f", 0.0, 7999 / 8)):
+        r = stats[col]
+        assert (r.v_min, r.v_max, r.n_values) == (float(lo), float(hi), 8000), r
+    # nullable column excluded (its filler would pollute the extremes)
+    assert "nv" not in stats and "nv#valid" not in stats
+    # string column has no numeric maps -> excluded
+    assert "s" not in stats
+    m.unpersist()
+
+    # a float column where SOME chunk is all-NaN: the min over chunks
+    # would silently miss that chunk's (nonexistent) map — the whole
+    # column must therefore be excluded, while clean columns survive
+    df2 = spark.sql(
+        """
+        SELECT id AS k,
+               CASE WHEN id < 2000 THEN CAST('NaN' AS DOUBLE)
+                    ELSE CAST(id AS DOUBLE) END AS g
+        FROM range(8000)
+        """
+    )
+    m2 = encode_table(df2, key_col="k", num_partitions=4, chunk_rows=1024,
+                      partitioner="range")
+    stats2 = {r.column_name: r for r in column_stats(m2).collect()}
+    assert "g" not in stats2 and stats2["k"].n_values == 8000

@@ -270,6 +270,32 @@ UNION ALL SELECT 'o_totalprice', COUNT(*) FROM orders
 """
 
 
+def q_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown to manifest METADATA (engine.column_stats):
+    MIN/MAX/COUNT of every numeric column computed purely from the
+    per-chunk value zone maps + footer counts — no blob is decoded. The
+    oracle runs the real aggregates over the raw rows: equality proves
+    the zone maps are exact chunk extremes, end to end."""
+    from ..engine import column_stats, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    m = encode_table(df, key_col="o_orderkey", codec="auto", num_partitions=4)
+    return column_stats(m)
+
+
+DUCK_STATS_PUSHDOWN = """
+SELECT 'o_orderkey' AS column_name, CAST(MIN(o_orderkey) AS DOUBLE) AS v_min,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS v_max, COUNT(*) AS n_values FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(MIN(o_custkey) AS DOUBLE),
+       CAST(MAX(o_custkey) AS DOUBLE), COUNT(*) FROM orders
+UNION ALL
+SELECT 'o_totalprice', MIN(o_totalprice), MAX(o_totalprice), COUNT(*) FROM orders
+"""
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-range decode through manifest zone-map pruning: only chunks
     whose [min_key, max_key] lineage interval intersects the range are
@@ -1474,6 +1500,7 @@ REGISTRY: dict[str, tuple] = {
     "stream_window_append": (q_stream_window_append, DUCK_STREAM_WINDOW_APPEND),
     "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
+    "stats_pushdown": (q_stats_pushdown, DUCK_STATS_PUSHDOWN),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
     "point_lookup_checkpoint": (q_point_lookup_checkpoint, ORACLE_POINT_LOOKUP),
