@@ -228,6 +228,9 @@ def _registry_benches(spark, sf_dir: str):
         "vocab_topk",
         "contamination_check",
         "rle_run_counts",
+        "stats_pushdown",
+        "asof_join_events",
+        "session_agg",
         "text_quality",
         "lang_id",
         "dedup_exact",
