@@ -80,3 +80,17 @@ def test_asof_row_preservation_and_plan(spark, sides):
     assert out.count() == left.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_asof_null_timestamps(spark):
+    """Right rows with null ts are dropped (never 'most recent'); left
+    rows with null ts sort before every right row and match nothing."""
+    left = spark.createDataFrame(
+        [("a", 10, "L1"), ("a", None, "LN")], "k string, ts bigint, tag string"
+    )
+    right = spark.createDataFrame(
+        [("a", 8, 100), ("a", None, 999)], "k string, ts bigint, v int"
+    )
+    out = asof_join(left, right, key_col="k", ts_col="ts", payload_cols=["v"])
+    rows = {(r.tag, r.ts_right, r.v_right) for r in out.collect()}
+    assert rows == {("L1", 8, 100), ("LN", None, None)}

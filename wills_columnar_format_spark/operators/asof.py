@@ -56,9 +56,15 @@ def asof_join(
     emitted as ``<name><suffix>`` plus ``<ts_col><suffix>`` (the matched
     right timestamp). Right-side ties at one (key, ts) resolve to the
     row greatest by ``payload_cols`` order (deterministic).
+
+    Null timestamps: right rows with a null ``ts_col`` are dropped (a
+    row with no timestamp is never "the most recent at t"); left rows
+    with a null ``ts_col`` sort before every right row and get a null
+    match.
     """
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (key_col, ts_col)]
+    right = right.filter(F.col(ts_col).isNotNull())
     out_names = [f"{ts_col}{suffix}"] + [f"{c}{suffix}" for c in payload_cols]
 
     # one struct per right row: ordered by (ts, payload...) so the
