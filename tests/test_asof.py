@@ -94,3 +94,41 @@ def test_asof_null_timestamps(spark):
     out = asof_join(left, right, key_col="k", ts_col="ts", payload_cols=["v"])
     rows = {(r.tag, r.ts_right, r.v_right) for r in out.collect()}
     assert rows == {("L1", 8, 100), ("LN", None, None)}
+
+
+def test_asof_randomized_vs_bruteforce(spark):
+    """Seeded random tables vs a pandas brute-force oracle: for every
+    left row the match is the right row with max (ts, v) among
+    right.ts <= left.ts in the key — including cross-side ts ties and
+    keys missing from either side."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    nl, nr, nk = 1500, 1500, 40
+    lpd = pd.DataFrame({
+        "k": rng.integers(0, nk, nl),           # some keys right-only
+        "ts": rng.integers(0, 500, nl),         # dense -> many ties
+        "lid": np.arange(nl),
+    })
+    rpd = pd.DataFrame({
+        "k": rng.integers(5, nk + 5, nr),       # some keys left-only
+        "ts": rng.integers(0, 500, nr),
+        "v": rng.integers(0, 10_000, nr),
+    })
+    left = spark.createDataFrame(lpd.astype("int64"))
+    right = spark.createDataFrame(rpd.astype("int64"))
+    out = asof_join(left, right, key_col="k", ts_col="ts", payload_cols=["v"])
+    got = {r.lid: (r.ts_right, r.v_right) for r in out.collect()}
+    assert len(got) == nl
+
+    rgrp = {k: g.sort_values(["ts", "v"]) for k, g in rpd.groupby("k")}
+    for row in lpd.itertuples():
+        g = rgrp.get(row.k)
+        exp = (None, None)
+        if g is not None:
+            elig = g[g["ts"] <= row.ts]
+            if len(elig):
+                best = elig.iloc[-1]           # max (ts, v): sorted order
+                exp = (int(best["ts"]), int(best["v"]))
+        assert got[row.lid] == exp, (row, got[row.lid], exp)
