@@ -230,6 +230,8 @@ def _registry_benches(spark, sf_dir: str):
         "rle_run_counts",
         "stats_pushdown",
         "asof_join_events",
+        "interval_join_events",
+        "time_rollup",
         "session_agg",
         "text_quality",
         "lang_id",

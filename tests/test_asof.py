@@ -132,3 +132,62 @@ def test_asof_randomized_vs_bruteforce(spark):
                 best = elig.iloc[-1]           # max (ts, v): sorted order
                 exp = (int(best["ts"]), int(best["v"]))
         assert got[row.lid] == exp, (row, got[row.lid], exp)
+
+
+def test_interval_join_bounds_and_bins(spark):
+    """Inclusive bounds on both ends, asymmetric windows, negative
+    timestamps, and pairs that straddle a bin boundary."""
+    from wills_columnar_format_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [("a", 100, "L1"), ("a", -50, "L2"), ("b", 7, "L3")],
+        "k string, ts bigint, tag string",
+    )
+    right = spark.createDataFrame(
+        [("a", 90, 1), ("a", 110, 2), ("a", 111, 3), ("a", -60, 4),
+         ("b", 5, 5), ("c", 7, 6)],
+        "k string, ts bigint, v int",
+    )
+    out = interval_join(left, right, key_col="k", ts_col="ts",
+                        lower=-10, upper=10)
+    got = {(r.tag, r.v_right) for r in out.collect()}
+    assert got == {
+        ("L1", 1),   # 90 == 100-10: lower bound inclusive
+        ("L1", 2),   # 110 == 100+10: upper bound inclusive
+        ("L2", 4),   # negative ts, straddles bin boundary at floor(-60/20)
+        ("L3", 5),
+    }  # 111 is out; key c never joins
+
+    # asymmetric window [0, +15]: only rows at-or-after the left ts
+    out2 = interval_join(left, right, key_col="k", ts_col="ts",
+                         lower=0, upper=15)
+    got2 = {(r.tag, r.v_right) for r in out2.collect()}
+    assert got2 == {("L1", 2), ("L1", 3)}
+
+
+def test_interval_join_randomized_vs_bruteforce(spark):
+    """Seeded random tables vs a pandas brute-force inequality join."""
+    import numpy as np
+    import pandas as pd
+
+    from wills_columnar_format_spark.operators.asof import interval_join
+
+    rng = np.random.default_rng(11)
+    nl, nr, nk = 800, 800, 25
+    lpd = pd.DataFrame({"k": rng.integers(0, nk, nl),
+                        "ts": rng.integers(-1000, 1000, nl),
+                        "lid": np.arange(nl)})
+    rpd = pd.DataFrame({"k": rng.integers(0, nk, nr),
+                        "ts": rng.integers(-1000, 1000, nr),
+                        "rid": np.arange(nr)})
+    lo, hi = -13, 29
+    out = interval_join(
+        spark.createDataFrame(lpd.astype("int64")),
+        spark.createDataFrame(rpd.astype("int64")),
+        key_col="k", ts_col="ts", lower=lo, upper=hi,
+    )
+    got = {(r.lid, r.rid_right) for r in out.collect()}
+    m = lpd.merge(rpd, on="k", suffixes=("_l", "_r"))
+    m = m[(m.ts_r >= m.ts_l + lo) & (m.ts_r <= m.ts_l + hi)]
+    exp = set(zip(m.lid.tolist(), m.rid.tolist()))
+    assert got == exp and len(exp) > 100

@@ -109,3 +109,75 @@ def asof_join(
     sel.append(F.col("__best.__ts").alias(out_names[0]))
     sel += [F.col(f"__best.{c}").alias(n) for c, n in zip(payload_cols, out_names[1:])]
     return joined.select(*sel)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    lower,
+    upper,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Bounded time-range join: every (left, right) pair within the key
+    where ``left.ts + lower <= right.ts <= left.ts + upper`` (inner;
+    bounds inclusive; ``lower``/``upper`` in the units of ``ts_col`` —
+    pass microseconds for timestamps, see below). Right columns are
+    emitted with ``suffix``.
+
+    The naive ``ON l.k = r.k AND r.ts BETWEEN ...`` plans as an equi-join
+    whose per-key output is all-pairs FILTERED AFTERWARD — every (l, r)
+    pair of a key is materialized in the join before the range predicate
+    runs, O(n·m) per key. This operator buckets both sides into
+    fixed-width time BINS of width w = upper - lower: a right row joins
+    on its own bin; each left row probes the (at most two) bins its
+    window overlaps. The equi-join key becomes (key, bin), so the join
+    only materializes candidates from overlapping bins (≤ 2 bins' worth
+    per left row), then applies the exact range filter. One shuffle per
+    side on (key, bin); hot bins are ordinary join skew (AQE splits
+    them). Timestamp columns are binned on their epoch micros
+    (``unix_micros``), so pass ``lower``/``upper`` in MICROSECONDS for
+    timestamp ``ts_col``; integer columns bin on their raw value.
+
+    Reference parity: n/a (the reference has no joins, SURVEY.md §2.2) —
+    task-brief range-join extension; oracle = the plain inequality join
+    in DuckDB (exact at oracle scale).
+    """
+    if not upper > lower:
+        raise ValueError(f"interval_join needs upper > lower, got [{lower}, {upper}]")
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    def epoch(df):
+        t = df.schema[ts_col].dataType
+        if isinstance(t, (TimestampType, TimestampNTZType)):
+            return F.unix_micros(F.col(ts_col).cast("timestamp"))
+        return F.col(ts_col).cast("long")
+
+    w = int(upper - lower)
+    # floor(c / w) via double division is exact-floor for |c| < 2^53:
+    # a flip needs the true quotient q within half-ulp(q) ≈ q/2^53 of an
+    # integer, but the nearest non-multiple sits 1/w away and
+    # 1/w > q/2^53 ⟺ q·w = c < 2^53 — epoch micros (~1.7e15) are far
+    # inside. Both sides bin through this same expression.
+    r = right.select(
+        F.col(key_col),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns if c != key_col],
+        epoch(right).alias("__rts"),
+    ).withColumn("__bin", F.floor(F.col("__rts") / F.lit(w)))
+    lo, hi = F.col("__lts") + F.lit(int(lower)), F.col("__lts") + F.lit(int(upper))
+    l = (
+        left.withColumn("__lts", epoch(left))
+        .withColumn(
+            "__bin",
+            F.explode(F.array_distinct(F.array(
+                F.floor(lo / F.lit(w)), F.floor(hi / F.lit(w))
+            ))),
+        )
+    )
+    out = (
+        l.join(r, [key_col, "__bin"], "inner")
+        .filter((F.col("__rts") >= lo) & (F.col("__rts") <= hi))
+        .drop("__bin", "__lts", "__rts")
+    )
+    return out

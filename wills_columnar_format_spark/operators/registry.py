@@ -1368,6 +1368,48 @@ ASOF LEFT JOIN
 """
 
 
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded time-range join (operators/asof.py interval_join): every
+    (click, view) pair of the same user within ±2 hours — bin-bucketed
+    equi-join on (user, time-bin) so the join materializes only
+    overlapping-bin candidates, never a per-key all-pairs (the naive
+    BETWEEN join filters AFTER the full equi-join). Oracle: DuckDB's
+    plain inequality join, exact at oracle scale."""
+    from .asof import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id")
+    two_h_us = 2 * 3600 * 1_000_000
+    return interval_join(clicks, views, key_col="user_id", ts_col="ts",
+                         lower=-two_h_us, upper=two_h_us, suffix="_view")
+
+
+DUCK_INTERVAL_JOIN_EVENTS = """
+SELECT c.event_id, c.ts, c.user_id, v.ts AS ts_view, v.event_id AS event_id_view
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts + INTERVAL 2 HOUR
+"""
+
+
+# Multi-resolution time rollup (the hypertable "continuous aggregate"
+# shape): per-type daily counts, per-type totals, and the grand total
+# in ONE pass via GROUPING SETS — Spark plans a single Expand + one
+# aggregation (one shuffle), not three scans. The SAME text runs in
+# both engines.
+SPARK_TIME_ROLLUP = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)), (event_type), ())
+"""
+DUCK_TIME_ROLLUP = SPARK_TIME_ROLLUP
+
+
 _SESSION_GAP = "4 hours"
 
 
@@ -1563,6 +1605,8 @@ REGISTRY: dict[str, tuple] = {
     ),
     # temporal operators
     "asof_join_events": (q_asof_join_events, DUCK_ASOF_JOIN_EVENTS),
+    "interval_join_events": (q_interval_join_events, DUCK_INTERVAL_JOIN_EVENTS),
+    "time_rollup": (_sql_query(SPARK_TIME_ROLLUP, "events"), DUCK_TIME_ROLLUP),
     "session_agg": (q_session_agg, DUCK_SESSION_AGG),
     "stream_sessionize": (q_stream_sessionize, DUCK_STREAM_SESSIONIZE),
     "region_part_revenue": (
