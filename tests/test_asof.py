@@ -191,3 +191,36 @@ def test_interval_join_randomized_vs_bruteforce(spark):
     m = m[(m.ts_r >= m.ts_l + lo) & (m.ts_r <= m.ts_l + hi)]
     exp = set(zip(m.lid.tolist(), m.rid.tolist()))
     assert got == exp and len(exp) > 100
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL join semantics: NULL keys never match (the window partition
+    would otherwise group the NULL-key rows together)."""
+    left = spark.createDataFrame(
+        [(None, 10, "LN"), ("a", 10, "L1")], "k string, ts bigint, tag string"
+    )
+    right = spark.createDataFrame(
+        [(None, 8, 100), ("a", 8, 200)], "k string, ts bigint, v int"
+    )
+    out = asof_join(left, right, key_col="k", ts_col="ts", payload_cols=["v"])
+    rows = {(r.tag, r.v_right) for r in out.collect()}
+    assert rows == {("LN", None), ("L1", 200)}
+
+
+def test_interval_join_beyond_double_precision(spark):
+    """Binning is exact int64 arithmetic: values >= 2^53 (where float64
+    division misbins) still pair correctly."""
+    from wills_columnar_format_spark.operators.asof import interval_join
+
+    base = (1 << 53) + 1  # not representable gap-free in float64
+    left = spark.createDataFrame(
+        [("a", base, "L1")], "k string, ts bigint, tag string"
+    )
+    right = spark.createDataFrame(
+        [("a", base - 3, 1), ("a", base + 7, 2), ("a", base + 11, 3)],
+        "k string, ts bigint, v int",
+    )
+    out = interval_join(left, right, key_col="k", ts_col="ts",
+                        lower=-5, upper=10)
+    got = {r.v_right for r in out.collect()}
+    assert got == {1, 2}

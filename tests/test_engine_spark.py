@@ -341,7 +341,8 @@ def test_column_stats_metadata_pushdown(spark):
                CAST(id * 3 - 7000 AS INT) AS v,
                CAST(id AS DOUBLE) / 8 AS f,
                CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS INT) END AS nv,
-               concat('s', CAST(id % 7 AS STRING)) AS s
+               concat('s', CAST(id % 7 AS STRING)) AS s,
+               array(CAST(id AS INT), CAST(id + 1 AS INT)) AS arr
         FROM range(8000)
         """
     )
@@ -357,6 +358,11 @@ def test_column_stats_metadata_pushdown(spark):
     assert "nv" not in stats and "nv#valid" not in stats
     # string column has no numeric maps -> excluded
     assert "s" not in stats
+    # physical sub-columns of the list column are internals: #values
+    # counts ELEMENTS not rows, #lengths would report filler extremes
+    # on nullable lists — none may leak into the stats
+    assert not any("#" in name for name in stats), stats
+    assert "arr" not in stats  # list parent has no scalar zone maps
     m.unpersist()
 
     # a float column where SOME chunk is all-NaN: the min over chunks

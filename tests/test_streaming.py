@@ -210,6 +210,57 @@ def test_sessionize_stream_custom_state(spark, tmp_path_factory):
     assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
 
 
+def test_sessionize_stream_watermark_beyond_gap(spark, tmp_path_factory):
+    """Watermark delay LONGER than the gap — the configuration where
+    emitting 'closed' sessions batch-side would corrupt output (a late
+    row inside an already-emitted session would re-create it). With
+    finalize-on-watermark emission, a late segment that lands more than
+    gap BEFORE a pending session stays a SEPARATE session, and a late
+    in-gap row MERGES into the pending session it belongs to."""
+    from datetime import datetime
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from wills_columnar_format_spark.streaming import sessionize_stream
+
+    work = tmp_path_factory.mktemp("sess_wm")
+    in_dir, sink = str(work / "in"), str(work / "sink")
+    os.makedirs(in_dir)
+    sch = _parse_datatype_string("user_id bigint, ts timestamp_ntz")
+
+    def land(rows):
+        spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz") \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    def H(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    args = dict(key_col="user_id", ts_col="ts", gap_seconds=3600,
+                watermark="8 hours")
+    # drain 1: gap 1h, delay 8h. user 1 at 10:00 -> pending [10:00,11:00).
+    # watermark ends at 02:00 -> nothing finalizes.
+    land([(1, H(10))])
+    q = sessionize_stream(spark, in_dir, sink, sch, **args)
+    q.awaitTermination()
+    assert spark.read.parquet(sink).count() == 0
+
+    # drain 2: LATE rows (admissible — above the 02:00 watermark):
+    # 03:00 is > gap before the pending session => separate session;
+    # 10:30 is in-gap => merges into [10:00, 11:30). A fresh row at
+    # 23:00 advances the watermark to 15:00, finalizing both earlier
+    # sessions with the correct shapes.
+    land([(1, H(3)), (1, H(10, 30)), (1, H(23))])
+    q = sessionize_stream(spark, in_dir, sink, sch, **args)
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.session_start.hour, r.session_end.hour,
+         r.session_end.minute, r.n_events)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [(1, 3, 4, 0, 1), (1, 10, 11, 30, 2)]
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+
+
 def test_stream_then_rechunk_compact_schema_free(spark, dirs, tmp_path_factory):
     """The full ingest story, nightly-compaction shape: streaming encode
     (small 1k-row chunks, sidecar written automatically) -> re-encoding

@@ -2324,6 +2324,10 @@ def column_stats(manifest_df):
     Exactness rules — a column is EMITTED only when its stats are exact,
     else it is silently absent (callers fall back to a decode):
 
+    * only TOP-LEVEL scalar columns are reported: physical sub-columns
+      (``name#lengths``, ``name#values``, ``name#valid``) are internals
+      — a list column's ``#values`` counts elements, not rows, and a
+      nullable column's fillers pollute ``#lengths`` extremes;
     * nullable columns are excluded (detected by their ``#valid``
       sibling sub-column — null slots store filler values that would
       pollute the extremes, and SQL MIN/MAX ignores NULLs);
@@ -2342,7 +2346,7 @@ def column_stats(manifest_df):
     agg = (
         manifest_df.filter(
             (F.col("column") != DONE_COLUMN)
-            & ~F.col("column").endswith("#valid")
+            & ~F.col("column").contains("#")
         )
         .groupBy(F.col("column").alias("column_name"))
         .agg(

@@ -57,14 +57,16 @@ def asof_join(
     right timestamp). Right-side ties at one (key, ts) resolve to the
     row greatest by ``payload_cols`` order (deterministic).
 
-    Null timestamps: right rows with a null ``ts_col`` are dropped (a
-    row with no timestamp is never "the most recent at t"); left rows
-    with a null ``ts_col`` sort before every right row and get a null
-    match.
+    Null handling (SQL join semantics, matching the DuckDB ASOF oracle):
+    right rows with a null ``ts_col`` OR a null ``key_col`` are dropped
+    (NULL never equals NULL in a join, and a row with no timestamp is
+    never "the most recent at t" — without the key filter the window
+    partition would group the NULL keys together and match them); left
+    rows with a null key or null ts are preserved with a null match.
     """
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (key_col, ts_col)]
-    right = right.filter(F.col(ts_col).isNotNull())
+    right = right.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
     out_names = [f"{ts_col}{suffix}"] + [f"{c}{suffix}" for c in payload_cols]
 
     # one struct per right row: ordered by (ts, payload...) so the
@@ -155,25 +157,30 @@ def interval_join(
         return F.col(ts_col).cast("long")
 
     w = int(upper - lower)
-    # floor(c / w) via double division is exact-floor for |c| < 2^53:
-    # a flip needs the true quotient q within half-ulp(q) ≈ q/2^53 of an
-    # integer, but the nearest non-multiple sits 1/w away and
-    # 1/w > q/2^53 ⟺ q·w = c < 2^53 — epoch micros (~1.7e15) are far
-    # inside. Both sides bin through this same expression.
+    # bins via exact int64 arithmetic, not float64 division (doubles
+    # would misbin values >= 2^53, silently dropping pairs): pmod makes
+    # the numerator an exact non-negative-remainder multiple of w, so
+    # the truncating `div` equals the floor for any sign
     r = right.select(
         F.col(key_col),
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns if c != key_col],
         epoch(right).alias("__rts"),
-    ).withColumn("__bin", F.floor(F.col("__rts") / F.lit(w)))
+    ).withColumn(
+        "__bin", F.expr(f"(__rts - pmod(__rts, {w}L)) div {w}L")
+    )
     lo, hi = F.col("__lts") + F.lit(int(lower)), F.col("__lts") + F.lit(int(upper))
     l = (
         left.withColumn("__lts", epoch(left))
+        .withColumn("__blo", lo)
+        .withColumn("__bhi", hi)
         .withColumn(
             "__bin",
             F.explode(F.array_distinct(F.array(
-                F.floor(lo / F.lit(w)), F.floor(hi / F.lit(w))
+                F.expr(f"(__blo - pmod(__blo, {w}L)) div {w}L"),
+                F.expr(f"(__bhi - pmod(__bhi, {w}L)) div {w}L"),
             ))),
         )
+        .drop("__blo", "__bhi")
     )
     out = (
         l.join(r, [key_col, "__bin"], "inner")

@@ -1437,15 +1437,18 @@ def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL streaming sessionization (streaming.py
-    ``sessionize_stream``): per-key open-session state via
-    ``applyInPandasWithState``, closed sessions emitted append-mode to a
-    durable parquet sink, trailing sessions finalized by EVENT-TIME
-    TIMEOUT when the watermark passes ``last_event + gap``. The oracle
-    is the DuckDB gap-cumsum sessionization restricted to the sessions a
-    0-second-watermark drain finalizes: ``session_end <= max(ts)`` (the
-    globally-latest open sessions stay in the state store — that
-    eviction IS the bounded-state guarantee). Equality with the batch
-    ``session_agg`` modulo that trailing set is pinned in
+    ``sessionize_stream``): per-key pending-session state via
+    ``applyInPandasWithState``, merged with (possibly late) in-gap
+    events across drains, emitted append-mode to a durable parquet sink
+    ONLY once the EVENT-TIME watermark passes a session's end (the
+    finalize-on-watermark contract — the only sound emission point
+    under late data). The oracle is the DuckDB gap-cumsum
+    sessionization restricted to what a 0-second-watermark drain
+    finalizes: ``floor_ms(session_end) < floor_ms(max(ts))`` — the
+    watermark is millisecond-granular and timeouts fire strictly beyond
+    it; the not-yet-passed sessions stay in the state store (that
+    retention bound IS the bounded-state guarantee). Equality with the
+    batch ``session_agg`` modulo that trailing set is pinned in
     tests/test_streaming.py."""
     import os
     import shutil
@@ -1490,7 +1493,9 @@ g AS (
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM s GROUP BY user_id, sid
 )
-SELECT * FROM g WHERE session_end <= (SELECT max(ts) FROM events)
+SELECT * FROM g
+WHERE date_trunc('milliseconds', session_end)
+      < date_trunc('milliseconds', (SELECT max(ts) FROM events))
 """
 
 

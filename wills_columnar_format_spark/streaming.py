@@ -175,36 +175,45 @@ def sessionize_stream(
     the started StreamingQuery.
 
     This is the operator class the built-in aggregations cannot express:
-    per-key state is an OPEN SESSION (start, last-event, count) that
-    must survive across micro-batches and close either when a later
-    event of the same key arrives >= gap after it (emitted immediately,
-    batch-side) or when the event-time watermark passes ``last + gap``
-    (emitted by the state TIMEOUT — Spark calls the function once more
-    for the key with ``state.hasTimedOut`` set, which is what bounds
-    state on a forever-running stream: closed keys leave the store).
+    per-key state is the key's list of PENDING sessions, which survive
+    across micro-batches, MERGE with any in-gap (possibly late) events,
+    and are emitted ONLY once the event-time watermark passes their end
+    — the same finalize-on-watermark contract as Spark's own
+    session_window append mode, and the only sound one: a session may be
+    emitted only when no admissible future row can still extend it, and
+    rows are admissible down to the watermark. (Emitting "closed"
+    sessions batch-side as soon as a later event appears looks cheaper
+    but is WRONG whenever the watermark delay exceeds the gap: a late
+    row inside an already-emitted session would re-create it.) Emission
+    happens in the state TIMEOUT callback; emitted sessions leave the
+    store, which is what bounds state on a forever-running stream.
 
     Semantics match ``F.session_window`` / the batch ``session_agg``
-    oracle: an event extends the session iff it lands strictly inside
-    ``last + gap``; session_end = last event + gap. The per-batch rows
-    of one key are sorted by event time inside the function (one pandas
-    sort per key-batch, vectorized); cross-batch reordering is governed
-    by the watermark exactly as for the built-in operators. State and
-    arithmetic are integer epoch MICROS end-to-end (the pandas
-    timestamp path never touches a timezone); the wrapper converts the
-    NTZ wall to instants and back with the same session-tz shift the
-    windowed aggregations use.
+    oracle: an event extends a session iff it lands strictly inside
+    ``last + gap`` on either side; session_end = last event + gap. A
+    session is finalized when ``floor_ms(session_end) < watermark``
+    (the watermark is millisecond-granular and event-time timeouts fire
+    strictly beyond it). Per-batch rows of one key are sorted and
+    gap-segmented in numpy; the Python sweep below runs once per
+    SEGMENT, and state/arithmetic are integer epoch MICROS end-to-end
+    (the pandas timestamp path never touches a timezone); the wrapper
+    converts the NTZ wall to instants and back with the same
+    session-tz shift the windowed aggregations use.
 
     Scale shape (100 TB of events): one shuffle of the stream on the
-    key per micro-batch; state-store size is bounded by the number of
-    OPEN sessions (keys active within the watermark horizon), not
-    stream history; each state row is 3 longs. Reference parity: n/a —
-    the reference is batch-only (SURVEY.md §2.2); this fills the task
+    key per micro-batch; state-store size is bounded by the sessions
+    whose end is still inside the watermark horizon (3 longs each), not
+    by stream history. (A cold availableNow drain of deep history holds
+    that history's sessions in state until the final no-data batch
+    advances the watermark and flushes them — size the drain's
+    watermark/batches accordingly.) Reference parity: n/a — the
+    reference is batch-only (SURVEY.md §2.2); this fills the task
     brief's custom-stateful-operator slot.
     """
     import pandas as pd  # noqa: F401 (worker-side type of the iterator)
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     gap_us = int(gap_seconds) * 1_000_000
     tz = spark.conf.get("spark.sql.session.timeZone")
@@ -230,9 +239,9 @@ def sessionize_stream(
         StructField("n_events", LongType()),
     ])
     state_type = StructType([
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n_events", LongType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
     ])
 
     def fn(key, pdf_iter, state):
@@ -240,45 +249,64 @@ def sessionize_stream(
         import pandas as pd
 
         k = key[0]
-        closed = []
-        if state.hasTimedOut:
-            start, last, n = state.get
-            closed.append((k, start, last, n))
-            state.remove()
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            st = state.get
+            starts, lasts, ns = list(st[0]), list(st[1]), list(st[2])
         else:
-            cur = state.get if state.exists else None
+            starts, lasts, ns = [], [], []
+        if not state.hasTimedOut:
             parts = [pdf["ts_us"].to_numpy(dtype=np.int64) for pdf in pdf_iter]
             ts = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
             if len(ts):
                 # vectorized gap segmentation: a break wherever the
                 # inter-event gap reaches the threshold; per-row work is
-                # numpy, the Python loop below runs once per SEGMENT
-                # (i.e. per emitted session — the output unit)
+                # numpy, the Python sweep below runs once per SEGMENT
+                # (i.e. per session — the output unit)
                 brk = np.flatnonzero(np.diff(ts) >= gap_us)
-                starts = np.concatenate([[0], brk + 1])
-                ends = np.concatenate([brk, [len(ts) - 1]])
-                for s, e in zip(starts.tolist(), ends.tolist()):
-                    seg = (int(ts[s]), int(ts[e]), e - s + 1)
-                    # merge with the carried state (an open session may
-                    # swallow several segments when a late row extended
-                    # its reach — cur[1] only grows, so test per segment)
-                    if cur is not None and seg[0] < cur[1] + gap_us:
-                        cur = (min(cur[0], seg[0]), max(cur[1], seg[1]),
-                               cur[2] + seg[2])
+                s_idx = np.concatenate([[0], brk + 1])
+                e_idx = np.concatenate([brk, [len(ts) - 1]])
+                starts += ts[s_idx].tolist()
+                lasts += ts[e_idx].tolist()
+                ns += (e_idx - s_idx + 1).tolist()
+                # interval-union sweep over (pending ∪ new) in start
+                # order: merge while the next segment begins inside the
+                # current session's reach (last + gap) — handles late
+                # segments BEFORE, INSIDE, and AFTER every pending
+                # session symmetrically
+                order = sorted(range(len(starts)), key=starts.__getitem__)
+                ms: list[int] = []
+                ml: list[int] = []
+                mn: list[int] = []
+                for i in order:
+                    if ms and starts[i] < ml[-1] + gap_us:
+                        ml[-1] = max(ml[-1], lasts[i])
+                        mn[-1] += ns[i]
                     else:
-                        if cur is not None:
-                            closed.append((k, *cur))
-                        cur = seg
-            if cur is not None:
-                state.update(cur)
-                # fire when the watermark passes session end (ms floor:
-                # the watermark is millisecond-granular)
-                timeout_ms = (cur[1] + gap_us) // 1000
-                wm = state.getCurrentWatermarkMs()
-                state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
-        if closed:
+                        ms.append(starts[i])
+                        ml.append(lasts[i])
+                        mn.append(ns[i])
+                starts, lasts, ns = ms, ml, mn
+        # finalize: emit every session the watermark has passed (ms
+        # floor — the watermark is millisecond-granular), keep the rest
+        emitted = []
+        keep_s, keep_l, keep_n = [], [], []
+        for s, l, n in zip(starts, lasts, ns):
+            if (l + gap_us) // 1000 < wm:
+                emitted.append((k, s, l, n))
+            else:
+                keep_s.append(s)
+                keep_l.append(l)
+                keep_n.append(n)
+        if keep_s:
+            state.update((keep_s, keep_l, keep_n))
+            next_ms = min((l + gap_us) // 1000 for l in keep_l)
+            state.setTimeoutTimestamp(max(next_ms, wm + 1))
+        elif state.exists:
+            state.remove()
+        if emitted:
             yield pd.DataFrame(
-                closed, columns=["k", "start_us", "last_us", "n_events"]
+                emitted, columns=["k", "start_us", "last_us", "n_events"]
             )
 
     sessions = rows.groupBy("k").applyInPandasWithState(
