@@ -261,6 +261,66 @@ def test_sessionize_stream_watermark_beyond_gap(spark, tmp_path_factory):
     assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
 
 
+def test_sessionize_stream_randomized_multi_drain(spark, tmp_path_factory):
+    """Property-style: events split RANDOMLY across three drains (so
+    every drain carries event-time-late rows), watermark delay wide
+    enough that all are admissible, then a far-future sentinel advances
+    the watermark past everything — the emitted sessions must equal the
+    batch session_window answer on the original events exactly."""
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from wills_columnar_format_spark.streaming import sessionize_stream
+
+    rng = np.random.default_rng(23)
+    base = datetime(2024, 1, 1)
+    n, nk = 600, 3
+    rows = [
+        (int(rng.integers(0, nk)),
+         base + timedelta(seconds=int(rng.integers(0, 30 * 86400))))
+        for _ in range(n)
+    ]
+    work = tmp_path_factory.mktemp("sess_rand")
+    in_dir, sink = str(work / "in"), str(work / "sink")
+    os.makedirs(in_dir)
+    sch = _parse_datatype_string("user_id bigint, ts timestamp_ntz")
+
+    def land(batch):
+        spark.createDataFrame(batch, "user_id bigint, ts timestamp_ntz") \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    args = dict(key_col="user_id", ts_col="ts", gap_seconds=6 * 3600,
+                watermark="720 hours")  # admits everything (30-day span)
+    order = rng.permutation(n)
+    for part in np.array_split(order, 3):
+        land([rows[i] for i in part.tolist()])
+        q = sessionize_stream(spark, in_dir, sink, sch, **args)
+        q.awaitTermination()
+    # sentinel drain: one far-future event per key pushes the watermark
+    # (sentinel max - 720h) beyond every real session's end
+    land([(k, base + timedelta(days=120)) for k in range(nk)])
+    q = sessionize_stream(spark, in_dir, sink, sch, **args)
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(sink).collect()
+    }
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz")
+    exp = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in (
+            df.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events")
+        ).collect()
+    }
+    assert got == exp and len(exp) > 50
+
+
 def test_stream_then_rechunk_compact_schema_free(spark, dirs, tmp_path_factory):
     """The full ingest story, nightly-compaction shape: streaming encode
     (small 1k-row chunks, sidecar written automatically) -> re-encoding
