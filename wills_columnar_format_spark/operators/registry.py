@@ -459,6 +459,36 @@ ORACLE_VALUE_RANGE_MULTI = (
 )
 
 
+def q_value_range_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through compressed data on a STRING column
+    (VERDICT r3 #6): chunks carry val_min_str/val_max_str zone maps
+    (lexicographic, 256-byte capped — engine._value_zone_map), and a
+    ``value_range`` with str bounds prunes chunks whose string interval
+    misses the bounds before any blob decodes, then exact-filters.
+    Keying the encode by ``source`` makes chunks source-pure, so the
+    string zone maps are TIGHT — the per-source slice every corpus
+    mixture rebuild runs ("give me only the srcN..srcM crawls")."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # cache: the value_range hit subquery re-evaluates the manifest
+    # lineage, which would otherwise run the encode twice
+    m = encode_table(df, key_col="source", codec="auto", num_partitions=8,
+                     partitioner="range", chunk_rows=64).cache()
+    # 'src10'..'src19' is a lexicographically contiguous band: 'src2'
+    # sorts ABOVE 'src19', so the bounds select exactly sources 10-19
+    out = decode_table(m, df.schema, value_range=("source", "src10", "src19"))
+    out = out.localCheckpoint(eager=True)
+    m.unpersist()
+    return out
+
+
+ORACLE_VALUE_RANGE_STRING = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "WHERE source BETWEEN 'src10' AND 'src19'"
+)
+
+
 # deterministic spread over the id domain — present at every sf
 _POINT_KEYS = list(range(7, 491, 35))
 
@@ -884,16 +914,98 @@ GROUP BY t.source
 """
 DUCK_CONTAMINATION = SPARK_CONTAMINATION
 
+# corpus doubled with shifted ids so dup/contamination groups exist
+# deterministically in both engines (the dedup fixture pattern)
+_SPARK_DOCS2 = """
+docs2 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
+"""
+
+# N-GRAM decontamination (the GPT-3/Llama-style refinement of the
+# fingerprint check above): a training doc is contaminated if it shares
+# any word n-gram with the held-out eval slice — catching PARTIAL
+# copies (quotes, embedded eval answers) that verbatim fingerprints
+# miss. Production corpora use 13-grams; the synthetic docs run ~55
+# tokens, so 5-grams keep the check meaningful at sandbox scale. Scale
+# shape: the eval n-gram set is tiny relative to the corpus (distinct
+# grams of the eval slice), so Spark broadcasts it and the train side
+# streams map-side through the join — linear, never all-pairs; the
+# per-doc hit counts partial-aggregate on doc_id.
+_DECONTAM_TAIL = """
+eval_grams AS (SELECT DISTINCT g FROM grams
+               WHERE doc_id < 100000 AND doc_id % 17 = 0),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id >= 100000),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (SELECT t.doc_id, COUNT(*) AS n_hit
+         FROM train t JOIN eval_grams e ON t.g = e.g GROUP BY t.doc_id)
+SELECT h.doc_id, s.n_grams, h.n_hit,
+       CAST(ROUND(h.n_hit * 1.0 / s.n_grams, 4) AS DOUBLE) AS contaminated_frac
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+"""
+
+SPARK_GRAMS5 = """
+toks AS (SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM docs2),
+grams AS (SELECT DISTINCT doc_id,
+                 concat_ws(' ', element_at(t, CAST(i AS INT)),
+                                element_at(t, CAST(i AS INT) + 1),
+                                element_at(t, CAST(i AS INT) + 2),
+                                element_at(t, CAST(i AS INT) + 3),
+                                element_at(t, CAST(i AS INT) + 4)) AS g
+          FROM toks LATERAL VIEW explode(sequence(1, size(t) - 4)) e AS i
+          WHERE size(t) >= 5)
+"""
+DUCK_GRAMS5 = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         FROM docs2),
+pos AS (SELECT doc_id, t, UNNEST(range(1, len(t) - 3))::BIGINT AS i
+        FROM toks WHERE len(t) >= 5),
+grams AS (SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
+                 t[i + 3] || ' ' || t[i + 4] AS g
+          FROM pos)
+"""
+
+SPARK_DECONTAM_NGRAM = f"WITH {_SPARK_DOCS2}, {SPARK_GRAMS5}, {_DECONTAM_TAIL}"
+DUCK_DECONTAM_NGRAM = f"WITH {_SPARK_DOCS2}, {DUCK_GRAMS5}, {_DECONTAM_TAIL}"
+
+# Repetition-based quality scoring (the Gopher-rules signal): the
+# fraction of a doc's word bigrams that are repeats of an earlier
+# bigram in the SAME doc — high values flag boilerplate/spam/looping
+# generations. Pure per-doc aggregation (COUNT + COUNT(DISTINCT)
+# grouped on doc_id): map-side exploded, partial-aggregated, no
+# cross-doc traffic — embarrassingly parallel at any corpus size.
+_REPETITION_TAIL = """
+agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+               COUNT(DISTINCT g2) AS n_distinct
+        FROM bi GROUP BY doc_id)
+SELECT doc_id, n_bigrams, n_distinct,
+       CAST(ROUND((n_bigrams - n_distinct) * 1.0 / n_bigrams, 4) AS DOUBLE)
+           AS dup_bigram_frac
+FROM agg
+"""
+
+SPARK_QUALITY_REPETITION = f"""
+WITH toks AS (SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM documents),
+bi AS (SELECT doc_id, concat(element_at(t, CAST(i AS INT)), ' ',
+                             element_at(t, CAST(i AS INT) + 1)) AS g2
+       FROM toks LATERAL VIEW explode(sequence(1, size(t) - 1)) e AS i
+       WHERE size(t) >= 2),
+{_REPETITION_TAIL}
+"""
+DUCK_QUALITY_REPETITION = f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents),
+pos AS (SELECT doc_id, t, UNNEST(range(1, len(t)))::BIGINT AS i
+        FROM toks WHERE len(t) >= 2),
+bi AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g2 FROM pos),
+{_REPETITION_TAIL}
+"""
+
 
 # ---------------------------------------------------------------------------
 # 3. Deduplication (on documents doubled with shifted ids so exact and
 #    near-dup groups exist deterministically in both engines)
 # ---------------------------------------------------------------------------
-
-_SPARK_DOCS2 = """
-docs2 AS (SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
-"""
 
 SPARK_DEDUP_EXACT = f"""
 WITH {_SPARK_DOCS2}
@@ -1554,6 +1666,7 @@ REGISTRY: dict[str, tuple] = {
     "value_range_scan": (q_value_range_scan, ORACLE_VALUE_RANGE_SCAN),
     "value_range_time": (q_value_range_time, ORACLE_VALUE_RANGE_TIME),
     "value_range_multi": (q_value_range_multi, ORACLE_VALUE_RANGE_MULTI),
+    "value_range_string": (q_value_range_string, ORACLE_VALUE_RANGE_STRING),
     "point_lookup_keys": (q_point_lookup_keys, ORACLE_POINT_LOOKUP_KEYS),
     "point_lookup_bloom": (q_point_lookup_bloom, ORACLE_POINT_LOOKUP_KEYS),
     "compression_metrics": (q_compression_metrics, DUCK_COMPRESSION_METRICS),
@@ -1571,6 +1684,11 @@ REGISTRY: dict[str, tuple] = {
     "vocab_topk": (_sql_query(SPARK_VOCAB_TOPK, "documents"), DUCK_VOCAB_TOPK),
     "contamination_check": (
         _sql_query(SPARK_CONTAMINATION, "documents"), DUCK_CONTAMINATION),
+    "decontam_ngram": (
+        _sql_query(SPARK_DECONTAM_NGRAM, "documents"), DUCK_DECONTAM_NGRAM),
+    "quality_repetition": (
+        _sql_query(SPARK_QUALITY_REPETITION, "documents"),
+        DUCK_QUALITY_REPETITION),
     # deduplication
     "dedup_exact": (_sql_query(SPARK_DEDUP_EXACT, "documents"), DUCK_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DUCK_NGRAM_JACCARD),
