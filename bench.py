@@ -220,6 +220,7 @@ def _registry_benches(spark, sf_dir: str):
         "point_lookup_bloom",
         "value_range_scan",
         "value_range_multi",
+        "value_range_string",
         "sequence_pack",
         "sequence_pack_tokens",
         "pipeline_train_data",
@@ -227,6 +228,8 @@ def _registry_benches(spark, sf_dir: str):
         "mixture_sample",
         "vocab_topk",
         "contamination_check",
+        "decontam_ngram",
+        "quality_repetition",
         "rle_run_counts",
         "stats_pushdown",
         "asof_join_events",
