@@ -142,6 +142,35 @@ def test_temporal_columns_roundtrip(spark):
     assert dict(dec.dtypes)["ts"] == "timestamp" and dict(dec.dtypes)["d"] == "date"
 
 
+def test_boolean_columns_roundtrip(spark):
+    """Booleans ride the integer codecs as uint8 and are restored to
+    bool by the output schema on decode — plain, nullable (#valid
+    mask), and list<bool> element shapes."""
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.sql(
+        """
+        SELECT id AS k,
+               id % 3 = 0 AS flag,
+               CASE WHEN id % 7 = 0 THEN NULL ELSE id % 2 = 0 END AS maybe,
+               array(id % 2 = 0, id % 3 = 0, id % 5 = 0) AS flags
+        FROM range(3000)
+        """
+    )
+    m = encode_table(df, key_col="k", num_partitions=4, chunk_rows=512,
+                     allow_nulls=True)
+    dec = decode_table(m, df.schema)
+    assert dict(dec.dtypes)["flag"] == "boolean"
+    assert dict(dec.dtypes)["flags"] == "array<boolean>"
+    got = sorted(
+        (r["k"], r["flag"], r["maybe"], tuple(r["flags"])) for r in dec.collect()
+    )
+    exp = sorted(
+        (r["k"], r["flag"], r["maybe"], tuple(r["flags"])) for r in df.collect()
+    )
+    assert got == exp
+
+
 def test_decode_fast_path_equals_slow_path(spark, token_df):
     """assume_unique+arranged skips the decode shuffle entirely; rows must
     still be bit-identical to the input."""

@@ -311,12 +311,15 @@ def _encode_one(col: ColumnValues, codec: str, target_page_size: int):
 
 
 def _normalize_temporal(arr: pa.Array) -> pa.Array:
-    """Temporal types ride the integer codecs: timestamps as int64 epoch
-    units, dates as int32 days (the reference's width-coarsening
-    philosophy, src/lib.rs:103-108 — the footer stores the integer class;
-    the table schema restores the logical type on decode). Monotonic
-    event times then hit the delta codec's best case."""
+    """Logical types ride the integer codecs: timestamps as int64 epoch
+    units, dates as int32 days, booleans as uint8 (the reference's
+    width-coarsening philosophy, src/lib.rs:103-108 — the footer stores
+    the integer class; the table schema restores the logical type on
+    decode). Monotonic event times then hit the delta codec's best
+    case; bool flags hit RLE's."""
     t = arr.type
+    if pa.types.is_boolean(t):
+        return arr.cast(pa.uint8())
     if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
         return arr.cast(pa.int64())
     if pa.types.is_date32(t) or pa.types.is_time32(t):
@@ -751,6 +754,7 @@ def encode_table(
 # ---------------------------------------------------------------------------
 
 _ARROW_NP = {
+    pa.bool_(): np.bool_,  # stored as uint8 (_normalize_temporal)
     pa.int8(): np.int8,
     pa.int16(): np.int16,
     pa.int32(): np.int32,

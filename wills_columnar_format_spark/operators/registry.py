@@ -120,6 +120,36 @@ FROM documents
 """
 
 
+def q_roundtrip_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOLEAN columns ride the integer codecs as uint8
+    (engine._normalize_temporal; the table schema restores the logical
+    type on decode) — the quality-flag / filter-mask columns every
+    curation pipeline materializes. Clustered flags (RLE-friendly) and
+    an alternating one; NULLABLE bool rides the #valid mask and is
+    pinned in tests/test_engine_spark.py (the cross-engine pandas
+    rendering of bool nulls — None vs NaN — is not hash-stable, so the
+    driver query stays null-free)."""
+    from pyspark.sql import functions as F
+
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("n_chars") > 500).alias("is_long"),
+        (F.col("lang") == "en").alias("is_en"),
+        (F.col("doc_id") % 2 == 0).alias("keep"),
+    )
+    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8)
+    return decode_table(m, df.schema, assume_unique=True, arranged=True)
+
+
+ORACLE_ROUNDTRIP_BOOL = """
+SELECT doc_id, n_chars > 500 AS is_long, lang = 'en' AS is_en,
+       doc_id % 2 = 0 AS keep
+FROM documents
+"""
+
+
 def q_roundtrip_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming incremental encode: the documents table lands
     as files in a watched directory, encode_stream drains them via
@@ -1654,6 +1684,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_events": (q_roundtrip_events, ORACLE_ROUNDTRIP_EVENTS),
     "roundtrip_embeddings": (q_roundtrip_embeddings, ORACLE_ROUNDTRIP_EMBEDDINGS),
     "roundtrip_nullable": (q_roundtrip_nullable, ORACLE_ROUNDTRIP_NULLABLE),
+    "roundtrip_bool": (q_roundtrip_bool, ORACLE_ROUNDTRIP_BOOL),
     "roundtrip_streaming": (q_roundtrip_streaming, ORACLE_ROUNDTRIP_DOCUMENTS),
     "stream_window_counts": (q_stream_window_counts, DUCK_STREAM_WINDOW_COUNTS),
     "stream_window_append": (q_stream_window_append, DUCK_STREAM_WINDOW_APPEND),
