@@ -171,6 +171,30 @@ def test_boolean_columns_roundtrip(spark):
     assert got == exp
 
 
+def test_logical_key_columns(spark):
+    """key_col may be a logical type: bool and timestamp keys normalize
+    to their integer form before chunk checksums / zone maps / blooms
+    (same rule as value sub-columns), so flag- or time-keyed encodes
+    work instead of raising UnsupportedDataType."""
+    from wills_columnar_format_spark.engine import decode_table, encode_table
+
+    df = spark.sql(
+        """
+        SELECT timestamp'2024-01-01 00:00:00'
+                   + make_interval(0,0,0,0,0,0,id) AS ts,
+               id % 2 = 0 AS flag,
+               id AS v
+        FROM range(2000)
+        """
+    )
+    for key in ("ts", "flag"):
+        m = encode_table(df, key_col=key, num_partitions=2, chunk_rows=512)
+        dec = decode_table(m, df.schema)
+        got = sorted((r["ts"], r["flag"], r["v"]) for r in dec.collect())
+        exp = sorted((r["ts"], r["flag"], r["v"]) for r in df.collect())
+        assert got == exp, f"key_col={key}"
+
+
 def test_decode_fast_path_equals_slow_path(spark, token_df):
     """assume_unique+arranged skips the decode shuffle entirely; rows must
     still be bit-identical to the input."""

@@ -466,7 +466,11 @@ def make_encode_fn(
 
         def encode_chunk(table: pa.Table, chunk_id: int) -> pa.RecordBatch:
             rows = {name: [] for name, _ in MANIFEST_FIELDS}
-            keys = table.column(key_col).combine_chunks()
+            # normalize logical key types the same way value sub-columns
+            # are (bool -> uint8, timestamps -> epoch ints): the chunk
+            # checksum, zone maps, and bloom all see the integer form,
+            # keeping them pure functions of the normalized chunk values
+            keys = _normalize_temporal(table.column(key_col).combine_chunks())
             # rows are sorted by key within the partition, but a CHUNK of a
             # hash/weight-bucketed partition still spans arbitrary keys —
             # use true min/max, not first/last

@@ -409,14 +409,11 @@ def q_value_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine import decode_table, encode_table
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # cache: the value_range hit subquery re-evaluates the manifest
-    # lineage, which would otherwise run the encode twice
+    # in-flight manifest: decode_table auto-pins it before the hit-key
+    # subquery (engine _cheap_rescan gate), so the encode runs once
     m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8,
-                     partitioner="range", chunk_rows=64).cache()
-    out = decode_table(m, df.schema, value_range=("n_chars", 200, 900))
-    out = out.localCheckpoint(eager=True)
-    m.unpersist()
-    return out
+                     partitioner="range", chunk_rows=64)
+    return decode_table(m, df.schema, value_range=("n_chars", 200, 900))
 
 
 ORACLE_VALUE_RANGE_SCAN = (
@@ -439,13 +436,11 @@ def q_value_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     m = encode_table(df, key_col="event_id", codec="auto", num_partitions=8,
-                     chunk_rows=1024).cache()
-    out = decode_table(
+                     chunk_rows=1024)
+    return decode_table(
         m, df.schema,
         value_range=("ts", datetime(2024, 1, 5), datetime(2024, 1, 8)),
-    ).localCheckpoint(eager=True)
-    m.unpersist()
-    return out
+    )
 
 
 ORACLE_VALUE_RANGE_TIME = (
@@ -469,16 +464,14 @@ def q_value_range_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     m = encode_table(df, key_col="event_id", codec="auto", num_partitions=8,
-                     chunk_rows=1024).cache()
-    out = decode_table(
+                     chunk_rows=1024)
+    return decode_table(
         m, df.schema,
         value_range=[
             ("ts", datetime(2024, 1, 5), datetime(2024, 1, 8)),
             ("value", 10.0, 60.0),
         ],
-    ).localCheckpoint(eager=True)
-    m.unpersist()
-    return out
+    )
 
 
 ORACLE_VALUE_RANGE_MULTI = (
@@ -501,16 +494,13 @@ def q_value_range_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine import decode_table, encode_table
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # cache: the value_range hit subquery re-evaluates the manifest
-    # lineage, which would otherwise run the encode twice
+    # in-flight manifest: decode_table auto-pins it before the hit-key
+    # subquery (engine _cheap_rescan gate), so the encode runs once
     m = encode_table(df, key_col="source", codec="auto", num_partitions=8,
-                     partitioner="range", chunk_rows=64).cache()
+                     partitioner="range", chunk_rows=64)
     # 'src10'..'src19' is a lexicographically contiguous band: 'src2'
     # sorts ABOVE 'src19', so the bounds select exactly sources 10-19
-    out = decode_table(m, df.schema, value_range=("source", "src10", "src19"))
-    out = out.localCheckpoint(eager=True)
-    m.unpersist()
-    return out
+    return decode_table(m, df.schema, value_range=("source", "src10", "src19"))
 
 
 ORACLE_VALUE_RANGE_STRING = (
