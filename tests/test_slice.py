@@ -652,3 +652,115 @@ def test_keys_value_range_and_projection_compose_on_checkpoint(spark, tmp_path):
     exp = sorted(r["k"] for r in df.filter(
         "k % 500 = 0 and v between 0 and 50").collect())
     assert sorted(r["k"] for r in dec.collect()) == exp and exp
+
+
+def test_temporal_point_lookup_keys(spark, tmp_path):
+    """keys= with naive datetime values on a TIME-KEYED manifest: the
+    probes canonicalize to epoch micros for zone-map/bloom pruning and
+    the exact filter joins timezone-free against the decoded NTZ
+    column — correct even when session tz != driver tz (the lit()
+    hazard), on both decode paths, and pruning engages."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from wills_columnar_format_spark.engine import (
+        _prune_by_key_set,
+        decode_checkpoint,
+        decode_table,
+        encode_table,
+        write_checkpoint,
+    )
+
+    df = spark.sql(
+        """
+        SELECT timestamp_ntz'2024-01-01 00:00:00'
+                   + make_interval(0,0,0,0,0,0,id * 60) AS ts,
+               id AS v
+        FROM range(20000)
+        """
+    )
+    want = [datetime(2024, 1, 1, 1, 0), datetime(2024, 1, 3, 5, 7),
+            datetime(2024, 1, 9, 0, 0)]
+    exp = sorted(
+        (r["ts"], r["v"]) for r in df.filter(
+            F.col("ts").isin([w.strftime("%Y-%m-%d %H:%M:%S") for w in want])
+        ).collect()
+    )
+    assert len(exp) == 3  # minute grid: every probe hits exactly one row
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        m = encode_table(df, key_col="ts", num_partitions=4,
+                         partitioner="range", chunk_rows=1024).cache()
+        try:
+            # pruning engages: the probe keeps a strict subset of chunks
+            n_all = m.select("chunk_key").distinct().count()
+            n_hit = (_prune_by_key_set(
+                m, [int((w - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+                    for w in want])
+                .select("chunk_key").distinct().count())
+            assert 0 < n_hit < n_all / 2
+
+            dec = decode_table(m, df.schema, keys=want, key_col="ts")
+            got = sorted((r["ts"], r["v"]) for r in dec.collect())
+            assert got == exp
+
+            ckpt = str(tmp_path / "tsckpt")
+            write_checkpoint(m, ckpt, schema=df.schema)
+        finally:
+            m.unpersist()
+        dec2 = decode_checkpoint(spark, ckpt, keys=want, key_col="ts")
+        got2 = sorted((r["ts"], r["v"]) for r in dec2.collect())
+        assert got2 == exp
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+    # tz-aware probes and temporal key_range bounds are refused loudly
+    import pytest as _pytest
+    from datetime import timezone
+
+    with _pytest.raises(TypeError, match="NAIVE"):
+        decode_table(m, df.schema,
+                     keys=[want[0].replace(tzinfo=timezone.utc)], key_col="ts")
+    with _pytest.raises(TypeError, match="value_range"):
+        decode_table(m, df.schema, key_range=(want[0], want[1]), key_col="ts")
+
+
+def test_temporal_point_lookup_bloom_hash_layout(spark, tmp_path):
+    """datetime keys= on a HASH-layout time-keyed manifest: zone maps
+    keep everything (every chunk spans the full time range), so the
+    per-chunk key blooms must prune — probes hash the canonicalized
+    epoch micros, matching what the encode-side bloom build saw."""
+    from datetime import datetime
+
+    from wills_columnar_format_spark.engine import (
+        _bloom_keep_chunks,
+        decode_table,
+        encode_table,
+    )
+
+    df = spark.sql(
+        """
+        SELECT timestamp_ntz'2024-01-01 00:00:00'
+                   + make_interval(0,0,0,0,0,0,id * 60) AS ts,
+               id AS v
+        FROM range(8000)
+        """
+    )
+    want = [datetime(2024, 1, 2, 3, 4)]
+    m = encode_table(df, key_col="ts", num_partitions=4,
+                     partitioner="hash", chunk_rows=1024).cache()
+    try:
+        epoch = [int((want[0] - datetime(1970, 1, 1)).total_seconds() * 1e6)]
+        keep = _bloom_keep_chunks(
+            m.filter("column = 'ts'"), epoch, "ts")
+        assert keep is not None
+        n_all = m.select("chunk_key").distinct().count()
+        assert 0 < len(keep) < n_all  # blooms pruned hash-layout chunks
+        dec = decode_table(m, df.schema, keys=want, key_col="ts")
+        rows = dec.collect()
+        assert len(rows) == 1 and rows[0]["ts"] == want[0]
+    finally:
+        m.unpersist()

@@ -964,9 +964,18 @@ def _zone_keep_expr(key_range, legacy_nan_zonemaps: bool):
     NULL; it is opt-in because isnan is NOT parquet-translatable and
     OR-ing it in drops the whole disjunct from PushedFilters
     (asserted in tests/test_slice.py)."""
+    from datetime import date
+
     from pyspark.sql import functions as F
 
     lo, hi = key_range
+    if isinstance(lo, date) or isinstance(hi, date):  # datetime is a date
+        raise TypeError(
+            "key_range does not take datetime/date bounds — use "
+            "value_range=(key_col, lo, hi): the key sub-column carries "
+            "value zone maps too, and that path builds the exact NTZ/"
+            "DATE filters timezone-free"
+        )
     if isinstance(lo, (int, float)) and not isinstance(lo, bool):
         mn, mx = F.col("min_key_num"), F.col("max_key_num")
         keep = ((mx >= F.lit(lo)) & (mn <= F.lit(hi))) | mn.isNull()
@@ -1114,6 +1123,36 @@ def _keys_kind(keys) -> str:
     )
 
 
+def _canon_temporal_keys(keys):
+    """Canonicalize a TEMPORAL key set for the metadata prune layers:
+    naive datetimes -> epoch micros ints, dates -> epoch days ints —
+    the integer form every key normalizes to at encode
+    (_normalize_temporal), which is what the key zone maps, blooms,
+    and checksums all saw. Non-temporal sets pass through unchanged;
+    tz-aware datetimes are refused (the format stores wall values —
+    NTZ semantics — so an instant-typed probe is a category error).
+    The EXACT post-filter must use the original datetime/date objects
+    (the decoded column is TIMESTAMP_NTZ/DATE), never these ints."""
+    from datetime import date, datetime, timedelta
+
+    ks = list(keys)
+    if not ks or not all(isinstance(k, (date, datetime)) for k in ks):
+        return keys
+    is_dt = [isinstance(k, datetime) for k in ks]
+    if any(is_dt) and not all(is_dt):
+        raise TypeError("keys= must not mix datetime and date values")
+    if all(is_dt):
+        if any(k.tzinfo is not None for k in ks):
+            raise TypeError(
+                "keys= takes NAIVE datetimes (the format stores wall "
+                "values, TIMESTAMP_NTZ semantics); strip tzinfo"
+            )
+        epoch = datetime(1970, 1, 1)
+        return [(k - epoch) // timedelta(microseconds=1) for k in ks]
+    d0 = date(1970, 1, 1)
+    return [(k - d0).days for k in ks]
+
+
 def _prune_by_key_set(manifest_df, keys):
     """Keep manifest rows whose chunk's KEY zone map may contain ANY of
     ``keys`` — the multi-point generalization of ``key_range`` pruning
@@ -1217,9 +1256,25 @@ def _filter_by_key_set(out, key_col, keys):
     against a DoubleType (or floats against LongType) would otherwise
     trip createDataFrame's type verifier where the isin path coerces
     happily."""
+    from datetime import date, datetime
+
     from pyspark.sql import functions as F
 
     ks = list(dict.fromkeys(keys))
+    if ks and isinstance(ks[0], (date, datetime)):
+        # temporal keys NEVER go through isin/lit: lit(naive datetime)
+        # routes through the session timezone (the NTZ literal hazard,
+        # ADVICE r3) — createDataFrame with the decoded column's own
+        # NTZ/DATE type converts wall values timezone-free (verified
+        # under session tz != driver tz in tests)
+        from pyspark.sql.types import StructField, StructType
+
+        field = out.schema[key_col]
+        kdf = out.sparkSession.createDataFrame(
+            [(k,) for k in ks],
+            StructType([StructField(key_col, field.dataType)]),
+        )
+        return out.join(F.broadcast(kdf), key_col, "left_semi")
     if len(ks) <= _KEY_SET_ISIN_MAX:
         return out.filter(F.col(key_col).isin(ks))
     field = out.schema[key_col]
@@ -1272,7 +1327,10 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     only), and with ``key_col`` set the rows are exact-filtered to the
     key set (literal isin up to 1000 keys, broadcast semi-join past
     that). One decode fetches a whole working set of doc_ids instead of
-    one decode per key. With ``key_col`` set, manifests carrying
+    one decode per key. TIME-KEYED manifests take naive datetime (or
+    date) keys directly: they canonicalize to the epoch ints the zone
+    maps/blooms saw at encode, and the exact filter joins timezone-free
+    against the decoded NTZ/DATE column (never through lit()). With ``key_col`` set, manifests carrying
     per-chunk key Bloom filters (every encode since they landed) are
     ALSO bloom-pruned — the prune that works on the 'hash' layout,
     where every chunk spans the full key range and zone maps keep
@@ -1380,7 +1438,8 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         # value_range block on purpose: its non-scan Join node would
         # otherwise defeat the _cheap_rescan gate above and force a
         # blob-materializing localCheckpoint on persisted manifests.
-        manifest_df = _prune_by_key_set(manifest_df, keys)
+        probe_keys = _canon_temporal_keys(keys)
+        manifest_df = _prune_by_key_set(manifest_df, probe_keys)
         if key_col is not None and "key_bloom" in manifest_df.columns:
             # Bloom pass: prunes the chunks the zone maps CAN'T — in
             # the 'hash' resume layout every chunk spans the full key
@@ -1392,7 +1451,7 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
             if not cheap and not pinned:
                 manifest_df = manifest_df.localCheckpoint(eager=True)
                 pinned = True
-            keep = _bloom_keep_chunks(manifest_df, keys, key_col)
+            keep = _bloom_keep_chunks(manifest_df, probe_keys, key_col)
             if keep is not None:
                 manifest_df = _bloom_semi_join(manifest_df, keep)
     if "key_bloom" in manifest_df.columns:
@@ -1749,14 +1808,15 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     if key_range is not None:
         fdf = fdf.filter(_zone_keep_expr(key_range, legacy_nan_zonemaps))
     bloom_file_keys = None  # path -> bloom-kept chunk_key list (keys= only)
+    probe_keys = _canon_temporal_keys(keys) if keys is not None else None
     if keys is not None:
-        fdf = _prune_by_key_set(fdf, keys)
+        fdf = _prune_by_key_set(fdf, probe_keys)
         if key_col is not None and "key_bloom" in fdf.columns:
             # Bloom pass (see decode_table): prunes hash-layout chunks
             # the zone maps keep, at FILE level (fewer tasks) and at
             # chunk level inside each file (the per-file key list rides
             # the same carrier value_range pruning uses)
-            keep = _bloom_keep_chunks(fdf, keys, key_col,
+            keep = _bloom_keep_chunks(fdf, probe_keys, key_col,
                                       extra_cols=("__file",))
             if keep is not None:
                 fdf = _bloom_semi_join(fdf, keep)
@@ -1835,7 +1895,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     )
     out = files_df.mapInArrow(
         make_file_decode_fn(out_schema, phys, key_range, legacy_nan_zonemaps,
-                            point_keys=keys, verify_checksums=verify_checksums),
+                            point_keys=probe_keys,
+                            verify_checksums=verify_checksums),
         schema=from_arrow_schema(out_schema, prefer_timestamp_ntz=True),
     )
     from pyspark.sql import functions as F

@@ -573,6 +573,39 @@ def q_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# fixed event_id probes — present at every sf
+_TIME_PROBE_IDS = [7, 113, 557, 1201, 4999]
+
+
+def q_point_lookup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-point lookup by TIMESTAMP on a time-keyed manifest — the
+    natural layout for event streams (sorted-by-time ingest). Naive
+    datetime keys canonicalize to the epoch micros the key zone maps
+    saw at encode (engine._canon_temporal_keys), chunks prune by time,
+    and the exact filter joins timezone-free against the decoded NTZ
+    column (never through lit() — the session-tz literal hazard).
+    Probe instants are read from fixed event_ids so they exist at
+    every sf."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = [
+        r["ts"] for r in
+        df.filter(df.event_id.isin(_TIME_PROBE_IDS)).select("ts").collect()
+    ]
+    m = encode_table(df, key_col="ts", codec="auto", num_partitions=8,
+                     partitioner="range", chunk_rows=1024)
+    out = decode_table(m, df.schema, keys=want, key_col="ts")
+    return out.localCheckpoint(eager=True)
+
+
+_TIME_PROBE_SQL = ", ".join(str(k) for k in _TIME_PROBE_IDS)
+ORACLE_POINT_LOOKUP_TIME = f"""
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+WHERE ts IN (SELECT ts FROM events WHERE event_id IN ({_TIME_PROBE_SQL}))
+"""
+
+
 def q_compression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-independent compression-lineage facts, value-hashable by a
     DuckDB oracle: per column the manifest's logical value count (sum of
@@ -1688,6 +1721,7 @@ REGISTRY: dict[str, tuple] = {
     "value_range_time": (q_value_range_time, ORACLE_VALUE_RANGE_TIME),
     "value_range_multi": (q_value_range_multi, ORACLE_VALUE_RANGE_MULTI),
     "value_range_string": (q_value_range_string, ORACLE_VALUE_RANGE_STRING),
+    "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
     "point_lookup_keys": (q_point_lookup_keys, ORACLE_POINT_LOOKUP_KEYS),
     "point_lookup_bloom": (q_point_lookup_bloom, ORACLE_POINT_LOOKUP_KEYS),
     "compression_metrics": (q_compression_metrics, DUCK_COMPRESSION_METRICS),
