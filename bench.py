@@ -239,6 +239,10 @@ def _registry_benches(spark, sf_dir: str):
         "text_quality",
         "lang_id",
         "dedup_exact",
+        "dedup_keep_best",
+        "split_train_eval",
+        "topk_per_group",
+        "percentile_stats",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "cosine_topk",

@@ -433,3 +433,76 @@ def test_column_stats_metadata_pushdown(spark):
                       partitioner="range")
     stats2 = {r.column_name: r for r in column_stats(m2).collect()}
     assert "g" not in stats2 and stats2["k"].n_values == 8000
+
+
+def test_topk_per_group_window_group_limit(spark):
+    """topk_per_group's rank-filter form must let Spark insert
+    WindowGroupLimit: each map task keeps only its local top-3 per group
+    BEFORE the shuffle, so the exchange carries O(groups * k) rows per
+    task instead of the corpus — the difference between a per-group sort
+    of 100 TB and a bounded merge."""
+    from wills_columnar_format_spark.operators.registry import REGISTRY
+
+    fn, _ = REGISTRY["topk_per_group"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    rows = df.collect()
+    assert len(rows) == 60  # 20 sources x top-3
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append((r.rk, r.n_tokens))
+    for src, rs in per.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == [1, 2, 3]
+        toks = [t for _, t in rs]
+        assert toks == sorted(toks, reverse=True)
+
+
+def test_split_train_eval_is_shuffle_free_and_stratified(spark):
+    """The hash split is a pure per-row function: the physical plan may
+    contain NO Exchange, and re-running yields the identical assignment
+    (determinism is what makes the split resumable and cluster-size
+    independent)."""
+    from wills_columnar_format_spark.operators.registry import REGISTRY
+
+    fn, _ = REGISTRY["split_train_eval"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    a = {r.doc_id: r.split for r in df.collect()}
+    b = {r.doc_id: r.split for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    assert a == b and len(a) > 0
+    from collections import Counter
+    c = Counter(a.values())
+    # ~90/5/5 with hex-prefix thresholds; loose bounds at tiny scale
+    assert c["train"] > 0.8 * len(a)
+    assert 0 < c["val"] + c["test"] < 0.2 * len(a)
+
+
+def test_dedup_keep_best_is_window_free(spark):
+    """Keep-best selection must compile to partial-aggregating groupBys +
+    an equi-join — no Window node (a window would force a full per-group
+    sort with no map-side combine). The kept doc is the longest, min
+    doc_id on ties, and n_dups counts the whole fingerprint group."""
+    from wills_columnar_format_spark.operators.registry import REGISTRY
+
+    fn, _ = REGISTRY["dedup_keep_best"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    import hashlib
+    groups = {}
+    for r in docs:
+        fp = hashlib.md5(r.text.strip().lower().encode()).hexdigest()
+        groups.setdefault(fp, []).append((r.n_chars, r.doc_id))
+    for r in rows:
+        grp = groups[r.fp]
+        assert r.n_dups == len(grp)
+        best = max(c for c, _ in grp)
+        assert (r.doc_id == min(d for c, d in grp if c == best))
+    assert len(rows) == len(groups)

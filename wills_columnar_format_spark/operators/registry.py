@@ -1687,6 +1687,105 @@ FROM s GROUP BY user_id, sid
 
 
 # ---------------------------------------------------------------------------
+# training-split, per-group top-k, keep-best dedup, distribution stats
+# ---------------------------------------------------------------------------
+
+# Deterministic stratified train/val/test assignment: the split is a pure
+# function of md5(doc_id:salt) — no RNG state, no shuffle, reproducible on
+# any cluster size and under resume/replay. Hex-prefix thresholds give
+# ~90/5/5 ('e6' = 230/256, 'f3' = 243/256). Map-side only at any scale.
+SPARK_SPLIT_ASSIGN = """
+SELECT doc_id, source,
+       CASE WHEN h < 'e6' THEN 'train'
+            WHEN h < 'f3' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             substring(md5(concat(CAST(doc_id AS STRING), ':split1')), 1, 2) AS h
+      FROM documents)
+"""
+DUCK_SPLIT_ASSIGN = """
+SELECT doc_id, source,
+       CASE WHEN h < 'e6' THEN 'train'
+            WHEN h < 'f3' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             substring(md5(concat(CAST(doc_id AS VARCHAR), ':split1')), 1, 2) AS h
+      FROM documents)
+"""
+
+# Per-group top-k (3 longest docs per source, full tie-break on doc_id).
+# Scale shape: the rank-filter form lets Spark insert WindowGroupLimit —
+# each map task keeps only its local top-3 per group BEFORE the shuffle,
+# so the exchange carries O(groups * k * tasks) rows, not the corpus
+# (asserted in tests/test_engine_spark.py).
+SPARK_TOPK_PER_GROUP = """
+SELECT source, doc_id, n_tokens, CAST(rk AS INT) AS rk
+FROM (SELECT source, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS rk
+      FROM (SELECT source, doc_id,
+                   CAST(size(split(trim(text), '\\\\s+')) AS INT) AS n_tokens
+            FROM documents))
+WHERE rk <= 3
+"""
+DUCK_TOPK_PER_GROUP = """
+SELECT source, doc_id, n_tokens, CAST(rk AS INT) AS rk
+FROM (SELECT source, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS rk
+      FROM (SELECT source, doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+                       AS n_tokens
+            FROM documents))
+WHERE rk <= 3
+"""
+
+# Keep-best canonical selection for exact-duplicate groups: per content
+# fingerprint keep the longest doc (min doc_id on ties) and report group
+# size. Deliberately aggregation-based, NOT a window: two partial-agg
+# groupBys plus an equi-join on (fp, n_chars) — every stage map-side
+# combines, and no per-group sort materializes. The same shape drops in
+# for MinHash cluster representatives at 100 TB.
+_KEEP_BEST_BODY = """
+WITH fps AS (SELECT doc_id, n_chars, md5(lower(trim(text))) AS fp
+             FROM documents),
+agg AS (SELECT fp, CAST(COUNT(*) AS INT) AS n_dups,
+               MAX(n_chars) AS best_chars
+        FROM fps GROUP BY fp),
+sel AS (SELECT f.fp, MIN(f.doc_id) AS doc_id
+        FROM fps f JOIN agg a ON f.fp = a.fp AND f.n_chars = a.best_chars
+        GROUP BY f.fp)
+SELECT s.doc_id, s.fp, a.n_dups
+FROM sel s JOIN agg a ON s.fp = a.fp
+"""
+SPARK_DEDUP_KEEP_BEST = _KEEP_BEST_BODY
+DUCK_DEDUP_KEEP_BEST = _KEEP_BEST_BODY
+
+# Exact distribution stats per source: Spark's percentile() and DuckDB's
+# quantile_cont() both define q(p) = linear interpolation at (n-1)*p over
+# the sorted values; rounding to 4 decimals absorbs float summation-order
+# slack. One shuffle on source; percentile() partially aggregates.
+SPARK_PERCENTILE_STATS = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(percentile(n_chars, 0.25), 4) AS DOUBLE) AS p25,
+       CAST(ROUND(percentile(n_chars, 0.5), 4) AS DOUBLE) AS p50,
+       CAST(ROUND(percentile(n_chars, 0.9), 4) AS DOUBLE) AS p90,
+       CAST(ROUND(percentile(n_chars, 0.99), 4) AS DOUBLE) AS p99
+FROM documents GROUP BY source
+"""
+DUCK_PERCENTILE_STATS = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(quantile_cont(n_chars, 0.25), 4) AS DOUBLE) AS p25,
+       CAST(ROUND(quantile_cont(n_chars, 0.5), 4) AS DOUBLE) AS p50,
+       CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
+       CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1744,6 +1843,14 @@ REGISTRY: dict[str, tuple] = {
     "quality_repetition": (
         _sql_query(SPARK_QUALITY_REPETITION, "documents"),
         DUCK_QUALITY_REPETITION),
+    "split_train_eval": (
+        _sql_query(SPARK_SPLIT_ASSIGN, "documents"), DUCK_SPLIT_ASSIGN),
+    "topk_per_group": (
+        _sql_query(SPARK_TOPK_PER_GROUP, "documents"), DUCK_TOPK_PER_GROUP),
+    "dedup_keep_best": (
+        _sql_query(SPARK_DEDUP_KEEP_BEST, "documents"), DUCK_DEDUP_KEEP_BEST),
+    "percentile_stats": (
+        _sql_query(SPARK_PERCENTILE_STATS, "documents"), DUCK_PERCENTILE_STATS),
     # deduplication
     "dedup_exact": (_sql_query(SPARK_DEDUP_EXACT, "documents"), DUCK_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DUCK_NGRAM_JACCARD),
