@@ -212,6 +212,7 @@ def _registry_benches(spark, sf_dir: str):
     qs = entrymod.queries()
     names = [
         "roundtrip_documents",
+        "roundtrip_deleted",
         "roundtrip_lineitem",
         "roundtrip_events",
         "roundtrip_checkpoint",

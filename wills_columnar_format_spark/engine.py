@@ -822,7 +822,66 @@ def _rebuild_values(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
     return cv.to_arrow().cast(t)
 
 
-def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False):
+# Deletion vectors: a ``delete_keys`` call appends SIDECAR manifest rows
+# (column = "__deletes__" + a content-derived generation suffix) whose
+# blob is the sorted list of deleted within-chunk row positions —
+# delta-uvarint coded, ~1-2 bytes/row. Data blobs are NEVER rewritten
+# (the Delta/Iceberg-v2 deletion-vector idea applied to this format):
+# decode applies the mask after rebuilding each chunk, and a re-encoding
+# compaction materializes the deletes and reclaims the bytes. Sidecars
+# copy their chunk's KEY zone maps and bloom, so every metadata prune
+# keeps or drops them together with the chunk they mask.
+DELETES_PREFIX = "__deletes__"
+DELETES_CODEC = "deletes"
+
+
+def _encode_positions(pos: np.ndarray) -> bytes:
+    """Sorted within-chunk row positions -> uvarint count + delta-uvarint
+    stream (reuses the format's vectorized LEB128)."""
+    from .format import _write_uvarint, uvarint_encode
+
+    out = bytearray()
+    _write_uvarint(out, len(pos))
+    p = np.asarray(pos, dtype=np.int64)
+    deltas = np.diff(p, prepend=np.int64(0)).astype(np.uint64)
+    buf, _ = uvarint_encode(deltas)
+    return bytes(out) + buf.tobytes()
+
+
+def _decode_positions(blob: bytes) -> np.ndarray:
+    from .format import _read_uvarint, uvarint_decode
+
+    n, off = _read_uvarint(blob, 0)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    deltas, _ = uvarint_decode(np.frombuffer(blob, np.uint8, offset=off), n)
+    return np.cumsum(deltas.astype(np.int64))
+
+
+def _deletes_blob_checksum(blob: bytes) -> str:
+    return hashlib.blake2b(blob, digest_size=12).hexdigest()
+
+
+def _apply_deletes(rb: pa.RecordBatch, delete_blobs) -> pa.RecordBatch:
+    """Drop the masked rows of one rebuilt chunk. Multiple generations
+    (repeated/overlapping delete calls) union idempotently."""
+    keep = np.ones(rb.num_rows, dtype=bool)
+    for blob in delete_blobs:
+        pos = _decode_positions(blob)
+        if len(pos) and (pos[0] < 0 or pos[-1] >= rb.num_rows):
+            raise IOError(
+                f"deletion vector names row {int(pos[-1])} but the chunk "
+                f"has {rb.num_rows} rows — sidecar applied to the wrong "
+                "chunk or a corrupted deletes blob"
+            )
+        keep[pos] = False
+    if keep.all():
+        return rb
+    return rb.filter(pa.array(keep))
+
+
+def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False,
+                   extra_deletes=None):
     """mapInArrow decode over manifest rows, grouped by chunk_key.
 
     Requires rows of one chunk_key group to be contiguous in the stream —
@@ -834,6 +893,12 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False):
     an end-to-end integrity check (storage bit rot, codec regressions)
     costing one hash pass per chunk on top of the decode. Requires the
     ``checksum`` column in the stream.
+
+    Deletion-vector sidecar rows (``__deletes__*``) riding the stream
+    mask their chunk's rows after rebuild; ``extra_deletes`` is the
+    out-of-band carrier ``decode_checkpoint`` uses when the sidecars
+    live in appended files outside the clustered layout — a dict
+    ``chunk_key -> [positions blob, ...]`` (both sources union).
     """
 
     # only the sub-columns the output schema references are decoded —
@@ -853,6 +918,28 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False):
         seen_cols: set = set()  # bounded by #sub-columns — tinier still
 
         def flush():
+            dels = []
+            for c in [c for c in pending if c.startswith(DELETES_PREFIX)]:
+                blob = pending.pop(c)
+                if verify_checksums and expect.get(c):
+                    got = _deletes_blob_checksum(blob)
+                    if got != expect[c]:
+                        raise IOError(
+                            f"checksum mismatch on deletion vector {c!r} of "
+                            f"chunk {pending_key!r}: manifest says "
+                            f"{expect[c]}, blob hashes to {got}"
+                        )
+                dels.append(blob)
+            if extra_deletes is not None:
+                dels.extend(extra_deletes.get(pending_key, ()))
+            if dels and not pending:
+                raise IOError(
+                    f"deletion-vector sidecar for chunk {pending_key!r} "
+                    "arrived without its chunk's data rows — the manifest "
+                    "is not chunk-contiguous (arranged=True on a manifest "
+                    "that went through delete_keys?). Use the default "
+                    "decode path, or compact_checkpoint to re-cluster."
+                )
             cvs = {c: _decode_blob(b) for c, b in pending.items() if c in needed}
             if verify_checksums:
                 for c, cv in cvs.items():
@@ -900,6 +987,8 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False):
                     "dst) restores the clustered layout)"
                 ) from e
             rb = pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+            if dels:
+                rb = _apply_deletes(rb, dels)
             # stream cache-sized batches back to the JVM: one 16k-row chunk
             # of token arrays is ~12 MB as a single RecordBatch, which
             # thrashes the Arrow allocator at high task concurrency (same
@@ -1363,7 +1452,12 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         # scan, so a 2-column projection of a 100-column table reads
         # 2 columns' bytes, not 100
         out_schema, phys = _project_out_schema(out_schema, columns)
-        manifest_df = manifest_df.filter(F.col("column").isin(phys))
+        # deletion-vector sidecars must ride every projection — dropping
+        # them would resurrect deleted rows in the projected decode
+        manifest_df = manifest_df.filter(
+            F.col("column").isin(phys)
+            | F.col("column").startswith(DELETES_PREFIX)
+        )
     if key_range is not None:
         # prune BEFORE the dedup aggregate: Catalyst cannot push a
         # non-grouping-column filter through dropDuplicates, and pruning
@@ -1479,6 +1573,169 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     for v in vrs:
         out = out.filter((F.col(v[0]) >= v[3]) & (F.col(v[0]) <= v[4]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors: surgical key deletion without rewriting data blobs
+# ---------------------------------------------------------------------------
+
+
+def _deletes_generation(probe_keys) -> str:
+    """Content-derived generation suffix: re-running the SAME delete
+    produces byte-identical sidecar rows (idempotent replay — duplicate
+    rows collapse in decode's dropDuplicates / compaction)."""
+    h = hashlib.blake2b(digest_size=6)
+    for k in sorted(repr(k) for k in probe_keys):
+        h.update(k.encode())
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def _make_mark_fn(probe_keys, gen: str, key_col: str):
+    """mapInArrow over the KEY sub-column's (pruned) manifest rows:
+    decode each candidate chunk's keys, locate probe matches, and emit
+    one sidecar manifest row per hit chunk. The sidecar copies the
+    chunk's key zone maps and bloom so every metadata prune keeps or
+    drops it together with the chunk it masks; positions are
+    delta-uvarint coded (~1-2 bytes per deleted row)."""
+    probe_list = list(probe_keys)
+    column_name = DELETES_PREFIX + gen
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        value_set = None
+        for b in batches:
+            names = set(b.schema.names)
+
+            def pick(field, i, _b=b):
+                return _b.column(field)[i].as_py() if field in names else None
+
+            rows = []
+            for i in range(b.num_rows):
+                cv = _decode_blob(b.column("blob")[i].as_py())
+                arr = cv.to_arrow()
+                if value_set is None or value_set.type != arr.type:
+                    # cast ONCE into the key column's own storage type:
+                    # position matching must be exact in-domain (int
+                    # probes against int64 keys — never via float
+                    # promotion); a lossy cast raises loudly
+                    value_set = pa.array(probe_list).cast(arr.type)
+                mask = pc.is_in(arr, value_set=value_set)
+                pos = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+                if len(pos) == 0:
+                    continue
+                blob = _encode_positions(pos)
+                rows.append({
+                    "part_id": pick("part_id", i),
+                    "chunk_id": pick("chunk_id", i),
+                    "chunk_key": pick("chunk_key", i),
+                    "column": column_name,
+                    "dtype_tag": pick("dtype_tag", i),
+                    "codec": DELETES_CODEC,
+                    "n_values": len(pos),
+                    "bytes_in": 0,
+                    "bytes_out": len(blob),
+                    "checksum": _deletes_blob_checksum(blob),
+                    "min_key": pick("min_key", i),
+                    "max_key": pick("max_key", i),
+                    "min_key_num": pick("min_key_num", i),
+                    "max_key_num": pick("max_key_num", i),
+                    "val_min": None,
+                    "val_max": None,
+                    "val_min_str": None,
+                    "val_max_str": None,
+                    "key_bloom": pick("key_bloom", i),
+                    "snapshot_id": pick("snapshot_id", i),
+                    "blob": blob,
+                })
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=_MANIFEST_PA)
+
+    return fn
+
+
+def delete_keys(manifest_df, keys, key_col: str):
+    """Delete rows by key WITHOUT rewriting a single data blob: returns
+    the manifest with deletion-vector sidecar rows appended (the
+    Delta/Iceberg-v2 deletion-vector mechanism for this format — at
+    100 TB a GDPR-style erasure touches the key sub-column of the
+    bloom/zone-surviving chunks only, and writes bytes proportional to
+    the DELETED rows, not the corpus).
+
+    Mark phase: candidate chunks shrink through the same metadata
+    prunes a point lookup uses (key zone maps, per-chunk blooms), then
+    one distributed pass decodes ONLY the key sub-column of survivors
+    and records matching row positions. Decode applies the masks after
+    chunk rebuild; repeated/overlapping deletes union idempotently; a
+    re-encoding compaction (``compact_checkpoint(rechunk_rows=...)``)
+    materializes them and reclaims the bytes.
+
+    The returned manifest is no longer chunk-contiguous (sidecars sit
+    in their own partitions), so decode it on the DEFAULT path — not
+    ``arranged=True`` (which raises loudly on orphaned sidecars).
+    Temporal keys take naive datetimes/dates, exactly like ``keys=``.
+    """
+    from pyspark.sql import functions as F
+
+    probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
+    if _keys_kind(probe) == "empty":
+        return manifest_df
+    if not _cheap_rescan(manifest_df):
+        # in-flight manifest: the mark pass and the eventual decode must
+        # see the SAME chunk keys — under the nondeterministic range
+        # sampler a re-evaluation would orphan every sidecar (deleted
+        # rows would silently resurrect), so pin once and union on the
+        # pinned plan
+        manifest_df = manifest_df.localCheckpoint(eager=True)
+    gen = _deletes_generation(probe)
+    mdf = manifest_df.filter(F.col("column") == F.lit(key_col))
+    mdf = _prune_by_key_set(mdf, probe)
+    if "key_bloom" in mdf.columns:
+        keep = _bloom_keep_chunks(mdf, probe, key_col)
+        if keep is not None:
+            mdf = _bloom_semi_join(mdf, keep)
+    cols = [n for n, _ in MANIFEST_FIELDS if n in mdf.columns]
+    sidecars = mdf.select(*cols).mapInArrow(
+        _make_mark_fn(probe, gen, key_col), schema=MANIFEST_DDL
+    )
+    return manifest_df.unionByName(sidecars, allowMissingColumns=True)
+
+
+def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str) -> str:
+    """``delete_keys`` for a persisted checkpoint: appends the sidecar
+    rows as new parquet files in the checkpoint dir (the append changes
+    the file signature, so the ``_clustered`` marker self-invalidates
+    and readers re-verify). ``decode_checkpoint`` keeps its shuffle-free
+    fast path by delivering the (tiny) sidecars out-of-band; a plain
+    ``compact_checkpoint`` re-clusters them next to their chunks, and a
+    re-encoding compaction materializes the deletes. Returns the
+    generation id written."""
+    from pyspark.sql import functions as F
+
+    probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
+    if _keys_kind(probe) == "empty":
+        return ""
+    gen = _deletes_generation(probe)
+    src = spark.read.parquet(ckpt_dir)
+    mdf = src.filter(F.col("column") == F.lit(key_col))
+    mdf = _prune_by_key_set(mdf, probe)
+    if "key_bloom" in mdf.columns:
+        keep = _bloom_keep_chunks(mdf, probe, key_col)
+        if keep is not None:
+            mdf = _bloom_semi_join(mdf, keep)
+    cols = [n for n, _ in MANIFEST_FIELDS if n in mdf.columns]
+    sidecars = mdf.select(*cols).mapInArrow(
+        _make_mark_fn(probe, gen, key_col), schema=MANIFEST_DDL
+    )
+    sidecars.write.mode("append").parquet(ckpt_dir)
+    return gen
+
+
+# Driver-side cap on out-of-band deletion-vector delivery for the
+# shuffle-free checkpoint decode: past this many sidecar rows the decode
+# falls back to the shuffling path, which streams them distributed.
+DELETES_COLLECT_MAX = 200_000
 
 
 # ---------------------------------------------------------------------------
@@ -1666,7 +1923,7 @@ VALUE_PRUNE_MAX_KEYS = 100_000
 
 def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
                         legacy_nan_zonemaps: bool, point_keys=None,
-                        verify_checksums: bool = False):
+                        verify_checksums: bool = False, extra_deletes=None):
     """mapInArrow function over a (path string) DataFrame: each task reads
     one manifest parquet file sequentially and decodes its chunk groups.
     Projection and zone-map predicates are pushed into the pyarrow read
@@ -1679,10 +1936,18 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
     PUSHED_KEYS_MAX = 256
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as _pc
         import pyarrow.dataset as pds
         from pyarrow import fs as pafs
 
         filt = pds.field("column") != DONE_COLUMN
+        # deletion-vector sidecars never ride the file scan on this path:
+        # the driver collected ALL of them (decode_checkpoint falls back
+        # past the cap) and delivers them via extra_deletes — scanning
+        # them here would double-apply (harmless) or, for sidecars in
+        # appended files outside the clustered set, tear chunk groups
+        filt = filt & ~_pc.starts_with(pds.field("column"),
+                                       pattern=DELETES_PREFIX)
         if phys_columns is not None:
             filt = filt & pds.field("column").isin(phys_columns)
         if key_range is not None:
@@ -1715,7 +1980,8 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
                     zf = zf | part
                 filt = filt & (zf | mn.is_null())
 
-        decode = make_decode_fn(out_schema, verify_checksums=verify_checksums)
+        decode = make_decode_fn(out_schema, verify_checksums=verify_checksums,
+                                extra_deletes=extra_deletes)
         read_cols = ["chunk_key", "column", "blob"]
         if verify_checksums:
             read_cols.append("checksum")
@@ -1801,9 +2067,44 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     except (OSError, ValueError):
         pre_sig = None
     fdf = _manifest_metadata(spark, ckpt_dir)
-    if phys is not None:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    # deletion-vector sidecars are OUT-OF-BAND on this path: excluded
+    # from file discovery and the clustered gate (they live in appended
+    # files by design), collected driver-side below and delivered to the
+    # readers directly. Past the cap, the shuffling path streams them.
+    fdf = fdf.filter(~F.col("column").startswith(DELETES_PREFIX))
+    dsel = ["chunk_key", "blob"] + (["checksum"] if verify_checksums else [])
+    drows = (
+        spark.read.parquet(ckpt_dir)
+        .filter(F.col("column").startswith(DELETES_PREFIX))
+        .select(*dsel)
+        .limit(DELETES_COLLECT_MAX + 1)
+        .collect()
+    )
+    extra_deletes = None
+    if drows:
+        if len(drows) > DELETES_COLLECT_MAX:
+            return decode_table(
+                spark.read.parquet(ckpt_dir), full_schema,
+                key_range=key_range, key_col=key_col, columns=columns,
+                legacy_nan_zonemaps=legacy_nan_zonemaps,
+                value_range=value_range, keys=keys,
+                verify_checksums=verify_checksums,
+            )
+        extra_deletes = {}
+        for r in drows:
+            blob = bytes(r["blob"])
+            if verify_checksums and r["checksum"]:
+                got = _deletes_blob_checksum(blob)
+                if got != r["checksum"]:
+                    raise IOError(
+                        f"checksum mismatch on deletion vector of chunk "
+                        f"{r['chunk_key']!r}: manifest says "
+                        f"{r['checksum']}, blob hashes to {got}"
+                    )
+            extra_deletes.setdefault(r["chunk_key"], []).append(blob)
+    if phys is not None:
         fdf = fdf.filter(F.col("column").isin(phys))
     if key_range is not None:
         fdf = fdf.filter(_zone_keep_expr(key_range, legacy_nan_zonemaps))
@@ -1896,7 +2197,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     out = files_df.mapInArrow(
         make_file_decode_fn(out_schema, phys, key_range, legacy_nan_zonemaps,
                             point_keys=probe_keys,
-                            verify_checksums=verify_checksums),
+                            verify_checksums=verify_checksums,
+                            extra_deletes=extra_deletes),
         schema=from_arrow_schema(out_schema, prefer_timestamp_ntz=True),
     )
     from pyspark.sql import functions as F
@@ -2351,16 +2653,28 @@ def runs_table(manifest_df, column: str):
             blobs = b.column("blob")
             for i in range(b.num_rows):
                 if cols[i] != column:
-                    continue
+                    # deletion-vector sidecars ride the stream purely as
+                    # a guard: compute-on-compressed aggregates runs
+                    # WITHOUT expansion, so a row-position mask cannot
+                    # apply — the run counts would include deleted rows
+                    raise ValueError(
+                        f"runs_table({column!r}): manifest carries "
+                        f"deletion vectors ({cols[i]!r}) — materialize "
+                        "them first (compact_checkpoint(rechunk_rows=...)"
+                        " or decode + re-encode), then aggregate runs"
+                    )
                 rv, rl = decode_runs(blobs[i].as_py())
                 arr = rv.to_arrow().cast(pa.string())
                 yield pa.RecordBatch.from_arrays(
                     [arr, pa.array(rl, type=pa.int64())], ["value", "run_length"]
                 )
 
-    return manifest_df.filter(manifest_df.column == column).mapInArrow(
-        fn, schema="value string, run_length bigint"
-    )
+    from pyspark.sql import functions as F
+
+    return manifest_df.filter(
+        (manifest_df.column == column)
+        | F.col("column").startswith(DELETES_PREFIX)
+    ).mapInArrow(fn, schema="value string, run_length bigint")
 
 
 def manifest_summary(manifest_df):
@@ -2433,8 +2747,31 @@ def column_stats(manifest_df):
         )
         .distinct()
     )
+    # deletion vectors make a chunk's stats a stale SUPERSET (the
+    # deleted rows may be the extremes) — exact-or-absent means every
+    # column of a deleted chunk drops out until a re-encoding
+    # compaction materializes the deletes. Blob-free metadata joins.
+    deleted_chunks = (
+        manifest_df.filter(F.col("column").startswith(DELETES_PREFIX))
+        .select("chunk_key")
+        .distinct()
+    )
+    affected = (
+        manifest_df.join(F.broadcast(deleted_chunks), "chunk_key", "left_semi")
+        .filter(
+            (F.col("column") != DONE_COLUMN)
+            & ~F.col("column").contains("#")
+            & ~F.col("column").startswith(DELETES_PREFIX)
+        )
+        .select(F.col("column").alias("column_name"))
+        .distinct()
+    )
     return (
-        agg.filter(F.col("_n_chunks") == F.col("_n_mapped"))
+        agg.filter(
+            (F.col("_n_chunks") == F.col("_n_mapped"))
+            & ~F.col("column_name").startswith(DELETES_PREFIX)
+        )
         .join(F.broadcast(nullable), "column_name", "left_anti")
+        .join(F.broadcast(affected), "column_name", "left_anti")
         .drop("_n_chunks", "_n_mapped")
     )

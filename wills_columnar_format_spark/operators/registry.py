@@ -79,6 +79,31 @@ def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ROUNDTRIP_DOCUMENTS = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+def q_roundtrip_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors: encode documents, surgically delete doc_id % 10
+    == 3 (sidecar position masks — zero data blobs rewritten, the
+    Delta/Iceberg-v2 mechanism), decode. Equality with the filtered
+    oracle proves the mask path end-to-end. The reference container is
+    write-once (no delete op) — this is the mutable-corpus extension."""
+    from ..engine import decode_table, delete_keys, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    victims = [
+        r.doc_id
+        for r in df.filter("doc_id % 10 = 3").select("doc_id").collect()
+    ]
+    m = delete_keys(
+        encode_table(df, key_col="doc_id", codec="auto", num_partitions=8),
+        victims, "doc_id")
+    return decode_table(m, df.schema)
+
+
+ORACLE_ROUNDTRIP_DELETED = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "WHERE doc_id % 10 <> 3"
+)
 ORACLE_ROUNDTRIP_LINEITEM = (
     "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus, "
     "l_shipdate FROM lineitem"
@@ -1802,6 +1827,7 @@ def _sql_query(sql: str, *tables: str):
 REGISTRY: dict[str, tuple] = {
     # engine / codec operators (SURVEY.md §2.1 + §2.3)
     "roundtrip_documents": (q_roundtrip_documents, ORACLE_ROUNDTRIP_DOCUMENTS),
+    "roundtrip_deleted": (q_roundtrip_deleted, ORACLE_ROUNDTRIP_DELETED),
     "roundtrip_lineitem": (q_roundtrip_lineitem, ORACLE_ROUNDTRIP_LINEITEM),
     "roundtrip_events": (q_roundtrip_events, ORACLE_ROUNDTRIP_EVENTS),
     "roundtrip_embeddings": (q_roundtrip_embeddings, ORACLE_ROUNDTRIP_EMBEDDINGS),
