@@ -213,6 +213,7 @@ def _registry_benches(spark, sf_dir: str):
     names = [
         "roundtrip_documents",
         "roundtrip_deleted",
+        "roundtrip_upsert",
         "roundtrip_lineitem",
         "roundtrip_events",
         "roundtrip_checkpoint",

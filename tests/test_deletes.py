@@ -221,3 +221,67 @@ def test_delete_temporal_keys(spark):
     assert got == set(rows) - set(victims)
     out = decode_table(m, sdf.schema, keys=[victims[0]], key_col="ts")
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# upsert: deletion vectors + append generation
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_replaces_and_appends(spark, docs):
+    from wills_columnar_format_spark.engine import upsert_table
+
+    df, rows, _ = docs
+    mod = df.filter("doc_id % 7 = 2").withColumn("text", F.upper("text"))
+    new = df.filter("doc_id % 13 = 1").withColumn(
+        "doc_id", F.col("doc_id") + 1000000)
+    batch = mod.unionByName(new)
+    m = upsert_table(encode_table(df, key_col="doc_id", num_partitions=4),
+                     batch, "doc_id", num_partitions=2)
+    got = {r.doc_id: r.text for r in decode_table(m, df.schema).collect()}
+    want = {d: r.text for d, r in rows.items() if d % 7 != 2}
+    want.update({r.doc_id: r.text for r in batch.collect()})
+    assert got == want
+
+
+def test_upsert_aligned_chunk_collision_is_salted(spark):
+    """chunk_key is a content hash of the chunk's KEYS — a replacement
+    batch covering exactly one existing chunk's key set would collide
+    with the masked original and corrupt the group decode; the
+    generation salt prevents it (this test fails without it)."""
+    from wills_columnar_format_spark.engine import upsert_table
+
+    base_df = spark.sql("SELECT id AS k, CAST(id * 2 AS INT) AS v FROM range(1024)")
+    m = encode_table(base_df, key_col="k", num_partitions=1,
+                     chunk_rows=256, partitioner="range")
+    first = spark.sql("SELECT id AS k, CAST(-1 AS INT) AS v FROM range(256)")
+    mu = upsert_table(m, first, "k", num_partitions=1, chunk_rows=256,
+                      partitioner="range")
+    rows = {r.k: r.v for r in decode_table(mu, base_df.schema).collect()}
+    assert len(rows) == 1024
+    assert all(rows[k] == -1 for k in range(256))
+    assert all(rows[k] == 2 * k for k in range(256, 1024))
+
+
+def test_upsert_checkpoint_keeps_shuffle_free_read(spark, docs, tmp_path):
+    from wills_columnar_format_spark.engine import upsert_checkpoint
+
+    df, rows, _ = docs
+    ck = str(tmp_path / "ck")
+    write_checkpoint(encode_table(df, key_col="doc_id", num_partitions=4),
+                     ck, schema=df.schema)
+    batch = df.filter("doc_id % 7 = 2").withColumn("text", F.upper("text"))
+    gen = upsert_checkpoint(spark, ck, batch, "doc_id", num_partitions=2)
+    assert gen
+    dec = decode_checkpoint(spark, ck, df.schema)
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r.doc_id: r.text for r in dec.collect()}
+    want = {d: (r.text.upper() if d % 7 == 2 else r.text)
+            for d, r in rows.items()}
+    assert got == want
+    # point lookup of a replaced key returns the NEW value
+    victim = sorted(d for d in rows if d % 7 == 2)[0]
+    out = decode_checkpoint(spark, ck, df.schema, keys=[victim],
+                            key_col="doc_id").collect()
+    assert len(out) == 1 and out[0].text == rows[victim].text.upper()

@@ -1737,6 +1737,80 @@ def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str) -> str:
 # falls back to the shuffling path, which streams them distributed.
 DELETES_COLLECT_MAX = 200_000
 
+# Upsert ships the replacement batch's key set to the mark pass through
+# the same driver-side probe delete_keys uses (precomputed bloom hash
+# pairs ride the task closure) — bounded here. Bigger merges should
+# land as delete_keys + append in partitioned waves, or wait for a
+# shuffle-join mark pass.
+UPSERT_KEYS_MAX = 1_000_000
+
+
+def _salt_chunk_keys(manifest_df, gen: str):
+    """Prefix a new generation's chunk keys. ``chunk_key`` is a content
+    hash of the chunk's KEYS alone (make_encode_fn), so a replacement
+    batch whose chunk key-set aligns with an existing (now masked) chunk
+    would COLLIDE with it — the group decode would interleave both
+    generations' blobs under one key and corrupt the chunk. The prefix
+    keeps the id opaque-unique; decode never recomputes it."""
+    from pyspark.sql import functions as F
+
+    return manifest_df.withColumn(
+        "chunk_key",
+        F.when(
+            F.col("column").startswith("__"),  # done markers keep their ids
+            F.col("chunk_key"),
+        ).otherwise(F.concat(F.lit(f"u{gen}:"), F.col("chunk_key"))),
+    )
+
+
+def _collect_upsert_keys(new_df, key_col: str):
+    rows = (
+        new_df.select(key_col).distinct().limit(UPSERT_KEYS_MAX + 1).collect()
+    )
+    if len(rows) > UPSERT_KEYS_MAX:
+        raise ValueError(
+            f"upsert batch has more than {UPSERT_KEYS_MAX} distinct keys — "
+            "split the merge into waves (delete_keys + append per wave)"
+        )
+    return [r[0] for r in rows]
+
+
+def upsert_table(manifest_df, new_df, key_col: str, **encode_kwargs):
+    """MERGE (upsert) into an encoded corpus without rewriting a single
+    existing blob: rows of ``new_df`` REPLACE same-key rows (deletion
+    vectors mask them) and new keys APPEND (one encode of just the
+    batch). Cost ∝ the batch, not the corpus — the CDC-merge shape a
+    mutable 100 TB table needs nightly.
+
+    ``new_df`` must be key-unique (standard merge-source contract).
+    The returned manifest is not chunk-contiguous; decode it on the
+    default path. A later re-encoding compaction folds the masked rows
+    away and restores one clean generation."""
+    keys = _collect_upsert_keys(new_df, key_col)
+    base = delete_keys(manifest_df, keys, key_col)
+    gen = _deletes_generation(list(dict.fromkeys(_canon_temporal_keys(keys))))
+    newm = _salt_chunk_keys(
+        encode_table(new_df, key_col=key_col, **encode_kwargs), gen
+    )
+    return base.unionByName(newm, allowMissingColumns=True)
+
+
+def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
+                      **encode_kwargs) -> str:
+    """``upsert_table`` for a persisted checkpoint: masks the replaced
+    keys (sidecar append), then appends the new generation's manifest
+    files. Each encode task's output is one chunk-clustered file, so the
+    clustered gate re-verifies and the shuffle-free decode path SURVIVES
+    the merge — reads stay zero-Exchange. Returns the generation id."""
+    keys = _collect_upsert_keys(new_df, key_col)
+    delete_keys_checkpoint(spark, ckpt_dir, keys, key_col)
+    gen = _deletes_generation(list(dict.fromkeys(_canon_temporal_keys(keys))))
+    newm = _salt_chunk_keys(
+        encode_table(new_df, key_col=key_col, **encode_kwargs), gen
+    )
+    newm.write.mode("append").parquet(ckpt_dir)
+    return gen
+
 
 # ---------------------------------------------------------------------------
 # shuffle-free decode of checkpointed manifests

@@ -104,6 +104,38 @@ ORACLE_ROUNDTRIP_DELETED = (
     "SELECT doc_id, text, lang, source, n_chars FROM documents "
     "WHERE doc_id % 10 <> 3"
 )
+
+
+def q_roundtrip_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE into an encoded corpus: upper-cased replacements for
+    doc_id % 7 == 2 plus brand-new docs (doc_id + 10^6) land via
+    deletion-vector masks + one appended generation — zero existing
+    blobs rewritten (cost ∝ batch, not corpus). Decode must equal the
+    merged table. Reference container is write-once; this is the
+    CDC-merge extension."""
+    from pyspark.sql import functions as F
+
+    from ..engine import decode_table, encode_table, upsert_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mod = df.filter("doc_id % 7 = 2").withColumn("text", F.upper("text"))
+    new = df.filter("doc_id % 13 = 1").withColumn(
+        "doc_id", F.col("doc_id") + 1000000)
+    m = upsert_table(
+        encode_table(df, key_col="doc_id", codec="auto", num_partitions=8),
+        mod.unionByName(new), "doc_id", num_partitions=4)
+    return decode_table(m, df.schema)
+
+
+ORACLE_ROUNDTRIP_UPSERT = """
+SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 7 <> 2
+UNION ALL
+SELECT doc_id, upper(text) AS text, lang, source, n_chars FROM documents
+WHERE doc_id % 7 = 2
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id % 13 = 1
+"""
 ORACLE_ROUNDTRIP_LINEITEM = (
     "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus, "
     "l_shipdate FROM lineitem"
@@ -1828,6 +1860,7 @@ REGISTRY: dict[str, tuple] = {
     # engine / codec operators (SURVEY.md §2.1 + §2.3)
     "roundtrip_documents": (q_roundtrip_documents, ORACLE_ROUNDTRIP_DOCUMENTS),
     "roundtrip_deleted": (q_roundtrip_deleted, ORACLE_ROUNDTRIP_DELETED),
+    "roundtrip_upsert": (q_roundtrip_upsert, ORACLE_ROUNDTRIP_UPSERT),
     "roundtrip_lineitem": (q_roundtrip_lineitem, ORACLE_ROUNDTRIP_LINEITEM),
     "roundtrip_events": (q_roundtrip_events, ORACLE_ROUNDTRIP_EVENTS),
     "roundtrip_embeddings": (q_roundtrip_embeddings, ORACLE_ROUNDTRIP_EMBEDDINGS),
