@@ -214,6 +214,7 @@ def _registry_benches(spark, sf_dir: str):
         "roundtrip_documents",
         "roundtrip_deleted",
         "roundtrip_upsert",
+        "roundtrip_backfill",
         "roundtrip_lineitem",
         "roundtrip_events",
         "roundtrip_checkpoint",

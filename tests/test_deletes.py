@@ -285,3 +285,83 @@ def test_upsert_checkpoint_keeps_shuffle_free_read(spark, docs, tmp_path):
     out = decode_checkpoint(spark, ck, df.schema, keys=[victim],
                             key_col="doc_id").collect()
     assert len(out) == 1 and out[0].text == rows[victim].text.upper()
+
+
+# ---------------------------------------------------------------------------
+# column backfill: schema evolution without rewriting existing blobs
+# ---------------------------------------------------------------------------
+
+
+def test_backfill_scalar_with_missing_keys(spark, docs):
+    from wills_columnar_format_spark.engine import backfill_column
+
+    df, rows, _ = docs
+    new = (df.filter("doc_id % 10 <> 7")
+             .select("doc_id",
+                     (F.length("text") % 1000).cast("int").alias("tok_est")))
+    m = backfill_column(encode_table(df, key_col="doc_id", num_partitions=4),
+                        new, "doc_id", "tok_est")
+    ext = df.withColumn("tok_est", F.lit(None).cast("int")).schema
+    got = {r.doc_id: r.tok_est for r in decode_table(m, ext).collect()}
+    want = {d: (len(r.text) % 1000 if d % 10 != 7 else None)
+            for d, r in rows.items()}
+    assert got == want
+    # value_range prunes on the backfilled column's fresh zone maps
+    vr = decode_table(m, ext, value_range=("tok_est", 0, 100))
+    assert all(r.tok_est is not None and 0 <= r.tok_est <= 100
+               for r in vr.collect())
+    # projection decode of (key, new column) only
+    proj = decode_table(m, ext, columns=["doc_id", "tok_est"])
+    assert {r.doc_id: r.tok_est for r in proj.collect()} == want
+
+
+def test_backfill_list_column(spark, docs):
+    from wills_columnar_format_spark.engine import backfill_column
+
+    df, rows, _ = docs
+    lst = df.select(
+        "doc_id",
+        F.array(F.length("text").cast("int"), F.lit(1)).alias("feats"))
+    m = backfill_column(encode_table(df, key_col="doc_id", num_partitions=4),
+                        lst, "doc_id", "feats")
+    ext = df.withColumn("feats", F.lit(None).cast("array<int>")).schema
+    got = {r.doc_id: list(r.feats) for r in decode_table(m, ext).collect()}
+    assert got == {d: [len(r.text), 1] for d, r in rows.items()}
+
+
+def test_backfill_duplicate_keys_fail_loudly(spark, docs):
+    from wills_columnar_format_spark.engine import backfill_column
+
+    df, _, _ = docs
+    new = df.select("doc_id", F.lit(1).alias("one"))
+    dup = new.unionByName(new.limit(1))
+    m = backfill_column(encode_table(df, key_col="doc_id", num_partitions=4),
+                        dup, "doc_id", "one")
+    ext = df.withColumn("one", F.lit(None).cast("int")).schema
+    with pytest.raises(Exception, match="position permutation"):
+        decode_table(m, ext).count()
+
+
+def test_backfill_composes_with_deletes(spark, docs):
+    from wills_columnar_format_spark.engine import backfill_column
+
+    df, rows, victims = docs
+    new = df.select("doc_id", (F.col("n_chars") * 2).alias("dbl"))
+    m = backfill_column(encode_table(df, key_col="doc_id", num_partitions=4),
+                        new, "doc_id", "dbl")
+    md = delete_keys(m, victims, "doc_id")
+    ext = df.withColumn("dbl", F.lit(None).cast("bigint")).schema
+    got = {r.doc_id: r.dbl for r in decode_table(md, ext).collect()}
+    assert got == {d: r.n_chars * 2 for d, r in rows.items()
+                   if d not in set(victims)}
+
+
+def test_backfill_refuses_temporal_keys(spark):
+    from wills_columnar_format_spark.engine import backfill_column
+
+    sdf = spark.sql(
+        "SELECT timestamp_ntz '2024-01-01' + make_interval(0,0,0,0,0,0,id) "
+        "AS ts, CAST(id AS INT) AS v FROM range(100)")
+    m = encode_table(sdf, key_col="ts", num_partitions=1)
+    with pytest.raises(TypeError, match="unsupported key type"):
+        backfill_column(m, sdf.select("ts", "v"), "ts", "v")

@@ -1813,6 +1813,203 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
 
 
 # ---------------------------------------------------------------------------
+# column backfill: schema evolution without rewriting existing columns
+# ---------------------------------------------------------------------------
+
+
+_BF_KEY_DDL = {
+    "bigint": "bigint", "int": "bigint", "smallint": "bigint",
+    "tinyint": "bigint", "double": "double", "float": "double",
+    "string": "string",
+}
+
+
+def _make_key_explode_fn(key_col: str, key_ddl: str):
+    """mapInArrow over the KEY sub-column's manifest rows: decode each
+    chunk's keys and emit (chunk metadata, within-chunk position, key) —
+    the join surface a backfill needs. Positions refer to RAW chunk rows
+    (deletion-vector masks apply at decode, AFTER rebuild, uniformly
+    across old and backfilled columns)."""
+    target = {"bigint": pa.int64(), "double": pa.float64(),
+              "string": pa.string()}[key_ddl]
+    meta_fields = ["part_id", "chunk_id", "chunk_key", "min_key", "max_key",
+                   "min_key_num", "max_key_num", "snapshot_id"]
+    schema = pa.schema(
+        [("part_id", pa.int32()), ("chunk_id", pa.int32()),
+         ("chunk_key", pa.string()), ("min_key", pa.string()),
+         ("max_key", pa.string()), ("min_key_num", pa.float64()),
+         ("max_key_num", pa.float64()), ("snapshot_id", pa.string()),
+         ("pos", pa.int32()), ("__bf_key", target)]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            names = set(b.schema.names)
+            for i in range(b.num_rows):
+                keys = _decode_blob(b.column("blob")[i].as_py()).to_arrow()
+                n = len(keys)
+                arrays = []
+                for f in meta_fields:
+                    v = b.column(f)[i].as_py() if f in names else None
+                    arrays.append(pa.array([v] * n, type=schema.field(f).type))
+                arrays.append(pa.array(np.arange(n, dtype=np.int32)))
+                arrays.append(keys.cast(target))
+                yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    return fn
+
+
+def make_backfill_encode_fn(col_name: str, codec: str,
+                            target_page_size: int):
+    """Streaming group-encode of the joined (chunk, pos, value) rows:
+    each contiguous chunk group becomes the new column's manifest rows
+    (same chunk_key, fresh codec/zone maps/checksum). Positions must be
+    the exact permutation 0..n-1 — a duplicate-key backfill batch or a
+    torn group fails loudly instead of silently mis-aligning rows."""
+
+    def rows_for(chunk_meta, vals: pa.Array) -> pa.RecordBatch:
+        out = {name: [] for name, _ in MANIFEST_FIELDS}
+        for sub_name, cv in _sub_columns(col_name, vals, allow_nulls=True):
+            blob, footer = _encode_one(cv, codec, target_page_size)
+            vmin, vmax = _value_zone_map(cv)
+            smin, smax = _value_zone_map_str(cv)
+            out["part_id"].append(chunk_meta["part_id"])
+            out["chunk_id"].append(chunk_meta["chunk_id"])
+            out["chunk_key"].append(chunk_meta["chunk_key"])
+            out["column"].append(sub_name)
+            out["dtype_tag"].append(footer.data_type)
+            out["codec"].append(BY_ID[footer.codec].name)
+            out["n_values"].append(cv.n)
+            out["bytes_in"].append(cv.input_nbytes())
+            out["bytes_out"].append(len(blob))
+            out["checksum"].append(_checksum(cv))
+            out["min_key"].append(chunk_meta["min_key"])
+            out["max_key"].append(chunk_meta["max_key"])
+            out["min_key_num"].append(chunk_meta["min_key_num"])
+            out["max_key_num"].append(chunk_meta["max_key_num"])
+            out["val_min"].append(vmin)
+            out["val_max"].append(vmax)
+            out["val_min_str"].append(smin)
+            out["val_max_str"].append(smax)
+            out["key_bloom"].append(None)
+            out["snapshot_id"].append(chunk_meta["snapshot_id"])
+            out["blob"].append(blob)
+        return pa.RecordBatch.from_pydict(out, schema=_MANIFEST_PA)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cur = None
+        meta = None
+        val_parts: list[pa.Array] = []
+        pos_parts: list[np.ndarray] = []
+
+        def flush() -> pa.RecordBatch:
+            pos = np.concatenate(pos_parts)
+            n = len(pos)
+            if not (n and pos[0] == 0 and pos[-1] == n - 1
+                    and (np.diff(pos) == 1).all()):
+                raise ValueError(
+                    f"backfill group for chunk {cur!r} is not the exact "
+                    f"position permutation 0..{n - 1} — duplicate keys in "
+                    "the backfill batch, or a torn chunk group"
+                )
+            vals = pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in val_parts])
+            return rows_for(meta, vals)
+
+        for b in batches:
+            ck = b.column("chunk_key").to_pylist()
+            pos = b.column("pos").to_numpy(zero_copy_only=False)
+            vals = b.column("__bf_val")
+            starts = [0] + [
+                i for i in range(1, b.num_rows) if ck[i] != ck[i - 1]
+            ] + [b.num_rows]
+            for s, e in zip(starts[:-1], starts[1:]):
+                if s == e:
+                    continue
+                if ck[s] != cur:
+                    if cur is not None:
+                        yield flush()
+                    cur = ck[s]
+                    meta = {
+                        f: b.column(f)[s].as_py()
+                        for f in ("part_id", "chunk_id", "chunk_key",
+                                  "min_key", "max_key", "min_key_num",
+                                  "max_key_num", "snapshot_id")
+                    }
+                    val_parts, pos_parts = [], []
+                val_parts.append(vals.slice(s, e - s))
+                pos_parts.append(pos[s:e])
+        if cur is not None:
+            yield flush()
+
+    return fn
+
+
+def backfill_column(manifest_df, new_df, key_col: str, col_name: str,
+                    codec: str = "auto",
+                    target_page_size: int = DEFAULT_TARGET_PAGE_SIZE,
+                    num_partitions: int | None = None):
+    """SCHEMA EVOLUTION: add a column to an already-encoded corpus
+    without rewriting any existing blob — the feature-pipeline backfill
+    (scores, embeddings-derived stats, labels) that would otherwise
+    re-encode 100 TB to attach a few bytes per row.
+
+    ``new_df`` maps ``key_col`` -> ``col_name`` (key-unique; keys the
+    batch misses backfill as NULL via the ``#valid`` sub-column).
+    Dataflow: one pass decodes ONLY the key sub-column and explodes
+    (chunk, position, key); one shuffle joins the new values on the
+    key; one regroup re-chunks them in position order and encodes the
+    new column's manifest rows with fresh codec/zone maps/checksums —
+    the minimum data movement a corpus-wide join can have. Decode with
+    the EXTENDED schema afterwards; value_range prunes on the new
+    column's zone maps like any original column.
+
+    Temporal keys are refused in this version (normalize to epoch ints
+    yourself); list columns backfill like any other (#lengths/#values).
+    The returned manifest is not chunk-contiguous — decode on the
+    default path, or compact the checkpoint to restore the fast path.
+    """
+    from pyspark.sql import functions as F
+
+    key_ddl = _BF_KEY_DDL.get(
+        new_df.schema[key_col].dataType.simpleString())
+    if key_ddl is None:
+        raise TypeError(
+            f"backfill_column: unsupported key type "
+            f"{new_df.schema[key_col].dataType.simpleString()!r} — numeric "
+            "or string keys only (normalize temporal keys to epoch ints)"
+        )
+    if not _cheap_rescan(manifest_df):
+        # same re-evaluation hazard as delete_keys: the explode and the
+        # final union must see the SAME chunk keys
+        manifest_df = manifest_df.localCheckpoint(eager=True)
+    kdf = manifest_df.filter(F.col("column") == F.lit(key_col))
+    exploded = kdf.mapInArrow(
+        _make_key_explode_fn(key_col, key_ddl),
+        schema=(
+            "part_id int, chunk_id int, chunk_key string, min_key string, "
+            "max_key string, min_key_num double, max_key_num double, "
+            f"snapshot_id string, pos int, __bf_key {key_ddl}"
+        ),
+    )
+    vals = new_df.select(
+        F.col(key_col).cast(key_ddl).alias("__bf_key"),
+        F.col(col_name).alias("__bf_val"),
+    )
+    joined = exploded.join(vals, "__bf_key", "left")
+    n = num_partitions or max(
+        1, manifest_df.select("part_id").rdd.getNumPartitions())
+    grouped = joined.repartition(n, "chunk_key").sortWithinPartitions(
+        "chunk_key", "pos")
+    sidecol = grouped.mapInArrow(
+        make_backfill_encode_fn(col_name, codec, target_page_size),
+        schema=MANIFEST_DDL,
+    )
+    return manifest_df.unionByName(sidecol, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
 # shuffle-free decode of checkpointed manifests
 # ---------------------------------------------------------------------------
 #

@@ -136,6 +136,34 @@ UNION ALL
 SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents
 WHERE doc_id % 13 = 1
 """
+
+
+def q_roundtrip_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: backfill a derived int column onto the encoded
+    corpus for 90% of keys (the rest decode as NULL via #valid) — no
+    existing blob rewritten; one key-column decode + one join + one
+    regroup encode. Decode with the EXTENDED schema must equal the
+    oracle's computed column."""
+    from pyspark.sql import functions as F
+
+    from ..engine import backfill_column, decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = df.filter("doc_id % 10 <> 7").select(
+        "doc_id", (F.col("n_chars") % 997).cast("int").alias("tok_est"))
+    m = backfill_column(
+        encode_table(df, key_col="doc_id", codec="auto", num_partitions=8),
+        new, "doc_id", "tok_est")
+    ext = df.withColumn("tok_est", F.lit(None).cast("int")).schema
+    return decode_table(m, ext)
+
+
+ORACLE_ROUNDTRIP_BACKFILL = """
+SELECT doc_id, text, lang, source, n_chars,
+       CASE WHEN doc_id % 10 <> 7 THEN CAST(n_chars % 997 AS INT)
+            ELSE NULL END AS tok_est
+FROM documents
+"""
 ORACLE_ROUNDTRIP_LINEITEM = (
     "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus, "
     "l_shipdate FROM lineitem"
@@ -1861,6 +1889,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_documents": (q_roundtrip_documents, ORACLE_ROUNDTRIP_DOCUMENTS),
     "roundtrip_deleted": (q_roundtrip_deleted, ORACLE_ROUNDTRIP_DELETED),
     "roundtrip_upsert": (q_roundtrip_upsert, ORACLE_ROUNDTRIP_UPSERT),
+    "roundtrip_backfill": (q_roundtrip_backfill, ORACLE_ROUNDTRIP_BACKFILL),
     "roundtrip_lineitem": (q_roundtrip_lineitem, ORACLE_ROUNDTRIP_LINEITEM),
     "roundtrip_events": (q_roundtrip_events, ORACLE_ROUNDTRIP_EVENTS),
     "roundtrip_embeddings": (q_roundtrip_embeddings, ORACLE_ROUNDTRIP_EMBEDDINGS),
