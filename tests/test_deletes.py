@@ -365,3 +365,47 @@ def test_backfill_refuses_temporal_keys(spark):
     m = encode_table(sdf, key_col="ts", num_partitions=1)
     with pytest.raises(TypeError, match="unsupported key type"):
         backfill_column(m, sdf.select("ts", "v"), "ts", "v")
+
+
+# ---------------------------------------------------------------------------
+# distributed delete: unbounded key sets as a DataFrame
+# ---------------------------------------------------------------------------
+
+
+def test_delete_keys_df_matches_driver_path(spark, docs):
+    from wills_columnar_format_spark.engine import delete_keys_df
+
+    df, rows, victims = docs
+    kdf = spark.createDataFrame([(v,) for v in victims], "doc_id bigint")
+    m = delete_keys_df(encode_table(df, key_col="doc_id", num_partitions=4),
+                       kdf, "doc_id")
+    got = {r.doc_id: r for r in decode_table(m, df.schema).collect()}
+    assert set(got) == set(rows) - set(victims)
+    for d, r in got.items():
+        assert r == rows[d]
+    # idempotent replay: same key set -> same generation, dedup collapses
+    m2 = delete_keys_df(m, kdf, "doc_id")
+    assert decode_table(m2, df.schema).count() == len(got)
+
+
+def test_delete_keys_df_empty_and_checkpoint_fallback(spark, docs, tmp_path):
+    from wills_columnar_format_spark.engine import delete_keys_df
+
+    df, rows, victims = docs
+    base = encode_table(df, key_col="doc_id", num_partitions=4)
+    empty = spark.createDataFrame([], "doc_id bigint")
+    assert decode_table(delete_keys_df(base, empty, "doc_id"),
+                        df.schema).count() == len(rows)
+    # write the distributed-delete manifest as a checkpoint: torn layout
+    # (sidecars in their own partitions) -> decode_checkpoint falls back
+    # to the shuffling path and still masks correctly
+    kdf = spark.createDataFrame([(v,) for v in victims], "doc_id bigint")
+    ck = str(tmp_path / "ck")
+    import warnings
+
+    write_checkpoint(delete_keys_df(base, kdf, "doc_id"), ck,
+                     schema=df.schema)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = {r.doc_id for r in decode_checkpoint(spark, ck, df.schema).collect()}
+    assert got == set(rows) - set(victims)

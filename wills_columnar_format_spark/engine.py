@@ -1812,6 +1812,112 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
     return gen
 
 
+def make_positions_mark_fn(gen: str):
+    """Streaming group pass over (chunk meta, pos) hit rows sorted by
+    (chunk_key, pos): one deletion-vector sidecar row per chunk."""
+    column_name = DELETES_PREFIX + gen
+    meta_fields = ("part_id", "chunk_id", "chunk_key", "min_key", "max_key",
+                   "min_key_num", "max_key_num", "snapshot_id")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cur = None
+        meta = None
+        pos_parts: list[np.ndarray] = []
+
+        def flush() -> pa.RecordBatch:
+            pos = np.unique(np.concatenate(pos_parts))
+            blob = _encode_positions(pos)
+            row = {name: None for name, _ in MANIFEST_FIELDS}
+            row.update({f: meta[f] for f in meta_fields})
+            row.update({
+                "column": column_name, "codec": DELETES_CODEC,
+                "n_values": len(pos), "bytes_in": 0, "bytes_out": len(blob),
+                "checksum": _deletes_blob_checksum(blob), "blob": blob,
+            })
+            return pa.RecordBatch.from_pylist([row], schema=_MANIFEST_PA)
+
+        for b in batches:
+            ck = b.column("chunk_key").to_pylist()
+            pos = b.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = [0] + [
+                i for i in range(1, b.num_rows) if ck[i] != ck[i - 1]
+            ] + [b.num_rows]
+            for s, e in zip(starts[:-1], starts[1:]):
+                if s == e:
+                    continue
+                if ck[s] != cur:
+                    if cur is not None:
+                        yield flush()
+                    cur = ck[s]
+                    meta = {f: b.column(f)[s].as_py() for f in meta_fields}
+                    pos_parts = []
+                pos_parts.append(pos[s:e])
+        if cur is not None:
+            yield flush()
+
+    return fn
+
+
+def delete_keys_df(manifest_df, keys_df, key_col: str,
+                   num_partitions: int | None = None):
+    """Distributed ``delete_keys`` for UNBOUNDED key sets: the deleted
+    keys arrive as a DataFrame (one column named ``key_col``) instead
+    of a driver list, so a billion-key erasure never touches the
+    driver. Dataflow mirrors ``backfill_column``: decode ONLY the key
+    sub-column, explode (chunk, position, key), semi-join against the
+    key set (one shuffle), regroup hit positions per chunk into sidecar
+    rows. For SMALL key sets prefer ``delete_keys`` — its bloom/zone
+    mark pass decodes only the chunks that can match, where this path
+    decodes every chunk's keys once. Numeric/string keys (temporal: use
+    ``delete_keys``, which canonicalizes)."""
+    from pyspark.sql import functions as F
+
+    key_ddl = _BF_KEY_DDL.get(
+        keys_df.schema[key_col].dataType.simpleString())
+    if key_ddl is None:
+        raise TypeError(
+            f"delete_keys_df: unsupported key type "
+            f"{keys_df.schema[key_col].dataType.simpleString()!r} — numeric "
+            "or string key sets only (temporal sets: delete_keys)"
+        )
+    if not _cheap_rescan(manifest_df):
+        manifest_df = manifest_df.localCheckpoint(eager=True)
+    probe = keys_df.select(
+        F.col(key_col).cast(key_ddl).alias("__bf_key")).distinct()
+    if not _cheap_rescan(keys_df):
+        # the gen aggregate below and the semi-join both evaluate the
+        # probe — pin nondeterministic key sources once
+        probe = probe.localCheckpoint(eager=True)
+    # deterministic order-independent generation id from the DISTINCT
+    # key set: bit_xor of per-key xxhash64 (xor over a set is
+    # overflow-free and order-free) — same set, same gen, idempotent
+    # replay; distinct first, else duplicate keys would cancel in pairs
+    agg = probe.select(
+        F.expr("bit_xor(xxhash64(cast(__bf_key as string)))").alias("h"),
+        F.count("__bf_key").alias("n"),
+    ).collect()[0]
+    if not agg["n"]:
+        return manifest_df
+    gen = f"{(agg['h'] or 0) & 0xFFFFFFFFFFFF:012x}"
+    kdf = manifest_df.filter(F.col("column") == F.lit(key_col))
+    exploded = kdf.mapInArrow(
+        _make_key_explode_fn(key_col, key_ddl),
+        schema=(
+            "part_id int, chunk_id int, chunk_key string, min_key string, "
+            "max_key string, min_key_num double, max_key_num double, "
+            f"snapshot_id string, pos int, __bf_key {key_ddl}"
+        ),
+    )
+    hits = exploded.join(probe, "__bf_key", "left_semi")
+    n = num_partitions or max(
+        1, manifest_df.select("part_id").rdd.getNumPartitions())
+    grouped = hits.repartition(n, "chunk_key").sortWithinPartitions(
+        "chunk_key", "pos")
+    sidecars = grouped.mapInArrow(
+        make_positions_mark_fn(gen), schema=MANIFEST_DDL)
+    return manifest_df.unionByName(sidecars, allowMissingColumns=True)
+
+
 # ---------------------------------------------------------------------------
 # column backfill: schema evolution without rewriting existing columns
 # ---------------------------------------------------------------------------

@@ -106,6 +106,21 @@ ORACLE_ROUNDTRIP_DELETED = (
 )
 
 
+def q_roundtrip_deleted_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed delete: the key set arrives as a DataFrame (no driver
+    list — the billion-key erasure path): decode only the key
+    sub-column, one semi-join, sidecar rows per hit chunk. Same oracle
+    as the driver-list variant."""
+    from ..engine import decode_table, delete_keys_df, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kdf = df.filter("doc_id % 10 = 3").select("doc_id")
+    m = delete_keys_df(
+        encode_table(df, key_col="doc_id", codec="auto", num_partitions=8),
+        kdf, "doc_id")
+    return decode_table(m, df.schema)
+
+
 def q_roundtrip_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE into an encoded corpus: upper-cased replacements for
     doc_id % 7 == 2 plus brand-new docs (doc_id + 10^6) land via
@@ -1888,6 +1903,7 @@ REGISTRY: dict[str, tuple] = {
     # engine / codec operators (SURVEY.md §2.1 + §2.3)
     "roundtrip_documents": (q_roundtrip_documents, ORACLE_ROUNDTRIP_DOCUMENTS),
     "roundtrip_deleted": (q_roundtrip_deleted, ORACLE_ROUNDTRIP_DELETED),
+    "roundtrip_deleted_df": (q_roundtrip_deleted_df, ORACLE_ROUNDTRIP_DELETED),
     "roundtrip_upsert": (q_roundtrip_upsert, ORACLE_ROUNDTRIP_UPSERT),
     "roundtrip_backfill": (q_roundtrip_backfill, ORACLE_ROUNDTRIP_BACKFILL),
     "roundtrip_lineitem": (q_roundtrip_lineitem, ORACLE_ROUNDTRIP_LINEITEM),
