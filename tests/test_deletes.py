@@ -409,3 +409,30 @@ def test_delete_keys_df_empty_and_checkpoint_fallback(spark, docs, tmp_path):
         warnings.simplefilter("ignore")
         got = {r.doc_id for r in decode_checkpoint(spark, ck, df.schema).collect()}
     assert got == set(rows) - set(victims)
+
+
+def test_marker_certifies_sidecar_verdict(spark, docs, tmp_path):
+    """First full decode stamps has_deletes into the _clustered marker;
+    a False lets later decodes skip the sidecar scan entirely, and any
+    append invalidates it via the file signature."""
+    import json
+
+    from wills_columnar_format_spark.engine import _clustered_marker_rec
+
+    df, rows, victims = docs
+    ck = str(tmp_path / "ck")
+    write_checkpoint(encode_table(df, key_col="doc_id", num_partitions=4),
+                     ck, schema=df.schema)
+    assert decode_checkpoint(spark, ck, df.schema).count() == len(rows)
+    rec = _clustered_marker_rec(ck)
+    assert rec is not None and rec["has_deletes"] is False
+    # append a delete -> marker stale -> re-verify -> True
+    delete_keys_checkpoint(spark, ck, victims, "doc_id")
+    assert _clustered_marker_rec(ck) is None
+    assert decode_checkpoint(spark, ck, df.schema).count() == (
+        len(rows) - len(victims))
+    rec2 = _clustered_marker_rec(ck)
+    assert rec2 is not None and rec2["has_deletes"] is True
+    # and the deletes still apply on the marker-fresh second read
+    assert decode_checkpoint(spark, ck, df.schema).count() == (
+        len(rows) - len(victims))

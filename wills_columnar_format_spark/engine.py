@@ -2200,10 +2200,12 @@ def _manifest_file_sig(ckpt_dir: str) -> tuple[int, int]:
     return len(files), sum(i.size for i in files)
 
 
-def _clustered_marker_ok(ckpt_dir: str) -> bool:
-    """True when a `_clustered` marker exists AND the data files have not
-    changed since it was written (appends/rewrites invalidate it, so a
-    resumed checkpoint re-verifies instead of skipping the gate)."""
+def _clustered_marker_rec(ckpt_dir: str) -> dict | None:
+    """The `_clustered` marker's record when it exists AND the data files
+    have not changed since it was written (appends/rewrites invalidate
+    it, so a resumed checkpoint re-verifies instead of skipping the
+    gate); None otherwise. The record may carry ``has_deletes`` — a
+    False lets hot readers skip the deletion-vector scan too."""
     import json
 
     try:
@@ -2216,8 +2218,14 @@ def _clustered_marker_ok(ckpt_dir: str) -> bool:
             rec = json.loads(f.read().decode())
         n, size = _manifest_file_sig(ckpt_dir)
     except (OSError, ValueError):
-        return False
-    return rec.get("n_files") == n and rec.get("total_bytes") == size
+        return None
+    if rec.get("n_files") == n and rec.get("total_bytes") == size:
+        return rec
+    return None
+
+
+def _clustered_marker_ok(ckpt_dir: str) -> bool:
+    return _clustered_marker_rec(ckpt_dir) is not None
 
 
 _TABLE_SCHEMA_SIDECAR = "_table_schema"
@@ -2279,17 +2287,24 @@ def read_checkpoint_schema(ckpt_dir: str) -> pa.Schema | None:
         return None
 
 
-def _write_clustered_marker(ckpt_dir: str, sig: tuple[int, int] | None = None) -> None:
+def _write_clustered_marker(ckpt_dir: str, sig: tuple[int, int] | None = None,
+                            has_deletes: bool | None = None) -> None:
     """``sig`` must be the file signature captured BEFORE the layout was
     verified (callers pass the pre-gate snapshot): recomputing it here
     would stamp files a concurrent appender added AFTER verification,
-    and every later decode would trust an unverified layout."""
+    and every later decode would trust an unverified layout.
+    ``has_deletes=False`` additionally certifies the checkpoint carries
+    no deletion-vector sidecars (as of the same signature), letting hot
+    readers skip the sidecar scan; None means unknown (readers scan)."""
     import json
 
     fsys, p = _manifest_fs(ckpt_dir)
     n, size = sig if sig is not None else _manifest_file_sig(ckpt_dir)
+    rec = {"n_files": n, "total_bytes": size}
+    if has_deletes is not None:
+        rec["has_deletes"] = has_deletes
     with fsys.open_output_stream(f"{p.rstrip('/')}/{_CLUSTERED_MARKER}") as f:
-        f.write(json.dumps({"n_files": n, "total_bytes": size}).encode())
+        f.write(json.dumps(rec).encode())
 
 
 # Driver-side cap on the value-range hit-key set shipped to readers:
@@ -2443,6 +2458,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         pre_sig = _manifest_file_sig(ckpt_dir)
     except (OSError, ValueError):
         pre_sig = None
+    marker_rec = _clustered_marker_rec(ckpt_dir)
     fdf = _manifest_metadata(spark, ckpt_dir)
     from pyspark.sql import functions as F
 
@@ -2450,15 +2466,20 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     # from file discovery and the clustered gate (they live in appended
     # files by design), collected driver-side below and delivered to the
     # readers directly. Past the cap, the shuffling path streams them.
+    # A fresh marker certifying has_deletes=False skips the sidecar scan
+    # — the hot point-lookup service pays zero per-query metadata jobs.
     fdf = fdf.filter(~F.col("column").startswith(DELETES_PREFIX))
     dsel = ["chunk_key", "blob"] + (["checksum"] if verify_checksums else [])
-    drows = (
-        spark.read.parquet(ckpt_dir)
-        .filter(F.col("column").startswith(DELETES_PREFIX))
-        .select(*dsel)
-        .limit(DELETES_COLLECT_MAX + 1)
-        .collect()
-    )
+    if marker_rec is not None and marker_rec.get("has_deletes") is False:
+        drows = []
+    else:
+        drows = (
+            spark.read.parquet(ckpt_dir)
+            .filter(F.col("column").startswith(DELETES_PREFIX))
+            .select(*dsel)
+            .limit(DELETES_COLLECT_MAX + 1)
+            .collect()
+        )
     extra_deletes = None
     if drows:
         if len(drows) > DELETES_COLLECT_MAX:
@@ -2511,8 +2532,17 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     # entirely as long as the data files are unchanged — a hot
     # point-lookup service re-verifies once per checkpoint, not per
     # query. Appends invalidate the marker via the file signature.
-    gate_ok = _clustered_marker_ok(ckpt_dir)
+    gate_ok = marker_rec is not None
     full_gate = key_range is None and phys is None and keys is None
+    if (gate_ok and full_gate and pre_sig is not None
+            and "has_deletes" not in marker_rec):
+        # upgrade a pre-deletion-vector marker in place: same signature,
+        # now also certifying the sidecar verdict this call just scanned
+        try:
+            _write_clustered_marker(ckpt_dir, sig=pre_sig,
+                                    has_deletes=bool(drows))
+        except (OSError, ValueError):
+            pass
     if not gate_ok:
         gate_ok = _checkpoint_is_clustered(fdf)
         # the marker stamps pre_sig — the signature captured before the
@@ -2521,7 +2551,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         # fails and re-verifies (never trusts never-verified files)
         if gate_ok and full_gate and pre_sig is not None:
             try:
-                _write_clustered_marker(ckpt_dir, sig=pre_sig)
+                _write_clustered_marker(ckpt_dir, sig=pre_sig,
+                                        has_deletes=bool(drows))
             except (OSError, ValueError):
                 pass  # read-only / non-pyarrow-fs dir: just skip the cache
     if not gate_ok:
@@ -2650,7 +2681,9 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
         # layout contract as a fresh encode_table checkpoint write
         manifest.write.parquet(dst_dir)
         try:
-            _write_clustered_marker(dst_dir)
+            # a re-encoding compaction materializes every mask — the new
+            # checkpoint is certified sidecar-free
+            _write_clustered_marker(dst_dir, has_deletes=False)
             write_checkpoint_schema(dst_dir, schema)  # stays self-describing
         except (OSError, ValueError):
             pass
@@ -3055,11 +3088,19 @@ def runs_table(manifest_df, column: str):
 
 
 def manifest_summary(manifest_df):
-    """Per-column codec + size metrics from the lineage manifest."""
+    """Per-column codec + size metrics from the lineage manifest.
+    Deletion-vector generations coalesce under one ``__deletes__`` row
+    (n_values = total masked positions, an upper bound under
+    overlapping generations)."""
     from pyspark.sql import functions as F
 
     return (
         manifest_df.filter(F.col("column") != DONE_COLUMN)
+        .withColumn(
+            "column",
+            F.when(F.col("column").startswith(DELETES_PREFIX),
+                   F.lit(DELETES_PREFIX)).otherwise(F.col("column")),
+        )
         .groupBy("column", "codec")
         .agg(
             F.count("*").alias("n_chunks"),
@@ -3067,7 +3108,12 @@ def manifest_summary(manifest_df):
             F.sum("bytes_in").alias("bytes_in"),
             F.sum("bytes_out").alias("bytes_out"),
         )
-        .withColumn("ratio", F.round(F.col("bytes_out") / F.col("bytes_in"), 4))
+        .withColumn(
+            "ratio",
+            # deletion-vector rows have bytes_in=0 (they encode nothing)
+            F.when(F.col("bytes_in") > 0,
+                   F.round(F.col("bytes_out") / F.col("bytes_in"), 4)),
+        )
     )
 
 
