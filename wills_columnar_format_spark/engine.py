@@ -344,6 +344,25 @@ def _sub_columns(name: str, arr: pa.Array, allow_nulls: bool = False) -> list[tu
     """
     arr = _normalize_temporal(arr)
     out: list[tuple[str, ColumnValues]] = []
+    if pa.types.is_struct(arr.type):
+        # struct fields shred to one flat sub-column tree per child
+        # (``name#f:<field>``, recursive) — the columnar-shredding view
+        # of nested data: each leaf gets its own codec, checksum, and
+        # value zone map like any top-level column. ``flatten()`` masks
+        # child slots under null parents (canonical: garbage child
+        # values under a null struct never reach the encoder).
+        if arr.null_count:
+            if not allow_nulls:
+                raise dtypes.UnsupportedDataType(
+                    f"column {name!r} contains nulls; the format is "
+                    "null-free by default (reference src/lib.rs:59-66) — "
+                    "pass allow_nulls=True"
+                )
+            valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
+            out.append((f"{name}#valid", ColumnValues.from_numpy(valid)))
+        for f, child in zip(arr.type, arr.flatten()):
+            out.extend(_sub_columns(f"{name}#f:{f.name}", child, allow_nulls))
+        return out
     is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
     if arr.null_count:
         if not allow_nulls:
@@ -782,6 +801,19 @@ def _decode_blob(blob: bytes) -> ColumnValues:
 
 def _rebuild_field(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
     t = field.type
+    if pa.types.is_struct(t):
+        # regroup the shredded ``name#f:<field>`` sub-column trees;
+        # parent validity rides the from_arrays mask (pc.if_else has no
+        # struct kernel)
+        children = [
+            _rebuild_field(pa.field(f"{field.name}#f:{f.name}", f.type), cvs)
+            for f in t
+        ]
+        vkey = f"{field.name}#valid"
+        mask = None
+        if vkey in cvs:
+            mask = pa.array(~cvs[vkey].vals.astype(bool))
+        return pa.StructArray.from_arrays(children, fields=list(t), mask=mask)
     arr = _rebuild_values(field, cvs)
     vkey = f"{field.name}#valid"
     if vkey in cvs:
@@ -790,6 +822,20 @@ def _rebuild_field(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
         valid = cvs[vkey].vals.astype(bool)
         arr = pc.if_else(pa.array(valid), arr, pa.scalar(None, type=arr.type))
     return arr
+
+
+def _phys_sub_names(name: str, t: pa.DataType) -> list[str]:
+    """Every manifest sub-column name a logical field of type ``t`` may be
+    stored under (the read-side mirror of ``_sub_columns``' naming):
+    scalars as ``name`` (+ ``#valid``), lists as ``#lengths``/``#values``
+    (+ ``#valid``), structs as one recursive ``name#f:<field>`` tree per
+    child (+ ``#valid``)."""
+    if pa.types.is_struct(t):
+        out = [f"{name}#valid"]
+        for f in t:
+            out.extend(_phys_sub_names(f"{name}#f:{f.name}", f.type))
+        return out
+    return [name, f"{name}#lengths", f"{name}#values", f"{name}#valid"]
 
 
 def _rebuild_values(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
@@ -904,11 +950,7 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False,
     # only the sub-columns the output schema references are decoded —
     # a projection decode must not pay decompression for columns it
     # never returns (verification consequently covers the decoded set)
-    needed = {
-        s
-        for f in out_schema
-        for s in (f.name, f"{f.name}#lengths", f"{f.name}#values", f"{f.name}#valid")
-    }
+    needed = {s for f in out_schema for s in _phys_sub_names(f.name, f.type)}
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending_key = None
@@ -1040,7 +1082,9 @@ def _project_out_schema(out_schema: pa.Schema, columns):
     if missing:
         raise KeyError(f"columns not in schema: {missing}")
     pruned = pa.schema([out_schema.field(c) for c in wanted])
-    phys = [s for c in wanted for s in (c, f"{c}#lengths", f"{c}#values", f"{c}#valid")]
+    phys = [
+        s for c in wanted for s in _phys_sub_names(c, out_schema.field(c).type)
+    ]
     return pruned, phys
 
 
@@ -1075,13 +1119,47 @@ def _zone_keep_expr(key_range, legacy_nan_zonemaps: bool):
     return (mx >= F.lit(lo)) & (mn <= F.lit(hi))
 
 
+def _resolve_value_field(out_schema: pa.Schema, vcol: str):
+    """Resolve a value_range target — a top-level column name or a
+    struct leaf in manifest sub-column spelling (``name#f:child``,
+    arbitrarily nested) — to its Arrow type and the Spark Column
+    expression the exact post-filter evaluates it with."""
+    from pyspark.sql import functions as F
+
+    parts = vcol.split("#f:")
+    if out_schema.get_field_index(parts[0]) < 0:
+        raise KeyError(
+            f"value_range column {vcol!r} must be in the decoded output "
+            "(the zone-map prune is approximate; the exact row filter "
+            "needs the column)"
+        )
+    t = out_schema.field(parts[0]).type
+    expr = F.col(parts[0])
+    for p in parts[1:]:
+        if not pa.types.is_struct(t):
+            raise KeyError(
+                f"value_range column {vcol!r}: {t} has no struct field {p!r}"
+            )
+        names = [f.name for f in t]
+        if p not in names:
+            raise KeyError(
+                f"value_range column {vcol!r}: struct has no field {p!r} "
+                f"(fields: {names})"
+            )
+        t = t.field(names.index(p)).type
+        expr = expr.getField(p)
+    return t, expr
+
+
 def _prepare_value_range(out_schema: pa.Schema, value_range):
     """Resolve a ``value_range`` request against the output schema:
-    returns ``(vcol, zone_lo, zone_hi, lit_lo, lit_hi)`` — numeric
+    returns ``(vcol, zone_lo, zone_hi, lit_lo, lit_hi, expr)`` — numeric
     bounds for the zone-map prune (zone maps store the NORMALIZED
     values: temporal columns ride the integer codecs as epoch
-    micros/days, engine._normalize_temporal) and typed Spark literals
-    for the exact row filter. Supports numeric columns, TIMESTAMP_NTZ
+    micros/days, engine._normalize_temporal), typed Spark literals
+    for the exact row filter, and the Column expression to filter on
+    (``F.col(name)``, or a getField chain for struct leaves addressed
+    as ``name#f:child``). Supports numeric columns, TIMESTAMP_NTZ
     (naive datetime bounds; the literal shift through the session tz
     cancels on the cast back to NTZ) and DATE (date bounds)."""
     from datetime import date, datetime, timedelta
@@ -1089,21 +1167,15 @@ def _prepare_value_range(out_schema: pa.Schema, value_range):
     from pyspark.sql import functions as F
 
     vcol, lo, hi = value_range
-    if out_schema.get_field_index(vcol) < 0:
-        raise KeyError(
-            f"value_range column {vcol!r} must be in the decoded output "
-            "(the zone-map prune is approximate; the exact row filter "
-            "needs the column)"
-        )
-    t = out_schema.field(vcol).type
+    t, expr = _resolve_value_field(out_schema, vcol)
     if pa.types.is_integer(t) or pa.types.is_floating(t):
-        return vcol, lo, hi, F.lit(lo), F.lit(hi)
+        return vcol, lo, hi, F.lit(lo), F.lit(hi), expr
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         if not all(isinstance(b, str) for b in (lo, hi)):
             raise TypeError(
                 f"value_range on STRING column {vcol!r} takes str bounds"
             )
-        return vcol, lo, hi, F.lit(lo), F.lit(hi)
+        return vcol, lo, hi, F.lit(lo), F.lit(hi), expr
     if pa.types.is_timestamp(t) and t.tz is None and t.unit == "us":
         if not all(isinstance(b, datetime) and b.tzinfo is None for b in (lo, hi)):
             raise TypeError(
@@ -1120,12 +1192,12 @@ def _prepare_value_range(out_schema: pa.Schema, value_range):
         fmt = "%Y-%m-%d %H:%M:%S.%f"
         return (vcol, zlo, zhi,
                 F.lit(lo.strftime(fmt)).cast("timestamp_ntz"),
-                F.lit(hi.strftime(fmt)).cast("timestamp_ntz"))
+                F.lit(hi.strftime(fmt)).cast("timestamp_ntz"), expr)
     if pa.types.is_date32(t):
         if not all(isinstance(b, date) and not isinstance(b, datetime) for b in (lo, hi)):
             raise TypeError(f"value_range on DATE column {vcol!r} takes date bounds")
         d0 = date(1970, 1, 1)
-        return vcol, (lo - d0).days, (hi - d0).days, F.lit(lo), F.lit(hi)
+        return vcol, (lo - d0).days, (hi - d0).days, F.lit(lo), F.lit(hi), expr
     raise TypeError(
         f"value_range does not support column {vcol!r} of type {t} — "
         "numeric, STRING, TIMESTAMP_NTZ (us), and DATE columns carry "
@@ -1571,7 +1643,7 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     if keys is not None and key_col is not None:
         out = _filter_by_key_set(out, key_col, keys)
     for v in vrs:
-        out = out.filter((F.col(v[0]) >= v[3]) & (F.col(v[0]) <= v[4]))
+        out = out.filter((v[5] >= v[3]) & (v[5] <= v[4]))
     return out
 
 
@@ -2617,7 +2689,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     if keys is not None and key_col is not None:
         out = _filter_by_key_set(out, key_col, keys)
     for v in vrs:
-        out = out.filter((F.col(v[0]) >= v[3]) & (F.col(v[0]) <= v[4]))
+        out = out.filter((v[5] >= v[3]) & (v[5] <= v[4]))
     return out
 
 

@@ -613,6 +613,76 @@ ORACLE_VALUE_RANGE_STRING = (
 _POINT_KEYS = list(range(7, 491, 35))
 
 
+def q_roundtrip_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT column roundtrip: events columns regrouped as a nested
+    struct (``ev.etype``, ``ev.val``, ``ev.nested.t``), shredded by the
+    encoder into one flat sub-column per leaf (``ev#f:etype``,
+    ``ev#f:nested#f:t``, ... — Dremel-style columnar shredding, an
+    engine extension over the reference's flat-scalar format,
+    src/lib.rs:59-66), each leaf with its own codec/checksum/zone maps,
+    regrouped losslessly on decode. Emitted flat so the cross-engine
+    value hash compares scalars."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.col("value").alias("val"),
+            F.struct(F.col("ts").alias("t")).alias("nested"),
+        ).alias("ev"),
+    )
+    m = encode_table(df, key_col="event_id", codec="auto", num_partitions=8)
+    dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
+    return dec.select(
+        "event_id",
+        "user_id",
+        F.col("ev.etype").alias("etype"),
+        F.col("ev.val").alias("val"),
+        F.col("ev.nested.t").alias("t"),
+    )
+
+
+ORACLE_ROUNDTRIP_STRUCT = (
+    "SELECT event_id, user_id, event_type AS etype, value AS val, ts AS t "
+    "FROM events"
+)
+
+
+def q_value_range_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown addressed at a STRUCT LEAF: the shredded leaf
+    sub-column carries value zone maps like any flat column, so
+    ``value_range=("ev#f:val", lo, hi)`` prunes chunks by the leaf's
+    [val_min, val_max] before any blob decodes, then exact-filters via
+    the equivalent ``getField`` expression."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.col("value").alias("val"),
+        ).alias("ev"),
+    )
+    m = encode_table(df, key_col="event_id", codec="auto", num_partitions=8,
+                     chunk_rows=1024)
+    dec = decode_table(m, df.schema, value_range=("ev#f:val", 120.0, 250.0))
+    return dec.select(
+        "event_id",
+        "user_id",
+        F.col("ev.etype").alias("etype"),
+        F.col("ev.val").alias("val"),
+    )
+
+
+ORACLE_VALUE_RANGE_STRUCT = (
+    "SELECT event_id, user_id, event_type AS etype, value AS val "
+    "FROM events WHERE value BETWEEN 120.0 AND 250.0"
+)
+
+
 def q_point_lookup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-point lookup on a checkpointed manifest: a working set of
     doc_ids fetched in ONE shuffle-free decode — whole manifest files
@@ -1924,6 +1994,8 @@ REGISTRY: dict[str, tuple] = {
     "value_range_time": (q_value_range_time, ORACLE_VALUE_RANGE_TIME),
     "value_range_multi": (q_value_range_multi, ORACLE_VALUE_RANGE_MULTI),
     "value_range_string": (q_value_range_string, ORACLE_VALUE_RANGE_STRING),
+    "roundtrip_struct": (q_roundtrip_struct, ORACLE_ROUNDTRIP_STRUCT),
+    "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
     "point_lookup_keys": (q_point_lookup_keys, ORACLE_POINT_LOOKUP_KEYS),
     "point_lookup_bloom": (q_point_lookup_bloom, ORACLE_POINT_LOOKUP_KEYS),
