@@ -312,11 +312,13 @@ def _encode_one(col: ColumnValues, codec: str, target_page_size: int):
 
 def _normalize_temporal(arr: pa.Array) -> pa.Array:
     """Logical types ride the integer codecs: timestamps as int64 epoch
-    units, dates as int32 days, booleans as uint8 (the reference's
-    width-coarsening philosophy, src/lib.rs:103-108 — the footer stores
-    the integer class; the table schema restores the logical type on
-    decode). Monotonic event times then hit the delta codec's best
-    case; bool flags hit RLE's."""
+    units, dates as int32 days, booleans as uint8, decimals (precision
+    <= 18) as int64 UNSCALED values (the reference's width-coarsening
+    philosophy, src/lib.rs:103-108 — the footer stores the integer
+    class; the table schema restores the logical type on decode).
+    Monotonic event times then hit the delta codec's best case; bool
+    flags hit RLE's; money columns (fixed scale, narrow dynamic range)
+    hit frame-of-reference/bit-packing's."""
     t = arr.type
     if pa.types.is_boolean(t):
         return arr.cast(pa.uint8())
@@ -326,7 +328,45 @@ def _normalize_temporal(arr: pa.Array) -> pa.Array:
         return arr.cast(pa.int32())
     if pa.types.is_date64(t):
         return arr.cast(pa.int64())
+    if pa.types.is_decimal(t):
+        return _decimal_to_unscaled(arr)
     return arr
+
+
+def _decimal_to_unscaled(arr: pa.Array) -> pa.Array:
+    """decimal128(p<=18, s) -> int64 of the UNSCALED value, exactly (no
+    float detour: 10^18 > 2^53). The decimal128 data buffer is 16-byte
+    little-endian two's complement; for p<=18 every value fits int64, so
+    the low word REINTERPRETED as int64 IS the value (the high word is
+    its sign extension). Nulls are preserved (null slots' buffer bytes
+    are garbage and masked out)."""
+    t = arr.type
+    if t.precision > 18:
+        raise dtypes.UnsupportedDataType(
+            f"decimal precision {t.precision} exceeds 18 — the unscaled "
+            "value must fit the widest integer codec lane (int64)"
+        )
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    buf = arr.buffers()[1]
+    words = np.frombuffer(buf, dtype=np.int64, count=2 * (arr.offset + len(arr)))
+    unscaled = words.reshape(-1, 2)[arr.offset:, 0].copy()
+    if arr.null_count:
+        mask = ~arr.is_valid().to_numpy(zero_copy_only=False)
+        return pa.array(unscaled, type=pa.int64(), mask=mask)
+    return pa.array(unscaled, type=pa.int64())
+
+
+def _unscaled_to_decimal(vals: np.ndarray, t: pa.DataType) -> pa.Array:
+    """int64 unscaled values -> decimal128(p, s), the inverse of
+    ``_decimal_to_unscaled``: widen each value to its 16-byte two's
+    complement (low word = value, high word = sign extension)."""
+    v = vals.astype(np.int64)
+    words = np.empty((len(v), 2), dtype=np.int64)
+    words[:, 0] = v
+    words[:, 1] = -(v < 0).astype(np.int64)
+    return pa.Array.from_buffers(
+        t, len(v), [None, pa.py_buffer(words.tobytes())]
+    )
 
 
 def _sub_columns(name: str, arr: pa.Array, allow_nulls: bool = False) -> list[tuple[str, ColumnValues]]:
@@ -847,7 +887,11 @@ def _rebuild_values(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
         offsets = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
         elem_t = t.value_type
-        if vals_cv.vals is not None:
+        if pa.types.is_decimal(elem_t):
+            # int64 -> decimal CAST would rescale (treats the int as a
+            # whole number); rebuild from the unscaled words instead
+            values = _unscaled_to_decimal(vals_cv.vals, elem_t)
+        elif vals_cv.vals is not None:
             values = pa.array(vals_cv.vals.astype(_ARROW_NP.get(elem_t, np.int64)), type=elem_t)
         else:
             values = vals_cv.to_arrow().cast(elem_t)
@@ -856,6 +900,10 @@ def _rebuild_values(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
         return pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32), type=pa.int32()), values)
     cv = cvs[field.name]
     if cv.vals is not None:
+        if pa.types.is_decimal(t):
+            # stored as int64 UNSCALED (_normalize_temporal); a cast
+            # would rescale, so rebuild from the raw words
+            return _unscaled_to_decimal(cv.vals, t)
         npt = _ARROW_NP.get(t)
         if npt is None and (
             pa.types.is_timestamp(t) or pa.types.is_date(t)
@@ -1101,6 +1149,8 @@ def _zone_keep_expr(key_range, legacy_nan_zonemaps: bool):
 
     from pyspark.sql import functions as F
 
+    import decimal as _dec
+
     lo, hi = key_range
     if isinstance(lo, date) or isinstance(hi, date):  # datetime is a date
         raise TypeError(
@@ -1108,6 +1158,13 @@ def _zone_keep_expr(key_range, legacy_nan_zonemaps: bool):
             "value_range=(key_col, lo, hi): the key sub-column carries "
             "value zone maps too, and that path builds the exact NTZ/"
             "DATE filters timezone-free"
+        )
+    if isinstance(lo, _dec.Decimal) or isinstance(hi, _dec.Decimal):
+        raise TypeError(
+            "key_range does not take decimal.Decimal bounds — use "
+            "value_range=(key_col, lo, hi): the key sub-column carries "
+            "value zone maps over the UNSCALED form, and that path "
+            "scales the bounds exactly"
         )
     if isinstance(lo, (int, float)) and not isinstance(lo, bool):
         mn, mx = F.col("min_key_num"), F.col("max_key_num")
@@ -1198,6 +1255,25 @@ def _prepare_value_range(out_schema: pa.Schema, value_range):
             raise TypeError(f"value_range on DATE column {vcol!r} takes date bounds")
         d0 = date(1970, 1, 1)
         return vcol, (lo - d0).days, (hi - d0).days, F.lit(lo), F.lit(hi), expr
+    if pa.types.is_decimal(t):
+        import decimal as _dec
+
+        if not all(isinstance(b, _dec.Decimal) for b in (lo, hi)):
+            raise TypeError(
+                f"value_range on DECIMAL column {vcol!r} takes "
+                "decimal.Decimal bounds"
+            )
+        # zone maps hold the int64 UNSCALED values as float64; scale the
+        # bounds (floor/ceil keeps them conservative for fractional
+        # bounds finer than the scale) and widen one ulp each way — at
+        # unscaled magnitudes past 2^53 the nearest-double rounding of
+        # the bound itself could otherwise shave a qualifying chunk.
+        # The exact post-filter compares true decimal literals.
+        zlo = np.nextafter(np.float64(int(
+            (lo.scaleb(t.scale)).to_integral_value(_dec.ROUND_FLOOR))), -np.inf)
+        zhi = np.nextafter(np.float64(int(
+            (hi.scaleb(t.scale)).to_integral_value(_dec.ROUND_CEILING))), np.inf)
+        return vcol, float(zlo), float(zhi), F.lit(lo), F.lit(hi), expr
     raise TypeError(
         f"value_range does not support column {vcol!r} of type {t} — "
         "numeric, STRING, TIMESTAMP_NTZ (us), and DATE columns carry "
@@ -1273,6 +1349,14 @@ def _keys_kind(keys) -> str:
     ks = list(keys)
     if not ks:
         return "empty"
+    import decimal as _dec
+
+    if any(isinstance(k, _dec.Decimal) for k in ks):
+        raise TypeError(
+            "keys= does not take decimal.Decimal values — the key zone "
+            "maps store the UNSCALED integer form; use value_range="
+            "(key_col, k, k), which scales the bounds exactly"
+        )
     is_num = [isinstance(k, (int, float)) and not isinstance(k, bool) for k in ks]
     if all(is_num):
         return "num"

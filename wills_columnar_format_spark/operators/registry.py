@@ -250,6 +250,44 @@ FROM documents
 """
 
 
+_DECIMAL_EXPR = (
+    "CAST(CONCAT(CAST(l_orderkey % 100000 AS STRING), '.', "
+    "LPAD(CAST((l_orderkey * 7 + l_linenumber) % 100 AS STRING), 2, '0')) "
+    "AS DECIMAL(12,2))"
+)
+
+
+def q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL columns (exact money types) ride the integer codecs as
+    int64 UNSCALED values (engine._normalize_temporal; the table schema
+    restores precision/scale on decode — no float detour, 10^18 > 2^53).
+    The decimal is built from integers via exact string parsing on BOTH
+    engines (double->decimal rounding is not cross-engine stable) and
+    emitted as its canonical string rendering for the value hash."""
+    from pyspark.sql import functions as F
+
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_DECIMAL_EXPR).alias("amt"),
+    )
+    m = encode_table(df, key_col="l_orderkey", codec="auto", num_partitions=8)
+    dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
+    return dec.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("amt").cast("string").alias("amt_str"),
+    )
+
+
+ORACLE_ROUNDTRIP_DECIMAL = (
+    "SELECT l_orderkey, l_linenumber, "
+    f"CAST({_DECIMAL_EXPR} AS VARCHAR) AS amt_str FROM lineitem"
+)
+
+
 def q_roundtrip_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming incremental encode: the documents table lands
     as files in a watched directory, encode_stream drains them via
@@ -1981,6 +2019,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_embeddings": (q_roundtrip_embeddings, ORACLE_ROUNDTRIP_EMBEDDINGS),
     "roundtrip_nullable": (q_roundtrip_nullable, ORACLE_ROUNDTRIP_NULLABLE),
     "roundtrip_bool": (q_roundtrip_bool, ORACLE_ROUNDTRIP_BOOL),
+    "roundtrip_decimal": (q_roundtrip_decimal, ORACLE_ROUNDTRIP_DECIMAL),
     "roundtrip_streaming": (q_roundtrip_streaming, ORACLE_ROUNDTRIP_DOCUMENTS),
     "stream_window_counts": (q_stream_window_counts, DUCK_STREAM_WINDOW_COUNTS),
     "stream_window_append": (q_stream_window_append, DUCK_STREAM_WINDOW_APPEND),
