@@ -1858,15 +1858,18 @@ def delete_keys(manifest_df, keys, key_col: str):
     return manifest_df.unionByName(sidecars, allowMissingColumns=True)
 
 
-def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str) -> str:
+def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str,
+                           _log: bool = True) -> str:
     """``delete_keys`` for a persisted checkpoint: appends the sidecar
     rows as new parquet files in the checkpoint dir (the append changes
     the file signature, so the ``_clustered`` marker self-invalidates
     and readers re-verify). ``decode_checkpoint`` keeps its shuffle-free
     fast path by delivering the (tiny) sidecars out-of-band; a plain
     ``compact_checkpoint`` re-clusters them next to their chunks, and a
-    re-encoding compaction materializes the deletes. Returns the
-    generation id written."""
+    re-encoding compaction materializes the deletes. On a logged
+    checkpoint (write_checkpoint) the appended files are recorded as a
+    ``delete`` commit, so earlier snapshots stay time-travel readable.
+    Returns the generation id written."""
     from pyspark.sql import functions as F
 
     probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
@@ -1884,7 +1887,11 @@ def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str) -> str:
     sidecars = mdf.select(*cols).mapInArrow(
         _make_mark_fn(probe, gen, key_col), schema=MANIFEST_DDL
     )
+    before = _list_data_files(ckpt_dir) if _log else None
     sidecars.write.mode("append").parquet(ckpt_dir)
+    if _log and read_commit_log(ckpt_dir) is not None:
+        added = sorted(set(_list_data_files(ckpt_dir)) - set(before))
+        _append_commit(ckpt_dir, "delete", gen, added)
     return gen
 
 
@@ -1957,14 +1964,21 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
     keys (sidecar append), then appends the new generation's manifest
     files. Each encode task's output is one chunk-clustered file, so the
     clustered gate re-verifies and the shuffle-free decode path SURVIVES
-    the merge — reads stay zero-Exchange. Returns the generation id."""
+    the merge — reads stay zero-Exchange. On a logged checkpoint both
+    appends (mask sidecars + new generation) land as ONE ``upsert``
+    commit, so no time-travel snapshot ever sees the deleted-but-not-
+    reinserted intermediate state. Returns the generation id."""
     keys = _collect_upsert_keys(new_df, key_col)
-    delete_keys_checkpoint(spark, ckpt_dir, keys, key_col)
+    before = _list_data_files(ckpt_dir)
+    delete_keys_checkpoint(spark, ckpt_dir, keys, key_col, _log=False)
     gen = _deletes_generation(list(dict.fromkeys(_canon_temporal_keys(keys))))
     newm = _salt_chunk_keys(
         encode_table(new_df, key_col=key_col, **encode_kwargs), gen
     )
     newm.write.mode("append").parquet(ckpt_dir)
+    if read_commit_log(ckpt_dir) is not None:
+        added = sorted(set(_list_data_files(ckpt_dir)) - set(before))
+        _append_commit(ckpt_dir, "upsert", gen, added)
     return gen
 
 
@@ -2398,11 +2412,136 @@ def write_checkpoint(manifest_df, ckpt_dir: str, schema=None,
     Spark StructType or Arrow schema; defaults to none (plain write).
     ``mode`` passes through to the parquet writer ("error"/"append"/
     "overwrite"); the sidecar is (re)written after the data so an
-    appended layout keeps its schema."""
+    appended layout keeps its schema.
+
+    Also starts (or extends) the checkpoint's COMMIT LOG (``_commits/``
+    sidecar dir): every ``write_checkpoint`` / ``delete_keys_checkpoint``
+    / ``upsert_checkpoint`` records which data files it added, giving
+    the checkpoint snapshot TIME TRAVEL — ``decode_checkpoint(...,
+    as_of=seq)`` reads the table exactly as commit ``seq`` left it
+    (the Delta/Iceberg snapshot idea on this format: mutations only
+    ever APPEND files, so a snapshot is precisely a file subset)."""
+    before = _list_data_files(ckpt_dir) if mode == "append" else None
     manifest_df.write.mode(mode).parquet(ckpt_dir)
     if schema is not None:
         write_checkpoint_schema(ckpt_dir, schema)
+    after = _list_data_files(ckpt_dir)
+    if before:
+        _append_commit(ckpt_dir, "append", "",
+                       sorted(set(after) - set(before)))
+    else:
+        _append_commit(ckpt_dir, "create", "", after)
     return ckpt_dir
+
+
+_COMMITS_DIR = "_commits"
+
+
+def _list_data_files(ckpt_dir: str) -> list[str]:
+    """Sorted base names of the checkpoint's data files (sidecar files
+    and dirs — ``_*``/``.*`` — excluded), or [] when the dir does not
+    exist yet."""
+    from pyarrow import fs as pafs
+
+    try:
+        fsys, p = _manifest_fs(ckpt_dir)
+        infos = fsys.get_file_info(pafs.FileSelector(p, recursive=False))
+    except (OSError, ValueError):
+        return []
+    return sorted(
+        i.base_name for i in infos
+        if i.type == pafs.FileType.File
+        and not i.base_name.startswith(("_", "."))
+    )
+
+
+def read_commit_log(ckpt_dir: str) -> list[dict] | None:
+    """The checkpoint's commit records sorted by ``seq`` (each:
+    ``{"seq", "action", "generation", "files"}``), or None when the
+    checkpoint carries no ``_commits/`` log (written by paths other
+    than write_checkpoint, or predating it)."""
+    import json
+
+    from pyarrow import fs as pafs
+
+    try:
+        fsys, p = _manifest_fs(ckpt_dir)
+        cdir = f"{p.rstrip('/')}/{_COMMITS_DIR}"
+        infos = fsys.get_file_info(pafs.FileSelector(cdir, recursive=False))
+    except (OSError, ValueError):
+        return None
+    recs = []
+    for i in infos:
+        if i.type != pafs.FileType.File or not i.base_name.endswith(".json"):
+            continue
+        with fsys.open_input_stream(i.path) as f:
+            recs.append(json.loads(f.read().decode()))
+    return sorted(recs, key=lambda r: r["seq"]) or None
+
+
+def _append_commit(ckpt_dir: str, action: str, generation: str,
+                   files: list[str]) -> int | None:
+    """Record one commit (single-writer model — same assumption every
+    marker/append path here makes). Returns the new seq, or None when
+    the log could not be written (read-only dir: the log is an opt-in
+    feature, never a failed write)."""
+    import json
+
+    try:
+        fsys, p = _manifest_fs(ckpt_dir)
+        cdir = f"{p.rstrip('/')}/{_COMMITS_DIR}"
+        prior = read_commit_log(ckpt_dir)
+        seq = (prior[-1]["seq"] + 1) if prior else 0
+        try:
+            fsys.create_dir(cdir, recursive=True)
+        except (OSError, ValueError):
+            pass
+        rec = {"seq": seq, "action": action, "generation": generation,
+               "files": sorted(files)}
+        with fsys.open_output_stream(f"{cdir}/{seq:06d}.json") as f:
+            f.write(json.dumps(rec).encode())
+        return seq
+    except (OSError, ValueError):
+        return None
+
+
+def _files_as_of(ckpt_dir: str, as_of: int) -> list[str]:
+    """Data-file base names visible at commit ``as_of`` (inclusive)."""
+    log = read_commit_log(ckpt_dir)
+    if log is None:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _commits log — time "
+            "travel needs checkpoints written via write_checkpoint / "
+            "delete_keys_checkpoint / upsert_checkpoint (a plain "
+            "df.write.parquet records no history)"
+        )
+    seqs = [r["seq"] for r in log]
+    if as_of not in seqs:
+        raise ValueError(
+            f"as_of={as_of} is not a commit of {ckpt_dir!r} "
+            f"(history: {seqs})"
+        )
+    out: set[str] = set()
+    for r in log:
+        if r["seq"] <= as_of:
+            out.update(r["files"])
+    return sorted(out)
+
+
+def checkpoint_history(spark, ckpt_dir: str):
+    """The commit log as a DataFrame — ``DESCRIBE HISTORY`` for this
+    format: one row per commit (seq, action, generation, n_files,
+    files)."""
+    log = read_commit_log(ckpt_dir)
+    rows = [
+        (r["seq"], r["action"], r["generation"], len(r["files"]), r["files"])
+        for r in (log or [])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "seq int, action string, generation string, n_files int, "
+        "files array<string>",
+    )
 
 
 def write_checkpoint_schema(ckpt_dir: str, schema) -> None:
@@ -2563,7 +2702,8 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
 
 def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                       key_col=None, columns=None, legacy_nan_zonemaps=False,
-                      value_range=None, keys=None, verify_checksums=False):
+                      value_range=None, keys=None, verify_checksums=False,
+                      as_of=None):
     """Decode a CHECKPOINTED manifest directory without shuffling a single
     blob: one task per manifest file, sequential pyarrow read, group
     decode in place (see the section comment above for why the layout
@@ -2587,6 +2727,14 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     Checkpoints that fail the clustered-layout check (duplicates from
     resumed runs, chunks torn across files) fall back to
     ``decode_table``'s shuffling path transparently.
+
+    ``as_of=seq`` TIME-TRAVELS a logged checkpoint (one written via
+    ``write_checkpoint`` and mutated via ``delete_keys_checkpoint`` /
+    ``upsert_checkpoint``): mutations only ever append files, so the
+    snapshot at commit ``seq`` is exactly the union of files its
+    commits added — later delete sidecars and upsert generations are
+    simply not read. Composes with every pruning/projection argument;
+    ``checkpoint_history(spark, dir)`` lists the commits.
     """
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
@@ -2618,6 +2766,25 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     fdf = _manifest_metadata(spark, ckpt_dir)
     from pyspark.sql import functions as F
 
+    # time travel: restrict EVERY read (metadata, sidecars, fallbacks)
+    # to the files commits <= as_of added. A still-valid _clustered
+    # marker stays honored — a subset of a clustered file set is
+    # clustered, and has_deletes=False over all files covers any subset
+    # — but an as_of read never WRITES markers (its sidecar verdict is
+    # partial).
+    snap_src = None
+    if as_of is not None:
+        allowed = _files_as_of(ckpt_dir, as_of)
+        if not allowed:
+            return spark.createDataFrame(
+                [], from_arrow_schema(out_schema, prefer_timestamp_ntz=True))
+        fdf = fdf.filter(
+            F.substring_index(F.col("__file"), "/", -1).isin(allowed)
+        )
+        snap_src = spark.read.parquet(
+            *[f"{ckpt_dir.rstrip('/')}/{b}" for b in allowed]
+        )
+
     # deletion-vector sidecars are OUT-OF-BAND on this path: excluded
     # from file discovery and the clustered gate (they live in appended
     # files by design), collected driver-side below and delivered to the
@@ -2630,7 +2797,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         drows = []
     else:
         drows = (
-            spark.read.parquet(ckpt_dir)
+            (snap_src if snap_src is not None
+             else spark.read.parquet(ckpt_dir))
             .filter(F.col("column").startswith(DELETES_PREFIX))
             .select(*dsel)
             .limit(DELETES_COLLECT_MAX + 1)
@@ -2640,7 +2808,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     if drows:
         if len(drows) > DELETES_COLLECT_MAX:
             return decode_table(
-                spark.read.parquet(ckpt_dir), full_schema,
+                snap_src if snap_src is not None
+                else spark.read.parquet(ckpt_dir), full_schema,
                 key_range=key_range, key_col=key_col, columns=columns,
                 legacy_nan_zonemaps=legacy_nan_zonemaps,
                 value_range=value_range, keys=keys,
@@ -2689,7 +2858,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     # point-lookup service re-verifies once per checkpoint, not per
     # query. Appends invalidate the marker via the file signature.
     gate_ok = marker_rec is not None
-    full_gate = key_range is None and phys is None and keys is None
+    full_gate = (key_range is None and phys is None and keys is None
+                 and as_of is None)
     if (gate_ok and full_gate and pre_sig is not None
             and "has_deletes" not in marker_rec):
         # upgrade a pre-deletion-vector marker in place: same signature,
@@ -2721,8 +2891,9 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
             "(one shuffle) and makes every later decode shuffle-free"
         )
         return decode_table(
-            spark.read.parquet(ckpt_dir), full_schema, key_range=key_range,
-            key_col=key_col, columns=columns,
+            snap_src if snap_src is not None
+            else spark.read.parquet(ckpt_dir), full_schema,
+            key_range=key_range, key_col=key_col, columns=columns,
             legacy_nan_zonemaps=legacy_nan_zonemaps, value_range=value_range,
             keys=keys, verify_checksums=verify_checksums,
         )

@@ -536,6 +536,51 @@ def q_point_lookup_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME TRAVEL: encode documents into a logged checkpoint
+    (write_checkpoint starts a ``_commits`` log), surgically delete 10%
+    of the keys AND upsert a mutated batch on top — then read the table
+    ``as_of`` the CREATE commit. Mutations on this format only append
+    files (sidecars + new generations; blobs are immutable), so the
+    snapshot is exactly a file subset and must equal the ORIGINAL
+    table bit-for-bit: the identity oracle pins that both mutations are
+    fully invisible to the snapshot."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        decode_checkpoint,
+        delete_keys_checkpoint,
+        encode_table,
+        upsert_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_tt_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            ckpt, schema=df.schema)
+        delete_keys_checkpoint(
+            spark, ckpt,
+            [r["doc_id"] for r in
+             df.filter(F.col("doc_id") % 10 == 3).select("doc_id").collect()],
+            "doc_id")
+        upsert_checkpoint(
+            spark, ckpt,
+            df.filter(F.col("doc_id") % 10 == 4)
+              .withColumn("n_chars", F.lit(-1)),
+            "doc_id", num_partitions=2)
+        out = decode_checkpoint(spark, ckpt, as_of=0)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_value_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter pushdown through compressed data on a NON-key numeric
     column: every chunk carries per-column value zone maps, and
@@ -2034,6 +2079,7 @@ REGISTRY: dict[str, tuple] = {
     "value_range_multi": (q_value_range_multi, ORACLE_VALUE_RANGE_MULTI),
     "value_range_string": (q_value_range_string, ORACLE_VALUE_RANGE_STRING),
     "roundtrip_struct": (q_roundtrip_struct, ORACLE_ROUNDTRIP_STRUCT),
+    "time_travel": (q_time_travel, ORACLE_ROUNDTRIP_DOCUMENTS),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
     "point_lookup_keys": (q_point_lookup_keys, ORACLE_POINT_LOOKUP_KEYS),
