@@ -224,6 +224,10 @@ def _registry_benches(spark, sf_dir: str):
         "value_range_scan",
         "value_range_multi",
         "value_range_string",
+        "roundtrip_struct",
+        "value_range_struct",
+        "roundtrip_decimal",
+        "time_travel",
         "sequence_pack",
         "sequence_pack_tokens",
         "pipeline_train_data",

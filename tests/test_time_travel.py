@@ -129,6 +129,19 @@ def test_unlogged_checkpoint_refuses_as_of(spark, token_df, tmp_path):
         decode_checkpoint(spark, path, token_df.schema, as_of=0)
 
 
+def test_compact_starts_fresh_log(spark, token_df, ckpt, tmp_path):
+    from wills_columnar_format_spark.engine import compact_checkpoint
+
+    dst = str(tmp_path / "c")
+    compact_checkpoint(spark, ckpt, dst)
+    log = read_commit_log(dst)
+    assert [(r["seq"], r["action"]) for r in log] == [(0, "compact")]
+    s0 = decode_checkpoint(spark, dst, as_of=0)
+    cur = decode_checkpoint(spark, ckpt)
+    assert s0.count() == cur.count()
+    assert s0.exceptAll(cur).count() == 0
+
+
 def test_append_mode_logs_commit(spark, token_df, tmp_path):
     path = str(tmp_path / "m")
     half = token_df.filter(F.col("n_tok") % 2 == 0)

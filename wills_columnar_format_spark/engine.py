@@ -3014,6 +3014,9 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
             write_checkpoint_schema(dst_dir, schema)  # stays self-describing
         except (OSError, ValueError):
             pass
+        # fresh commit log: history restarts at the compacted snapshot
+        # (the source dir keeps the full pre-compaction history)
+        _append_commit(dst_dir, "compact", "", _list_data_files(dst_dir))
         return dst_dir
 
     src = spark.read.parquet(src_dir)
@@ -3063,6 +3066,8 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
             write_checkpoint_schema(dst_dir, src_schema)
     except (OSError, ValueError):
         pass
+    # fresh commit log (see the re-encoding branch above)
+    _append_commit(dst_dir, "compact", "", _list_data_files(dst_dir))
     return dst_dir
 
 
