@@ -226,6 +226,7 @@ def _registry_benches(spark, sf_dir: str):
         "value_range_string",
         "roundtrip_struct",
         "value_range_struct",
+        "value_range_zorder",
         "roundtrip_decimal",
         "time_travel",
         "sequence_pack",

@@ -719,14 +719,81 @@ def weight_balanced_bucket_expr(df, key_col: str, weight_col: str, num_buckets: 
     return F.size(F.filter(bounds_arr, lambda b: b <= F.col(key_col)))
 
 
+ZORDER_BITS = 16  # bits per column in the interleaved z-value
+
+
+def zorder_expr(df, zorder_cols: list[str]):
+    """A JVM-side Z-ORDER (Morton) expression over 2+ numeric/temporal
+    columns: each column is linearly scaled to ZORDER_BITS bits between
+    its global min/max (one tiny aggregate job; skewed distributions
+    only coarsen locality — row BALANCE comes from the range partition
+    on the z-value, which is distribution-free), then the bit planes
+    are interleaved. Entirely built-in expressions: ~ncols*16 shift/and
+    terms, all inside whole-stage codegen — no UDF on the 100 TB path.
+
+    Clustering by the z-value gives every listed column a LOCALLY
+    NARROW value range per chunk, so the per-chunk value zone maps
+    prune well on EVERY z-column at once — the multi-dimensional
+    generalization of sort-by-key (Delta/Iceberg OPTIMIZE ZORDER BY,
+    over this format's chunk zone maps instead of file stats)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    if len(zorder_cols) < 2:
+        raise ValueError("zorder takes >= 2 columns (one column = plain sort)")
+    n = len(zorder_cols)
+    # the interleaved value must fit a signed 64-bit long
+    bits = min(ZORDER_BITS, 62 // n)
+    aggs = []
+    for c in zorder_cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+    stats = df.agg(*aggs).first()
+    top = (1 << bits) - 1
+    planes = []
+    for j, c in enumerate(zorder_cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or math.isnan(mn) or math.isnan(mx):
+            raise TypeError(
+                f"zorder column {c!r} aggregates to NULL/NaN — zorder "
+                "takes non-null, NaN-free numeric/temporal columns"
+            )
+        span = (mx - mn) or 1.0
+        scaled = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - F.lit(float(mn)))
+                    / F.lit(span) * F.lit(float(top + 1))).cast("long"),
+        )
+        planes.append((j, scaled))
+    terms = [
+        F.shiftleft(F.shiftright(scaled, i).bitwiseAND(F.lit(1)), i * n + j)
+        for j, scaled in planes
+        for i in range(bits)
+    ]
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return z
+
+
 def _partition_for_encode(df, key_col: str, num_partitions: int, weight_col,
-                          partitioner: str, sort_within: bool):
+                          partitioner: str, sort_within: bool,
+                          zorder_cols=None):
     """The encode layout: one shuffle chosen by ``partitioner``, then an
     in-partition sort on the key. Shared by the encode pass and the
     keys-only resume planning pass — chunk identity is content-based on
     the key sequence, so both must produce bit-identical layouts."""
     from pyspark.sql import functions as F
 
+    if partitioner == "zorder":
+        if not zorder_cols:
+            raise ValueError('partitioner="zorder" requires zorder_cols=[...]')
+        df = df.withColumn("__z", zorder_expr(df, list(zorder_cols)))
+        df = df.repartitionByRange(num_partitions, "__z")
+        if sort_within:
+            df = df.sortWithinPartitions("__z")
+        return df.drop("__z")
     if partitioner == "weight" and weight_col is not None and weight_col in df.columns:
         bucket = weight_balanced_bucket_expr(df, key_col, weight_col, num_buckets=4 * num_partitions)
         df = df.withColumn("__bucket", bucket)
@@ -759,6 +826,7 @@ def encode_table(
     allow_nulls: bool = False,
     done_marker_tag: str | None = None,
     todo: frozenset | None = None,
+    zorder_cols: list[str] | None = None,
 ):
     """Encode ``df``'s columns into a blob+lineage manifest DataFrame.
 
@@ -779,6 +847,12 @@ def encode_table(
                  writes) — at 100 TB the shuffle IS the bottleneck, so
                  skipping it when the layout already serves compression
                  is the single biggest lever;
+      'zorder' — range+sort on a Morton interleave of ``zorder_cols``
+                 (>= 2 numeric/temporal columns): every listed column
+                 gets locally narrow per-chunk value zone maps, so
+                 conjunctive ``value_range`` queries prune on ALL of
+                 them (multi-dimensional layout; one-shot like 'range'
+                 — the z scaling samples global min/max);
     — then ``sortWithinPartitions(key)`` to lengthen runs (the
     reference's sort-to-compress advice made mechanical, org:302-313),
     then one ``mapInArrow`` pass.
@@ -795,7 +869,8 @@ def encode_table(
     if partitioner is None:
         partitioner = "weight" if (weight_col is not None and weight_col in df.columns) else "range"
     df = _partition_for_encode(df, key_col, num_partitions, weight_col,
-                               partitioner, sort_within)
+                               partitioner, sort_within,
+                               zorder_cols=zorder_cols)
 
     fn = make_encode_fn(
         key_col=key_col,

@@ -766,6 +766,32 @@ ORACLE_VALUE_RANGE_STRUCT = (
 )
 
 
+def q_value_range_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-DIMENSIONAL pruning via Z-ORDER clustering: events encoded
+    with ``partitioner="zorder", zorder_cols=["user_id", "value"]`` (a
+    JVM-side Morton bit-interleave — engine.zorder_expr), so per-chunk
+    value zone maps are locally narrow on BOTH columns and the
+    conjunctive 2-D box query prunes on each — the layout a 100 TB
+    events table wants when queries slice by user AND by metric
+    (Delta/Iceberg OPTIMIZE ZORDER BY over chunk zone maps)."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = encode_table(df, key_col="event_id", codec="auto", num_partitions=8,
+                     partitioner="zorder", zorder_cols=["user_id", "value"],
+                     chunk_rows=1024)
+    return decode_table(
+        m, df.schema,
+        value_range=[("user_id", 100, 400), ("value", 20.0, 60.0)],
+    )
+
+
+ORACLE_VALUE_RANGE_ZORDER = (
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+    "WHERE user_id BETWEEN 100 AND 400 AND value BETWEEN 20.0 AND 60.0"
+)
+
+
 def q_point_lookup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-point lookup on a checkpointed manifest: a working set of
     doc_ids fetched in ONE shuffle-free decode — whole manifest files
@@ -2080,6 +2106,7 @@ REGISTRY: dict[str, tuple] = {
     "value_range_string": (q_value_range_string, ORACLE_VALUE_RANGE_STRING),
     "roundtrip_struct": (q_roundtrip_struct, ORACLE_ROUNDTRIP_STRUCT),
     "time_travel": (q_time_travel, ORACLE_ROUNDTRIP_DOCUMENTS),
+    "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
     "point_lookup_keys": (q_point_lookup_keys, ORACLE_POINT_LOOKUP_KEYS),
