@@ -1283,20 +1283,74 @@ def _resolve_value_field(out_schema: pa.Schema, vcol: str):
     return t, expr
 
 
+def _prefix_successor(prefix: str) -> str | None:
+    """The shortest string strictly greater than EVERY string with
+    ``prefix``: increment the rightmost incrementable code point and
+    truncate (skipping the surrogate block, which lone can't encode to
+    UTF-8). None when no successor exists (all chars U+10FFFF)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        nxt = ord(prefix[i]) + 1
+        if nxt == 0xD800:  # jump the surrogate range
+            nxt = 0xE000
+        if nxt <= 0x10FFFF:
+            return prefix[:i] + chr(nxt)
+    return None
+
+
 def _prepare_value_range(out_schema: pa.Schema, value_range):
     """Resolve a ``value_range`` request against the output schema:
-    returns ``(vcol, zone_lo, zone_hi, lit_lo, lit_hi, expr)`` — numeric
-    bounds for the zone-map prune (zone maps store the NORMALIZED
-    values: temporal columns ride the integer codecs as epoch
+    returns ``(vcol, zone_lo, zone_hi, lit_lo, lit_hi, expr, exact)`` —
+    numeric bounds for the zone-map prune (zone maps store the
+    NORMALIZED values: temporal columns ride the integer codecs as epoch
     micros/days, engine._normalize_temporal), typed Spark literals
-    for the exact row filter, and the Column expression to filter on
+    for the exact row filter, the Column expression the filter targets
     (``F.col(name)``, or a getField chain for struct leaves addressed
-    as ``name#f:child``). Supports numeric columns, TIMESTAMP_NTZ
-    (naive datetime bounds; the literal shift through the session tz
-    cancels on the cast back to NTZ) and DATE (date bounds)."""
+    as ``name#f:child``), and ``exact`` — the ready row predicate
+    (BETWEEN the literals; ``startswith`` for prefix specs). Supports
+    numeric columns, STRING, TIMESTAMP_NTZ (naive datetime bounds; the
+    literals parse timezone-free) and DATE (date bounds).
+
+    A 2-tuple ``(column, prefix)`` is a string PREFIX spec — the
+    ``LIKE 'prefix%'`` pushdown: zone bounds [prefix, successor(prefix))
+    cover exactly the prefix band (BETWEEN bounds cannot: 'src1%'
+    matches src1 AND src10..src19, which straddle 'src2'), and the
+    exact filter is ``startswith`` — true LIKE semantics, not a range
+    approximation."""
+    base = _prepare_value_range_base(out_schema, value_range)
+    vcol, zlo, zhi, lit_lo, lit_hi, expr = base[:6]
+    exact = base[6] if len(base) == 7 else \
+        ((expr >= lit_lo) & (expr <= lit_hi))
+    return vcol, zlo, zhi, lit_lo, lit_hi, expr, exact
+
+
+def _prepare_value_range_base(out_schema: pa.Schema, value_range):
     from datetime import date, datetime, timedelta
 
     from pyspark.sql import functions as F
+
+    if len(value_range) == 2:  # (column, prefix) — string prefix spec
+        vcol, prefix = value_range
+        t, expr = _resolve_value_field(out_schema, vcol)
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            raise TypeError(
+                f"prefix value_range (2-tuple) needs a STRING column; "
+                f"{vcol!r} is {t}"
+            )
+        if not isinstance(prefix, str) or not prefix:
+            raise TypeError(
+                f"prefix value_range on {vcol!r} takes a non-empty str"
+            )
+        hi = _prefix_successor(prefix)
+        if hi is None:
+            raise TypeError(
+                f"prefix {prefix!r} has no lexicographic successor "
+                "(all U+10FFFF) — use a plain (col, lo, hi) range"
+            )
+        # zone bounds: prefix <= s < successor for every prefixed s;
+        # _value_range_keys' inclusive <= on the hi side only OVER-keeps
+        # (a chunk whose min == successor exactly) — conservative.
+        return (vcol, prefix, hi, F.lit(prefix), F.lit(hi), expr,
+                expr.startswith(F.lit(prefix)))
 
     vcol, lo, hi = value_range
     t, expr = _resolve_value_field(out_schema, vcol)
@@ -1802,7 +1856,7 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     if keys is not None and key_col is not None:
         out = _filter_by_key_set(out, key_col, keys)
     for v in vrs:
-        out = out.filter((v[5] >= v[3]) & (v[5] <= v[4]))
+        out = out.filter(v[6])
     return out
 
 
@@ -3019,7 +3073,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     if keys is not None and key_col is not None:
         out = _filter_by_key_set(out, key_col, keys)
     for v in vrs:
-        out = out.filter((v[5] >= v[3]) & (v[5] <= v[4]))
+        out = out.filter(v[6])
     return out
 
 

@@ -692,6 +692,28 @@ ORACLE_VALUE_RANGE_STRING = (
 )
 
 
+def q_value_range_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-PREFIX pushdown (``LIKE 'src1%'``) through compressed
+    data: a 2-tuple ``value_range=(col, prefix)`` prunes chunks by the
+    string zone maps over the band [prefix, successor(prefix)) and
+    exact-filters with ``startswith`` — true LIKE semantics. The band
+    is NOT a BETWEEN: 'src1%' matches src1 AND src10..src19, which
+    straddle 'src2' lexicographically, so a range query cannot express
+    it (engine._prepare_value_range / _prefix_successor)."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = encode_table(df, key_col="source", codec="auto", num_partitions=8,
+                     partitioner="range", chunk_rows=64)
+    return decode_table(m, df.schema, value_range=("source", "src1"))
+
+
+ORACLE_VALUE_RANGE_PREFIX = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "WHERE source LIKE 'src1%'"
+)
+
+
 # deterministic spread over the id domain — present at every sf
 _POINT_KEYS = list(range(7, 491, 35))
 
@@ -2104,6 +2126,7 @@ REGISTRY: dict[str, tuple] = {
     "value_range_time": (q_value_range_time, ORACLE_VALUE_RANGE_TIME),
     "value_range_multi": (q_value_range_multi, ORACLE_VALUE_RANGE_MULTI),
     "value_range_string": (q_value_range_string, ORACLE_VALUE_RANGE_STRING),
+    "value_range_prefix": (q_value_range_prefix, ORACLE_VALUE_RANGE_PREFIX),
     "roundtrip_struct": (q_roundtrip_struct, ORACLE_ROUNDTRIP_STRUCT),
     "time_travel": (q_time_travel, ORACLE_ROUNDTRIP_DOCUMENTS),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
