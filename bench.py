@@ -224,11 +224,13 @@ def _registry_benches(spark, sf_dir: str):
         "value_range_scan",
         "value_range_multi",
         "value_range_string",
+        "value_range_prefix",
         "roundtrip_struct",
         "value_range_struct",
         "value_range_zorder",
         "roundtrip_decimal",
         "time_travel",
+        "optimize_roundtrip",
         "sequence_pack",
         "sequence_pack_tokens",
         "pipeline_train_data",

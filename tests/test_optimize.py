@@ -1,0 +1,199 @@
+"""In-place OPTIMIZE + VACUUM over a checkpoint dir.
+
+``optimize_checkpoint`` rewrites the CURRENT snapshot inside the same
+dir — masked rows materialize, upsert generations collapse, chunks
+re-cut — and physically deletes the superseded files (the Delta
+OPTIMIZE + VACUUM pair, merged because readers list the dir). The swap
+is bracketed by a ``_optimize_pending`` marker: every read/mutate path
+refuses a marked dir, and ``finish_optimize`` rolls an interrupted
+swap forward idempotently. Time travel to pre-optimize commits raises
+a clear "vacuumed" error; the commit log itself stays auditable.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark.engine import (
+    _list_data_files,
+    checkpoint_history,
+    decode_checkpoint,
+    delete_keys_checkpoint,
+    encode_table,
+    finish_optimize,
+    optimize_checkpoint,
+    read_commit_log,
+    upsert_checkpoint,
+    write_checkpoint,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"src{i % 5}", f"text {i}", i % 97) for i in range(600)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+
+
+def _mutated_ckpt(spark, docs, tmp_path):
+    """A logged checkpoint with a delete and an upsert on top; returns
+    (ckpt_dir, expected DataFrame of the current snapshot)."""
+    ckpt = str(tmp_path / "m")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", codec="auto",
+                     num_partitions=4, chunk_rows=64),
+        ckpt, schema=docs.schema)
+    delete_keys_checkpoint(
+        spark, ckpt, [i for i in range(600) if i % 10 == 3], "doc_id")
+    batch = docs.filter(F.col("doc_id") % 10 == 4).withColumn(
+        "n_chars", F.lit(-1))
+    upsert_checkpoint(spark, ckpt, batch, "doc_id", num_partitions=2)
+    expected = docs.filter(F.col("doc_id") % 10 != 3).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 10 == 4, F.lit(-1)).otherwise(
+            F.col("n_chars")))
+    return ckpt, expected
+
+
+def test_optimize_lifecycle(spark, docs, tmp_path):
+    ckpt, expected = _mutated_ckpt(spark, docs, tmp_path)
+    files_before = set(_list_data_files(ckpt))
+    optimize_checkpoint(spark, ckpt, key_col="doc_id", rechunk_rows=256)
+
+    # the snapshot is unchanged by the rewrite
+    out = decode_checkpoint(spark, ckpt)  # self-describing
+    assert sorted(out.collect()) == sorted(expected.collect())
+    # superseded files are GONE; the dir holds only the new generation
+    files_after = set(_list_data_files(ckpt))
+    assert not (files_before & files_after)
+    # no staging dir, no marker left behind
+    assert not os.path.exists(os.path.join(ckpt, "_staging_optimize"))
+    assert not os.path.exists(os.path.join(ckpt, "_optimize_pending"))
+    # the rewrite materialized the masks: no sidecar rows remain
+    assert spark.read.parquet(ckpt).filter(
+        F.col("column").startswith("__deletes__")).count() == 0
+    # shuffle-free decode survives (clustered by construction)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # the replace commit is logged; history stays auditable
+    log = read_commit_log(ckpt)
+    assert [r["action"] for r in log] == [
+        "create", "delete", "upsert", "replace"]
+    assert checkpoint_history(spark, ckpt).count() == 4
+
+
+def test_optimize_vacuums_time_travel(spark, docs, tmp_path):
+    ckpt, expected = _mutated_ckpt(spark, docs, tmp_path)
+    optimize_checkpoint(spark, ckpt, key_col="doc_id", rechunk_rows=256)
+    rep = read_commit_log(ckpt)[-1]["seq"]
+    # pre-optimize snapshots are vacuumed — loud, named error
+    with pytest.raises(ValueError, match="VACUUMED"):
+        decode_checkpoint(spark, ckpt, as_of=0)
+    # the replace commit itself is readable
+    out = decode_checkpoint(spark, ckpt, as_of=rep)
+    assert out.count() == expected.count()
+
+
+def test_optimize_then_mutate_then_travel(spark, docs, tmp_path):
+    """Commits AFTER the replace accumulate on top of the new file set."""
+    ckpt, expected = _mutated_ckpt(spark, docs, tmp_path)
+    optimize_checkpoint(spark, ckpt, key_col="doc_id", rechunk_rows=256)
+    rep = read_commit_log(ckpt)[-1]["seq"]
+    delete_keys_checkpoint(spark, ckpt, [0, 10, 20], "doc_id")
+    # latest: post-optimize delete applied
+    assert decode_checkpoint(spark, ckpt).count() == expected.count() - 3
+    # as_of the replace: the delete is invisible
+    assert decode_checkpoint(spark, ckpt, as_of=rep).count() \
+        == expected.count()
+
+
+def test_pending_marker_blocks_reads(spark, docs, tmp_path):
+    ckpt, _ = _mutated_ckpt(spark, docs, tmp_path)
+    with open(os.path.join(ckpt, "_optimize_pending"), "w") as f:
+        json.dump({"old": [], "new": []}, f)
+    with pytest.raises(IOError, match="finish_optimize"):
+        decode_checkpoint(spark, ckpt)
+    with pytest.raises(IOError, match="finish_optimize"):
+        delete_keys_checkpoint(spark, ckpt, [1], "doc_id")
+    with pytest.raises(IOError, match="finish_optimize"):
+        upsert_checkpoint(spark, ckpt, docs.limit(1), "doc_id",
+                          num_partitions=1)
+    with pytest.raises(IOError, match="finish_optimize"):
+        optimize_checkpoint(spark, ckpt, key_col="doc_id")
+    os.remove(os.path.join(ckpt, "_optimize_pending"))
+    decode_checkpoint(spark, ckpt).count()  # readable again
+
+
+def test_finish_optimize_rolls_forward(spark, docs, tmp_path):
+    """Simulate a crash right after the marker write (no files moved):
+    finish_optimize completes the swap and the snapshot is intact."""
+    ckpt, expected = _mutated_ckpt(spark, docs, tmp_path)
+    from wills_columnar_format_spark.engine import compact_checkpoint
+
+    staging = os.path.join(ckpt, "_staging_optimize")
+    compact_checkpoint(spark, ckpt, staging, rechunk_rows=256,
+                       key_col="doc_id")
+    old = _list_data_files(ckpt)
+    new = _list_data_files(staging)
+    with open(os.path.join(ckpt, "_optimize_pending"), "w") as f:
+        json.dump({"old": old, "new": new}, f)
+    finish_optimize(ckpt)
+    out = decode_checkpoint(spark, ckpt)
+    assert sorted(out.collect()) == sorted(expected.collect())
+    assert read_commit_log(ckpt)[-1]["action"] == "replace"
+    # idempotent: a second finish on a clean dir has nothing to do
+    with pytest.raises(ValueError, match="no _optimize_pending"):
+        finish_optimize(ckpt)
+
+
+def test_finish_optimize_idempotent_mid_crash(spark, docs, tmp_path):
+    """Crash DURING finish (some files moved, marker still present):
+    re-running finish completes without double-appending the commit."""
+    ckpt, expected = _mutated_ckpt(spark, docs, tmp_path)
+    from wills_columnar_format_spark.engine import compact_checkpoint
+
+    staging = os.path.join(ckpt, "_staging_optimize")
+    compact_checkpoint(spark, ckpt, staging, rechunk_rows=256,
+                       key_col="doc_id")
+    old = _list_data_files(ckpt)
+    new = _list_data_files(staging)
+    # move HALF the new files in and delete HALF the old ones by hand
+    for b in new[: len(new) // 2]:
+        os.rename(os.path.join(staging, b), os.path.join(ckpt, b))
+    for b in old[: len(old) // 2]:
+        os.remove(os.path.join(ckpt, b))
+    with open(os.path.join(ckpt, "_optimize_pending"), "w") as f:
+        json.dump({"old": old, "new": new}, f)
+    finish_optimize(ckpt)
+    finishes = [r for r in read_commit_log(ckpt) if r["action"] == "replace"]
+    assert len(finishes) == 1
+    out = decode_checkpoint(spark, ckpt)
+    assert sorted(out.collect()) == sorted(expected.collect())
+
+
+def test_optimize_unlogged_checkpoint(spark, docs, tmp_path):
+    """A checkpoint without a commit log optimizes fine — no log ops."""
+    ckpt = str(tmp_path / "m")
+    encode_table(docs, key_col="doc_id", codec="auto", num_partitions=4,
+                 chunk_rows=64).write.parquet(ckpt)
+    optimize_checkpoint(spark, ckpt, key_col="doc_id", rechunk_rows=256,
+                        schema=docs.schema)
+    assert read_commit_log(ckpt) is None
+    out = decode_checkpoint(spark, ckpt, docs.schema)
+    assert sorted(out.collect()) == sorted(docs.collect())
+
+
+def test_optimize_improves_chunking(spark, docs, tmp_path):
+    """Re-cutting 64-row chunks at 256 rows shrinks the chunk count ~4x
+    (the nightly-compaction payoff streaming ingest needs)."""
+    ckpt, _ = _mutated_ckpt(spark, docs, tmp_path)
+    n_before = spark.read.parquet(ckpt).select("chunk_key").distinct().count()
+    # chunk count is floored at one per partition — pin partitions so
+    # the re-cut is visible on a 600-row toy table
+    optimize_checkpoint(spark, ckpt, key_col="doc_id", rechunk_rows=256,
+                        num_partitions=2)
+    n_after = spark.read.parquet(ckpt).select("chunk_key").distinct().count()
+    assert n_after < n_before / 2

@@ -2001,6 +2001,7 @@ def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str,
     Returns the generation id written."""
     from pyspark.sql import functions as F
 
+    _raise_if_optimize_pending(ckpt_dir)
     probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
     if _keys_kind(probe) == "empty":
         return ""
@@ -2097,6 +2098,7 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
     appends (mask sidecars + new generation) land as ONE ``upsert``
     commit, so no time-travel snapshot ever sees the deleted-but-not-
     reinserted intermediate state. Returns the generation id."""
+    _raise_if_optimize_pending(ckpt_dir)
     keys = _collect_upsert_keys(new_df, key_col)
     before = _list_data_files(ckpt_dir)
     delete_keys_checkpoint(spark, ckpt_dir, keys, key_col, _log=False)
@@ -2651,9 +2653,24 @@ def _files_as_of(ckpt_dir: str, as_of: int) -> list[str]:
             f"(history: {seqs})"
         )
     out: set[str] = set()
+    vacuum_seq = None
     for r in log:
         if r["seq"] <= as_of:
-            out.update(r["files"])
+            if r["action"] == "replace":
+                # an in-place optimize REPLACED the file set wholesale
+                out = set(r["files"])
+            else:
+                out.update(r["files"])
+        elif r["action"] == "replace" and vacuum_seq is None:
+            vacuum_seq = r["seq"]
+    if vacuum_seq is not None:
+        raise ValueError(
+            f"snapshot as_of={as_of} of {ckpt_dir!r} was VACUUMED: the "
+            f"in-place optimize_checkpoint at commit {vacuum_seq} "
+            "replaced the file set and deleted the pre-optimize files — "
+            f"only commits >= {vacuum_seq} remain readable (compact to "
+            "a NEW dir instead of optimizing in place to keep history)"
+        )
     return sorted(out)
 
 
@@ -2866,6 +2883,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     ``checkpoint_history(spark, dir)`` lists the commits.
     """
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+    _raise_if_optimize_pending(ckpt_dir)
 
     if out_schema is None:
         # self-describing checkpoint: the table schema rides a
@@ -3109,6 +3128,8 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
     """
     from pyspark.sql import functions as F
 
+    _raise_if_optimize_pending(src_dir)
+
     if rechunk_rows is not None:
         if schema is None:
             schema = read_checkpoint_schema(src_dir)  # self-describing?
@@ -3198,6 +3219,159 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
     # fresh commit log (see the re-encoding branch above)
     _append_commit(dst_dir, "compact", "", _list_data_files(dst_dir))
     return dst_dir
+
+
+# ---------------------------------------------------------------------------
+# in-place OPTIMIZE + VACUUM: rewrite the current snapshot inside the
+# SAME checkpoint dir. compact_checkpoint keeps history by writing to a
+# new dir; optimize_checkpoint trades history for space — masked rows
+# materialize, upsert generations collapse, chunks re-cut at
+# rechunk_rows, and the superseded files are PHYSICALLY DELETED (the
+# Delta OPTIMIZE + VACUUM pair, merged because this format's readers
+# list the dir: dir contents == latest snapshot is the invariant every
+# read path assumes, so replaced files cannot linger). The swap is
+# multi-file and non-atomic: a _optimize_pending marker brackets it,
+# every read path refuses a marked dir, and finish_optimize rolls an
+# interrupted swap FORWARD (idempotent) from the marker's file lists.
+# Time travel to pre-optimize commits raises a clear "vacuumed" error
+# (_files_as_of); the log itself is kept, so history STAYS auditable.
+# ---------------------------------------------------------------------------
+
+_OPTIMIZE_PENDING = "_optimize_pending"
+_OPTIMIZE_STAGING = "_staging_optimize"
+
+
+def _read_optimize_pending(ckpt_dir: str) -> dict | None:
+    """The interrupted-optimize marker's {"old": [...], "new": [...]}
+    file lists, or None when no optimize is in flight."""
+    import json
+
+    try:
+        fsys, p = _manifest_fs(ckpt_dir)
+        with fsys.open_input_stream(
+            f"{p.rstrip('/')}/{_OPTIMIZE_PENDING}"
+        ) as f:
+            return json.loads(f.read().decode())
+    except (OSError, ValueError):
+        return None
+
+
+def _raise_if_optimize_pending(ckpt_dir: str) -> None:
+    if _read_optimize_pending(ckpt_dir) is not None:
+        raise IOError(
+            f"checkpoint {ckpt_dir!r} has an interrupted in-place "
+            "optimize (_optimize_pending marker) — its data-file set may "
+            "mix pre- and post-optimize files. Run "
+            "finish_optimize(ckpt_dir) to roll the swap forward, then "
+            "retry."
+        )
+
+
+def optimize_checkpoint(spark, ckpt_dir: str, key_col: str | None = None,
+                        rechunk_rows: int = 65536, schema=None,
+                        codec: str = "auto",
+                        num_partitions: int | None = None,
+                        partitioner: str | None = None,
+                        target_page_size: int = DEFAULT_TARGET_PAGE_SIZE) -> str:
+    """Rewrite a checkpoint's CURRENT snapshot in place: decode (masks
+    applied), re-encode at ``rechunk_rows``, swap the new files in and
+    DELETE the superseded ones — OPTIMIZE + VACUUM for this format (see
+    the section comment for why they merge, and for the crash model).
+
+    Requires ``key_col`` and a schema (pass ``schema=`` or write the
+    checkpoint self-describing). Appends a ``replace`` commit when the
+    dir carries a commit log: later ``as_of`` reads of pre-optimize
+    commits raise a "vacuumed" error; the current snapshot and commits
+    from the replace onward stay readable. The staged rewrite is the
+    re-encoding branch of ``compact_checkpoint``, so the result is
+    clustered (shuffle-free decode), sidecar-free, and strictly better
+    compressed when the source wrote small streaming chunks."""
+    _raise_if_optimize_pending(ckpt_dir)
+    import json
+
+    fsys, p = _manifest_fs(ckpt_dir)
+    p = p.rstrip("/")
+    staging = f"{p}/{_OPTIMIZE_STAGING}"
+    try:
+        # leftover staging WITHOUT a marker = an abandoned stage; the
+        # live file set was never touched, so just clear and restart
+        fsys.delete_dir(staging)
+    except (OSError, ValueError):
+        pass
+    old = _list_data_files(ckpt_dir)
+    compact_checkpoint(spark, ckpt_dir, staging, rechunk_rows=rechunk_rows,
+                       schema=schema, key_col=key_col, codec=codec,
+                       num_partitions=num_partitions, partitioner=partitioner,
+                       target_page_size=target_page_size)
+    new = _list_data_files(staging)
+    clash = sorted(set(new) & set(old))
+    if clash:  # unreachable with UUID part names; refuse, never clobber
+        raise IOError(
+            f"optimize staging produced colliding file names: {clash[:3]}"
+        )
+    with fsys.open_output_stream(f"{p}/{_OPTIMIZE_PENDING}") as f:
+        f.write(json.dumps({"old": old, "new": new}).encode())
+    return finish_optimize(ckpt_dir)
+
+
+def finish_optimize(ckpt_dir: str) -> str:
+    """Roll an in-place optimize FORWARD to completion — idempotent, and
+    the recovery entry point after a crash mid-swap (decode paths refuse
+    a marked dir and point here). From the marker's file lists: move any
+    still-staged new files in, delete any surviving old files, refresh
+    the clustered marker, append the ``replace`` commit exactly once,
+    then drop the marker and staging dir."""
+    from pyarrow import fs as pafs
+
+    rec = _read_optimize_pending(ckpt_dir)
+    if rec is None:
+        raise ValueError(
+            f"{ckpt_dir!r} has no _optimize_pending marker — nothing to "
+            "finish"
+        )
+    fsys, p = _manifest_fs(ckpt_dir)
+    p = p.rstrip("/")
+    staging = f"{p}/{_OPTIMIZE_STAGING}"
+    new = rec["new"]
+    for b in new:
+        src = f"{staging}/{b}"
+        if fsys.get_file_info(src).type == pafs.FileType.File:
+            fsys.move(src, f"{p}/{b}")
+    live = set(_list_data_files(ckpt_dir))
+    missing = [b for b in new if b not in live]
+    if missing:
+        raise IOError(
+            f"optimize of {ckpt_dir!r} lost staged files (absent from "
+            f"both staging and target): {missing[:3]} — restore the dir "
+            "from a backup/snapshot; do NOT delete the marker"
+        )
+    for b in rec["old"]:
+        if b in new:
+            continue
+        try:
+            fsys.delete_file(f"{p}/{b}")
+        except (OSError, ValueError):
+            pass  # already deleted by a previous attempt
+    try:
+        # clustered by construction (one task per file, fresh encode)
+        # and mask-free (the re-encode materialized every deletion
+        # vector); the _table_schema sidecar is untouched — the schema
+        # didn't change
+        _write_clustered_marker(ckpt_dir, has_deletes=False)
+    except (OSError, ValueError):
+        pass
+    log = read_commit_log(ckpt_dir)
+    if log is not None:
+        last = log[-1]
+        if not (last["action"] == "replace"
+                and last["files"] == sorted(new)):
+            _append_commit(ckpt_dir, "replace", "", sorted(new))
+    fsys.delete_file(f"{p}/{_OPTIMIZE_PENDING}")
+    try:
+        fsys.delete_dir(staging)
+    except (OSError, ValueError):
+        pass
+    return ckpt_dir
 
 
 # ---------------------------------------------------------------------------

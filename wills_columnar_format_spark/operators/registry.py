@@ -581,6 +581,62 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place OPTIMIZE + VACUUM lifecycle: encode documents into a
+    logged checkpoint, delete 10% of the keys, upsert a mutated batch,
+    then ``optimize_checkpoint`` — the current snapshot is re-encoded
+    INSIDE the same dir (masks materialized, generations collapsed,
+    chunks re-cut) and the superseded files physically deleted, with a
+    ``replace`` commit keeping the log auditable (engine
+    optimize_checkpoint / finish_optimize — the Delta OPTIMIZE+VACUUM
+    pair merged, because readers list the dir). The decode after the
+    rewrite must equal the mutated table exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        decode_checkpoint,
+        delete_keys_checkpoint,
+        encode_table,
+        optimize_checkpoint,
+        upsert_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_opt_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            ckpt, schema=df.schema)
+        delete_keys_checkpoint(
+            spark, ckpt,
+            [r["doc_id"] for r in
+             df.filter(F.col("doc_id") % 10 == 3).select("doc_id").collect()],
+            "doc_id")
+        upsert_checkpoint(
+            spark, ckpt,
+            df.filter(F.col("doc_id") % 10 == 4)
+              .withColumn("n_chars", F.lit(-1)),
+            "doc_id", num_partitions=2)
+        optimize_checkpoint(spark, ckpt, key_col="doc_id",
+                            rechunk_rows=4096, num_partitions=8)
+        out = decode_checkpoint(spark, ckpt)  # self-describing
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+ORACLE_OPTIMIZE_ROUNDTRIP = (
+    "SELECT doc_id, text, lang, source, "
+    "CASE WHEN doc_id % 10 = 4 THEN -1 ELSE n_chars END AS n_chars "
+    "FROM documents WHERE doc_id % 10 <> 3"
+)
+
+
 def q_value_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter pushdown through compressed data on a NON-key numeric
     column: every chunk carries per-column value zone maps, and
@@ -2129,6 +2185,7 @@ REGISTRY: dict[str, tuple] = {
     "value_range_prefix": (q_value_range_prefix, ORACLE_VALUE_RANGE_PREFIX),
     "roundtrip_struct": (q_roundtrip_struct, ORACLE_ROUNDTRIP_STRUCT),
     "time_travel": (q_time_travel, ORACLE_ROUNDTRIP_DOCUMENTS),
+    "optimize_roundtrip": (q_optimize_roundtrip, ORACLE_OPTIMIZE_ROUNDTRIP),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
