@@ -128,3 +128,13 @@ def test_decimal_key_range_and_keys_refused(spark, dec_df):
         decode_table(m, dec_df.schema, key_range=(D("1.0"), D("2.0")))
     with pytest.raises(TypeError, match="value_range"):
         decode_table(m, dec_df.schema, keys=[D("1.0")], key_col="amt")
+
+
+def test_decimal_key_col_refused(spark, dec_df):
+    """Decimals ride the integer codecs as payload, but a decimal
+    key_col would key the layout on unscaled int64 — refuse loudly
+    rather than build a manifest whose key semantics surprise."""
+    from wills_columnar_format_spark.dtypes import UnsupportedDataType
+
+    with pytest.raises(UnsupportedDataType, match="DECIMAL"):
+        encode_table(dec_df, key_col="amt", num_partitions=1)

@@ -1,0 +1,196 @@
+"""Commit-log hardening: crash brackets for logged mutations, torn
+records, and log seeding for append-onto-unlogged checkpoints.
+
+Logged delete/upsert are TWO appends (data files, then the commit
+record); a crash between them would leave time-travel snapshots
+silently missing the mutation forever. The ``_mutation_pending``
+marker brackets that window: every read/mutate path refuses a marked
+dir and ``finish_mutation`` reconciles from the marker's pre-mutation
+file listing. Commit records land via temp+rename, so an unparseable
+record means external damage and raises a NAMED error instead of
+silently truncating history.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark import engine
+from wills_columnar_format_spark.engine import (
+    decode_checkpoint,
+    delete_keys_checkpoint,
+    encode_table,
+    finish_mutation,
+    read_commit_log,
+    upsert_checkpoint,
+    write_checkpoint,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"src{i % 5}", f"text {i}", i % 97) for i in range(400)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+
+
+def _logged_ckpt(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "m")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=4,
+                     chunk_rows=64),
+        ckpt, schema=docs.schema)
+    return ckpt
+
+
+def _crash_after_data_append(monkeypatch):
+    """Simulate a crash in the window between the mutation's data-file
+    append and its commit-record append: the marker is written, the
+    data lands, the commit record never does."""
+    monkeypatch.setattr(engine, "_end_logged_mutation",
+                        lambda *a, **k: None)
+
+
+def test_interrupted_delete_blocks_then_finishes(
+        spark, docs, tmp_path, monkeypatch):
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    _crash_after_data_append(monkeypatch)
+    delete_keys_checkpoint(spark, ckpt, list(range(0, 40)), "doc_id")
+    monkeypatch.undo()
+
+    # marker present: live files hold the sidecars, the log does not
+    assert engine._read_mutation_pending(ckpt) is not None
+    assert len(read_commit_log(ckpt)) == 1
+    for blocked in (
+        lambda: decode_checkpoint(spark, ckpt),
+        lambda: delete_keys_checkpoint(spark, ckpt, [1], "doc_id"),
+        lambda: upsert_checkpoint(
+            spark, ckpt, docs.limit(1), "doc_id", num_partitions=1),
+    ):
+        with pytest.raises(IOError, match="finish_mutation"):
+            blocked()
+
+    assert finish_mutation(ckpt) == "delete"
+    assert engine._read_mutation_pending(ckpt) is None
+    log = read_commit_log(ckpt)
+    assert [(r["seq"], r["action"]) for r in log] == \
+        [(0, "create"), (1, "delete")]
+    live = decode_checkpoint(spark, ckpt)
+    assert live.count() == 360
+    snap = decode_checkpoint(spark, ckpt, as_of=1)
+    assert snap.count() == 360  # snapshot == live again
+
+
+def test_interrupted_upsert_full_append_records_upsert(
+        spark, docs, tmp_path, monkeypatch):
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    batch = docs.filter(F.col("doc_id") < 30).withColumn(
+        "n_chars", F.lit(-1))
+    _crash_after_data_append(monkeypatch)
+    upsert_checkpoint(spark, ckpt, batch, "doc_id", num_partitions=2)
+    monkeypatch.undo()
+
+    assert engine._read_mutation_pending(ckpt) is not None
+    assert finish_mutation(ckpt) == "upsert"
+    log = read_commit_log(ckpt)
+    assert [(r["seq"], r["action"]) for r in log] == \
+        [(0, "create"), (1, "upsert")]
+    live = decode_checkpoint(spark, ckpt)
+    assert live.count() == 400
+    assert live.filter(F.col("n_chars") == -1).count() == 30
+    snap = decode_checkpoint(spark, ckpt, as_of=1)
+    assert snap.exceptAll(live).count() == 0
+
+
+def test_interrupted_upsert_sidecars_only_records_delete(
+        spark, docs, tmp_path):
+    """Upsert is sidecars-then-new-generation; when only the sidecars
+    landed, the rows are physically GONE from live reads, so
+    reconciliation must record the delete it physically is."""
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    keys = list(range(0, 30))
+    before = engine._list_data_files(ckpt)
+    gen = engine._deletes_generation(
+        list(dict.fromkeys(engine._canon_temporal_keys(keys))))
+    assert engine._begin_logged_mutation(ckpt, "upsert", gen, before)
+    delete_keys_checkpoint(spark, ckpt, keys, "doc_id", _log=False)
+
+    assert finish_mutation(ckpt) == "delete"
+    log = read_commit_log(ckpt)
+    assert [(r["seq"], r["action"]) for r in log] == \
+        [(0, "create"), (1, "delete")]
+    assert decode_checkpoint(spark, ckpt).count() == 370
+    assert decode_checkpoint(spark, ckpt, as_of=1).count() == 370
+
+
+def test_finish_mutation_nothing_landed(spark, docs, tmp_path):
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    before = engine._list_data_files(ckpt)
+    assert engine._begin_logged_mutation(ckpt, "delete", "g", before)
+    assert finish_mutation(ckpt) == ""
+    assert len(read_commit_log(ckpt)) == 1  # no phantom commit
+    assert engine._read_mutation_pending(ckpt) is None
+
+
+def test_finish_mutation_without_marker_raises(spark, docs, tmp_path):
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    with pytest.raises(ValueError, match="_mutation_pending"):
+        finish_mutation(ckpt)
+
+
+def test_unlogged_checkpoint_skips_bracket(spark, docs, tmp_path,
+                                           monkeypatch):
+    """No commit log -> no snapshot model to protect: mutations on a
+    plain-parquet checkpoint never write the marker."""
+    ckpt = str(tmp_path / "u")
+    encode_table(docs, key_col="doc_id",
+                 num_partitions=2).write.parquet(ckpt)
+    delete_keys_checkpoint(spark, ckpt, [1, 2, 3], "doc_id")
+    assert engine._read_mutation_pending(ckpt) is None
+    assert read_commit_log(ckpt) is None
+    assert decode_checkpoint(spark, ckpt, docs.schema).count() == 397
+
+
+def test_append_onto_unlogged_seeds_create(spark, docs, tmp_path):
+    """write_checkpoint(mode='append') onto a plain df.write.parquet
+    checkpoint seeds commit 0 with the PRE-append listing, else every
+    time-travel read would silently drop the base table."""
+    ckpt = str(tmp_path / "s")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    encode_table(half, key_col="doc_id",
+                 num_partitions=2).write.parquet(ckpt)
+    assert read_commit_log(ckpt) is None
+    write_checkpoint(
+        encode_table(rest, key_col="doc_id", num_partitions=2),
+        ckpt, mode="append", schema=docs.schema)
+    log = read_commit_log(ckpt)
+    assert [(r["seq"], r["action"]) for r in log] == \
+        [(0, "create"), (1, "append")]
+    assert decode_checkpoint(spark, ckpt, as_of=0).count() == half.count()
+    assert decode_checkpoint(spark, ckpt, as_of=1).count() == 400
+
+
+def test_torn_commit_record_raises_named(spark, docs, tmp_path):
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    cpath = os.path.join(ckpt, "_commits", "000000.json")
+    with open(cpath, "w") as f:
+        f.write('{"seq": 0, "action": "crea')  # externally damaged
+    with pytest.raises(IOError, match="commit log is damaged"):
+        read_commit_log(ckpt)
+
+
+def test_commit_seq_from_listing(spark, docs, tmp_path):
+    """Next-seq derivation reads the _commits/ listing, not file
+    contents — and keeps counting past the highest seq present."""
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    assert engine._commit_log_seqs(ckpt) == [0]
+    # drop a foreign high-seq record; the next commit must go above it
+    rec = {"seq": 7, "action": "append", "generation": "", "files": []}
+    with open(os.path.join(ckpt, "_commits", "000007.json"), "w") as f:
+        json.dump(rec, f)
+    delete_keys_checkpoint(spark, ckpt, [0], "doc_id")
+    assert engine._commit_log_seqs(ckpt) == [0, 7, 8]

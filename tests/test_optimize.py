@@ -85,6 +85,29 @@ def test_optimize_lifecycle(spark, docs, tmp_path):
     assert checkpoint_history(spark, ckpt).count() == 4
 
 
+def test_optimize_zorder_recluster(spark, docs, tmp_path):
+    """optimize_checkpoint(partitioner='zorder', zorder_cols=...)
+    forwards the clustering through compact's re-encode: the rewritten
+    manifest prunes on BOTH dimensions and the snapshot is unchanged."""
+    from wills_columnar_format_spark.engine import (
+        _conjunctive_hit_keys, _prepare_value_range)
+
+    ckpt, expected = _mutated_ckpt(spark, docs, tmp_path)
+    optimize_checkpoint(spark, ckpt, key_col="doc_id", rechunk_rows=64,
+                        partitioner="zorder",
+                        zorder_cols=["doc_id", "n_chars"],
+                        num_partitions=4)
+    out = decode_checkpoint(spark, ckpt)
+    assert sorted(out.collect()) == sorted(expected.collect())
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    m = spark.read.parquet(ckpt).filter(F.col("column") != "__done__")
+    total = m.select("chunk_key").distinct().count()
+    vr = _prepare_value_range(to_arrow_schema(out.schema), ("n_chars", 0, 5))
+    hit = _conjunctive_hit_keys(m, [vr]).count()
+    assert 0 < hit < total  # value zone maps actually prune
+
+
 def test_optimize_vacuums_time_travel(spark, docs, tmp_path):
     ckpt, expected = _mutated_ckpt(spark, docs, tmp_path)
     optimize_checkpoint(spark, ckpt, key_col="doc_id", rechunk_rows=256)

@@ -121,3 +121,14 @@ def test_zorder_bad_inputs(spark, grid_df):
     with pytest.raises(Exception):
         encode_table(bad, key_col="k", partitioner="zorder",
                      zorder_cols=["x", "s"], num_partitions=2).collect()
+
+
+def test_zorder_nulls_refused(spark, grid_df):
+    """Spark's least()/greatest() SKIP nulls, so a NULL zorder cell
+    would silently cluster into the max corner of the z-space — the
+    guard must raise instead, even when only SOME rows are null."""
+    holey = grid_df.withColumn(
+        "y", F.when(F.col("k") % 100 == 0, None).otherwise(F.col("y")))
+    with pytest.raises(TypeError, match="NULL"):
+        encode_table(holey, key_col="k", partitioner="zorder",
+                     zorder_cols=["x", "y"], num_partitions=2).collect()

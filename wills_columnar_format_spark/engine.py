@@ -748,12 +748,21 @@ def zorder_expr(df, zorder_cols: list[str]):
     aggs = []
     for c in zorder_cols:
         aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
-                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+                 F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+                 F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")]
     stats = df.agg(*aggs).first()
     top = (1 << bits) - 1
     planes = []
     for j, c in enumerate(zorder_cols):
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        # partial nulls must raise too: least(lit(top), NULL) returns
+        # top (Spark least SKIPS nulls), which would silently cluster
+        # every null row into the max corner of the z-space
+        if (stats[f"nn_{c}"] or 0) > 0:
+            raise TypeError(
+                f"zorder column {c!r} contains NULLs — zorder takes "
+                "non-null, NaN-free numeric/temporal columns"
+            )
         if mn is None or mx is None or math.isnan(mn) or math.isnan(mx):
             raise TypeError(
                 f"zorder column {c!r} aggregates to NULL/NaN — zorder "
@@ -859,7 +868,16 @@ def encode_table(
     """
     from pyspark.sql import functions as F
 
+    from pyspark.sql.types import DecimalType
+
     spark = df.sparkSession
+    if key_col in df.columns and isinstance(
+            df.schema[key_col].dataType, DecimalType):
+        raise dtypes.UnsupportedDataType(
+            f"key_col {key_col!r} is DECIMAL — decimal columns encode as "
+            "payload (int64 unscaled) but cannot key the layout: use an "
+            "integer/string/temporal key, or cast the column yourself"
+        )
     if columns is not None:
         cols = list(dict.fromkeys([key_col] + columns))
         df = df.select(*cols)
@@ -2001,7 +2019,8 @@ def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str,
     Returns the generation id written."""
     from pyspark.sql import functions as F
 
-    _raise_if_optimize_pending(ckpt_dir)
+    if _log:  # the upsert-internal call runs under upsert's own marker
+        _raise_if_pending(ckpt_dir)
     probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
     if _keys_kind(probe) == "empty":
         return ""
@@ -2017,11 +2036,14 @@ def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str,
     sidecars = mdf.select(*cols).mapInArrow(
         _make_mark_fn(probe, gen, key_col), schema=MANIFEST_DDL
     )
-    before = _list_data_files(ckpt_dir) if _log else None
-    sidecars.write.mode("append").parquet(ckpt_dir)
-    if _log and read_commit_log(ckpt_dir) is not None:
-        added = sorted(set(_list_data_files(ckpt_dir)) - set(before))
-        _append_commit(ckpt_dir, "delete", gen, added)
+    if _log:
+        before = _list_data_files(ckpt_dir)
+        logged = _begin_logged_mutation(ckpt_dir, "delete", gen, before)
+        sidecars.write.mode("append").parquet(ckpt_dir)
+        if logged:
+            _end_logged_mutation(ckpt_dir, "delete", gen, before)
+    else:
+        sidecars.write.mode("append").parquet(ckpt_dir)
     return gen
 
 
@@ -2098,18 +2120,18 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
     appends (mask sidecars + new generation) land as ONE ``upsert``
     commit, so no time-travel snapshot ever sees the deleted-but-not-
     reinserted intermediate state. Returns the generation id."""
-    _raise_if_optimize_pending(ckpt_dir)
+    _raise_if_pending(ckpt_dir)
     keys = _collect_upsert_keys(new_df, key_col)
     before = _list_data_files(ckpt_dir)
-    delete_keys_checkpoint(spark, ckpt_dir, keys, key_col, _log=False)
     gen = _deletes_generation(list(dict.fromkeys(_canon_temporal_keys(keys))))
+    logged = _begin_logged_mutation(ckpt_dir, "upsert", gen, before)
+    delete_keys_checkpoint(spark, ckpt_dir, keys, key_col, _log=False)
     newm = _salt_chunk_keys(
         encode_table(new_df, key_col=key_col, **encode_kwargs), gen
     )
     newm.write.mode("append").parquet(ckpt_dir)
-    if read_commit_log(ckpt_dir) is not None:
-        added = sorted(set(_list_data_files(ckpt_dir)) - set(before))
-        _append_commit(ckpt_dir, "upsert", gen, added)
+    if logged:
+        _end_logged_mutation(ckpt_dir, "upsert", gen, before)
     return gen
 
 
@@ -2558,6 +2580,13 @@ def write_checkpoint(manifest_df, ckpt_dir: str, schema=None,
         write_checkpoint_schema(ckpt_dir, schema)
     after = _list_data_files(ckpt_dir)
     if before:
+        if not _has_commit_log(ckpt_dir):
+            # appending onto an UNLOGGED checkpoint (plain
+            # df.write.parquet): seed the log with the pre-append state
+            # first, else commit 0 would list only the appended files
+            # and every time-travel read would silently drop the base
+            # table
+            _append_commit(ckpt_dir, "create", "", before)
         _append_commit(ckpt_dir, "append", "",
                        sorted(set(after) - set(before)))
     else:
@@ -2586,11 +2615,43 @@ def _list_data_files(ckpt_dir: str) -> list[str]:
     )
 
 
+def _commit_log_seqs(ckpt_dir: str) -> list[int]:
+    """Commit seqs derived from the ``_commits/`` FILE LISTING alone
+    (names are zero-padded ``{seq:06d}.json``) — no file contents read,
+    so existence checks and next-seq computation cost one listing, not
+    one GET per commit. [] when the dir carries no log."""
+    from pyarrow import fs as pafs
+
+    try:
+        fsys, p = _manifest_fs(ckpt_dir)
+        cdir = f"{p.rstrip('/')}/{_COMMITS_DIR}"
+        infos = fsys.get_file_info(pafs.FileSelector(cdir, recursive=False))
+    except (OSError, ValueError):
+        return []
+    out = []
+    for i in infos:
+        if i.type != pafs.FileType.File or not i.base_name.endswith(".json"):
+            continue
+        stem = i.base_name[:-5]
+        if stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _has_commit_log(ckpt_dir: str) -> bool:
+    return bool(_commit_log_seqs(ckpt_dir))
+
+
 def read_commit_log(ckpt_dir: str) -> list[dict] | None:
     """The checkpoint's commit records sorted by ``seq`` (each:
     ``{"seq", "action", "generation", "files"}``), or None when the
     checkpoint carries no ``_commits/`` log (written by paths other
-    than write_checkpoint, or predating it)."""
+    than write_checkpoint, or predating it). A record that fails to
+    parse raises a NAMED error rather than an opaque JSONDecodeError —
+    commits are written via temp+rename so torn files cannot appear on
+    rename-atomic filesystems; an unparseable record means external
+    damage, and skipping it silently would misrepresent every snapshot
+    from that seq on."""
     import json
 
     from pyarrow import fs as pafs
@@ -2606,31 +2667,42 @@ def read_commit_log(ckpt_dir: str) -> list[dict] | None:
         if i.type != pafs.FileType.File or not i.base_name.endswith(".json"):
             continue
         with fsys.open_input_stream(i.path) as f:
-            recs.append(json.loads(f.read().decode()))
+            raw = f.read().decode()
+        try:
+            recs.append(json.loads(raw))
+        except ValueError as e:
+            raise IOError(
+                f"commit record {i.path!r} is unreadable ({e}) — the "
+                "commit log is damaged. Repair: restore the file, or "
+                "compact/optimize the checkpoint to re-baseline history."
+            ) from e
     return sorted(recs, key=lambda r: r["seq"]) or None
 
 
 def _append_commit(ckpt_dir: str, action: str, generation: str,
                    files: list[str]) -> int | None:
     """Record one commit (single-writer model — same assumption every
-    marker/append path here makes). Returns the new seq, or None when
-    the log could not be written (read-only dir: the log is an opt-in
-    feature, never a failed write)."""
+    marker/append path here makes). The record lands via temp+rename so
+    a crash mid-write never leaves a torn ``.json``. Returns the new
+    seq, or None when the log could not be written (read-only dir: the
+    log is an opt-in feature, never a failed write)."""
     import json
 
     try:
         fsys, p = _manifest_fs(ckpt_dir)
         cdir = f"{p.rstrip('/')}/{_COMMITS_DIR}"
-        prior = read_commit_log(ckpt_dir)
-        seq = (prior[-1]["seq"] + 1) if prior else 0
+        seqs = _commit_log_seqs(ckpt_dir)
+        seq = (seqs[-1] + 1) if seqs else 0
         try:
             fsys.create_dir(cdir, recursive=True)
         except (OSError, ValueError):
             pass
         rec = {"seq": seq, "action": action, "generation": generation,
                "files": sorted(files)}
-        with fsys.open_output_stream(f"{cdir}/{seq:06d}.json") as f:
+        tmp = f"{cdir}/{seq:06d}.json.tmp"
+        with fsys.open_output_stream(tmp) as f:
             f.write(json.dumps(rec).encode())
+        fsys.move(tmp, f"{cdir}/{seq:06d}.json")
         return seq
     except (OSError, ValueError):
         return None
@@ -2884,7 +2956,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     """
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
-    _raise_if_optimize_pending(ckpt_dir)
+    _raise_if_pending(ckpt_dir)
 
     if out_schema is None:
         # self-describing checkpoint: the table schema rides a
@@ -3103,6 +3175,7 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
                        codec: str = "auto",
                        num_partitions: int | None = None,
                        partitioner: str | None = None,
+                       zorder_cols: list[str] | None = None,
                        target_page_size: int = DEFAULT_TARGET_PAGE_SIZE) -> str:
     """Rewrite a checkpoint manifest into the clustered layout: done
     markers stripped, duplicate (chunk_key, column) rows collapsed, every
@@ -3128,7 +3201,7 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
     """
     from pyspark.sql import functions as F
 
-    _raise_if_optimize_pending(src_dir)
+    _raise_if_pending(src_dir)
 
     if rechunk_rows is not None:
         if schema is None:
@@ -3152,6 +3225,7 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
         manifest = encode_table(
             dec, key_col=key_col, codec=codec, chunk_rows=rechunk_rows,
             num_partitions=num_partitions, partitioner=partitioner,
+            zorder_cols=zorder_cols,
             target_page_size=target_page_size,
         )
         # one task's output per file — clustered by construction, same
@@ -3267,11 +3341,116 @@ def _raise_if_optimize_pending(ckpt_dir: str) -> None:
         )
 
 
+_MUTATION_PENDING = "_mutation_pending"
+
+
+def _read_mutation_pending(ckpt_dir: str) -> dict | None:
+    import json
+
+    try:
+        fsys, p = _manifest_fs(ckpt_dir)
+        with fsys.open_input_stream(
+            f"{p.rstrip('/')}/{_MUTATION_PENDING}"
+        ) as f:
+            return json.loads(f.read().decode())
+    except (OSError, ValueError):
+        return None
+
+
+def _raise_if_pending(ckpt_dir: str) -> None:
+    """Refuse a checkpoint with ANY in-flight multi-step operation: an
+    interrupted optimize swap, or a logged delete/upsert that appended
+    data files but may not have appended its commit record yet (a crash
+    in that window would otherwise silently diverge time-travel
+    snapshots from live reads forever)."""
+    _raise_if_optimize_pending(ckpt_dir)
+    if _read_mutation_pending(ckpt_dir) is not None:
+        raise IOError(
+            f"checkpoint {ckpt_dir!r} has an interrupted logged mutation "
+            "(_mutation_pending marker): its data files may be appended "
+            "but unrecorded in the commit log. Run "
+            "finish_mutation(ckpt_dir) to reconcile, then retry."
+        )
+
+
+def _begin_logged_mutation(ckpt_dir: str, action: str, generation: str,
+                           before: list[str]) -> bool:
+    """Bracket a logged mutation's append→commit window with a marker
+    recording the pre-mutation file listing, so a crash between the two
+    appends is detectable and ``finish_mutation`` can reconcile from the
+    marker instead of the snapshot diverging silently. Returns False on
+    unlogged checkpoints (no snapshot model to protect)."""
+    import json
+
+    if not _has_commit_log(ckpt_dir):
+        return False
+    fsys, p = _manifest_fs(ckpt_dir)
+    with fsys.open_output_stream(f"{p.rstrip('/')}/{_MUTATION_PENDING}") as f:
+        f.write(json.dumps({"action": action, "generation": generation,
+                            "before": before}).encode())
+    return True
+
+
+def _end_logged_mutation(ckpt_dir: str, action: str, generation: str,
+                         before: list[str]) -> None:
+    added = sorted(set(_list_data_files(ckpt_dir)) - set(before))
+    if added:
+        _append_commit(ckpt_dir, action, generation, added)
+    fsys, p = _manifest_fs(ckpt_dir)
+    fsys.delete_file(f"{p.rstrip('/')}/{_MUTATION_PENDING}")
+
+
+def finish_mutation(ckpt_dir: str) -> str:
+    """Reconcile an interrupted logged delete/upsert (crash between the
+    data-file append and the commit-record append). The marker holds the
+    pre-mutation listing; whatever files actually landed are committed
+    so snapshots match live reads again. An upsert whose new-generation
+    files never landed is recorded as the DELETE it physically is (only
+    the mask sidecars exist — live reads already see the rows gone);
+    re-run the upsert with the same batch to land the replacements (the
+    duplicate masks are dropped by compaction). Returns the action
+    recorded, '' when nothing had landed."""
+    rec = _read_mutation_pending(ckpt_dir)
+    if rec is None:
+        raise ValueError(
+            f"{ckpt_dir!r} has no _mutation_pending marker — nothing to "
+            "finish"
+        )
+    fsys, p = _manifest_fs(ckpt_dir)
+    p = p.rstrip("/")
+    action, gen = rec["action"], rec["generation"]
+    added = sorted(set(_list_data_files(ckpt_dir)) - set(rec["before"]))
+    recorded = ""
+    if added:
+        if action == "upsert":
+            # did the new generation land, or only the mask sidecars?
+            # (an upsert is two appends: sidecars, then the encoded
+            # replacement batch)
+            import pyarrow.dataset as pads
+
+            has_data = False
+            for b in added:
+                tbl = pads.dataset(
+                    f"{p}/{b}", filesystem=fsys
+                ).to_table(columns=["column"])
+                cols = tbl.column("column").to_pylist()
+                if any(not c.startswith(DELETES_PREFIX) for c in cols):
+                    has_data = True
+                    break
+            recorded = "upsert" if has_data else "delete"
+        else:
+            recorded = action
+        _append_commit(ckpt_dir, recorded, gen, added)
+    fsys.delete_file(f"{p}/{_MUTATION_PENDING}")
+    return recorded
+
+
 def optimize_checkpoint(spark, ckpt_dir: str, key_col: str | None = None,
                         rechunk_rows: int = 65536, schema=None,
                         codec: str = "auto",
                         num_partitions: int | None = None,
                         partitioner: str | None = None,
+                        zorder_cols: list[str] | None = None,
                         target_page_size: int = DEFAULT_TARGET_PAGE_SIZE) -> str:
     """Rewrite a checkpoint's CURRENT snapshot in place: decode (masks
     applied), re-encode at ``rechunk_rows``, swap the new files in and
@@ -3286,7 +3465,7 @@ def optimize_checkpoint(spark, ckpt_dir: str, key_col: str | None = None,
     re-encoding branch of ``compact_checkpoint``, so the result is
     clustered (shuffle-free decode), sidecar-free, and strictly better
     compressed when the source wrote small streaming chunks."""
-    _raise_if_optimize_pending(ckpt_dir)
+    _raise_if_pending(ckpt_dir)
     import json
 
     fsys, p = _manifest_fs(ckpt_dir)
@@ -3302,6 +3481,7 @@ def optimize_checkpoint(spark, ckpt_dir: str, key_col: str | None = None,
     compact_checkpoint(spark, ckpt_dir, staging, rechunk_rows=rechunk_rows,
                        schema=schema, key_col=key_col, codec=codec,
                        num_partitions=num_partitions, partitioner=partitioner,
+                       zorder_cols=zorder_cols,
                        target_page_size=target_page_size)
     new = _list_data_files(staging)
     clash = sorted(set(new) & set(old))
