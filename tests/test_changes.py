@@ -1,0 +1,146 @@
+"""Change data feed (``read_changes``) over the checkpoint commit log.
+
+Pins: inserts attribute to their commit with full payload; deletes
+emit one key-only row per NEWLY-dead key (re-deleting an already-dead
+key emits nothing — the per-commit snapshot diff, Delta-CDF
+semantics); an upsert is delete + insert of the same key; a replace
+commit in the range raises; key_col is only demanded when the range
+actually deletes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark.engine import (
+    decode_checkpoint,
+    delete_keys_checkpoint,
+    encode_table,
+    optimize_checkpoint,
+    read_changes,
+    upsert_checkpoint,
+    write_checkpoint,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"src{i % 5}", f"text {i}", i % 97) for i in range(400)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+
+
+@pytest.fixture()
+def ckpt(spark, docs, tmp_path):
+    """create(0) -> delete %10==3 (1) -> upsert %10==4 (2) ->
+    append 400..499 (3) -> re-delete {3,13,5} (4: only 5 newly dead)."""
+    path = str(tmp_path / "m")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=4,
+                     chunk_rows=64),
+        path, schema=docs.schema)
+    delete_keys_checkpoint(
+        spark, path, [i for i in range(400) if i % 10 == 3], "doc_id")
+    batch = docs.filter(F.col("doc_id") % 10 == 4).withColumn(
+        "n_chars", F.lit(-1))
+    upsert_checkpoint(spark, path, batch, "doc_id", num_partitions=2)
+    extra = docs.withColumn("doc_id", F.col("doc_id") + 400).filter(
+        F.col("doc_id") < 500)
+    write_checkpoint(
+        encode_table(extra, key_col="doc_id", num_partitions=2),
+        path, mode="append")
+    delete_keys_checkpoint(spark, path, [3, 13, 5], "doc_id")
+    return path
+
+
+def test_full_feed(spark, docs, ckpt):
+    feed = read_changes(spark, ckpt, since=0, key_col="doc_id").cache()
+
+    d1 = feed.filter("_commit_seq = 1")
+    assert d1.count() == 40
+    assert set(r["_change_type"] for r in d1.collect()) == {"delete"}
+    assert sorted(r["doc_id"] for r in d1.collect()) == \
+        [i for i in range(400) if i % 10 == 3]
+    # delete rows carry NULL payload
+    assert d1.filter(F.col("source").isNotNull()).count() == 0
+
+    d2 = feed.filter("_commit_seq = 2").cache()
+    ins = d2.filter("_change_type = 'insert'")
+    dels = d2.filter("_change_type = 'delete'")
+    assert ins.count() == 40 and dels.count() == 40
+    assert ins.filter(F.col("n_chars") == -1).count() == 40
+    assert sorted(r["doc_id"] for r in dels.collect()) == \
+        sorted(r["doc_id"] for r in ins.collect())
+
+    d3 = feed.filter("_commit_seq = 3")
+    assert d3.count() == 100
+    assert set(r["_change_type"] for r in d3.collect()) == {"insert"}
+    assert d3.agg(F.min("doc_id"), F.max("doc_id")).first() == (400, 499)
+
+    # re-delete of already-dead 3 and 13 emits NOTHING; only 5 is new
+    d4 = feed.filter("_commit_seq = 4")
+    assert [(r["_change_type"], r["doc_id"]) for r in d4.collect()] == \
+        [("delete", 5)]
+    feed.unpersist()
+
+
+def test_feed_window_and_replay(spark, docs, ckpt):
+    # consumer synced at 2: sees only the append and the tail delete
+    tail = read_changes(spark, ckpt, since=2, key_col="doc_id")
+    assert tail.filter("_change_type = 'insert'").count() == 100
+    assert [r["doc_id"] for r in
+            tail.filter("_change_type = 'delete'").collect()] == [5]
+    # applying the full feed to snapshot 0 reproduces the live table
+    live = decode_checkpoint(spark, ckpt)
+    base = decode_checkpoint(spark, ckpt, as_of=0)
+    feed = read_changes(spark, ckpt, since=0, key_col="doc_id")
+    cols = [f for f in base.columns]
+    # last change per key wins (seq order; delete removes, insert adds)
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("_commit_seq").desc())
+    last = (feed.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1").drop("_rn"))
+    untouched = base.join(last.select("doc_id"), "doc_id", "left_anti")
+    replayed = untouched.unionByName(
+        last.filter("_change_type = 'insert'").select(*cols))
+    assert replayed.count() == live.count()
+    assert replayed.exceptAll(live).count() == 0
+
+
+def test_feed_empty_window(spark, docs, ckpt):
+    feed = read_changes(spark, ckpt, since=4, key_col="doc_id")
+    assert feed.count() == 0
+    assert "_change_type" in feed.columns
+
+
+def test_feed_demands_key_col_only_when_deleting(spark, docs, ckpt):
+    # insert-only window: fine without key_col
+    assert read_changes(spark, ckpt, since=2, until=3).count() == 100
+    with pytest.raises(ValueError, match="key_col"):
+        read_changes(spark, ckpt, since=0, until=1).count()
+
+
+def test_feed_refuses_replace(spark, docs, ckpt):
+    optimize_checkpoint(spark, ckpt, key_col="doc_id", rechunk_rows=256)
+    with pytest.raises(ValueError, match="replace"):
+        read_changes(spark, ckpt, since=0, key_col="doc_id")
+    # post-replace changes remain readable
+    delete_keys_checkpoint(spark, ckpt, [7], "doc_id")
+    feed = read_changes(spark, ckpt, since=5, key_col="doc_id")
+    assert [(r["_change_type"], r["doc_id"]) for r in feed.collect()] == \
+        [("delete", 7)]
+
+
+def test_feed_bad_seqs(spark, docs, ckpt):
+    with pytest.raises(ValueError, match="not a commit"):
+        read_changes(spark, ckpt, since=99)
+    with pytest.raises(ValueError, match="not a commit"):
+        read_changes(spark, ckpt, since=0, until=99)
+
+
+def test_feed_unlogged_refused(spark, docs, tmp_path):
+    path = str(tmp_path / "u")
+    encode_table(docs, key_col="doc_id",
+                 num_partitions=2).write.parquet(path)
+    with pytest.raises(ValueError, match="_commits"):
+        read_changes(spark, path, since=0, out_schema=docs.schema)

@@ -2746,6 +2746,145 @@ def _files_as_of(ckpt_dir: str, as_of: int) -> list[str]:
     return sorted(out)
 
 
+def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
+                 key_col: str | None = None, out_schema=None):
+    """Change data feed over a logged checkpoint: every row the commits
+    in ``(since, until]`` inserted, plus one ``delete`` row per key
+    those commits removed (payload columns NULL, the key column set).
+
+    The incremental-consumption primitive for a 100 TB pipeline: a
+    downstream job that synced at commit ``since`` re-reads ONLY the
+    change set — work proportional to the mutation, not the corpus.
+    Output = table columns + ``_change_type`` ('insert' | 'delete') +
+    ``_commit_seq``. An upsert appears as delete + insert of the same
+    key (Delta-CDF's update pre/post-image collapsed to the format's
+    physical model: mask sidecars + one appended generation).
+
+    Deleted keys come from a PER-COMMIT SNAPSHOT DIFF of only the
+    masked chunks (decode each masked chunk's key sub-column with the
+    masks as of the previous commit vs as of this commit and subtract)
+    — re-deleting an already-dead key emits nothing, exactly like
+    Delta, and the work is O(masked chunks), not O(table). ``key_col``
+    is required only when the range contains delete/upsert commits.
+
+    A ``replace`` commit (in-place ``optimize_checkpoint``) inside the
+    range raises: the rewrite is not row-attributable — consumers must
+    resync from the replace snapshot.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+    _raise_if_pending(ckpt_dir)
+    log = read_commit_log(ckpt_dir)
+    if log is None:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _commits log — the "
+            "change feed needs checkpoints written via write_checkpoint"
+        )
+    seqs = [r["seq"] for r in log]
+    if until is None:
+        until = seqs[-1]
+    if since != -1 and since not in seqs:
+        raise ValueError(f"since={since} is not a commit (history: {seqs})")
+    if until not in seqs:
+        raise ValueError(f"until={until} is not a commit (history: {seqs})")
+    window = [r for r in log if since < r["seq"] <= until]
+    for r in window:
+        if r["action"] == "replace":
+            raise ValueError(
+                f"commit {r['seq']} of {ckpt_dir!r} is a 'replace' "
+                "(in-place optimize): the rewrite is not "
+                "row-attributable — read_changes cannot span it; resync "
+                f"from as_of={r['seq']} instead"
+            )
+
+    if out_schema is None:
+        out_schema = read_checkpoint_schema(ckpt_dir)
+        if out_schema is None:
+            raise ValueError(
+                f"checkpoint {ckpt_dir!r} carries no _table_schema "
+                "sidecar — pass out_schema="
+            )
+    if not isinstance(out_schema, pa.Schema):
+        out_schema = to_arrow_schema(out_schema)
+    spark_schema = from_arrow_schema(out_schema, prefer_timestamp_ntz=True)
+    base = ckpt_dir.rstrip("/")
+
+    def empty_feed():
+        return spark.createDataFrame([], spark_schema).withColumns({
+            "_change_type": F.lit("").cast("string"),
+            "_commit_seq": F.lit(0).cast("long"),
+        }).limit(0)
+
+    def tag(df, change_type, seq):
+        return df.withColumns({
+            "_change_type": F.lit(change_type),
+            "_commit_seq": F.lit(seq).cast("long"),
+        })
+
+    key_schema = None
+    if key_col is not None:
+        key_schema = from_arrow_schema(
+            pa.schema([out_schema.field(key_col)]),
+            prefer_timestamp_ntz=True)
+
+    pieces = []
+    for r in window:
+        paths = [f"{base}/{b}" for b in r["files"]]
+        if not paths:
+            continue
+        cm = spark.read.parquet(*paths)
+        data = cm.filter(
+            (F.col("column") != DONE_COLUMN)
+            & ~F.col("column").startswith(DELETES_PREFIX))
+        if r["action"] in ("create", "append", "upsert"):
+            # the commit's own files are a complete manifest for the
+            # rows it inserted (one encode_table output)
+            if data.limit(1).count():
+                pieces.append(tag(decode_table(data, out_schema), "insert",
+                                  r["seq"]))
+        side = cm.filter(F.col("column").startswith(DELETES_PREFIX))
+        hit = side.select("chunk_key").distinct()
+        if not hit.limit(1).count():
+            continue
+        if key_col is None:
+            raise ValueError(
+                f"commit {r['seq']} deletes rows — pass key_col= so the "
+                "feed can name the deleted keys"
+            )
+        # snapshot diff of ONLY the masked chunks: keys alive under the
+        # masks of the previous commit minus alive under this commit's.
+        # The chunk restriction is a broadcast semi-join on the masked
+        # chunk keys (count bounded by the mutation, never collected to
+        # an expression literal).
+        prev_seq = max(s for s in seqs if s < r["seq"])
+        before = _files_as_of(ckpt_dir, prev_seq)
+        now = _files_as_of(ckpt_dir, r["seq"])
+
+        def masked_keys(files, _hit=hit):
+            m = spark.read.parquet(*[f"{base}/{b}" for b in files])
+            m = m.filter(
+                (F.col("column") == key_col)
+                | F.col("column").startswith(DELETES_PREFIX)
+            ).join(F.broadcast(_hit), "chunk_key", "left_semi")
+            return decode_table(m, key_schema)
+
+        gone = masked_keys(before).subtract(masked_keys(now))
+        null_payload = [
+            F.col(key_col) if f.name == key_col
+            else F.lit(None).cast(spark_schema[f.name].dataType).alias(f.name)
+            for f in spark_schema.fields
+        ]
+        pieces.append(tag(gone.select(*null_payload), "delete", r["seq"]))
+
+    if not pieces:
+        return empty_feed()
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def checkpoint_history(spark, ckpt_dir: str):
     """The commit log as a DataFrame — ``DESCRIBE HISTORY`` for this
     format: one row per commit (seq, action, generation, n_files,

@@ -637,6 +637,70 @@ ORACLE_OPTIMIZE_ROUNDTRIP = (
 )
 
 
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the checkpoint commit log: encode documents
+    into a logged checkpoint, delete 10% of the keys, upsert a mutated
+    batch — then ``read_changes(since=0)`` returns exactly the rows those
+    commits inserted plus one key-only ``delete`` row per newly-dead key
+    (deleted keys recovered by a per-commit snapshot diff of ONLY the
+    masked chunks — work proportional to the mutation, never the table;
+    Delta-CDF semantics on this format's mask-sidecar physical model).
+    The oracle reconstructs the whole feed relationally: an incremental
+    consumer syncing from commit 0 must see the delete of every %10==3
+    key at seq 1, then the upsert's delete+insert pair at seq 2."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        delete_keys_checkpoint,
+        encode_table,
+        read_changes,
+        upsert_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_cdf_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            ckpt, schema=df.schema)
+        delete_keys_checkpoint(
+            spark, ckpt,
+            [r["doc_id"] for r in
+             df.filter(F.col("doc_id") % 10 == 3).select("doc_id").collect()],
+            "doc_id")
+        upsert_checkpoint(
+            spark, ckpt,
+            df.filter(F.col("doc_id") % 10 == 4)
+              .withColumn("n_chars", F.lit(-1)),
+            "doc_id", num_partitions=2)
+        out = read_changes(spark, ckpt, since=0, key_col="doc_id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_CHANGE_FEED = """
+SELECT doc_id, CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars,
+       'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_seq
+FROM documents WHERE doc_id % 10 = 3
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       'delete', CAST(2 AS BIGINT)
+FROM documents WHERE doc_id % 10 = 4
+UNION ALL
+SELECT doc_id, text, lang, source, CAST(-1 AS BIGINT),
+       'insert', CAST(2 AS BIGINT)
+FROM documents WHERE doc_id % 10 = 4
+"""
+
+
 def q_value_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter pushdown through compressed data on a NON-key numeric
     column: every chunk carries per-column value zone maps, and
@@ -2186,6 +2250,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_struct": (q_roundtrip_struct, ORACLE_ROUNDTRIP_STRUCT),
     "time_travel": (q_time_travel, ORACLE_ROUNDTRIP_DOCUMENTS),
     "optimize_roundtrip": (q_optimize_roundtrip, ORACLE_OPTIMIZE_ROUNDTRIP),
+    "change_feed": (q_change_feed, DUCK_CHANGE_FEED),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
