@@ -231,6 +231,8 @@ def _registry_benches(spark, sf_dir: str):
         "roundtrip_decimal",
         "time_travel",
         "optimize_roundtrip",
+        "change_feed",
+        "change_sync",
         "sequence_pack",
         "sequence_pack_tokens",
         "pipeline_train_data",

@@ -144,3 +144,192 @@ def test_feed_unlogged_refused(spark, docs, tmp_path):
                  num_partitions=2).write.parquet(path)
     with pytest.raises(ValueError, match="_commits"):
         read_changes(spark, path, since=0, out_schema=docs.schema)
+
+
+# ---------------------------------------------------------------------------
+# apply_changes: the CDF consumer
+# ---------------------------------------------------------------------------
+
+
+from wills_columnar_format_spark.engine import apply_changes  # noqa: E402
+
+
+def _fresh_copy(spark, docs, path):
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=3,
+                     chunk_rows=128),
+        path, schema=docs.schema)
+    return path
+
+
+def test_apply_changes_syncs_downstream(spark, docs, ckpt, tmp_path):
+    dst = _fresh_copy(spark, docs, str(tmp_path / "dst"))
+    feed = read_changes(spark, ckpt, since=0, key_col="doc_id")
+    stats = apply_changes(spark, dst, feed, "doc_id", num_partitions=2)
+    live = decode_checkpoint(spark, ckpt)
+    synced = decode_checkpoint(spark, dst)
+    assert synced.count() == live.count()
+    assert synced.exceptAll(live).count() == 0
+    # net actions are disjoint: upserted keys never in the delete set
+    assert stats["upserted"] > 0 and stats["deleted"] > 0
+
+    # the destination logged its own commits: it is itself feedable
+    tail = read_changes(spark, dst, since=0, key_col="doc_id")
+    assert tail.count() > 0
+
+
+def test_apply_changes_net_effect_delete_then_reinsert(spark, docs,
+                                                       tmp_path):
+    src = str(tmp_path / "src")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        src, schema=docs.schema)
+    delete_keys_checkpoint(spark, src, [1, 2, 3], "doc_id")
+    upsert_checkpoint(
+        spark, src,
+        docs.filter(F.col("doc_id").isin([2, 3])).withColumn(
+            "n_chars", F.lit(-5)),
+        "doc_id", num_partitions=1)
+    dst = _fresh_copy(spark, docs, str(tmp_path / "dst"))
+    feed = read_changes(spark, src, since=0, key_col="doc_id")
+    stats = apply_changes(spark, dst, feed, "doc_id", num_partitions=1)
+    # key 1: net delete; keys 2,3: delete@1 then reinsert@2 -> net insert
+    assert stats == {"deleted": 1, "upserted": 2,
+                     "delete_gen": stats["delete_gen"],
+                     "upsert_gen": stats["upsert_gen"]}
+    synced = decode_checkpoint(spark, dst)
+    assert synced.filter("doc_id = 1").count() == 0
+    got = {r["doc_id"]: r["n_chars"]
+           for r in synced.filter("doc_id IN (2, 3)").collect()}
+    assert got == {2: -5, 3: -5}
+    live = decode_checkpoint(spark, src)
+    assert synced.exceptAll(live).count() == 0
+    assert live.exceptAll(synced).count() == 0
+
+
+def test_apply_changes_empty_window_is_noop(spark, docs, ckpt, tmp_path):
+    dst = _fresh_copy(spark, docs, str(tmp_path / "dst"))
+    feed = read_changes(spark, ckpt, since=4, key_col="doc_id")
+    stats = apply_changes(spark, dst, feed, "doc_id")
+    assert stats["deleted"] == 0 and stats["upserted"] == 0
+    assert decode_checkpoint(spark, dst).count() == docs.count()
+
+
+def test_apply_changes_reapply_is_idempotent(spark, docs, ckpt, tmp_path):
+    dst = _fresh_copy(spark, docs, str(tmp_path / "dst"))
+    feed = read_changes(spark, ckpt, since=0, key_col="doc_id")
+    apply_changes(spark, dst, feed, "doc_id", num_partitions=2)
+    once = decode_checkpoint(spark, dst).localCheckpoint(eager=True)
+    feed2 = read_changes(spark, ckpt, since=0, key_col="doc_id")
+    apply_changes(spark, dst, feed2, "doc_id", num_partitions=2)
+    twice = decode_checkpoint(spark, dst)
+    assert twice.count() == once.count()
+    assert twice.exceptAll(once).count() == 0
+
+
+def test_apply_changes_filtered_feed(spark, docs, ckpt, tmp_path):
+    # a derived table keeping only src0/src1 applies the SAME feed
+    # filtered to its slice
+    sub = docs.filter(F.col("source").isin(["src0", "src1"]))
+    dst = _fresh_copy(spark, sub, str(tmp_path / "dst"))
+    feed = read_changes(spark, ckpt, since=0, key_col="doc_id")
+    # deletes carry NULL source: keep them all (key-only), restrict
+    # inserts to the slice
+    feed = feed.filter(
+        (F.col("_change_type") == "delete")
+        | F.col("source").isin(["src0", "src1"]))
+    apply_changes(spark, dst, feed, "doc_id", num_partitions=1)
+    synced = decode_checkpoint(spark, dst)
+    live = decode_checkpoint(spark, ckpt).filter(
+        F.col("source").isin(["src0", "src1"]))
+    assert synced.count() == live.count()
+    assert synced.exceptAll(live).count() == 0
+
+
+def test_apply_changes_demands_feed_columns(spark, docs, tmp_path):
+    dst = _fresh_copy(spark, docs, str(tmp_path / "dst"))
+    with pytest.raises(ValueError, match="_change_type"):
+        apply_changes(spark, dst, docs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# sync_checkpoint: cursor-tracked incremental sync
+# ---------------------------------------------------------------------------
+
+
+from wills_columnar_format_spark.engine import (  # noqa: E402
+    read_sync_state,
+    sync_checkpoint,
+)
+
+
+def test_sync_checkpoint_tracks_cursor(spark, docs, tmp_path):
+    src = str(tmp_path / "src")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=128),
+        src, schema=docs.schema)
+    dst = _fresh_copy(spark, docs, str(tmp_path / "dst"))
+
+    # nothing to sync yet: bootstrap writes no cursor, reports no-op
+    s0 = sync_checkpoint(spark, src, dst, "doc_id", since=0)
+    assert s0["synced"] is False and read_sync_state(dst) is None
+
+    delete_keys_checkpoint(
+        spark, src, [i for i in range(400) if i % 10 == 3], "doc_id")
+    s1 = sync_checkpoint(spark, src, dst, "doc_id", since=0,
+                         num_partitions=1)
+    assert s1["synced"] and (s1["since"], s1["until"]) == (0, 1)
+    assert s1["deleted"] == 40
+    assert read_sync_state(dst) == {"src": src, "seq": 1}
+
+    upsert_checkpoint(
+        spark, src,
+        docs.filter(F.col("doc_id") % 10 == 4).withColumn(
+            "n_chars", F.lit(-1)),
+        "doc_id", num_partitions=1)
+    # second run: cursor read from the destination, no since= needed
+    s2 = sync_checkpoint(spark, src, dst, "doc_id", num_partitions=1)
+    assert s2["synced"] and (s2["since"], s2["until"]) == (1, 2)
+    assert s2["upserted"] == 40 and s2["deleted"] == 0
+    assert read_sync_state(dst) == {"src": src, "seq": 2}
+
+    live = decode_checkpoint(spark, src)
+    synced = decode_checkpoint(spark, dst)
+    assert synced.count() == live.count()
+    assert synced.exceptAll(live).count() == 0
+
+    # already up to date -> no-op, cursor unchanged
+    s3 = sync_checkpoint(spark, src, dst, "doc_id")
+    assert s3["synced"] is False and read_sync_state(dst)["seq"] == 2
+
+
+def test_sync_checkpoint_guards(spark, docs, tmp_path):
+    src = str(tmp_path / "src")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2),
+        src, schema=docs.schema)
+    dst = _fresh_copy(spark, docs, str(tmp_path / "dst"))
+    with pytest.raises(ValueError, match="no sync cursor"):
+        sync_checkpoint(spark, src, dst, "doc_id")
+    delete_keys_checkpoint(spark, src, [1], "doc_id")
+    sync_checkpoint(spark, src, dst, "doc_id", since=0, num_partitions=1)
+    # conflicting explicit since on an initialized destination
+    with pytest.raises(ValueError, match="conflicts with the stored"):
+        sync_checkpoint(spark, src, dst, "doc_id", since=0)
+    # one destination syncs one source
+    other = str(tmp_path / "other")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=1),
+        other, schema=docs.schema)
+    delete_keys_checkpoint(spark, other, [2], "doc_id")
+    with pytest.raises(ValueError, match="tracks source"):
+        sync_checkpoint(spark, other, dst, "doc_id")
+    # unlogged source refused
+    plain = str(tmp_path / "plain")
+    encode_table(docs, key_col="doc_id",
+                 num_partitions=1).write.parquet(plain)
+    fresh = _fresh_copy(spark, docs, str(tmp_path / "fresh"))
+    with pytest.raises(ValueError, match="_commits"):
+        sync_checkpoint(spark, plain, fresh, "doc_id", since=0)

@@ -1,0 +1,126 @@
+"""Concurrent-writer safety of the commit log and mutation marker.
+
+Pins: commit seqs are claimed via exclusive create (hard-link publish)
+— racing writers never overwrite each other's records and every record
+is complete (no torn JSON); the ``_mutation_pending`` marker doubles as
+the mutation lock (one winner, the loser gets the named error); racing
+mutations serialized by retry both land and compose.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark import engine
+from wills_columnar_format_spark.engine import (
+    decode_checkpoint,
+    delete_keys_checkpoint,
+    encode_table,
+    read_commit_log,
+    write_checkpoint,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"src{i % 5}", f"text {i}", i % 97) for i in range(300)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+
+
+@pytest.fixture()
+def ckpt(spark, docs, tmp_path):
+    path = str(tmp_path / "m")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=128),
+        path, schema=docs.schema)
+    return path
+
+
+def test_publish_exclusive_one_winner_no_tears(tmp_path):
+    fsys, _ = engine._manifest_fs(str(tmp_path))
+    target = str(tmp_path / "claim.json")
+    payloads = [json.dumps({"w": i, "pad": "x" * 4096}).encode()
+                for i in range(16)]
+    wins = []
+    barrier = threading.Barrier(16)
+
+    def race(i):
+        barrier.wait()
+        if engine._publish_exclusive(fsys, target, payloads[i]):
+            wins.append(i)
+
+    ts = [threading.Thread(target=race, args=(i,)) for i in range(16)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(wins) == 1
+    with open(target, "rb") as f:
+        assert f.read() == payloads[wins[0]]  # complete, untorn
+    # losers' tmp files are cleaned up
+    assert [n for n in os.listdir(tmp_path) if n.endswith(".tmp")] == []
+
+
+def test_commit_seq_race_all_distinct(ckpt):
+    n = 12
+    got = {}
+    barrier = threading.Barrier(n)
+
+    def commit(i):
+        barrier.wait()
+        got[i] = engine._append_commit(ckpt, "append", "", [f"file{i}"])
+
+    ts = [threading.Thread(target=commit, args=(i,)) for i in range(n)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    seqs = sorted(got.values())
+    assert seqs == list(range(1, n + 1))  # create=0, then n distinct
+    log = read_commit_log(ckpt)
+    assert [r["seq"] for r in log] == list(range(n + 1))
+    # every record is complete and attributes exactly its own file
+    by_file = {r["files"][0]: r["seq"] for r in log if r["seq"] > 0}
+    assert by_file == {f"file{i}": got[i] for i in range(n)}
+
+
+def test_mutation_marker_is_a_lock(ckpt):
+    before = engine._list_data_files(ckpt)
+    assert engine._begin_logged_mutation(ckpt, "delete", "g1", before)
+    with pytest.raises(IOError, match="another writer|finish_mutation"):
+        engine._begin_logged_mutation(ckpt, "delete", "g2", before)
+    engine._end_logged_mutation(ckpt, "delete", "g1", before)
+    # released: next writer claims it
+    assert engine._begin_logged_mutation(ckpt, "delete", "g3", before)
+    engine._end_logged_mutation(ckpt, "delete", "g3", before)
+
+
+def test_racing_deletes_serialize_and_compose(spark, docs, ckpt):
+    """Two writers deleting DISJOINT key sets race; the loser retries on
+    the lock error. Both must land, in some order, with nothing lost."""
+    sets = {"a": list(range(0, 30)), "b": list(range(100, 140))}
+    errs = []
+
+    def run(name):
+        for _ in range(240):
+            try:
+                delete_keys_checkpoint(spark, ckpt, sets[name], "doc_id")
+                return
+            except IOError:
+                import time
+                time.sleep(0.05)
+        errs.append(name)
+
+    ts = [threading.Thread(target=run, args=(k,)) for k in sets]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert errs == []
+    live = decode_checkpoint(spark, ckpt)
+    assert live.count() == 300 - 30 - 40
+    assert live.filter(F.col("doc_id") < 30).count() == 0
+    assert live.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 140)).count() == 0
+    log = read_commit_log(ckpt)
+    assert [r["action"] for r in log] == ["create", "delete", "delete"]

@@ -19,6 +19,7 @@ value stream (src/lib.rs:25-33).
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Iterator
 
 import numpy as np
@@ -1894,6 +1895,27 @@ def _deletes_generation(probe_keys) -> str:
     return h.hexdigest()
 
 
+def _upsert_generation(keys_canon, state_sig: str) -> str:
+    """Generation id for an UPSERT's appended chunks: content-derived
+    from the batch key set PLUS the destination's pre-append state.
+    The delete-side sidecar gen must stay purely content-derived (mask
+    replay collapses to identical rows), but the append-side chunk-key
+    salt must NOT: replaying the same batch onto a checkpoint that
+    already carries the first application's generation would otherwise
+    append chunks under the SAME chunk_keys, and the replay's own mask
+    pass then covers every row of both copies — the upserted rows
+    vanish (measured: re-applying a change feed lost them). Folding the
+    pre-append file listing in mints a fresh generation exactly when
+    the destination has evolved."""
+    h = hashlib.blake2b(digest_size=6)
+    for k in sorted(repr(k) for k in keys_canon):
+        h.update(k.encode())
+        h.update(b"\x00")
+    h.update(b"\x01")
+    h.update(state_sig.encode())
+    return h.hexdigest()
+
+
 def _make_mark_fn(probe_keys, gen: str, key_col: str):
     """mapInArrow over the KEY sub-column's (pruned) manifest rows:
     decode each candidate chunk's keys, locate probe matches, and emit
@@ -2100,10 +2122,19 @@ def upsert_table(manifest_df, new_df, key_col: str, **encode_kwargs):
     ``new_df`` must be key-unique (standard merge-source contract).
     The returned manifest is not chunk-contiguous; decode it on the
     default path. A later re-encoding compaction folds the masked rows
-    away and restores one clean generation."""
+    away and restores one clean generation.
+
+    Re-applying the SAME batch to a manifest that already carries the
+    first application's generation needs ``gen_salt`` (any string that
+    differs per application): without it the replay's chunk keys
+    collide with the first generation's and its own mask pass kills
+    both. ``upsert_checkpoint`` handles this automatically (the
+    destination's file listing is the salt)."""
+    gen_salt = encode_kwargs.pop("gen_salt", "")
     keys = _collect_upsert_keys(new_df, key_col)
+    gen = _upsert_generation(
+        list(dict.fromkeys(_canon_temporal_keys(keys))), gen_salt)
     base = delete_keys(manifest_df, keys, key_col)
-    gen = _deletes_generation(list(dict.fromkeys(_canon_temporal_keys(keys))))
     newm = _salt_chunk_keys(
         encode_table(new_df, key_col=key_col, **encode_kwargs), gen
     )
@@ -2123,7 +2154,12 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
     _raise_if_pending(ckpt_dir)
     keys = _collect_upsert_keys(new_df, key_col)
     before = _list_data_files(ckpt_dir)
-    gen = _deletes_generation(list(dict.fromkeys(_canon_temporal_keys(keys))))
+    # salt the appended generation with the PRE-append listing: a
+    # replayed upsert (idempotent change-feed apply, retried sync job)
+    # then mints a fresh generation instead of colliding with the one
+    # it already wrote — see _upsert_generation
+    gen = _upsert_generation(
+        list(dict.fromkeys(_canon_temporal_keys(keys))), "|".join(before))
     logged = _begin_logged_mutation(ckpt_dir, "upsert", gen, before)
     delete_keys_checkpoint(spark, ckpt_dir, keys, key_col, _log=False)
     newm = _salt_chunk_keys(
@@ -2679,31 +2715,75 @@ def read_commit_log(ckpt_dir: str) -> list[dict] | None:
     return sorted(recs, key=lambda r: r["seq"]) or None
 
 
+def _publish_exclusive(fsys, path: str, payload: bytes) -> bool:
+    """Atomically create ``path`` holding exactly ``payload`` IFF it
+    does not already exist. Local filesystem: write a writer-unique tmp
+    then hard-LINK it into place — link(2) fails when the target
+    exists, so two racing writers cannot both claim the name, and a
+    crash at any point leaves either nothing or the complete file,
+    never a torn target. Returns False when the target already exists
+    (caller lost the race). Non-local filesystems fall back to
+    temp+rename WITHOUT exclusivity — object stores lack an atomic
+    create-if-absent, so multi-writer coordination there needs an
+    external lock service (the same caveat Delta Lake documents for
+    S3)."""
+    import uuid
+
+    from pyarrow import fs as pafs
+
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    if isinstance(fsys, pafs.LocalFileSystem):
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        return True
+    with fsys.open_output_stream(tmp) as f:
+        f.write(payload)
+    fsys.move(tmp, path)
+    return True
+
+
 def _append_commit(ckpt_dir: str, action: str, generation: str,
                    files: list[str]) -> int | None:
-    """Record one commit (single-writer model — same assumption every
-    marker/append path here makes). The record lands via temp+rename so
-    a crash mid-write never leaves a torn ``.json``. Returns the new
-    seq, or None when the log could not be written (read-only dir: the
-    log is an opt-in feature, never a failed write)."""
+    """Record one commit. The seq is CLAIMED optimistically: list the
+    log, take next seq, publish ``{seq:06d}.json`` via exclusive create
+    (``_publish_exclusive``) — a concurrent writer that claimed the
+    same seq first makes the publish fail, and this writer relists and
+    retries with the next number. On rename-atomic local filesystems
+    this makes commit records safe under concurrent writers (the
+    mutation marker serializes multi-step delete/upsert windows; plain
+    appends interleave freely since each commit lists only its own
+    files). Returns the new seq, or None when the log could not be
+    written (read-only dir: the log is an opt-in feature, never a
+    failed write)."""
     import json
 
     try:
         fsys, p = _manifest_fs(ckpt_dir)
         cdir = f"{p.rstrip('/')}/{_COMMITS_DIR}"
-        seqs = _commit_log_seqs(ckpt_dir)
-        seq = (seqs[-1] + 1) if seqs else 0
         try:
             fsys.create_dir(cdir, recursive=True)
         except (OSError, ValueError):
             pass
-        rec = {"seq": seq, "action": action, "generation": generation,
-               "files": sorted(files)}
-        tmp = f"{cdir}/{seq:06d}.json.tmp"
-        with fsys.open_output_stream(tmp) as f:
-            f.write(json.dumps(rec).encode())
-        fsys.move(tmp, f"{cdir}/{seq:06d}.json")
-        return seq
+        for _ in range(64):
+            seqs = _commit_log_seqs(ckpt_dir)
+            seq = (seqs[-1] + 1) if seqs else 0
+            rec = {"seq": seq, "action": action, "generation": generation,
+                   "files": sorted(files)}
+            if _publish_exclusive(fsys, f"{cdir}/{seq:06d}.json",
+                                  json.dumps(rec).encode()):
+                return seq
+        raise RuntimeError(
+            f"could not claim a commit seq in {cdir!r} after 64 attempts "
+            "— pathological write contention on one checkpoint"
+        )
     except (OSError, ValueError):
         return None
 
@@ -2882,6 +2962,164 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def apply_changes(spark, dst_dir: str, feed, key_col: str,
+                  **encode_kwargs) -> dict:
+    """Apply a ``read_changes`` feed to a DOWNSTREAM checkpoint — the
+    consumer half of the change-data-feed pair. A derived table that
+    materialized the source as of commit S calls
+    ``apply_changes(dst, read_changes(src, since=S, key_col=k), k)``
+    and afterwards equals the source's later snapshot — work
+    proportional to the CHANGE SET, never the corpus (the incremental
+    sync a 100 TB pipeline runs nightly instead of a full re-copy).
+
+    The feed collapses to one NET action per key first (last commit
+    wins; within a commit the upsert's insert wins over its delete), so
+    a key deleted at seq 2 and re-inserted at seq 5 lands as a single
+    replace, and the two mutations touch DISJOINT key sets. Net-deletes
+    apply via ``delete_keys_checkpoint`` (mask sidecars), net-inserts
+    via ``upsert_checkpoint`` (mask + one appended generation) — the
+    destination's own commit log records both, so it is itself
+    time-travelable and change-feed-readable (feeds compose down a
+    pipeline of derived tables). Deleting a key the destination never
+    had is a no-op, which makes re-applying an overlapping window safe.
+
+    The feed may be filtered/projected first (a derived table keeping
+    only ``lang='en'`` rows applies the same feed filtered) as long as
+    ``key_col``, ``_change_type`` and ``_commit_seq`` survive. Driver
+    state is the net key set (bounded by the upsert/delete caps — split
+    a giant backlog into per-commit windows the same way a giant merge
+    lands in waves). Returns ``{"deleted": n_keys, "upserted": n_rows,
+    "delete_gen": g1, "upsert_gen": g2}``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    for c in ("_change_type", "_commit_seq", key_col):
+        if c not in feed.columns:
+            raise ValueError(
+                f"apply_changes: feed carries no {c!r} column — pass the "
+                "DataFrame read_changes returned (payload + _change_type "
+                "+ _commit_seq)"
+            )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_commit_seq").desc(),
+        F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+    )
+    # net action per key; pin it — the feed's lineage re-decodes the
+    # source per evaluation, and we read it three times below
+    net = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    dels = [
+        r[0]
+        for r in net.filter(F.col("_change_type") == "delete")
+        .select(key_col)
+        .collect()
+    ]
+    ups = (
+        net.filter(F.col("_change_type") == "insert")
+        .drop("_change_type", "_commit_seq")
+    )
+    out = {"deleted": len(dels), "upserted": 0,
+           "delete_gen": "", "upsert_gen": ""}
+    if dels:
+        out["delete_gen"] = delete_keys_checkpoint(
+            spark, dst_dir, dels, key_col)
+    n_ups = ups.count()
+    if n_ups:
+        out["upserted"] = n_ups
+        out["upsert_gen"] = upsert_checkpoint(
+            spark, dst_dir, ups, key_col, **encode_kwargs)
+    return out
+
+
+_SYNC_STATE = "_sync_state.json"
+
+
+def read_sync_state(dst_dir: str) -> dict | None:
+    """The destination's sync cursor ``{"src", "seq"}``, or None when
+    the checkpoint has never been synced."""
+    import json
+
+    try:
+        fsys, p = _manifest_fs(dst_dir)
+        with fsys.open_input_stream(f"{p.rstrip('/')}/{_SYNC_STATE}") as f:
+            return json.loads(f.read().decode())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_sync_state(dst_dir: str, src_dir: str, seq: int) -> None:
+    import json
+
+    fsys, p = _manifest_fs(dst_dir)
+    path = f"{p.rstrip('/')}/{_SYNC_STATE}"
+    tmp = path + ".tmp"
+    with fsys.open_output_stream(tmp) as f:
+        f.write(json.dumps({"src": src_dir, "seq": seq}).encode())
+    fsys.move(tmp, path)
+
+
+def sync_checkpoint(spark, src_dir: str, dst_dir: str, key_col: str,
+                    since: int | None = None, **encode_kwargs) -> dict:
+    """Cursor-tracked incremental sync: catch ``dst_dir`` up to
+    ``src_dir``'s latest commit by applying only the un-applied window
+    of the change feed, and persist the new cursor in the destination
+    (``_sync_state.json``, temp+rename). The scheduled-job spelling of
+    the CDF pair — each run costs O(new changes), and NO caller-side
+    bookkeeping: the cursor lives with the data it describes.
+
+    First call: pass ``since`` = the source commit the destination
+    materialized (0 for a copy of the initial snapshot); later calls
+    read the stored cursor and refuse a conflicting explicit ``since``.
+    Crash between apply and cursor write is safe: the re-run re-applies
+    the same window, which is idempotent (delete masks collapse, the
+    replayed upsert mints a fresh generation and re-replaces the same
+    keys). A ``replace`` commit (in-place optimize) in the window
+    raises — rewrites are not row-attributable; re-materialize the
+    destination from that snapshot and re-init the cursor. Returns the
+    apply stats plus ``{"since", "until", "synced"}``."""
+    state = read_sync_state(dst_dir)
+    if state is not None:
+        if state["src"] != src_dir:
+            raise ValueError(
+                f"{dst_dir!r} tracks source {state['src']!r}, not "
+                f"{src_dir!r} — one destination syncs one source"
+            )
+        if since is not None and since != state["seq"]:
+            raise ValueError(
+                f"explicit since={since} conflicts with the stored "
+                f"cursor {state['seq']} of {dst_dir!r} — omit since= on "
+                "an initialized destination"
+            )
+        since = state["seq"]
+    elif since is None:
+        raise ValueError(
+            f"{dst_dir!r} has no sync cursor yet — pass since= (the "
+            "source commit the destination materialized; 0 for a copy "
+            "of the initial snapshot)"
+        )
+    log = read_commit_log(src_dir)
+    if log is None:
+        raise ValueError(
+            f"source {src_dir!r} carries no _commits log — sync needs "
+            "checkpoints written via write_checkpoint"
+        )
+    until = log[-1]["seq"]
+    if until <= since:
+        return {"deleted": 0, "upserted": 0, "delete_gen": "",
+                "upsert_gen": "", "since": since, "until": since,
+                "synced": False}
+    feed = read_changes(spark, src_dir, since=since, until=until,
+                        key_col=key_col)
+    out = apply_changes(spark, dst_dir, feed, key_col, **encode_kwargs)
+    _write_sync_state(dst_dir, src_dir, until)
+    out.update({"since": since, "until": until, "synced": True})
     return out
 
 
@@ -3518,15 +3756,29 @@ def _begin_logged_mutation(ckpt_dir: str, action: str, generation: str,
     recording the pre-mutation file listing, so a crash between the two
     appends is detectable and ``finish_mutation`` can reconcile from the
     marker instead of the snapshot diverging silently. Returns False on
-    unlogged checkpoints (no snapshot model to protect)."""
+    unlogged checkpoints (no snapshot model to protect).
+
+    The marker is CLAIMED atomically (exclusive create on local
+    filesystems): two writers racing the same checkpoint cannot both
+    hold it, turning the crash-recovery marker into the mutation lock —
+    the loser gets the same named error a crashed window leaves, and
+    either ``finish_mutation`` (crash) or simply retrying after the
+    holder finishes (contention) resolves it."""
     import json
 
     if not _has_commit_log(ckpt_dir):
         return False
     fsys, p = _manifest_fs(ckpt_dir)
-    with fsys.open_output_stream(f"{p.rstrip('/')}/{_MUTATION_PENDING}") as f:
-        f.write(json.dumps({"action": action, "generation": generation,
-                            "before": before}).encode())
+    payload = json.dumps({"action": action, "generation": generation,
+                          "before": before}).encode()
+    if not _publish_exclusive(
+            fsys, f"{p.rstrip('/')}/{_MUTATION_PENDING}", payload):
+        raise IOError(
+            f"checkpoint {ckpt_dir!r} already has a _mutation_pending "
+            "marker — another writer holds the mutation window (retry "
+            "after it finishes), or a crashed one left it (run "
+            "finish_mutation(ckpt_dir) to reconcile)."
+        )
     return True
 
 

@@ -684,6 +684,119 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF consumer: a DOWNSTREAM checkpoint materialized at the
+    source's commit 0 catches up by applying ``read_changes`` through
+    ``apply_changes`` — feed collapsed to one net action per key, then
+    mask-sidecar deletes + one upsert generation on the destination.
+    Work is proportional to the change set, never the corpus (the
+    incremental-sync shape a 100 TB derived table runs nightly instead
+    of a full re-copy). The oracle is the mutated source expressed
+    relationally: after sync the destination must equal it exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        apply_changes,
+        decode_checkpoint,
+        delete_keys_checkpoint,
+        encode_table,
+        read_changes,
+        upsert_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_cdfa_q_")
+    try:
+        src = os.path.join(work, "src")
+        dst = os.path.join(work, "dst")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            src, schema=df.schema)
+        # the downstream copy: an INDEPENDENT encode of the same
+        # snapshot (different partitioning on purpose — sync must not
+        # depend on matching layouts)
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=4, chunk_rows=256),
+            dst, schema=df.schema)
+        delete_keys_checkpoint(
+            spark, src,
+            [r["doc_id"] for r in
+             df.filter(F.col("doc_id") % 10 == 3).select("doc_id").collect()],
+            "doc_id")
+        upsert_checkpoint(
+            spark, src,
+            df.filter(F.col("doc_id") % 10 == 4)
+              .withColumn("n_chars", F.lit(-1)),
+            "doc_id", num_partitions=2)
+        apply_changes(
+            spark, dst,
+            read_changes(spark, src, since=0, key_col="doc_id"),
+            "doc_id", num_partitions=2)
+        out = decode_checkpoint(spark, dst)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_change_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor-tracked incremental sync (`sync_checkpoint`): the
+    destination stores the last applied source commit in its own
+    ``_sync_state.json``, so each scheduled run applies exactly the
+    un-applied feed window with zero caller bookkeeping. Two mutations
+    land on the source between two sync runs here — the second run must
+    resume from the stored cursor (no ``since=``) and the synced
+    destination must equal the mutated source relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        decode_checkpoint,
+        delete_keys_checkpoint,
+        encode_table,
+        sync_checkpoint,
+        upsert_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_sync_q_")
+    try:
+        src = os.path.join(work, "src")
+        dst = os.path.join(work, "dst")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            src, schema=df.schema)
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=4, chunk_rows=256),
+            dst, schema=df.schema)
+        delete_keys_checkpoint(
+            spark, src,
+            [r["doc_id"] for r in
+             df.filter(F.col("doc_id") % 10 == 3).select("doc_id").collect()],
+            "doc_id")
+        sync_checkpoint(spark, src, dst, "doc_id", since=0,
+                        num_partitions=2)
+        upsert_checkpoint(
+            spark, src,
+            df.filter(F.col("doc_id") % 10 == 4)
+              .withColumn("n_chars", F.lit(-1)),
+            "doc_id", num_partitions=2)
+        # second run resumes from the STORED cursor
+        sync_checkpoint(spark, src, dst, "doc_id", num_partitions=2)
+        out = decode_checkpoint(spark, dst)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 DUCK_CHANGE_FEED = """
 SELECT doc_id, CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS lang,
        CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars,
@@ -2251,6 +2364,8 @@ REGISTRY: dict[str, tuple] = {
     "time_travel": (q_time_travel, ORACLE_ROUNDTRIP_DOCUMENTS),
     "optimize_roundtrip": (q_optimize_roundtrip, ORACLE_OPTIMIZE_ROUNDTRIP),
     "change_feed": (q_change_feed, DUCK_CHANGE_FEED),
+    "change_apply": (q_change_apply, ORACLE_OPTIMIZE_ROUNDTRIP),
+    "change_sync": (q_change_sync, ORACLE_OPTIMIZE_ROUNDTRIP),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
