@@ -333,3 +333,86 @@ def test_sync_checkpoint_guards(spark, docs, tmp_path):
     fresh = _fresh_copy(spark, docs, str(tmp_path / "fresh"))
     with pytest.raises(ValueError, match="_commits"):
         sync_checkpoint(spark, plain, fresh, "doc_id", since=0)
+
+
+def test_feed_spans_replace_when_mutations_follow(spark, docs, tmp_path):
+    """An optimize (replace) contributes zero logical changes; a window
+    whose mutations all come AFTER it reads fine, skipping the
+    replace."""
+    src = str(tmp_path / "r")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        src, schema=docs.schema)
+    optimize_checkpoint(spark, src, key_col="doc_id", rechunk_rows=256)
+    delete_keys_checkpoint(spark, src, [7], "doc_id")
+    # window (0, 1] = only the replace: empty feed, schema intact
+    only_rep = read_changes(spark, src, since=0, until=1,
+                            key_col="doc_id")
+    assert only_rep.count() == 0 and "_change_type" in only_rep.columns
+    # window (0, 2] = replace then delete: just the delete
+    feed = read_changes(spark, src, since=0, key_col="doc_id")
+    assert [(r["_change_type"], r["doc_id"], r["_commit_seq"])
+            for r in feed.collect()] == [("delete", 7, 2)]
+
+
+def test_feed_replay_randomized_mutation_sequence(spark, docs, tmp_path):
+    """Randomized end-to-end pin: a random sequence of deletes /
+    upserts / appends, then for EVERY starting commit S the feed
+    (S, head] applied to the S snapshot reproduces the live table."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    src = str(tmp_path / "rnd")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=3,
+                     chunk_rows=64),
+        src, schema=docs.schema)
+    alive = set(range(400))
+    next_new = 1000
+    for _ in range(5):
+        op = rng.choice(["delete", "upsert", "append"])
+        if op == "delete" and alive:
+            victims = rng.sample(sorted(alive), min(25, len(alive)))
+            delete_keys_checkpoint(spark, src, victims, "doc_id")
+            alive -= set(victims)
+        elif op == "upsert" and alive:
+            targets = rng.sample(sorted(alive), min(20, len(alive)))
+            batch = docs.limit(0).unionByName(spark.createDataFrame(
+                [(k, f"src{k % 5}", f"mut {k}", -k) for k in targets],
+                docs.schema))
+            upsert_checkpoint(spark, src, batch, "doc_id",
+                              num_partitions=1)
+        else:
+            fresh = list(range(next_new, next_new + 30))
+            next_new += 30
+            batch = spark.createDataFrame(
+                [(k, f"src{k % 5}", f"new {k}", k) for k in fresh],
+                docs.schema)
+            write_checkpoint(
+                encode_table(batch, key_col="doc_id", num_partitions=1),
+                src, mode="append")
+            alive |= set(fresh)
+
+    from wills_columnar_format_spark.engine import read_commit_log
+    head = read_commit_log(src)[-1]["seq"]
+    live = decode_checkpoint(spark, src).localCheckpoint(eager=True)
+    assert {r["doc_id"] for r in live.select("doc_id").collect()} == alive
+
+    from pyspark.sql import Window
+    for start in range(head + 1):
+        snap = decode_checkpoint(spark, src, as_of=start)
+        feed = read_changes(spark, src, since=start, key_col="doc_id")
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("_commit_seq").desc(),
+            F.when(F.col("_change_type") == "insert", 1)
+             .otherwise(0).desc())
+        last = (feed.withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1").drop("_rn"))
+        untouched = snap.join(last.select("doc_id"), "doc_id",
+                              "left_anti")
+        replayed = untouched.unionByName(
+            last.filter("_change_type = 'insert'")
+                .select(*snap.columns))
+        assert replayed.count() == live.count(), f"since={start}"
+        assert replayed.exceptAll(live).count() == 0, f"since={start}"

@@ -124,3 +124,43 @@ def test_racing_deletes_serialize_and_compose(spark, docs, ckpt):
         (F.col("doc_id") >= 100) & (F.col("doc_id") < 140)).count() == 0
     log = read_commit_log(ckpt)
     assert [r["action"] for r in log] == ["create", "delete", "delete"]
+
+
+def test_concurrent_appends_attribute_own_files(spark, docs, ckpt):
+    """Two writers append DIFFERENT batches concurrently; each commit
+    must list exactly its own files (staged append — a listing diff
+    would credit the racer's files), so time travel to the first
+    append commit shows base + exactly ONE complete batch."""
+    batches = {
+        "a": docs.limit(0).unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 1000)),
+        "b": docs.withColumn("doc_id", F.col("doc_id") + 2000),
+    }
+    errs = []
+
+    def run(name):
+        try:
+            write_checkpoint(
+                encode_table(batches[name], key_col="doc_id",
+                             num_partitions=1),
+                ckpt, mode="append")
+        except Exception as e:  # noqa: BLE001
+            errs.append((name, repr(e)))
+
+    ts = [threading.Thread(target=run, args=(k,)) for k in batches]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert errs == []
+    log = read_commit_log(ckpt)
+    assert [r["action"] for r in log] == ["create", "append", "append"]
+    a1, a2 = log[1]["files"], log[2]["files"]
+    assert set(a1) & set(a2) == set()
+    live = decode_checkpoint(spark, ckpt)
+    assert live.count() == 900
+    # snapshot at the first append: base + exactly one COMPLETE batch
+    snap = decode_checkpoint(spark, ckpt, as_of=1)
+    assert snap.count() == 600
+    n_a = snap.filter((F.col("doc_id") >= 1000)
+                      & (F.col("doc_id") < 2000)).count()
+    n_b = snap.filter(F.col("doc_id") >= 2000).count()
+    assert sorted([n_a, n_b]) == [0, 300]

@@ -2610,24 +2610,55 @@ def write_checkpoint(manifest_df, ckpt_dir: str, schema=None,
     as_of=seq)`` reads the table exactly as commit ``seq`` left it
     (the Delta/Iceberg snapshot idea on this format: mutations only
     ever APPEND files, so a snapshot is precisely a file subset)."""
-    before = _list_data_files(ckpt_dir) if mode == "append" else None
-    manifest_df.write.mode(mode).parquet(ckpt_dir)
-    if schema is not None:
-        write_checkpoint_schema(ckpt_dir, schema)
-    after = _list_data_files(ckpt_dir)
-    if before:
-        if not _has_commit_log(ckpt_dir):
+    if mode == "append":
+        before = _list_data_files(ckpt_dir)
+        added = _staged_append(manifest_df, ckpt_dir)
+        if schema is not None:
+            write_checkpoint_schema(ckpt_dir, schema)
+        if before and not _has_commit_log(ckpt_dir):
             # appending onto an UNLOGGED checkpoint (plain
             # df.write.parquet): seed the log with the pre-append state
             # first, else commit 0 would list only the appended files
             # and every time-travel read would silently drop the base
             # table
             _append_commit(ckpt_dir, "create", "", before)
-        _append_commit(ckpt_dir, "append", "",
-                       sorted(set(after) - set(before)))
-    else:
-        _append_commit(ckpt_dir, "create", "", after)
+        _append_commit(ckpt_dir, "append", "", added)
+        return ckpt_dir
+    manifest_df.write.mode(mode).parquet(ckpt_dir)
+    if schema is not None:
+        write_checkpoint_schema(ckpt_dir, schema)
+    _append_commit(ckpt_dir, "create", "", _list_data_files(ckpt_dir))
     return ckpt_dir
+
+
+def _staged_append(manifest_df, ckpt_dir: str) -> list[str]:
+    """Append ``manifest_df``'s parquet files into ``ckpt_dir`` with
+    EXACT file attribution: write to a writer-unique ``_staging_*``
+    subdir (sidecar-prefixed — invisible to every data listing), then
+    move each part file into the checkpoint root and return precisely
+    those base names. A listing diff would credit a concurrent
+    appender's files to this writer's commit and corrupt time-travel
+    attribution; the staged move cannot (part names carry a job-unique
+    UUID, so the moves collide with nothing). Returns the sorted base
+    names that landed."""
+    import uuid
+
+    from pyarrow import fs as pafs
+
+    stage_name = f"_staging_{uuid.uuid4().hex}"
+    manifest_df.write.parquet(f"{ckpt_dir.rstrip('/')}/{stage_name}")
+    fsys, p = _manifest_fs(ckpt_dir)
+    root = p.rstrip("/")
+    sdir = f"{root}/{stage_name}"
+    infos = fsys.get_file_info(pafs.FileSelector(sdir, recursive=False))
+    added = []
+    for i in infos:
+        if i.type != pafs.FileType.File or i.base_name.startswith(("_", ".")):
+            continue
+        fsys.move(i.path, f"{root}/{i.base_name}")
+        added.append(i.base_name)
+    fsys.delete_dir(sdir)
+    return sorted(added)
 
 
 _COMMITS_DIR = "_commits"
@@ -2847,9 +2878,13 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
     Delta, and the work is O(masked chunks), not O(table). ``key_col``
     is required only when the range contains delete/upsert commits.
 
-    A ``replace`` commit (in-place ``optimize_checkpoint``) inside the
-    range raises: the rewrite is not row-attributable — consumers must
-    resync from the replace snapshot.
+    A ``replace`` commit (in-place ``optimize_checkpoint``) rewrites
+    the current snapshot content-identically, so it contributes ZERO
+    logical changes — but it also vacuums every pre-optimize file. A
+    window whose mutations all come AFTER its last replace is therefore
+    fully readable (the replace is skipped); a mutation BEFORE the
+    replace raises, because its files are gone and the window is no
+    longer row-attributable — resync from the replace snapshot.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
@@ -2869,14 +2904,23 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
     if until not in seqs:
         raise ValueError(f"until={until} is not a commit (history: {seqs})")
     window = [r for r in log if since < r["seq"] <= until]
-    for r in window:
-        if r["action"] == "replace":
+    replaces = [r["seq"] for r in window if r["action"] == "replace"]
+    if replaces:
+        # an in-place optimize rewrites the current snapshot content-
+        # identically (zero logical changes) but vacuums every
+        # pre-optimize file: mutations before the last replace in the
+        # window are no longer row-attributable
+        barrier = max(replaces)
+        lost = [r["seq"] for r in window
+                if r["seq"] < barrier and r["action"] != "replace"]
+        if lost:
             raise ValueError(
-                f"commit {r['seq']} of {ckpt_dir!r} is a 'replace' "
-                "(in-place optimize): the rewrite is not "
-                "row-attributable — read_changes cannot span it; resync "
-                f"from as_of={r['seq']} instead"
+                f"commits {lost} of {ckpt_dir!r} precede the in-place "
+                f"optimize at commit {barrier} (a 'replace' — its "
+                "vacuum deleted their files), so the window is not "
+                f"row-attributable — resync from as_of={barrier} instead"
             )
+        window = [r for r in window if r["action"] != "replace"]
 
     if out_schema is None:
         out_schema = read_checkpoint_schema(ckpt_dir)
