@@ -194,3 +194,19 @@ def test_commit_seq_from_listing(spark, docs, tmp_path):
         json.dump(rec, f)
     delete_keys_checkpoint(spark, ckpt, [0], "doc_id")
     assert engine._commit_log_seqs(ckpt) == [0, 7, 8]
+
+
+def test_gapped_commit_log_refused(spark, docs, tmp_path):
+    """A commit record deleted externally must raise a NAMED error —
+    silently skipping it would drop that commit's files from every
+    later snapshot."""
+    import os
+
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    delete_keys_checkpoint(spark, ckpt, [1, 2], "doc_id")
+    delete_keys_checkpoint(spark, ckpt, [3], "doc_id")
+    os.remove(os.path.join(ckpt, "_commits", "000001.json"))
+    with pytest.raises(IOError, match="gapped|missing"):
+        read_commit_log(ckpt)
+    with pytest.raises(IOError, match="gapped|missing"):
+        decode_checkpoint(spark, ckpt, as_of=0).count()

@@ -2743,7 +2743,20 @@ def read_commit_log(ckpt_dir: str) -> list[dict] | None:
                 "commit log is damaged. Repair: restore the file, or "
                 "compact/optimize the checkpoint to re-baseline history."
             ) from e
-    return sorted(recs, key=lambda r: r["seq"]) or None
+    recs.sort(key=lambda r: r["seq"])
+    if recs:
+        seqs = [r["seq"] for r in recs]
+        expect = list(range(seqs[0], seqs[0] + len(seqs)))
+        if seqs != expect or seqs[0] != 0:
+            # a GAP means a commit record was externally deleted: every
+            # snapshot from the gap on would silently lose that commit's
+            # files — refuse instead of misrepresenting history
+            raise IOError(
+                f"commit log of {ckpt_dir!r} is gapped or rebased "
+                f"(seqs {seqs}): a commit record is missing — restore "
+                "it, or compact the checkpoint to re-baseline history."
+            )
+    return recs or None
 
 
 def _publish_exclusive(fsys, path: str, payload: bytes) -> bool:
