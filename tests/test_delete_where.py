@@ -1,0 +1,133 @@
+"""Predicate deletion (``delete_where`` / ``delete_where_checkpoint``).
+
+Pins: numeric / string / prefix / temporal range deletes equal the
+relational filter; masks compose with delete_keys and upserts; the
+spec-derived generation makes replay idempotent; nullable, list, and
+unknown predicate columns are refused loudly; the checkpoint variant
+logs a delete commit (time travel to the pre-delete snapshot intact).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark.engine import (
+    decode_checkpoint,
+    decode_table,
+    delete_keys,
+    delete_where,
+    delete_where_checkpoint,
+    encode_table,
+    read_commit_log,
+    write_checkpoint,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"src{i % 12}", f"text {i}", (i * 7) % 500)
+         for i in range(600)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+
+
+def _mask(df, keep_expr):
+    return {r["doc_id"] for r in df.filter(keep_expr).collect()}
+
+
+def test_numeric_range_delete(spark, docs):
+    m = encode_table(docs, key_col="doc_id", num_partitions=3,
+                     chunk_rows=64)
+    out = decode_table(delete_where(m, ("n_chars", 100, 300)),
+                       docs.schema)
+    expect = docs.filter(~F.col("n_chars").between(100, 300))
+    assert out.count() == expect.count()
+    assert out.exceptAll(expect).count() == 0
+
+
+def test_string_and_prefix_delete(spark, docs):
+    m = encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=128)
+    # closed string range
+    out = decode_table(
+        delete_where(m, ("source", "src3", "src5")), docs.schema)
+    expect = docs.filter(~F.col("source").between("src3", "src5"))
+    assert out.count() == expect.count()
+    assert out.exceptAll(expect).count() == 0
+    # LIKE-prefix: 'src1' matches src1, src10, src11 — straddles 'src2'
+    out2 = decode_table(delete_where(m, ("source", "src1")), docs.schema)
+    expect2 = docs.filter(~F.col("source").startswith("src1"))
+    assert out2.count() == expect2.count()
+    assert out2.exceptAll(expect2).count() == 0
+
+
+def test_temporal_range_delete(spark):
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), i % 50)
+            for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, val long")
+    m = encode_table(df, key_col="event_id", num_partitions=2,
+                     chunk_rows=64)
+    lo, hi = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 10)
+    out = decode_table(delete_where(m, ("ts", lo, hi)), df.schema)
+    expect = df.filter(~F.col("ts").between(lo, hi))
+    assert out.count() == expect.count()
+    assert out.exceptAll(expect).count() == 0
+
+
+def test_delete_where_composes_and_replays(spark, docs):
+    m = encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64)
+    m = delete_keys(m, [1, 2, 3], "doc_id")
+    m = delete_where(m, ("n_chars", 0, 50))
+    m = delete_where(m, ("n_chars", 0, 50))  # replay: idempotent
+    out = decode_table(m, docs.schema)
+    expect = docs.filter(~F.col("doc_id").isin([1, 2, 3])
+                         & ~F.col("n_chars").between(0, 50))
+    assert out.count() == expect.count()
+    assert out.exceptAll(expect).count() == 0
+
+
+def test_refusals(spark, docs):
+    m = encode_table(docs, key_col="doc_id", num_partitions=1)
+    with pytest.raises(TypeError, match="no encoded sub-column"):
+        delete_where(m, ("nope", 1, 2))
+    nullable = docs.withColumn(
+        "maybe", F.when(F.col("doc_id") % 3 == 0, F.col("n_chars")))
+    mn = encode_table(nullable, key_col="doc_id", num_partitions=1,
+                      allow_nulls=True)
+    with pytest.raises(TypeError, match="NULLABLE"):
+        delete_where(mn, ("maybe", 0, 10))
+    lists = spark.createDataFrame(
+        [(i, [i, i + 1]) for i in range(50)],
+        "doc_id long, toks array<int>")
+    ml = encode_table(lists, key_col="doc_id", num_partitions=1)
+    with pytest.raises(TypeError, match="LIST"):
+        delete_where(ml, ("toks", 1, 2))
+    with pytest.raises(TypeError, match="mix"):
+        delete_where(m, ("n_chars", 1, "x"))
+    import decimal
+    with pytest.raises(TypeError, match="bounds take"):
+        delete_where(m, ("n_chars", decimal.Decimal(1),
+                         decimal.Decimal(2)))
+
+
+def test_delete_where_checkpoint_logs_commit(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "m")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        ckpt, schema=docs.schema)
+    gen = delete_where_checkpoint(spark, ckpt, ("source", "src7"))
+    assert gen
+    log = read_commit_log(ckpt)
+    assert [(r["seq"], r["action"]) for r in log] == \
+        [(0, "create"), (1, "delete")]
+    live = decode_checkpoint(spark, ckpt)
+    expect = docs.filter(~F.col("source").startswith("src7"))
+    assert live.count() == expect.count()
+    assert live.exceptAll(expect).count() == 0
+    # pre-delete snapshot intact
+    assert decode_checkpoint(spark, ckpt, as_of=0).count() == 600

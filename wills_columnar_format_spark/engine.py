@@ -2277,6 +2277,241 @@ def delete_keys_df(manifest_df, keys_df, key_col: str,
     return manifest_df.unionByName(sidecars, allowMissingColumns=True)
 
 
+def _canon_where_spec(value_range):
+    """Normalize a ``delete_where`` spec to bounds in the STORED value
+    domain: ``(vcol, lo, hi, hi_inclusive)``. A 2-tuple is the string
+    PREFIX spec (half-open [prefix, successor)); 3-tuple str bounds are
+    a closed string range; numeric bounds pass through; naive datetime /
+    date bounds canonicalize to the epoch micros / days the temporal
+    codecs store (same normalization as encode, ``_normalize_temporal``).
+    Decimal is refused (use keys/value_range decode + re-encode)."""
+    from datetime import date, datetime, timedelta
+
+    if len(value_range) == 2:
+        vcol, prefix = value_range
+        if not isinstance(prefix, str) or not prefix:
+            raise TypeError(
+                f"prefix delete_where on {vcol!r} takes a non-empty str"
+            )
+        hi = _prefix_successor(prefix)
+        if hi is None:
+            raise TypeError(
+                f"prefix {prefix!r} has no lexicographic successor — "
+                "use a plain (col, lo, hi) range"
+            )
+        return vcol, prefix, hi, False
+    vcol, lo, hi = value_range
+    if isinstance(lo, str) != isinstance(hi, str):
+        raise TypeError(
+            f"delete_where bounds on {vcol!r} mix string and non-string"
+        )
+    if isinstance(lo, str):
+        return vcol, lo, hi, True
+
+    epoch = datetime(1970, 1, 1)
+    d0 = date(1970, 1, 1)
+
+    def canon(b):
+        if isinstance(b, datetime):
+            if b.tzinfo is not None:
+                raise TypeError(
+                    f"delete_where on {vcol!r} takes NAIVE datetime "
+                    "bounds (TIMESTAMP_NTZ semantics)"
+                )
+            return (b - epoch) // timedelta(microseconds=1)
+        if isinstance(b, date):
+            return (b - d0).days
+        if isinstance(b, (int, float)):
+            return b
+        raise TypeError(
+            f"delete_where bounds take int/float/str/naive datetime/"
+            f"date; got {type(b).__name__} on {vcol!r}"
+        )
+
+    return vcol, canon(lo), canon(hi), True
+
+
+def _where_generation(vcol: str, lo, hi, hi_inclusive: bool) -> str:
+    """Content-derived generation for a predicate delete: replaying the
+    SAME spec on the same data emits byte-identical sidecars (masks
+    collapse in decode, like delete_keys)."""
+    h = hashlib.blake2b(digest_size=6)
+    for part in ("where", vcol, repr(lo), repr(hi), repr(hi_inclusive)):
+        h.update(part.encode())
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def _make_where_explode_fn(lo, hi, hi_inclusive: bool):
+    """mapInArrow over the predicate column's zone-qualifying manifest
+    rows: decode each chunk's stored values, evaluate the range
+    IN-TASK, and emit one (chunk metadata, position) row PER MATCH —
+    the shuffle carries only hits, not values. Numeric compares run in
+    numpy on the stored width (int compares stay exact; a float bound
+    against int64 values coarsens past 2^53 — the same float64 rule
+    every zone map here uses); string compares run in pyarrow."""
+    meta_fields = ["part_id", "chunk_id", "chunk_key", "min_key",
+                   "max_key", "min_key_num", "max_key_num", "snapshot_id"]
+    schema = pa.schema(
+        [("part_id", pa.int32()), ("chunk_id", pa.int32()),
+         ("chunk_key", pa.string()), ("min_key", pa.string()),
+         ("max_key", pa.string()), ("min_key_num", pa.float64()),
+         ("max_key_num", pa.float64()), ("snapshot_id", pa.string()),
+         ("pos", pa.int32())]
+    )
+    is_str = isinstance(lo, str)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for b in batches:
+            names = set(b.schema.names)
+            for i in range(b.num_rows):
+                vals = _decode_blob(b.column("blob")[i].as_py()).to_arrow()
+                if is_str:
+                    m_lo = pc.greater_equal(vals, pa.scalar(lo))
+                    m_hi = (pc.less_equal if hi_inclusive else pc.less)(
+                        vals, pa.scalar(hi))
+                    mask = pc.and_(m_lo, m_hi).to_numpy(
+                        zero_copy_only=False)
+                    mask = np.asarray(mask, dtype=bool)
+                else:
+                    v = vals.to_numpy(zero_copy_only=False)
+                    with np.errstate(invalid="ignore"):
+                        mask = (v >= lo) & ((v <= hi) if hi_inclusive
+                                            else (v < hi))
+                pos = np.nonzero(mask)[0].astype(np.int32)
+                if not len(pos):
+                    continue
+                arrays = []
+                for f in meta_fields:
+                    val = b.column(f)[i].as_py() if f in names else None
+                    arrays.append(pa.array(
+                        [val] * len(pos), type=schema.field(f).type))
+                arrays.append(pa.array(pos))
+                yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    return fn
+
+
+def _where_probe_columns(manifest_df, vcol: str) -> None:
+    """Refuse delete_where shapes whose stored positions do not map
+    1:1 onto row positions, LOUDLY: unknown columns, list columns
+    (``#lengths``/``#values`` — value positions are flattened), and
+    nullable columns at any level (``#valid`` — null slots are stored
+    ZERO-FILLED, so a range covering the fill value would silently
+    delete null rows). One blob-free metadata probe."""
+    from pyspark.sql import functions as F
+
+    root = vcol.split("#", 1)[0]
+    names = {
+        r[0] for r in manifest_df.filter(
+            F.col("column").startswith(root))
+        .select("column").distinct().collect()
+    }
+    if vcol not in names:
+        hint = ""
+        if f"{vcol}#lengths" in names:
+            hint = (" — it is a LIST column (positions index the "
+                    "flattened values, not rows); delete by key instead")
+        raise TypeError(
+            f"delete_where: no encoded sub-column {vcol!r} in the "
+            f"manifest{hint} (have: {sorted(names)[:8]})"
+        )
+    parts = vcol.split("#f:")
+    ancestors = ["#f:".join(parts[:k]) for k in range(1, len(parts) + 1)]
+    for anc in ancestors:
+        if f"{anc}#valid" in names:
+            raise TypeError(
+                f"delete_where on {vcol!r}: {anc!r} is NULLABLE — null "
+                "slots are stored zero-filled, so a value range could "
+                "silently match them; delete by key, or backfill a "
+                "non-null predicate column"
+            )
+
+
+def delete_where(manifest_df, value_range, num_partitions: int | None = None):
+    """PREDICATE deletion: mask every row whose ``value_range`` column
+    falls in the bounds — the retention/TTL mutation shape (\"delete
+    all events older than X\", \"purge source Y%\") — without touching
+    a single data blob and without any driver-side key list.
+
+    Same spec grammar as decode's ``value_range``: ``(col, lo, hi)``
+    closed range (numeric, string, naive-datetime, date bounds) or the
+    2-tuple ``(col, prefix)`` LIKE-prefix form. Dataflow: per-chunk
+    value zone maps prune to the chunks that CAN match (blob-free
+    metadata filter), each surviving chunk's predicate sub-column
+    decodes once in-task and emits only matching positions, and the
+    positions regroup into the same deletion-vector sidecars
+    ``delete_keys`` writes — cost ∝ qualifying chunks, never the
+    corpus. The generation id is content-derived from the spec, so
+    replaying the same predicate is byte-idempotent. Nullable / list /
+    unknown predicate columns are refused loudly
+    (``_where_probe_columns``)."""
+    from pyspark.sql import functions as F
+
+    vcol, lo, hi, hi_inc = _canon_where_spec(value_range)
+    if not _cheap_rescan(manifest_df):
+        manifest_df = manifest_df.localCheckpoint(eager=True)
+    _where_probe_columns(manifest_df, vcol)
+    gen = _where_generation(vcol, lo, hi, hi_inc)
+    zone_spec = (vcol, lo if isinstance(lo, str) else float(lo),
+                 hi if isinstance(hi, str) else float(hi))
+    cand = _value_range_keys(manifest_df, zone_spec)
+    hits = cand.mapInArrow(
+        _make_where_explode_fn(lo, hi, hi_inc),
+        schema=(
+            "part_id int, chunk_id int, chunk_key string, min_key string, "
+            "max_key string, min_key_num double, max_key_num double, "
+            "snapshot_id string, pos int"
+        ),
+    )
+    n = num_partitions or max(
+        1, manifest_df.select("part_id").rdd.getNumPartitions())
+    grouped = hits.repartition(n, "chunk_key").sortWithinPartitions(
+        "chunk_key", "pos")
+    sidecars = grouped.mapInArrow(
+        make_positions_mark_fn(gen), schema=MANIFEST_DDL)
+    return manifest_df.unionByName(sidecars, allowMissingColumns=True)
+
+
+def delete_where_checkpoint(spark, ckpt_dir: str, value_range,
+                            num_partitions: int | None = None) -> str:
+    """``delete_where`` for a persisted checkpoint: appends the sidecar
+    files and records them as a ``delete`` commit under the mutation
+    marker (crash-reconcilable, time-travel readable), exactly like
+    ``delete_keys_checkpoint``. Returns the generation id."""
+    from pyspark.sql import functions as F
+
+    _raise_if_pending(ckpt_dir)
+    vcol, lo, hi, hi_inc = _canon_where_spec(value_range)
+    src = spark.read.parquet(ckpt_dir)
+    _where_probe_columns(src, vcol)
+    gen = _where_generation(vcol, lo, hi, hi_inc)
+    zone_spec = (vcol, lo if isinstance(lo, str) else float(lo),
+                 hi if isinstance(hi, str) else float(hi))
+    cand = _value_range_keys(src, zone_spec)
+    hits = cand.mapInArrow(
+        _make_where_explode_fn(lo, hi, hi_inc),
+        schema=(
+            "part_id int, chunk_id int, chunk_key string, min_key string, "
+            "max_key string, min_key_num double, max_key_num double, "
+            "snapshot_id string, pos int"
+        ),
+    )
+    n = num_partitions or 8
+    grouped = hits.repartition(n, "chunk_key").sortWithinPartitions(
+        "chunk_key", "pos")
+    sidecars = grouped.mapInArrow(
+        make_positions_mark_fn(gen), schema=MANIFEST_DDL)
+    before = _list_data_files(ckpt_dir)
+    logged = _begin_logged_mutation(ckpt_dir, "delete", gen, before)
+    sidecars.write.mode("append").parquet(ckpt_dir)
+    if logged:
+        _end_logged_mutation(ckpt_dir, "delete", gen, before)
+    return gen
+
+
 # ---------------------------------------------------------------------------
 # column backfill: schema evolution without rewriting existing columns
 # ---------------------------------------------------------------------------

@@ -684,6 +684,49 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREDICATE deletion (retention/TTL shape): two `delete_where`
+    mutations on a logged checkpoint — a numeric range on `n_chars`
+    and a LIKE-prefix on `source` ('src1' matches src1 AND src10..19,
+    the band a naive BETWEEN cannot express). Value zone maps prune to
+    the chunks that can match, each qualifying chunk's predicate
+    sub-column decodes once in-task emitting only matching positions,
+    and the positions land as the same deletion-vector sidecars
+    delete_keys writes — cost ∝ qualifying chunks, no driver key list,
+    no blob rewrites. The decode must equal the doubly-filtered table."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        decode_checkpoint,
+        delete_where_checkpoint,
+        encode_table,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_dw_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            ckpt, schema=df.schema)
+        delete_where_checkpoint(spark, ckpt, ("n_chars", 200, 400))
+        delete_where_checkpoint(spark, ckpt, ("source", "src1"))
+        out = decode_checkpoint(spark, ckpt)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_DELETE_WHERE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE NOT (n_chars BETWEEN 200 AND 400) AND source NOT LIKE 'src1%'
+"""
+
+
 def q_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF consumer: a DOWNSTREAM checkpoint materialized at the
     source's commit 0 catches up by applying ``read_changes`` through
@@ -2366,6 +2409,7 @@ REGISTRY: dict[str, tuple] = {
     "change_feed": (q_change_feed, DUCK_CHANGE_FEED),
     "change_apply": (q_change_apply, ORACLE_OPTIMIZE_ROUNDTRIP),
     "change_sync": (q_change_sync, ORACLE_OPTIMIZE_ROUNDTRIP),
+    "delete_where": (q_delete_where, DUCK_DELETE_WHERE),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
