@@ -131,3 +131,67 @@ def test_delete_where_checkpoint_logs_commit(spark, docs, tmp_path):
     assert live.exceptAll(expect).count() == 0
     # pre-delete snapshot intact
     assert decode_checkpoint(spark, ckpt, as_of=0).count() == 600
+
+
+# ---------------------------------------------------------------------------
+# update_where_checkpoint: UPDATE ... SET ... WHERE
+# ---------------------------------------------------------------------------
+
+
+from wills_columnar_format_spark.engine import (  # noqa: E402
+    read_changes,
+    update_where_checkpoint,
+)
+
+
+def test_update_where_expression(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "u")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        ckpt, schema=docs.schema)
+    stats = update_where_checkpoint(
+        spark, ckpt, ("n_chars", 100, 300),
+        {"n_chars": -F.col("n_chars"), "source": "flagged"},
+        "doc_id", num_partitions=1)
+    n_hit = docs.filter(F.col("n_chars").between(100, 300)).count()
+    assert stats["updated"] == n_hit and stats["gen"]
+    live = decode_checkpoint(spark, ckpt)
+    expect = docs.withColumns({
+        "n_chars": F.when(F.col("n_chars").between(100, 300),
+                          -F.col("n_chars")).otherwise(F.col("n_chars")),
+        "source": F.when(F.col("n_chars").between(100, 300),
+                         F.lit("flagged")).otherwise(F.col("source")),
+    })
+    assert live.count() == 600
+    assert live.exceptAll(expect).count() == 0
+    log = read_commit_log(ckpt)
+    assert [(r["seq"], r["action"]) for r in log] == \
+        [(0, "create"), (1, "upsert")]
+    # the change feed sees the update as delete+insert of the hit keys
+    feed = read_changes(spark, ckpt, since=0, key_col="doc_id")
+    assert feed.filter("_change_type = 'delete'").count() == n_hit
+    ins = feed.filter("_change_type = 'insert'")
+    assert ins.count() == n_hit
+    assert ins.filter(F.col("source") != "flagged").count() == 0
+
+
+def test_update_where_zero_hits_and_refusals(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "z")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=1),
+        ckpt, schema=docs.schema)
+    stats = update_where_checkpoint(
+        spark, ckpt, ("n_chars", 10_000, 20_000), {"source": "x"},
+        "doc_id")
+    assert stats == {"updated": 0, "gen": ""}
+    assert len(read_commit_log(ckpt)) == 1  # no phantom commit
+    with pytest.raises(ValueError, match="key column"):
+        update_where_checkpoint(spark, ckpt, ("n_chars", 0, 1),
+                                {"doc_id": 1}, "doc_id")
+    with pytest.raises(ValueError, match="not in the table"):
+        update_where_checkpoint(spark, ckpt, ("n_chars", 0, 1),
+                                {"nope": 1}, "doc_id")
+    with pytest.raises(ValueError, match="empty set_map"):
+        update_where_checkpoint(spark, ckpt, ("n_chars", 0, 1), {},
+                                "doc_id")

@@ -2512,6 +2512,52 @@ def delete_where_checkpoint(spark, ckpt_dir: str, value_range,
     return gen
 
 
+def update_where_checkpoint(spark, ckpt_dir: str, value_range, set_map: dict,
+                            key_col: str, **encode_kwargs):
+    """``UPDATE ... SET ... WHERE``: decode exactly the predicate-hit
+    rows (``decode_checkpoint(value_range=...)`` — zone-map pruned,
+    exact-filtered), apply the SET expressions, and land the result as
+    ONE upsert (mask sidecars + one appended generation, a single
+    ``upsert`` commit). Cost ∝ hit rows, never the corpus — Delta's
+    UPDATE on this format's physical model, and the change feed sees
+    it as the delete+insert pair an update is.
+
+    ``set_map`` maps column name → new value: a plain literal or a
+    ``pyspark.sql.Column`` expression evaluated over the OLD row
+    (``{"n_chars": F.col("n_chars") + 1}``). Updating the key column
+    is refused (a key rewrite is delete+insert of DIFFERENT keys —
+    spell that intent explicitly). Returns ``{"updated": n, "gen":
+    generation}``; zero hits touch nothing (no phantom commit)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    if not set_map:
+        raise ValueError("update_where_checkpoint: empty set_map")
+    if key_col in set_map:
+        raise ValueError(
+            f"update_where_checkpoint refuses to rewrite the key column "
+            f"{key_col!r} — a key change is a delete + insert of a "
+            "DIFFERENT key; spell it with delete_where + an append"
+        )
+    hit = decode_checkpoint(spark, ckpt_dir, value_range=value_range)
+    for c in set_map:
+        if c not in hit.columns:
+            raise ValueError(
+                f"update_where_checkpoint: set_map column {c!r} is not "
+                f"in the table (have {hit.columns})"
+            )
+    upd = hit.withColumns({
+        c: v if isinstance(v, Column) else F.lit(v)
+        for c, v in set_map.items()
+    }).localCheckpoint(eager=True)  # pin: upsert reads the batch twice
+    n = upd.count()
+    if not n:
+        return {"updated": 0, "gen": ""}
+    gen = upsert_checkpoint(spark, ckpt_dir, upd, key_col,
+                            **encode_kwargs)
+    return {"updated": n, "gen": gen}
+
+
 # ---------------------------------------------------------------------------
 # column backfill: schema evolution without rewriting existing columns
 # ---------------------------------------------------------------------------

@@ -727,6 +727,49 @@ WHERE NOT (n_chars BETWEEN 200 AND 400) AND source NOT LIKE 'src1%'
 """
 
 
+def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE (`update_where_checkpoint`): decode
+    exactly the predicate-hit rows (zone-map pruned, exact-filtered),
+    apply the SET expressions over the OLD rows, land the result as ONE
+    upsert commit — cost ∝ hit rows, and the change feed sees the
+    delete+insert pair an update is. Here: redact `lang` on every
+    source in the 'src1' prefix band (src1 + src10..src19)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        decode_checkpoint,
+        encode_table,
+        update_where_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_uw_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            ckpt, schema=df.schema)
+        update_where_checkpoint(
+            spark, ckpt, ("source", "src1"), {"lang": "redacted"},
+            "doc_id", num_partitions=2)
+        out = decode_checkpoint(spark, ckpt)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_UPDATE_WHERE = """
+SELECT doc_id, text,
+       CASE WHEN source LIKE 'src1%' THEN 'redacted' ELSE lang END AS lang,
+       source, n_chars
+FROM documents
+"""
+
+
 def q_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF consumer: a DOWNSTREAM checkpoint materialized at the
     source's commit 0 catches up by applying ``read_changes`` through
@@ -2410,6 +2453,7 @@ REGISTRY: dict[str, tuple] = {
     "change_apply": (q_change_apply, ORACLE_OPTIMIZE_ROUNDTRIP),
     "change_sync": (q_change_sync, ORACLE_OPTIMIZE_ROUNDTRIP),
     "delete_where": (q_delete_where, DUCK_DELETE_WHERE),
+    "update_where": (q_update_where, DUCK_UPDATE_WHERE),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
