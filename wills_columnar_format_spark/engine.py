@@ -404,6 +404,38 @@ def _sub_columns(name: str, arr: pa.Array, allow_nulls: bool = False) -> list[tu
         for f, child in zip(arr.type, arr.flatten()):
             out.extend(_sub_columns(f"{name}#f:{f.name}", child, allow_nulls))
         return out
+    if pa.types.is_map(arr.type):
+        # maps shred like the list<struct<key,value>> they physically
+        # are: ``name#lengths`` (entries per row) + one recursive
+        # sub-column tree per side (``name#mk`` keys, ``name#mv``
+        # values). Keys are non-null by Arrow spec; a null VALUE rides
+        # the recursion's ``#mv#valid``. Viewed through a
+        # list<struct> cast because MapArray.keys/.items ignore
+        # slicing offsets (measured) while ListArray.flatten() honors
+        # them.
+        import pyarrow.compute as pc
+
+        entry_t = pa.struct([
+            pa.field("key", arr.type.key_type, nullable=False),
+            pa.field("value", arr.type.item_type),
+        ])
+        lv = arr.cast(pa.list_(entry_t))
+        if lv.null_count:
+            if not allow_nulls:
+                raise dtypes.UnsupportedDataType(
+                    f"column {name!r} contains nulls; the format is "
+                    "null-free by default (reference src/lib.rs:59-66) "
+                    "— pass allow_nulls=True"
+                )
+            valid = lv.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
+            out.append((f"{name}#valid", ColumnValues.from_numpy(valid)))
+            lv = pc.fill_null(lv, pa.scalar([], type=lv.type))
+        lens = pc.list_value_length(lv).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out.append((f"{name}#lengths", ColumnValues.from_numpy(lens.astype(np.int32))))
+        entries = lv.flatten()
+        out.extend(_sub_columns(f"{name}#mk", entries.field(0), allow_nulls))
+        out.extend(_sub_columns(f"{name}#mv", entries.field(1), allow_nulls))
+        return out
     is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
     if arr.null_count:
         if not allow_nulls:
@@ -948,6 +980,35 @@ def _rebuild_field(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
         if vkey in cvs:
             mask = pa.array(~cvs[vkey].vals.astype(bool))
         return pa.StructArray.from_arrays(children, fields=list(t), mask=mask)
+    if pa.types.is_map(t):
+        # regroup ``#lengths`` + the ``#mk``/``#mv`` trees. Built via
+        # Array.from_buffers because pyarrow has neither an if_else
+        # kernel for maps nor a list<struct> -> map cast (measured) —
+        # the validity bitmap must land directly on the MapArray.
+        lens = cvs[f"{field.name}#lengths"].vals.astype(np.int64)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        keys = _rebuild_field(
+            pa.field(f"{field.name}#mk", t.key_type, nullable=False), cvs)
+        items = _rebuild_field(
+            pa.field(f"{field.name}#mv", t.item_type), cvs)
+        entries = pa.StructArray.from_arrays(
+            [keys, items],
+            fields=[pa.field("key", t.key_type, nullable=False),
+                    pa.field("value", t.item_type)])
+        vkey = f"{field.name}#valid"
+        vbuf = None
+        null_count = 0
+        if vkey in cvs:
+            valid = cvs[vkey].vals.astype(bool)
+            null_count = int((~valid).sum())
+            if null_count:
+                vbuf = pa.py_buffer(
+                    np.packbits(valid, bitorder="little").tobytes())
+        return pa.Array.from_buffers(
+            t, len(lens),
+            [vbuf, pa.py_buffer(offsets.astype(np.int32).tobytes())],
+            null_count=null_count, children=[entries])
     arr = _rebuild_values(field, cvs)
     vkey = f"{field.name}#valid"
     if vkey in cvs:
@@ -968,6 +1029,11 @@ def _phys_sub_names(name: str, t: pa.DataType) -> list[str]:
         out = [f"{name}#valid"]
         for f in t:
             out.extend(_phys_sub_names(f"{name}#f:{f.name}", f.type))
+        return out
+    if pa.types.is_map(t):
+        out = [f"{name}#lengths", f"{name}#valid"]
+        out.extend(_phys_sub_names(f"{name}#mk", t.key_type))
+        out.extend(_phys_sub_names(f"{name}#mv", t.item_type))
         return out
     return [name, f"{name}#lengths", f"{name}#values", f"{name}#valid"]
 

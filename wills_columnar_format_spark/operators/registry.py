@@ -1074,6 +1074,39 @@ ORACLE_ROUNDTRIP_STRUCT = (
 )
 
 
+def q_roundtrip_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP column roundtrip: document attributes regrouped as a
+    map<string,string> column, shredded by the encoder into
+    ``attrs#lengths`` + recursive ``attrs#mk`` / ``attrs#mv`` flat
+    sub-columns (the list<struct<key,value>> a map physically is — an
+    engine extension over the reference's flat-scalar format,
+    src/lib.rs:59-66), each side with its own codec/checksum/zone maps,
+    regrouped losslessly on decode. Emitted as the exploded
+    (doc_id, mkey, mval) entry stream so the cross-engine value hash
+    compares scalars (set ops / hashes over map cells are
+    engine-specific)."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+        ).alias("attrs"),
+    )
+    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8)
+    dec = decode_table(m, df.schema, assume_unique=True, arranged=True)
+    return dec.select(
+        "doc_id", F.explode("attrs").alias("mkey", "mval"))
+
+
+ORACLE_ROUNDTRIP_MAP = """
+SELECT doc_id, 'lang' AS mkey, lang AS mval FROM documents
+UNION ALL
+SELECT doc_id, 'source' AS mkey, source AS mval FROM documents
+"""
+
+
 def q_value_range_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter pushdown addressed at a STRUCT LEAF: the shredded leaf
     sub-column carries value zone maps like any flat column, so
@@ -2447,6 +2480,7 @@ REGISTRY: dict[str, tuple] = {
     "value_range_string": (q_value_range_string, ORACLE_VALUE_RANGE_STRING),
     "value_range_prefix": (q_value_range_prefix, ORACLE_VALUE_RANGE_PREFIX),
     "roundtrip_struct": (q_roundtrip_struct, ORACLE_ROUNDTRIP_STRUCT),
+    "roundtrip_map": (q_roundtrip_map, ORACLE_ROUNDTRIP_MAP),
     "time_travel": (q_time_travel, ORACLE_ROUNDTRIP_DOCUMENTS),
     "optimize_roundtrip": (q_optimize_roundtrip, ORACLE_OPTIMIZE_ROUNDTRIP),
     "change_feed": (q_change_feed, DUCK_CHANGE_FEED),
