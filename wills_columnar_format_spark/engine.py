@@ -67,6 +67,7 @@ MANIFEST_FIELDS = [
     ("val_max", "double"),
     ("val_min_str", "string"),
     ("val_max_str", "string"),
+    ("val_sum", "decimal(38,0)"),
     ("key_bloom", "binary"),
     ("snapshot_id", "string"),
     ("blob", "binary"),
@@ -93,6 +94,7 @@ _MANIFEST_PA = pa.schema(
         ("val_max", pa.float64()),
         ("val_min_str", pa.string()),
         ("val_max_str", pa.string()),
+        ("val_sum", pa.decimal128(38, 0)),
         ("key_bloom", pa.large_binary()),
         ("snapshot_id", pa.string()),
         ("blob", pa.large_binary()),
@@ -147,6 +149,26 @@ def _value_zone_map(cv: ColumnValues):
     if vmax < mx_:
         vmax = float(np.nextafter(vmax, np.inf))
     return vmin, vmax
+
+
+def _value_sum(cv: ColumnValues):
+    """Exact per-chunk sum of an INTEGER sub-column's values (Python
+    arbitrary-precision, stored decimal(38,0)) — the metadata side of
+    SUM/AVG/COUNT pushdown (``column_sums``). Integer-only ON PURPOSE:
+    float addition is order-dependent, so a metadata float sum could
+    never exactly match an engine's sequential SUM; integers (incl.
+    bools as uint8, temporals as epoch ints, decimals unscaled, and
+    ``#valid`` masks — whose sum IS the non-null count) are
+    order-independent and exact. NULL for anything else. Pure function
+    of the chunk values (rides the resume byte-identity contract)."""
+    v = cv.vals
+    if v is None or not v.size or not np.issubdtype(v.dtype, np.integer):
+        return None
+    mx = max(abs(int(v.min())), abs(int(v.max())))
+    if mx and v.size > (2 ** 62) // mx:
+        # magnitude*count could overflow int64: exact object-dtype sum
+        return int(v.astype(object).sum())
+    return int(v.sum(dtype=np.int64))
 
 
 # String bounds longer than this are not stored verbatim: the min
@@ -518,6 +540,7 @@ def _done_marker_batch(part_id: int, tag: str, n_chunks: int, snapshot_id) -> pa
             "val_max": [None],
             "val_min_str": [None],
             "val_max_str": [None],
+            "val_sum": [None],
             "key_bloom": [None],
             "snapshot_id": [snapshot_id],
             "blob": [b""],
@@ -620,6 +643,7 @@ def make_encode_fn(
                     smin, smax = _value_zone_map_str(cv)
                     rows["val_min_str"].append(smin)
                     rows["val_max_str"].append(smax)
+                    rows["val_sum"].append(_value_sum(cv))
                     rows["key_bloom"].append(kbloom if sub_name == key_col else None)
                     rows["snapshot_id"].append(snapshot_id)
                     rows["blob"].append(blob)
@@ -1554,6 +1578,84 @@ def _conjunctive_hit_keys(manifest_df, vrs, extra_cols=()):
     )
 
 
+def _disjunctive_hit_keys(manifest_df, in_vrs, extra_cols=()):
+    """Chunk keys whose value zone maps admit ANY of the prepared
+    single-value ranges (OR semantics — the IN-list prune behind
+    ``value_in``): ONE blob-free metadata filter pass, the per-value
+    containment tests OR-combined. NULL maps keep conservatively, same
+    asymmetric string rules as ``_value_range_keys``."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    vcol = in_vrs[0][0]
+    es = []
+    for v in in_vrs:
+        _, lo, hi = v[:3]
+        if isinstance(lo, str):
+            e = (
+                ((F.col("val_max_str") >= F.lit(lo)) | F.col("val_max_str").isNull())
+                & ((F.col("val_min_str") <= F.lit(hi)) | F.col("val_min_str").isNull())
+            )
+        else:
+            e = (
+                ((F.col("val_max") >= F.lit(lo)) & (F.col("val_min") <= F.lit(hi)))
+                | F.col("val_min").isNull()
+            )
+        es.append(e)
+    keep = reduce(lambda a, b: a | b, es)
+    cols = ["chunk_key", *extra_cols]
+    return (
+        manifest_df.filter((F.col("column") == vcol) & keep)
+        .select(*cols)
+        .distinct()
+    )
+
+
+def _intersect_file_keys(a, b):
+    """AND-combine two file->chunk-key-list prune maps (a list value
+    names the qualifying chunks; None means 'every chunk in the file').
+    None MAP means 'no pruning from that source' — the other side wins.
+    A file whose intersected chunk list empties drops out entirely."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    out = {}
+    for f in set(a) & set(b):
+        ka, kb = a[f], b[f]
+        if ka is None:
+            merged = kb
+        elif kb is None:
+            merged = ka
+        else:
+            s = set(kb)
+            merged = [k for k in ka if k in s]
+            if not merged:
+                continue
+        out[f] = merged
+    return out
+
+
+def _prepare_value_in(out_schema, value_in):
+    """Validate + prepare a ``value_in=(column, [v1, v2, ...])`` spec:
+    one prepared single-value range per value (shared zone-map plumbing
+    with ``value_range`` — type checks, decimal scaling, NTZ-safe
+    literals all ride along) plus the OR-combined exact post-filter."""
+    from functools import reduce
+
+    vcol, values = value_in
+    vals = list(values)
+    if not vals:
+        raise ValueError(
+            f"value_in on {vcol!r}: empty value list — an empty IN "
+            "decodes nothing; filter after decode if that is intended"
+        )
+    in_vrs = [_prepare_value_range(out_schema, (vcol, v, v)) for v in vals]
+    in_expr = reduce(lambda a, b: a | b, [v[6] for v in in_vrs])
+    return in_vrs, in_expr
+
+
 def _keys_kind(keys) -> str:
     """'num' | 'str' | 'empty' — and a loud TypeError on a mixed set: a
     single stray string would flip numeric keys into LEXICOGRAPHIC
@@ -1747,7 +1849,7 @@ def _filter_by_key_set(out, key_col, keys):
 def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                  assume_unique=False, arranged=False, columns=None,
                  legacy_nan_zonemaps=False, value_range=None, keys=None,
-                 verify_checksums=False):
+                 value_in=None, verify_checksums=False):
     """Decode a manifest back to the original rows (order not preserved
     globally; chunk-local order is exact — verify by joining on the key).
 
@@ -1779,6 +1881,15 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     columns (sorted ingest, correlated keys); on uncorrelated columns
     every chunk intersects and it degrades to a plain filter, never
     worse.
+
+    ``value_in=(column, [v1, v2, ...])`` is the IN-LIST predicate:
+    chunks whose zone maps admit ANY of the values are decoded (OR
+    across values, ONE metadata pass), then rows are exact-filtered to
+    the value set. Same type rules and literal handling as
+    ``value_range`` (strings, numerics, NTZ timestamps, dates,
+    decimals); AND-combines with any ``value_range`` / ``keys``
+    pruning. The canonical use: ``value_in=("lang", ["en", "fr"])``
+    over a lang-clustered corpus decodes only those languages' chunks.
 
     ``keys=[k1, k2, ...]`` is the multi-point lookup: chunks whose
     [min_key, max_key] interval contains ANY of the keys are decoded
@@ -1843,7 +1954,8 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     # would mask a persisted manifest's cheap plan and force a
     # blob-materializing pin for nothing (both the value_range and the
     # bloom multi-use subqueries below consult it)
-    cheap = True if (value_range is None and keys is None) \
+    cheap = True if (value_range is None and keys is None
+                     and value_in is None) \
         else _cheap_rescan(manifest_df)
     pinned = False
     vrs = []
@@ -1886,6 +1998,27 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
             # exact filters below are always applied).
             hit = _conjunctive_hit_keys(manifest_df, usable)
             rows = hit.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
+            if len(rows) <= VALUE_PRUNE_MAX_KEYS:
+                spark = manifest_df.sparkSession
+                keys_df = spark.createDataFrame(
+                    [(r["chunk_key"],) for r in rows], "chunk_key string"
+                )
+                manifest_df = manifest_df.join(
+                    F.broadcast(keys_df), "chunk_key", "left_semi"
+                )
+    in_expr = None
+    if value_in is not None:
+        # IN-list prune: same broadcast-semi-join carrier as
+        # value_range, but the zone-map test is an OR across the value
+        # set (one metadata pass) — AND-composes with the value_range
+        # semi-join above because it stacks a second semi-join.
+        in_vrs, in_expr = _prepare_value_in(out_schema, value_in)
+        if _value_maps_col(in_vrs[0][:3]) in manifest_df.columns:
+            if not cheap and not pinned:
+                manifest_df = manifest_df.localCheckpoint(eager=True)
+                pinned = True
+            hits = _disjunctive_hit_keys(manifest_df, in_vrs)
+            rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
             if len(rows) <= VALUE_PRUNE_MAX_KEYS:
                 spark = manifest_df.sparkSession
                 keys_df = spark.createDataFrame(
@@ -1942,6 +2075,8 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         out = _filter_by_key_set(out, key_col, keys)
     for v in vrs:
         out = out.filter(v[6])
+    if in_expr is not None:
+        out = out.filter(in_expr)
     return out
 
 
@@ -2703,6 +2838,7 @@ def make_backfill_encode_fn(col_name: str, codec: str,
             out["val_max"].append(vmax)
             out["val_min_str"].append(smin)
             out["val_max_str"].append(smax)
+            out["val_sum"].append(_value_sum(cv))
             out["key_bloom"].append(None)
             out["snapshot_id"].append(chunk_meta["snapshot_id"])
             out["blob"].append(blob)
@@ -3701,8 +3837,8 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
 
 def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                       key_col=None, columns=None, legacy_nan_zonemaps=False,
-                      value_range=None, keys=None, verify_checksums=False,
-                      as_of=None):
+                      value_range=None, keys=None, value_in=None,
+                      verify_checksums=False, as_of=None):
     """Decode a CHECKPOINTED manifest directory without shuffling a single
     blob: one task per manifest file, sequential pyarrow read, group
     decode in place (see the section comment above for why the layout
@@ -3723,6 +3859,10 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     plus, with ``key_col`` set, per-chunk key-Bloom-filter pruning at
     file level AND chunk level inside each file (the prune that works
     on hash-layout checkpoints, where zone maps keep every chunk).
+    ``value_in=(column, [v1, ...])`` is the IN-LIST predicate (see
+    ``decode_table``): files/chunks whose zone maps admit ANY of the
+    values, AND-intersected with the value_range and bloom prune maps,
+    exact-filtered after decode.
     Checkpoints that fail the clustered-layout check (duplicates from
     resumed runs, chunks torn across files) fall back to
     ``decode_table``'s shuffling path transparently.
@@ -3813,7 +3953,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                 else spark.read.parquet(ckpt_dir), full_schema,
                 key_range=key_range, key_col=key_col, columns=columns,
                 legacy_nan_zonemaps=legacy_nan_zonemaps,
-                value_range=value_range, keys=keys,
+                value_range=value_range, keys=keys, value_in=value_in,
                 verify_checksums=verify_checksums,
             )
         extra_deletes = {}
@@ -3896,7 +4036,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
             else spark.read.parquet(ckpt_dir), full_schema,
             key_range=key_range, key_col=key_col, columns=columns,
             legacy_nan_zonemaps=legacy_nan_zonemaps, value_range=value_range,
-            keys=keys, verify_checksums=verify_checksums,
+            keys=keys, value_in=value_in, verify_checksums=verify_checksums,
         )
     file_keys = None  # path -> qualifying chunk_key list (value_range only)
     vrs = []
@@ -3914,6 +4054,27 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
             else:
                 # too many qualifying chunks to ship: file-level only
                 file_keys = {r["__file"]: None for r in hits.select("__file").distinct().collect()}
+    in_expr = None
+    if value_in is not None:
+        # IN-list prune: disjunctive zone test over the value set,
+        # AND-intersected with the value_range map above (both ran on
+        # the bloom-pruned fdf, so their chunk lists are already
+        # subsets of any bloom keep)
+        in_vrs, in_expr = _prepare_value_in(out_schema, value_in)
+        if _value_maps_col(in_vrs[0][:3]) in fdf.columns:
+            hits = _disjunctive_hit_keys(fdf, in_vrs, extra_cols=("__file",))
+            rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
+            if len(rows) <= VALUE_PRUNE_MAX_KEYS:
+                in_file_keys = {}
+                for r in rows:
+                    in_file_keys.setdefault(r["__file"], []).append(r["chunk_key"])
+            else:
+                in_file_keys = {r["__file"]: None for r in hits.select("__file").distinct().collect()}
+            file_keys = _intersect_file_keys(file_keys, in_file_keys)
+            if not file_keys:
+                return spark.createDataFrame(
+                    [], from_arrow_schema(out_schema,
+                                          prefer_timestamp_ntz=True))
     if file_keys is None:
         # no value_range chunk lists — the bloom keep lists (if any)
         # drive the per-file chunk filter instead (already intersected:
@@ -3946,6 +4107,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         out = _filter_by_key_set(out, key_col, keys)
     for v in vrs:
         out = out.filter(v[6])
+    if in_expr is not None:
+        out = out.filter(in_expr)
     return out
 
 
@@ -4807,4 +4970,94 @@ def column_stats(manifest_df):
         .join(F.broadcast(nullable), "column_name", "left_anti")
         .join(F.broadcast(affected), "column_name", "left_anti")
         .drop("_n_chunks", "_n_mapped")
+    )
+
+
+def column_sums(manifest_df):
+    """SUM/AVG/COUNT pushdown to manifest metadata: per-column
+    ``(column_name, v_sum, n_rows, n_nonnull)`` computed ENTIRELY from
+    the per-chunk ``val_sum`` metadata (``_value_sum``) — zero blob
+    bytes read, the additive-aggregate sibling of ``column_stats``'
+    MIN/MAX. ``AVG = v_sum / n_nonnull``; ``COUNT(col) = n_nonnull``
+    (a nullable column's non-null count is its ``#valid`` mask's sum —
+    the 0/1 mask IS the count, so COUNT pushdown falls out for free).
+    At 100 TB this turns a full-column decode into a blob-free groupBy
+    of the (tiny) metadata relation.
+
+    Exactness rules — a column is EMITTED only when its sum is exact,
+    else it is silently absent (callers fall back to a decode):
+
+    * INTEGER-encoded columns only (ints, bools as 0/1, temporals as
+      epoch micros/days, decimals as unscaled ints — temporal/decimal
+      sums report that normalized encoding): integer addition is
+      order-independent; a float SUM is order-DEPENDENT rounding, so
+      no metadata float sum can exactly match an engine's sequential
+      sum — floats and strings never appear;
+    * only top-level scalar columns (physical ``#``-sub-columns are
+      internals), and nullable columns require every ``#valid`` chunk
+      summed too (null slots store 0 fillers, so v_sum already equals
+      the SQL SUM that ignores NULLs);
+    * chunks written before ``val_sum`` existed (legacy manifests, or
+      a manifest missing the column entirely) and chunks carrying
+      deletion-vector masks (stale superset) drop the column.
+    """
+    from pyspark.sql import functions as F
+
+    out_ddl = ("column_name string, v_sum decimal(38,0), "
+               "n_rows bigint, n_nonnull bigint")
+    if "val_sum" not in manifest_df.columns:
+        spark = manifest_df.sparkSession
+        return spark.createDataFrame([], out_ddl)
+    agg = (
+        manifest_df.filter(
+            (F.col("column") != DONE_COLUMN)
+            & ~F.col("column").contains("#")
+            & ~F.col("column").startswith(DELETES_PREFIX)
+        )
+        .groupBy(F.col("column").alias("column_name"))
+        .agg(
+            F.sum("val_sum").alias("v_sum"),
+            F.sum("n_values").alias("n_rows"),
+            F.count("*").alias("_n_chunks"),
+            F.count("val_sum").alias("_n_summed"),
+        )
+    )
+    valid = (
+        manifest_df.filter(F.col("column").endswith("#valid"))
+        .groupBy(
+            F.expr("substring(column, 1, length(column) - 6)")
+            .alias("column_name"))
+        .agg(
+            F.sum("val_sum").alias("_n_valid"),
+            F.count("*").alias("_vc"),
+            F.count("val_sum").alias("_vs"),
+        )
+    )
+    deleted_chunks = (
+        manifest_df.filter(F.col("column").startswith(DELETES_PREFIX))
+        .select("chunk_key")
+        .distinct()
+    )
+    affected = (
+        manifest_df.join(F.broadcast(deleted_chunks), "chunk_key",
+                         "left_semi")
+        .filter(
+            (F.col("column") != DONE_COLUMN)
+            & ~F.col("column").contains("#")
+            & ~F.col("column").startswith(DELETES_PREFIX)
+        )
+        .select(F.col("column").alias("column_name"))
+        .distinct()
+    )
+    return (
+        agg.filter(F.col("_n_chunks") == F.col("_n_summed"))
+        .join(F.broadcast(valid), "column_name", "left")
+        # a nullable column whose #valid rows are only partially summed
+        # (legacy mix) has an inexact non-null count: exact-or-absent
+        .filter(F.col("_vc").isNull() | (F.col("_vc") == F.col("_vs")))
+        .withColumn(
+            "n_nonnull",
+            F.coalesce(F.col("_n_valid").cast("long"), F.col("n_rows")))
+        .join(F.broadcast(affected), "column_name", "left_anti")
+        .select("column_name", "v_sum", "n_rows", "n_nonnull")
     )

@@ -464,6 +464,38 @@ SELECT 'o_totalprice', MIN(o_totalprice), MAX(o_totalprice), COUNT(*) FROM order
 """
 
 
+def q_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/AVG/COUNT pushdown to manifest METADATA (engine.column_sums):
+    exact per-chunk integer sums (``val_sum``, arbitrary-precision,
+    stored decimal(38,0)) aggregate to whole-column SUM with zero blob
+    bytes read (the manifest's blob column is DROPPED before the
+    aggregate to prove it); AVG = v_sum/n_nonnull. The oracle runs the
+    real SUM over the raw rows: equality proves the chunk sums are
+    exact, end to end. Integer columns only by design — float addition
+    is order-dependent, so float sums are exact-or-absent absent."""
+    from ..engine import column_sums, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    m = encode_table(df, key_col="o_orderkey", codec="auto", num_partitions=4)
+    return column_sums(m.drop("blob")).select(
+        "column_name",
+        F.col("v_sum").cast("double").alias("v_sum_d"),
+        "n_rows",
+        "n_nonnull",
+    )
+
+
+DUCK_SUM_PUSHDOWN = """
+SELECT 'o_orderkey' AS column_name, CAST(SUM(o_orderkey) AS DOUBLE) AS v_sum_d,
+       COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_nonnull FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(SUM(o_custkey) AS DOUBLE),
+       COUNT(*), COUNT(o_custkey) FROM orders
+"""
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-range decode through manifest zone-map pruning: only chunks
     whose [min_key, max_key] lineage interval intersects the range are
@@ -921,6 +953,27 @@ def q_value_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VALUE_RANGE_SCAN = (
     "SELECT doc_id, text, lang, source, n_chars FROM documents "
     "WHERE n_chars BETWEEN 200 AND 900"
+)
+
+
+def q_value_in_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-LIST pushdown through compressed data (engine value_in): the
+    disjunctive sibling of value_range — chunks whose string zone maps
+    admit ANY of the requested values decode (one blob-free metadata
+    pass, OR across values), rows exact-filtered to the set after. The
+    canonical corpus slice: 'give me the en+fr documents' without
+    touching the zh/es/de chunks when the corpus is lang-clustered."""
+    from ..engine import decode_table, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8,
+                     partitioner="range", chunk_rows=64)
+    return decode_table(m, df.schema, value_in=("lang", ["en", "fr"]))
+
+
+ORACLE_VALUE_IN_SCAN = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "WHERE lang IN ('en', 'fr')"
 )
 
 
@@ -2471,6 +2524,7 @@ REGISTRY: dict[str, tuple] = {
     "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
     "stats_pushdown": (q_stats_pushdown, DUCK_STATS_PUSHDOWN),
+    "sum_pushdown": (q_sum_pushdown, DUCK_SUM_PUSHDOWN),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
     "point_lookup_checkpoint": (q_point_lookup_checkpoint, ORACLE_POINT_LOOKUP),
@@ -2488,6 +2542,7 @@ REGISTRY: dict[str, tuple] = {
     "change_sync": (q_change_sync, ORACLE_OPTIMIZE_ROUNDTRIP),
     "delete_where": (q_delete_where, DUCK_DELETE_WHERE),
     "update_where": (q_update_where, DUCK_UPDATE_WHERE),
+    "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
