@@ -2957,6 +2957,81 @@ def backfill_column(manifest_df, new_df, key_col: str, col_name: str,
     return manifest_df.unionByName(sidecol, allowMissingColumns=True)
 
 
+def dropped_columns(ckpt_dir: str) -> list[str]:
+    """Column names dropped from a logged checkpoint (``drop_column``
+    commits, in commit order; empty for unlogged checkpoints)."""
+    log = read_commit_log(ckpt_dir) or []
+    return [r["generation"] for r in log
+            if r.get("action") == "drop_column"]
+
+
+def drop_column_checkpoint(spark, ckpt_dir: str, col_name: str) -> int:
+    """DROP COLUMN as a METADATA-ONLY logged mutation (Delta's drop
+    semantics): no data file is touched — the self-describing
+    ``_table_schema`` sidecar is rewritten without the field and a
+    ``drop_column`` commit records it (the column name rides the
+    record's generation slot), so schema-less decodes stop seeing the
+    column immediately, at zero data cost. The bytes stay on disk until
+    a rewrite reclaims them: the metadata-only ``compact_checkpoint``
+    strips the dropped columns' manifest rows, and the re-encoding
+    compaction / ``optimize_checkpoint`` (both decode through the
+    narrowed sidecar schema) rewrite the snapshot without them.
+
+    Time travel: ``decode_checkpoint(as_of=seq)`` for a seq BEFORE the
+    drop refuses to guess the wider schema and asks for an explicit
+    ``out_schema=`` (every data file is still present, so the old
+    snapshot decodes fully with it). The change feed sees no row change
+    (a drop inserts/deletes nothing).
+
+    The sidecar rewrite + commit append ride the ``_mutation_pending``
+    lock like every logged mutation; a crash inside the window is
+    reconciled by ``finish_mutation`` (no files landed, so nothing is
+    recorded — at worst the sidecar is already narrowed with the
+    commit record missing, which degrades history, never reads).
+
+    Refuses unknown columns, the last remaining column, and unlogged /
+    sidecar-less checkpoints. Returns the commit seq."""
+    _raise_if_pending(ckpt_dir)
+    if not _has_commit_log(ckpt_dir):
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _commits log — "
+            "drop_column is a logged mutation; persist via "
+            "write_checkpoint first"
+        )
+    schema = read_checkpoint_schema(ckpt_dir)
+    if schema is None:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _table_schema sidecar "
+            "— drop_column rewrites it; write_checkpoint(manifest, dir, "
+            "schema=...) makes the checkpoint self-describing"
+        )
+    names = schema.names
+    if col_name not in names:
+        raise ValueError(
+            f"drop_column: {col_name!r} is not in the table "
+            f"(have {names})"
+        )
+    if len(names) == 1:
+        raise ValueError(
+            f"drop_column: {col_name!r} is the LAST column — dropping "
+            "it leaves no table; delete the checkpoint instead"
+        )
+    before = _list_data_files(ckpt_dir)
+    _begin_logged_mutation(ckpt_dir, "drop_column", col_name, before)
+    try:
+        new_schema = pa.schema([f for f in schema if f.name != col_name],
+                               metadata=schema.metadata)
+        write_checkpoint_schema(ckpt_dir, new_schema)
+        seq = _append_commit(ckpt_dir, "drop_column", col_name, [])
+    finally:
+        try:
+            fsys, p = _manifest_fs(ckpt_dir)
+            fsys.delete_file(f"{p.rstrip('/')}/{_MUTATION_PENDING}")
+        except (OSError, ValueError):
+            pass
+    return seq
+
+
 # ---------------------------------------------------------------------------
 # shuffle-free decode of checkpointed manifests
 # ---------------------------------------------------------------------------
@@ -3892,6 +3967,22 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                 "manifest, dir, schema=...) / write_checkpoint_schema(dir, "
                 "schema) to make it self-describing"
             )
+        if as_of is not None:
+            # the sidecar describes the CURRENT snapshot; a column
+            # dropped after as_of means the old snapshot was wider —
+            # refuse to guess the missing field (its data files are all
+            # still present, an explicit schema decodes them fully)
+            late = [r["generation"] for r in (read_commit_log(ckpt_dir)
+                                              or [])
+                    if r.get("action") == "drop_column"
+                    and r["seq"] > as_of]
+            if late:
+                raise ValueError(
+                    f"as_of={as_of} predates the drop of column(s) "
+                    f"{late} — the current _table_schema no longer "
+                    "describes that snapshot; pass out_schema= with "
+                    "the schema as of that commit"
+                )
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
     full_schema = out_schema
@@ -4188,6 +4279,19 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
         return dst_dir
 
     src = spark.read.parquet(src_dir)
+    # DROPPED columns' manifest rows are stripped here — the
+    # metadata-only compact is where a drop_column_checkpoint's bytes
+    # are actually reclaimed (scalar row + its #-sub-column tree)
+    dropped = dropped_columns(src_dir)
+    if dropped:
+        from functools import reduce as _reduce
+
+        gone = _reduce(
+            lambda a, b: a | b,
+            [(F.col("column") == c) | F.col("column").startswith(c + "#")
+             for c in dropped],
+        )
+        src = src.filter(~gone)
     # pin column order to the DDL; fields a legacy checkpoint predates
     # (e.g. round-2 manifests without val_min/val_max) are filled with
     # typed NULLs — compaction is exactly the tool the fallback warning

@@ -802,6 +802,43 @@ FROM documents
 """
 
 
+def q_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN as a metadata-only logged mutation
+    (`drop_column_checkpoint`): zero data files touched — the schema
+    sidecar narrows and a `drop_column` commit records it; schema-less
+    decodes immediately stop seeing the column, time travel to the
+    wider snapshot still works with an explicit schema, and the bytes
+    reclaim at the next compaction (which strips the dropped column's
+    manifest rows)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        decode_checkpoint,
+        drop_column_checkpoint,
+        encode_table,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_dc_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8),
+            ckpt, schema=df.schema)
+        drop_column_checkpoint(spark, ckpt, "text")
+        out = decode_checkpoint(spark, ckpt)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_DROP_COLUMN = "SELECT doc_id, lang, source, n_chars FROM documents"
+
+
 def q_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF consumer: a DOWNSTREAM checkpoint materialized at the
     source's commit 0 catches up by applying ``read_changes`` through
@@ -2542,6 +2579,7 @@ REGISTRY: dict[str, tuple] = {
     "change_sync": (q_change_sync, ORACLE_OPTIMIZE_ROUNDTRIP),
     "delete_where": (q_delete_where, DUCK_DELETE_WHERE),
     "update_where": (q_update_where, DUCK_UPDATE_WHERE),
+    "drop_column": (q_drop_column, DUCK_DROP_COLUMN),
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
