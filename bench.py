@@ -244,6 +244,11 @@ def _registry_benches(spark, sf_dir: str):
         "quality_repetition",
         "rle_run_counts",
         "stats_pushdown",
+        "sum_pushdown",
+        "value_in_scan",
+        "roundtrip_map",
+        "update_where",
+        "drop_column",
         "asof_join_events",
         "interval_join_events",
         "time_rollup",
