@@ -95,6 +95,34 @@ def test_compact_reclaims_dropped_rows(spark, docs, tmp_path):
     assert live.exceptAll(docs.drop("text")).count() == 0
 
 
+def test_backfill_refuses_existing_and_dropped_names(spark, docs,
+                                                     tmp_path):
+    """Re-adding a name whose manifest rows still exist (any existing
+    column, or a schema-dropped one pre-compaction) would collide in
+    decode's dropDuplicates — refused loudly; after compaction the
+    name is genuinely free again."""
+    from wills_columnar_format_spark.engine import backfill_column
+
+    ckpt = _ckpt(docs, str(tmp_path / "b"))
+    drop_column_checkpoint(spark, ckpt, "text")
+    man = spark.read.parquet(ckpt)
+    kv = docs.select("doc_id", F.lit("x").alias("text"))
+    with pytest.raises(ValueError, match="already has manifest rows"):
+        backfill_column(man, kv, "doc_id", "text")
+    with pytest.raises(ValueError, match="already has manifest rows"):
+        backfill_column(man, docs.select("doc_id", "source"), "doc_id",
+                        "source")
+    # compaction strips the dropped rows -> the name is free again
+    dst = str(tmp_path / "bc")
+    compact_checkpoint(spark, ckpt, dst)
+    man2 = backfill_column(spark.read.parquet(dst), kv, "doc_id", "text")
+    from wills_columnar_format_spark.engine import decode_table
+
+    dec = decode_table(man2, docs.schema)
+    assert dec.count() == 400
+    assert dec.filter(F.col("text") != "x").count() == 0
+
+
 def test_refusals(spark, docs, tmp_path):
     ckpt = _ckpt(docs, str(tmp_path / "r"))
     with pytest.raises(ValueError, match="not in the table"):

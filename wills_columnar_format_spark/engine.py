@@ -2932,6 +2932,20 @@ def backfill_column(manifest_df, new_df, key_col: str, col_name: str,
         # same re-evaluation hazard as delete_keys: the explode and the
         # final union must see the SAME chunk keys
         manifest_df = manifest_df.localCheckpoint(eager=True)
+    if manifest_df.filter(
+        (F.col("column") == col_name)
+        | F.col("column").startswith(col_name + "#")
+    ).limit(1).count():
+        # a second generation of rows under the same (chunk_key, column)
+        # would collide arbitrarily in decode's dropDuplicates — incl.
+        # re-adding a name a checkpoint-level drop_column removed from
+        # the SCHEMA but whose manifest rows remain until compaction
+        raise ValueError(
+            f"backfill_column: column {col_name!r} already has manifest "
+            "rows — backfill adds NEW columns only; to replace one, "
+            "compact the dropped-column checkpoint first (which strips "
+            "its rows) or pick a fresh name"
+        )
     kdf = manifest_df.filter(F.col("column") == F.lit(key_col))
     exploded = kdf.mapInArrow(
         _make_key_explode_fn(key_col, key_ddl),
