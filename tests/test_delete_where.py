@@ -134,6 +134,68 @@ def test_delete_where_checkpoint_logs_commit(spark, docs, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# IN-list deletes: delete_where((col, [v1, v2, ...]))
+# ---------------------------------------------------------------------------
+
+
+def test_in_delete_numeric_and_string(spark, docs):
+    m = encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64)
+    out = decode_table(delete_where(m, ("n_chars", [7, 49, 140])),
+                       docs.schema)
+    expect = docs.filter(~F.col("n_chars").isin(7, 49, 140))
+    assert out.count() == expect.count()
+    assert out.exceptAll(expect).count() == 0
+    out2 = decode_table(delete_where(m, ("source", ["src3", "src11"])),
+                        docs.schema)
+    expect2 = docs.filter(~F.col("source").isin("src3", "src11"))
+    assert out2.count() == expect2.count() == 500
+    assert out2.exceptAll(expect2).count() == 0
+
+
+def test_in_delete_permuted_replay_idempotent(spark, docs):
+    """A permuted value list mints the SAME generation (set semantics),
+    so replaying it masks identically — no double deletion."""
+    m = encode_table(docs, key_col="doc_id", num_partitions=1,
+                     chunk_rows=128).localCheckpoint(eager=True)
+    once = delete_where(m, ("n_chars", [7, 140, 49]))
+    twice = delete_where(once, ("n_chars", [49, 7, 140]))
+    a = decode_table(once, docs.schema)
+    b = decode_table(twice, docs.schema)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    gens = {r["column"] for r in twice.select("column").distinct()
+            .collect() if r["column"].startswith("__deletes__")}
+    assert len(gens) == 1  # identical generation, collapsed masks
+
+
+def test_in_delete_refusals(spark, docs):
+    m = encode_table(docs, key_col="doc_id", num_partitions=1)
+    with pytest.raises(Exception, match="empty value set"):
+        delete_where(m, ("n_chars", []))
+    with pytest.raises(Exception, match="mixes string"):
+        delete_where(m, ("n_chars", [1, "x"]))
+
+
+def test_in_delete_checkpoint_logs_commit(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "in")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        ckpt, schema=docs.schema)
+    gen = delete_where_checkpoint(spark, ckpt, ("source", ["src5"]))
+    assert gen
+    live = decode_checkpoint(spark, ckpt)
+    expect = docs.filter(F.col("source") != "src5")
+    assert live.count() == expect.count() == 550
+    assert live.exceptAll(expect).count() == 0
+    log = read_commit_log(ckpt)
+    assert [(r["seq"], r["action"]) for r in log] == \
+        [(0, "create"), (1, "delete")]
+    assert decode_checkpoint(spark, ckpt, as_of=0).count() == 600
+
+
+# ---------------------------------------------------------------------------
 # update_where_checkpoint: UPDATE ... SET ... WHERE
 # ---------------------------------------------------------------------------
 
@@ -195,3 +257,24 @@ def test_update_where_zero_hits_and_refusals(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="empty set_map"):
         update_where_checkpoint(spark, ckpt, ("n_chars", 0, 1), {},
                                 "doc_id")
+
+
+def test_update_where_in_spec(spark, docs, tmp_path):
+    """UPDATE ... WHERE col IN (...): the spec routes through the
+    value_in decode prune; only the listed sources are rewritten."""
+    ckpt = str(tmp_path / "ui")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        ckpt, schema=docs.schema)
+    stats = update_where_checkpoint(
+        spark, ckpt, ("source", ["src2", "src9"]),
+        {"text": "redacted"}, "doc_id", num_partitions=1)
+    n_hit = docs.filter(F.col("source").isin("src2", "src9")).count()
+    assert stats["updated"] == n_hit == 100
+    live = decode_checkpoint(spark, ckpt)
+    assert live.count() == 600
+    assert live.filter(F.col("source").isin("src2", "src9")
+                       & (F.col("text") != "redacted")).count() == 0
+    assert live.filter(~F.col("source").isin("src2", "src9")
+                       & (F.col("text") == "redacted")).count() == 0

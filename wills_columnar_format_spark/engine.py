@@ -2509,27 +2509,52 @@ def _canon_where_spec(value_range):
     if isinstance(lo, str):
         return vcol, lo, hi, True
 
-    epoch = datetime(1970, 1, 1)
-    d0 = date(1970, 1, 1)
+    return vcol, _canon_where_bound(vcol, lo), \
+        _canon_where_bound(vcol, hi), True
 
-    def canon(b):
-        if isinstance(b, datetime):
-            if b.tzinfo is not None:
-                raise TypeError(
-                    f"delete_where on {vcol!r} takes NAIVE datetime "
-                    "bounds (TIMESTAMP_NTZ semantics)"
-                )
-            return (b - epoch) // timedelta(microseconds=1)
-        if isinstance(b, date):
-            return (b - d0).days
-        if isinstance(b, (int, float)):
-            return b
+
+def _canon_where_bound(vcol: str, b):
+    """One ``delete_where`` bound/value canonicalized to the STORED
+    value domain (naive datetime -> epoch micros, date -> epoch days —
+    the ``_normalize_temporal`` encoding; numerics pass through)."""
+    from datetime import date, datetime, timedelta
+
+    if isinstance(b, datetime):
+        if b.tzinfo is not None:
+            raise TypeError(
+                f"delete_where on {vcol!r} takes NAIVE datetime "
+                "bounds (TIMESTAMP_NTZ semantics)"
+            )
+        return (b - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+    if isinstance(b, date):
+        return (b - date(1970, 1, 1)).days
+    if isinstance(b, (int, float)):
+        return b
+    raise TypeError(
+        f"delete_where bounds take int/float/str/naive datetime/"
+        f"date; got {type(b).__name__} on {vcol!r}"
+    )
+
+
+def _canon_where_in(vcol: str, values):
+    """Canonicalize an IN-delete value set: all-string or all-numeric/
+    temporal (stored domain), non-empty, mixed types refused — the same
+    one-rule discipline ``_keys_kind`` applies to key sets."""
+    vals = list(values)
+    if not vals:
         raise TypeError(
-            f"delete_where bounds take int/float/str/naive datetime/"
-            f"date; got {type(b).__name__} on {vcol!r}"
+            f"delete_where IN on {vcol!r}: empty value set — deleting "
+            "nothing is probably a bug"
         )
-
-    return vcol, canon(lo), canon(hi), True
+    strs = [isinstance(v, str) for v in vals]
+    if all(strs):
+        return vals, True
+    if any(strs):
+        raise TypeError(
+            f"delete_where IN on {vcol!r} mixes string and non-string "
+            f"values: {sorted({type(v).__name__ for v in vals})}"
+        )
+    return [_canon_where_bound(vcol, v) for v in vals], False
 
 
 def _where_generation(vcol: str, lo, hi, hi_inclusive: bool) -> str:
@@ -2538,6 +2563,16 @@ def _where_generation(vcol: str, lo, hi, hi_inclusive: bool) -> str:
     collapse in decode, like delete_keys)."""
     h = hashlib.blake2b(digest_size=6)
     for part in ("where", vcol, repr(lo), repr(hi), repr(hi_inclusive)):
+        h.update(part.encode())
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def _where_in_generation(vcol: str, vals) -> str:
+    """IN-delete generation: SORTED value reprs, so a permuted value
+    list replays byte-identically (set semantics, same mask)."""
+    h = hashlib.blake2b(digest_size=6)
+    for part in ("where_in", vcol, *sorted(repr(v) for v in vals)):
         h.update(part.encode())
         h.update(b"\x00")
     return h.hexdigest()
@@ -2595,6 +2630,52 @@ def _make_where_explode_fn(lo, hi, hi_inclusive: bool):
     return fn
 
 
+def _make_where_in_explode_fn(vals, is_str: bool):
+    """IN-delete sibling of ``_make_where_explode_fn``: set membership
+    instead of a range test (pyarrow is_in for strings, np.isin on the
+    stored width for numerics — an all-int set against int64 values
+    stays exact; a float in the set coarsens the whole test to float64,
+    the standard >2^53 rule)."""
+    meta_fields = ["part_id", "chunk_id", "chunk_key", "min_key",
+                   "max_key", "min_key_num", "max_key_num", "snapshot_id"]
+    schema = pa.schema(
+        [("part_id", pa.int32()), ("chunk_id", pa.int32()),
+         ("chunk_key", pa.string()), ("min_key", pa.string()),
+         ("max_key", pa.string()), ("min_key_num", pa.float64()),
+         ("max_key_num", pa.float64()), ("snapshot_id", pa.string()),
+         ("pos", pa.int32())]
+    )
+    probe = list(vals)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for b in batches:
+            names = set(b.schema.names)
+            for i in range(b.num_rows):
+                stored = _decode_blob(b.column("blob")[i].as_py())
+                if is_str:
+                    mask = np.asarray(
+                        pc.is_in(stored.to_arrow(),
+                                 value_set=pa.array(probe, type=pa.string()))
+                        .to_numpy(zero_copy_only=False), dtype=bool)
+                else:
+                    v = stored.to_arrow().to_numpy(zero_copy_only=False)
+                    mask = np.isin(v, np.asarray(probe))
+                pos = np.nonzero(mask)[0].astype(np.int32)
+                if not len(pos):
+                    continue
+                arrays = []
+                for f in meta_fields:
+                    val = b.column(f)[i].as_py() if f in names else None
+                    arrays.append(pa.array(
+                        [val] * len(pos), type=schema.field(f).type))
+                arrays.append(pa.array(pos))
+                yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    return fn
+
+
 def _where_probe_columns(manifest_df, vcol: str) -> None:
     """Refuse delete_where shapes whose stored positions do not map
     1:1 onto row positions, LOUDLY: unknown columns, list columns
@@ -2631,6 +2712,55 @@ def _where_probe_columns(manifest_df, vcol: str) -> None:
             )
 
 
+def _is_in_spec(value_range) -> bool:
+    return (len(value_range) == 2
+            and isinstance(value_range[1], (list, tuple, set, frozenset)))
+
+
+def _where_candidates(manifest_df, value_range):
+    """Shared front half of the predicate-delete pipeline: canon the
+    spec (range / LIKE-prefix / IN-list), probe the column shape,
+    derive the replay-idempotent generation, zone-prune the candidate
+    manifest rows, and pick the matching in-task explode fn. Returns
+    ``(generation, candidate_rows, explode_fn)``."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if _is_in_spec(value_range):
+        vcol, raw = value_range
+        vals, is_str = _canon_where_in(vcol, raw)
+        _where_probe_columns(manifest_df, vcol)
+        gen = _where_in_generation(vcol, vals)
+        # disjunctive zone test: a chunk survives when ANY value falls
+        # inside its [val_min, val_max] (NULL maps keep conservatively)
+        if is_str:
+            es = [
+                ((F.col("val_max_str") >= F.lit(v))
+                 | F.col("val_max_str").isNull())
+                & ((F.col("val_min_str") <= F.lit(v))
+                   | F.col("val_min_str").isNull())
+                for v in vals
+            ]
+        else:
+            es = [
+                ((F.col("val_max") >= F.lit(float(v)))
+                 & (F.col("val_min") <= F.lit(float(v))))
+                | F.col("val_min").isNull()
+                for v in vals
+            ]
+        keep = reduce(lambda a, b: a | b, es)
+        cand = manifest_df.filter((F.col("column") == vcol) & keep)
+        return gen, cand, _make_where_in_explode_fn(vals, is_str)
+    vcol, lo, hi, hi_inc = _canon_where_spec(value_range)
+    _where_probe_columns(manifest_df, vcol)
+    gen = _where_generation(vcol, lo, hi, hi_inc)
+    zone_spec = (vcol, lo if isinstance(lo, str) else float(lo),
+                 hi if isinstance(hi, str) else float(hi))
+    cand = _value_range_keys(manifest_df, zone_spec)
+    return gen, cand, _make_where_explode_fn(lo, hi, hi_inc)
+
+
 def delete_where(manifest_df, value_range, num_partitions: int | None = None):
     """PREDICATE deletion: mask every row whose ``value_range`` column
     falls in the bounds — the retention/TTL mutation shape (\"delete
@@ -2638,8 +2768,11 @@ def delete_where(manifest_df, value_range, num_partitions: int | None = None):
     a single data blob and without any driver-side key list.
 
     Same spec grammar as decode's ``value_range``: ``(col, lo, hi)``
-    closed range (numeric, string, naive-datetime, date bounds) or the
-    2-tuple ``(col, prefix)`` LIKE-prefix form. Dataflow: per-chunk
+    closed range (numeric, string, naive-datetime, date bounds), the
+    2-tuple ``(col, prefix)`` LIKE-prefix form, or the IN-list
+    ``(col, [v1, v2, ...])`` (set membership — "purge these sources";
+    the zone test ORs across values, the generation sorts them so a
+    permuted list replays byte-identically). Dataflow: per-chunk
     value zone maps prune to the chunks that CAN match (blob-free
     metadata filter), each surviving chunk's predicate sub-column
     decodes once in-task and emits only matching positions, and the
@@ -2649,18 +2782,11 @@ def delete_where(manifest_df, value_range, num_partitions: int | None = None):
     replaying the same predicate is byte-idempotent. Nullable / list /
     unknown predicate columns are refused loudly
     (``_where_probe_columns``)."""
-    from pyspark.sql import functions as F
-
-    vcol, lo, hi, hi_inc = _canon_where_spec(value_range)
     if not _cheap_rescan(manifest_df):
         manifest_df = manifest_df.localCheckpoint(eager=True)
-    _where_probe_columns(manifest_df, vcol)
-    gen = _where_generation(vcol, lo, hi, hi_inc)
-    zone_spec = (vcol, lo if isinstance(lo, str) else float(lo),
-                 hi if isinstance(hi, str) else float(hi))
-    cand = _value_range_keys(manifest_df, zone_spec)
+    gen, cand, explode = _where_candidates(manifest_df, value_range)
     hits = cand.mapInArrow(
-        _make_where_explode_fn(lo, hi, hi_inc),
+        explode,
         schema=(
             "part_id int, chunk_id int, chunk_key string, min_key string, "
             "max_key string, min_key_num double, max_key_num double, "
@@ -2678,22 +2804,16 @@ def delete_where(manifest_df, value_range, num_partitions: int | None = None):
 
 def delete_where_checkpoint(spark, ckpt_dir: str, value_range,
                             num_partitions: int | None = None) -> str:
-    """``delete_where`` for a persisted checkpoint: appends the sidecar
-    files and records them as a ``delete`` commit under the mutation
-    marker (crash-reconcilable, time-travel readable), exactly like
+    """``delete_where`` for a persisted checkpoint (same spec grammar,
+    incl. the IN-list form): appends the sidecar files and records them
+    as a ``delete`` commit under the mutation marker
+    (crash-reconcilable, time-travel readable), exactly like
     ``delete_keys_checkpoint``. Returns the generation id."""
-    from pyspark.sql import functions as F
-
     _raise_if_pending(ckpt_dir)
-    vcol, lo, hi, hi_inc = _canon_where_spec(value_range)
     src = spark.read.parquet(ckpt_dir)
-    _where_probe_columns(src, vcol)
-    gen = _where_generation(vcol, lo, hi, hi_inc)
-    zone_spec = (vcol, lo if isinstance(lo, str) else float(lo),
-                 hi if isinstance(hi, str) else float(hi))
-    cand = _value_range_keys(src, zone_spec)
+    gen, cand, explode = _where_candidates(src, value_range)
     hits = cand.mapInArrow(
-        _make_where_explode_fn(lo, hi, hi_inc),
+        explode,
         schema=(
             "part_id int, chunk_id int, chunk_key string, min_key string, "
             "max_key string, min_key_num double, max_key_num double, "
@@ -2740,7 +2860,11 @@ def update_where_checkpoint(spark, ckpt_dir: str, value_range, set_map: dict,
             f"{key_col!r} — a key change is a delete + insert of a "
             "DIFFERENT key; spell it with delete_where + an append"
         )
-    hit = decode_checkpoint(spark, ckpt_dir, value_range=value_range)
+    if _is_in_spec(value_range):
+        # IN-list spec: route through the value_in decode prune
+        hit = decode_checkpoint(spark, ckpt_dir, value_in=value_range)
+    else:
+        hit = decode_checkpoint(spark, ckpt_dir, value_range=value_range)
     for c in set_map:
         if c not in hit.columns:
             raise ValueError(

@@ -759,6 +759,46 @@ WHERE NOT (n_chars BETWEEN 200 AND 400) AND source NOT LIKE 'src1%'
 """
 
 
+def q_delete_where_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-LIST predicate deletion (`delete_where` with
+    ``(col, [v1, ...])``): "purge these languages" as one logged
+    mutation — the disjunctive zone test prunes to chunks admitting ANY
+    listed value, each qualifying chunk's predicate sub-column decodes
+    once in-task emitting set-membership hit positions, and the
+    SORTED-values generation makes a permuted replay byte-idempotent.
+    Cost ∝ qualifying chunks, no blob rewrites."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        decode_checkpoint,
+        delete_where_checkpoint,
+        encode_table,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_dwi_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            ckpt, schema=df.schema)
+        delete_where_checkpoint(spark, ckpt, ("lang", ["zh", "de"]))
+        out = decode_checkpoint(spark, ckpt)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_DELETE_WHERE_IN = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE lang NOT IN ('zh', 'de')
+"""
+
+
 def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE ... SET ... WHERE (`update_where_checkpoint`): decode
     exactly the predicate-hit rows (zone-map pruned, exact-filtered),
@@ -2578,6 +2618,7 @@ REGISTRY: dict[str, tuple] = {
     "change_apply": (q_change_apply, ORACLE_OPTIMIZE_ROUNDTRIP),
     "change_sync": (q_change_sync, ORACLE_OPTIMIZE_ROUNDTRIP),
     "delete_where": (q_delete_where, DUCK_DELETE_WHERE),
+    "delete_where_in": (q_delete_where_in, DUCK_DELETE_WHERE_IN),
     "update_where": (q_update_where, DUCK_UPDATE_WHERE),
     "drop_column": (q_drop_column, DUCK_DROP_COLUMN),
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
