@@ -496,6 +496,44 @@ SELECT 'o_custkey', CAST(SUM(o_custkey) AS DOUBLE),
 """
 
 
+def q_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE COUNT DISTINCT pushdown (engine.column_ndv): opt-in
+    per-chunk HyperLogLog registers (`val_ndv`, p=10, deterministic
+    splitmix64/blake2b hashing) merge by elementwise max into a whole-
+    column NDV estimate with zero blob bytes read — the planner stat.
+    The contract pins ACCURACY cross-engine (ann_ivf_recall pattern):
+    each column's |estimate/exact - 1| <= 0.08 must hold (2.5 sigma of the p=10 sketch error); the sketches
+    are pure functions of the values, so the booleans are
+    deterministic, not flaky."""
+    from ..engine import column_ndv, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8,
+                     chunk_rows=256, ndv_sketches=True)
+    est = column_ndv(m.drop("blob"))
+    exact = df.select(
+        *[F.countDistinct(c).alias(c) for c in
+          ("doc_id", "lang", "source", "n_chars")]
+    ).unpivot([], ["doc_id", "lang", "source", "n_chars"],
+              "column_name", "exact")
+    return (
+        est.join(exact, "column_name")
+        .select(
+            "column_name",
+            (F.abs(F.col("ndv_estimate") / F.col("exact") - 1) <= 0.08)
+            .alias("within_8pct"),
+        )
+    )
+
+
+DUCK_NDV_ESTIMATE = """
+SELECT 'doc_id' AS column_name, TRUE AS within_8pct
+UNION ALL SELECT 'lang', TRUE
+UNION ALL SELECT 'source', TRUE
+UNION ALL SELECT 'n_chars', TRUE
+"""
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-range decode through manifest zone-map pruning: only chunks
     whose [min_key, max_key] lineage interval intersects the range are
@@ -2602,6 +2640,7 @@ REGISTRY: dict[str, tuple] = {
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
     "stats_pushdown": (q_stats_pushdown, DUCK_STATS_PUSHDOWN),
     "sum_pushdown": (q_sum_pushdown, DUCK_SUM_PUSHDOWN),
+    "ndv_estimate": (q_ndv_estimate, DUCK_NDV_ESTIMATE),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
     "point_lookup_checkpoint": (q_point_lookup_checkpoint, ORACLE_POINT_LOOKUP),
