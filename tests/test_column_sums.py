@@ -133,6 +133,32 @@ def test_legacy_manifest_absent(spark, manifest):
     assert got == set()  # every column has a chunk_id-0 chunk
 
 
+def test_struct_leaf_sums_and_stats(spark):
+    """Struct leaves (name#f:field) are row-aligned scalars: SUM and
+    MIN/MAX pushdown report them like top-level columns; list internals
+    under a struct stay excluded."""
+    from pyspark.sql import types as T
+
+    from wills_columnar_format_spark.engine import column_stats
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("m", T.StructType([
+            T.StructField("a", T.LongType(), False),
+            T.StructField("xs", T.ArrayType(T.LongType()), False),
+        ]), False),
+    ])
+    df = spark.createDataFrame(
+        [Row(k=i, m=Row(a=i * 3, xs=[i, i])) for i in range(300)], schema)
+    man = encode_table(df, key_col="k", num_partitions=2, chunk_rows=64)
+    sums = {r["column_name"]: r for r in column_sums(man).collect()}
+    assert int(sums["m#f:a"]["v_sum"]) == sum(i * 3 for i in range(300))
+    assert "m#f:xs#values" not in sums and "m#f:xs#lengths" not in sums
+    stats = {r["column_name"]: r for r in column_stats(man).collect()}
+    assert (stats["m#f:a"]["v_min"], stats["m#f:a"]["v_max"]) == \
+        (0.0, 897.0)
+
+
 def test_deletion_vectors_drop_affected(spark, table, manifest):
     masked = delete_keys(manifest, [1, 2, 3], key_col="k")
     got = {r["column_name"] for r in column_sums(masked).collect()}

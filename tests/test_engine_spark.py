@@ -413,8 +413,13 @@ def test_column_stats_metadata_pushdown(spark):
     assert "s" not in stats
     # physical sub-columns of the list column are internals: #values
     # counts ELEMENTS not rows, #lengths would report filler extremes
-    # on nullable lists — none may leak into the stats
-    assert not any("#" in name for name in stats), stats
+    # on nullable lists — none may leak into the stats (struct leaves,
+    # name#f:field, are the one sanctioned # shape — row-aligned)
+    assert not any(
+        ("#" in name) and not all(
+            seg.startswith("f:") for seg in name.split("#")[1:])
+        for name in stats
+    ), stats
     assert "arr" not in stats  # list parent has no scalar zone maps
     m.unpersist()
 

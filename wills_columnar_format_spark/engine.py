@@ -5220,6 +5220,15 @@ def manifest_summary(manifest_df):
     )
 
 
+# Metadata-aggregate eligibility: top-level scalars AND pure struct-leaf
+# paths (every segment after the root is a `#f:` field hop). List/map
+# internals (#lengths/#values/#valid/#mk/#mv) never match — a list's
+# #values counts elements, not rows. Nullable exclusion stays the exact
+# sibling `column#valid` check: flatten() nulls child slots under null
+# struct parents, so every maskable level carries its OWN #valid.
+_STATS_LEAF_RE = r"^[^#]+(#f:[^#]+)*$"
+
+
 def column_stats(manifest_df):
     """Aggregate PUSHDOWN to manifest metadata: per-column
     ``(column_name, v_min, v_max, n_values)`` computed ENTIRELY from the
@@ -5233,8 +5242,9 @@ def column_stats(manifest_df):
     Exactness rules — a column is EMITTED only when its stats are exact,
     else it is silently absent (callers fall back to a decode):
 
-    * only TOP-LEVEL scalar columns are reported: physical sub-columns
-      (``name#lengths``, ``name#values``, ``name#valid``) are internals
+    * top-level scalar columns AND struct leaves (``name#f:field``,
+      row-aligned scalars) are reported; list/map internals
+      (``#lengths``, ``#values``, ``#valid``, ``#mk``, ``#mv``) are not
       — a list column's ``#values`` counts elements, not rows, and a
       nullable column's fillers pollute ``#lengths`` extremes;
     * nullable columns are excluded (detected by their ``#valid``
@@ -5255,7 +5265,7 @@ def column_stats(manifest_df):
     agg = (
         manifest_df.filter(
             (F.col("column") != DONE_COLUMN)
-            & ~F.col("column").contains("#")
+            & F.col("column").rlike(_STATS_LEAF_RE)
         )
         .groupBy(F.col("column").alias("column_name"))
         .agg(
@@ -5286,7 +5296,7 @@ def column_stats(manifest_df):
         manifest_df.join(F.broadcast(deleted_chunks), "chunk_key", "left_semi")
         .filter(
             (F.col("column") != DONE_COLUMN)
-            & ~F.col("column").contains("#")
+            & F.col("column").rlike(_STATS_LEAF_RE)
             & ~F.col("column").startswith(DELETES_PREFIX)
         )
         .select(F.col("column").alias("column_name"))
@@ -5323,10 +5333,10 @@ def column_sums(manifest_df):
       order-independent; a float SUM is order-DEPENDENT rounding, so
       no metadata float sum can exactly match an engine's sequential
       sum — floats and strings never appear;
-    * only top-level scalar columns (physical ``#``-sub-columns are
-      internals), and nullable columns require every ``#valid`` chunk
-      summed too (null slots store 0 fillers, so v_sum already equals
-      the SQL SUM that ignores NULLs);
+    * top-level scalar columns and struct leaves (``name#f:field``);
+      list/map internals are excluded, and nullable columns require
+      every ``#valid`` chunk summed too (null slots store 0 fillers,
+      so v_sum already equals the SQL SUM that ignores NULLs);
     * chunks written before ``val_sum`` existed (legacy manifests, or
       a manifest missing the column entirely) and chunks carrying
       deletion-vector masks (stale superset) drop the column.
@@ -5341,7 +5351,7 @@ def column_sums(manifest_df):
     agg = (
         manifest_df.filter(
             (F.col("column") != DONE_COLUMN)
-            & ~F.col("column").contains("#")
+            & F.col("column").rlike(_STATS_LEAF_RE)
             & ~F.col("column").startswith(DELETES_PREFIX)
         )
         .groupBy(F.col("column").alias("column_name"))
@@ -5373,7 +5383,7 @@ def column_sums(manifest_df):
                          "left_semi")
         .filter(
             (F.col("column") != DONE_COLUMN)
-            & ~F.col("column").contains("#")
+            & F.col("column").rlike(_STATS_LEAF_RE)
             & ~F.col("column").startswith(DELETES_PREFIX)
         )
         .select(F.col("column").alias("column_name"))
@@ -5405,7 +5415,8 @@ def column_ndv(manifest_df):
 
     Emitted only when trustworthy (the approximate analogue of
     ``column_stats``' exact-or-absent): integer/string top-level
-    scalar columns where EVERY chunk carries a sketch — sketch-less
+    scalar columns and struct leaves where EVERY chunk carries a
+    sketch — sketch-less
     encodes, float columns, nullable columns (the null fill would ride
     the estimate), and deletion-masked chunks (stale superset) drop
     out. Each column's sketches ship to one reducer (chunks × 1 KB —
@@ -5434,7 +5445,7 @@ def column_ndv(manifest_df):
 
     base = manifest_df.filter(
         (F.col("column") != DONE_COLUMN)
-        & ~F.col("column").contains("#")
+        & F.col("column").rlike(_STATS_LEAF_RE)
         & ~F.col("column").startswith(DELETES_PREFIX)
     )
     # a grouped-agg pandas UDF cannot share an .agg() with JVM
@@ -5470,7 +5481,7 @@ def column_ndv(manifest_df):
                          "left_semi")
         .filter(
             (F.col("column") != DONE_COLUMN)
-            & ~F.col("column").contains("#")
+            & F.col("column").rlike(_STATS_LEAF_RE)
             & ~F.col("column").startswith(DELETES_PREFIX)
         )
         .select(F.col("column").alias("column_name"))
