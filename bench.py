@@ -245,7 +245,9 @@ def _registry_benches(spark, sf_dir: str):
         "rle_run_counts",
         "stats_pushdown",
         "sum_pushdown",
+        "ndv_estimate",
         "value_in_scan",
+        "delete_where_in",
         "roundtrip_map",
         "update_where",
         "drop_column",
