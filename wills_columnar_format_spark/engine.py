@@ -3636,13 +3636,24 @@ def _files_as_of(ckpt_dir: str, as_of: int) -> list[str]:
     vacuum_seq = None
     for r in log:
         if r["seq"] <= as_of:
-            if r["action"] == "replace":
-                # an in-place optimize REPLACED the file set wholesale
+            if r["action"] in ("replace", "restore"):
+                # an in-place optimize/restore SET the file set wholesale
                 out = set(r["files"])
             else:
                 out.update(r["files"])
         elif r["action"] == "replace" and vacuum_seq is None:
             vacuum_seq = r["seq"]
+        elif r["action"] == "restore" and int(r["generation"]) < as_of:
+            # this later restore DELETED the files of every commit in
+            # (restored_to, restore_seq) — the requested snapshot sits
+            # inside that window and is physically gone
+            raise ValueError(
+                f"snapshot as_of={as_of} of {ckpt_dir!r} was rolled "
+                f"back: restore_checkpoint at commit {r['seq']} "
+                f"restored the table to commit {r['generation']} and "
+                "deleted the later files — only snapshots <= "
+                f"{r['generation']} or >= {r['seq']} remain readable"
+            )
     if vacuum_seq is not None:
         raise ValueError(
             f"snapshot as_of={as_of} of {ckpt_dir!r} was VACUUMED: the "
@@ -3701,6 +3712,15 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
     if until not in seqs:
         raise ValueError(f"until={until} is not a commit (history: {seqs})")
     window = [r for r in log if since < r["seq"] <= until]
+    restores = [r["seq"] for r in window if r["action"] == "restore"]
+    if restores:
+        raise ValueError(
+            f"commit {max(restores)} of {ckpt_dir!r} is a "
+            "restore_checkpoint rollback — per-commit change "
+            "attribution does not survive a rollback (the rolled-back "
+            "commits' files are deleted); resync the consumer from "
+            f"as_of={max(restores)} instead"
+        )
     replaces = [r["seq"] for r in window if r["action"] == "replace"]
     if replaces:
         # an in-place optimize rewrites the current snapshot content-
@@ -4707,6 +4727,19 @@ def finish_mutation(ckpt_dir: str) -> str:
     fsys, p = _manifest_fs(ckpt_dir)
     p = p.rstrip("/")
     action, gen = rec["action"], rec["generation"]
+    if action == "restore":
+        # roll the restore FORWARD (idempotent, like finish_optimize):
+        # the marker names the victims and the target file set — delete
+        # whatever victims remain, then record the restore commit
+        for b in rec.get("victims", []):
+            try:
+                fsys.delete_file(f"{p}/{b}")
+            except (OSError, ValueError):
+                pass  # already gone
+        _append_commit(ckpt_dir, "restore", gen,
+                       rec.get("restore_files", []))
+        fsys.delete_file(f"{p}/{_MUTATION_PENDING}")
+        return "restore"
     added = sorted(set(_list_data_files(ckpt_dir)) - set(rec["before"]))
     recorded = ""
     if added:
@@ -4731,6 +4764,82 @@ def finish_mutation(ckpt_dir: str) -> str:
         _append_commit(ckpt_dir, recorded, gen, added)
     fsys.delete_file(f"{p}/{_MUTATION_PENDING}")
     return recorded
+
+
+def restore_checkpoint(spark, ckpt_dir: str, as_of: int) -> int:
+    """RESTORE the live table to commit ``as_of`` (Delta's RESTORE):
+    mutations only ever APPEND files, so rolling back is deleting the
+    files every commit after ``as_of`` added — later delete sidecars
+    un-delete, later upsert generations un-apply — and logging a
+    ``restore`` commit (its generation records the target seq, its
+    files the restored live set). Cost ∝ rolled-back mutations, zero
+    data rewritten.
+
+    Readers: the live dir IS the restored snapshot (dir contents ==
+    latest snapshot stays the invariant); time travel to commits
+    <= ``as_of`` or >= the restore commit works, while snapshots
+    INSIDE the rolled-back window raise a clear "rolled back" error
+    (their files are gone — ``_files_as_of``). The change feed refuses
+    windows crossing a restore (per-commit attribution does not
+    survive a rollback; resync at the restore commit).
+
+    Crash-safe the optimize way: the mutation marker records the
+    victim list and target file set BEFORE the first delete, every
+    read path refuses a marked dir, and ``finish_mutation`` rolls the
+    restore FORWARD (idempotent deletes + the commit record).
+
+    Refuses: unlogged checkpoints, unknown seqs, windows that contain
+    a ``drop_column`` (the pre-drop schema is not recoverable from the
+    narrowed sidecar — compact to a new dir at the old snapshot
+    instead), restores across an in-place optimize (files vacuumed),
+    and a no-op restore to the head commit (returns the head seq
+    without logging). Returns the restore commit's seq."""
+    import json
+
+    _raise_if_pending(ckpt_dir)
+    log = read_commit_log(ckpt_dir)
+    if log is None:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _commits log — restore "
+            "needs checkpoints written via write_checkpoint"
+        )
+    head = log[-1]["seq"]
+    if as_of == head:
+        return head  # no-op: already there
+    allowed = _files_as_of(ckpt_dir, as_of)  # validates seq; raises on
+    # vacuumed/rolled-back windows
+    dropped_after = [r for r in log
+                     if r["seq"] > as_of and r.get("action") == "drop_column"]
+    if dropped_after:
+        cols = [r["generation"] for r in dropped_after]
+        raise ValueError(
+            f"restore to as_of={as_of} would cross the drop of "
+            f"column(s) {cols}: the narrowed _table_schema cannot be "
+            "widened back automatically — decode the old snapshot with "
+            "an explicit schema and compact it to a NEW dir instead"
+        )
+    live = _list_data_files(ckpt_dir)
+    victims = sorted(set(live) - set(allowed))
+    fsys, p = _manifest_fs(ckpt_dir)
+    p = p.rstrip("/")
+    payload = json.dumps({
+        "action": "restore", "generation": str(as_of), "before": live,
+        "victims": victims, "restore_files": sorted(allowed),
+    }).encode()
+    if not _publish_exclusive(fsys, f"{p}/{_MUTATION_PENDING}", payload):
+        raise IOError(
+            f"checkpoint {ckpt_dir!r} already has a _mutation_pending "
+            "marker — another writer holds the mutation window, or a "
+            "crashed one left it (run finish_mutation to reconcile)"
+        )
+    for b in victims:
+        try:
+            fsys.delete_file(f"{p}/{b}")
+        except (OSError, ValueError):
+            pass
+    seq = _append_commit(ckpt_dir, "restore", str(as_of), sorted(allowed))
+    fsys.delete_file(f"{p}/{_MUTATION_PENDING}")
+    return seq
 
 
 def optimize_checkpoint(spark, ckpt_dir: str, key_col: str | None = None,

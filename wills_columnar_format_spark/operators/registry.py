@@ -917,6 +917,44 @@ def q_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUCK_DROP_COLUMN = "SELECT doc_id, lang, source, n_chars FROM documents"
 
 
+def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE to a snapshot (`restore_checkpoint`): mutations only
+    ever append files, so rolling back = deleting the files later
+    commits added + one `restore` commit — cost ∝ rolled-back
+    mutations, zero data rewritten. Here: delete a band, then restore
+    to commit 0; the live decode must equal the pristine table (the
+    identity oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        decode_checkpoint,
+        delete_where_checkpoint,
+        encode_table,
+        restore_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_rs_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            ckpt, schema=df.schema)
+        delete_where_checkpoint(spark, ckpt, ("n_chars", 100, 800))
+        restore_checkpoint(spark, ckpt, 0)
+        out = decode_checkpoint(spark, ckpt)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_RESTORE = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
 def q_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF consumer: a DOWNSTREAM checkpoint materialized at the
     source's commit 0 catches up by applying ``read_changes`` through
@@ -2660,6 +2698,7 @@ REGISTRY: dict[str, tuple] = {
     "delete_where_in": (q_delete_where_in, DUCK_DELETE_WHERE_IN),
     "update_where": (q_update_where, DUCK_UPDATE_WHERE),
     "drop_column": (q_drop_column, DUCK_DROP_COLUMN),
+    "restore_snapshot": (q_restore, DUCK_RESTORE),
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
