@@ -248,6 +248,7 @@ def _registry_benches(spark, sf_dir: str):
         "ndv_estimate",
         "value_in_scan",
         "delete_where_in",
+        "restore_snapshot",
         "roundtrip_map",
         "update_where",
         "drop_column",
