@@ -1,0 +1,86 @@
+"""CLONE a checkpoint (``clone_checkpoint``).
+
+Hard-link (local) / stream-copy clone of the current snapshot with an
+independent commit log. Pins: clone decodes identical to the source;
+mutations on either side never leak to the other — including an
+in-place optimize VACUUM on the source (link semantics: deleting one
+name never reclaims a still-linked inode); the clone starts history
+at its own create commit; refusals (empty source, non-empty dest,
+pending mutation).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark.engine import (
+    clone_checkpoint,
+    decode_checkpoint,
+    delete_keys_checkpoint,
+    encode_table,
+    optimize_checkpoint,
+    read_commit_log,
+    write_checkpoint,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"src{i % 5}", (i * 7) % 500) for i in range(400)],
+        "doc_id long, source string, n_chars long",
+    )
+
+
+def test_clone_decodes_identical_and_isolates(spark, docs, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        src, schema=docs.schema)
+    assert clone_checkpoint(spark, src, dst) == dst
+    got = decode_checkpoint(spark, dst)
+    assert got.count() == 400
+    assert got.exceptAll(docs).count() == 0
+    log = read_commit_log(dst)
+    assert [(r["seq"], r["action"]) for r in log] == [(0, "create")]
+    assert log[0]["generation"].startswith("clone:")
+    # mutate the CLONE: source untouched
+    delete_keys_checkpoint(spark, dst, [1, 2, 3], "doc_id")
+    assert decode_checkpoint(spark, dst).count() == 397
+    assert decode_checkpoint(spark, src).count() == 400
+    # mutate the SOURCE: clone untouched
+    delete_keys_checkpoint(spark, src, list(range(100)), "doc_id")
+    assert decode_checkpoint(spark, src).count() == 300
+    assert decode_checkpoint(spark, dst).count() == 397
+
+
+def test_clone_survives_source_vacuum(spark, docs, tmp_path):
+    """optimize_checkpoint on the source physically DELETES its old
+    file names; the clone's hard links must keep reading."""
+    src = str(tmp_path / "s")
+    dst = str(tmp_path / "d")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        src, schema=docs.schema)
+    clone_checkpoint(spark, src, dst)
+    optimize_checkpoint(spark, src, key_col="doc_id")
+    assert decode_checkpoint(spark, src).count() == 400
+    got = decode_checkpoint(spark, dst)  # clone reads its own links
+    assert got.count() == 400
+    assert got.exceptAll(docs).count() == 0
+
+
+def test_clone_refusals(spark, docs, tmp_path):
+    src = str(tmp_path / "a")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=1),
+        src, schema=docs.schema)
+    dst = str(tmp_path / "b")
+    clone_checkpoint(spark, src, dst)
+    with pytest.raises(ValueError, match="not empty"):
+        clone_checkpoint(spark, src, dst)
+    with pytest.raises(ValueError, match="no data files"):
+        clone_checkpoint(spark, str(tmp_path / "nope"),
+                         str(tmp_path / "c"))

@@ -4842,6 +4842,59 @@ def restore_checkpoint(spark, ckpt_dir: str, as_of: int) -> int:
     return seq
 
 
+def clone_checkpoint(spark, src_dir: str, dst_dir: str) -> str:
+    """CLONE the source's CURRENT snapshot into an independent
+    checkpoint (Delta's CREATE TABLE CLONE): data files hard-link on a
+    local filesystem (zero bytes copied — the files are immutable, and
+    link semantics keep each side's vacuum/optimize from touching the
+    other's view: deleting one NAME never reclaims a still-linked
+    inode) with a stream-copy fallback elsewhere; the ``_table_schema``
+    sidecar rides along, and the clone starts its OWN ``_commits`` log
+    at a ``create`` commit (generation records the source path), so
+    mutations on either side never interact. The experiment-branch
+    primitive: clone, mutate, measure, throw away — at zero data cost
+    on local/POSIX stores.
+
+    The ``_clustered`` marker is intentionally NOT copied (its file
+    signature is dir-specific); the first decode re-verifies and
+    re-stamps. Refuses a source with a pending mutation/optimize and a
+    non-empty destination. Returns ``dst_dir``."""
+    _raise_if_pending(src_dir)
+    files = _list_data_files(src_dir)
+    if not files:
+        raise ValueError(f"clone_checkpoint: {src_dir!r} has no data files")
+    sfs, sp = _manifest_fs(src_dir)
+    dfs, dp = _manifest_fs(dst_dir)
+    sp, dp = sp.rstrip("/"), dp.rstrip("/")
+    if _list_data_files(dst_dir):
+        raise ValueError(
+            f"clone_checkpoint: destination {dst_dir!r} is not empty")
+    try:
+        dfs.create_dir(dp, recursive=True)
+    except (OSError, ValueError):
+        pass
+    from pyarrow import fs as pafs
+
+    local = (isinstance(sfs, pafs.LocalFileSystem)
+             and isinstance(dfs, pafs.LocalFileSystem))
+    for b in files:
+        src_f, dst_f = f"{sp}/{b}", f"{dp}/{b}"
+        if local:
+            try:
+                os.link(src_f, dst_f)
+                continue
+            except OSError:
+                pass  # cross-device / exists: stream-copy below
+        with sfs.open_input_stream(src_f) as r, \
+                dfs.open_output_stream(dst_f) as w:
+            w.write(r.read())
+    schema = read_checkpoint_schema(src_dir)
+    if schema is not None:
+        write_checkpoint_schema(dst_dir, schema)
+    _append_commit(dst_dir, "create", f"clone:{src_dir}", sorted(files))
+    return dst_dir
+
+
 def optimize_checkpoint(spark, ckpt_dir: str, key_col: str | None = None,
                         rechunk_rows: int = 65536, schema=None,
                         codec: str = "auto",

@@ -955,6 +955,56 @@ def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUCK_RESTORE = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
 
+def q_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLONE (`clone_checkpoint`): hard-link the current snapshot into
+    an independent checkpoint with its own commit log — the
+    experiment-branch primitive at zero data cost. Here: clone, delete
+    a band on the CLONE, return the clone's live decode; the SOURCE
+    must stay pristine (asserted in-query — its decode rides the
+    result via union-of-disjoint-halves with the oracle reproducing
+    both sides)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        clone_checkpoint,
+        decode_checkpoint,
+        delete_where_checkpoint,
+        encode_table,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_cl_q_")
+    try:
+        src = os.path.join(work, "src")
+        dst = os.path.join(work, "dst")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            src, schema=df.schema)
+        clone_checkpoint(spark, src, dst)
+        delete_where_checkpoint(spark, dst, ("n_chars", 0, 500))
+        clone_live = decode_checkpoint(spark, dst).withColumn(
+            "side", F.lit("clone"))
+        src_live = decode_checkpoint(spark, src).withColumn(
+            "side", F.lit("source"))
+        return clone_live.unionByName(src_live).localCheckpoint(
+            eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_CLONE = """
+SELECT doc_id, text, lang, source, n_chars, 'clone' AS side
+FROM documents WHERE NOT (n_chars BETWEEN 0 AND 500)
+UNION ALL
+SELECT doc_id, text, lang, source, n_chars, 'source' AS side
+FROM documents
+"""
+
+
 def q_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF consumer: a DOWNSTREAM checkpoint materialized at the
     source's commit 0 catches up by applying ``read_changes`` through
@@ -2699,6 +2749,7 @@ REGISTRY: dict[str, tuple] = {
     "update_where": (q_update_where, DUCK_UPDATE_WHERE),
     "drop_column": (q_drop_column, DUCK_DROP_COLUMN),
     "restore_snapshot": (q_restore, DUCK_RESTORE),
+    "clone_table": (q_clone, DUCK_CLONE),
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
