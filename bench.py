@@ -249,6 +249,7 @@ def _registry_benches(spark, sf_dir: str):
         "value_in_scan",
         "delete_where_in",
         "restore_snapshot",
+        "clone_table",
         "roundtrip_map",
         "update_where",
         "drop_column",
