@@ -43,7 +43,7 @@ def test_clone_decodes_identical_and_isolates(spark, docs, tmp_path):
     assert got.count() == 400
     assert got.exceptAll(docs).count() == 0
     log = read_commit_log(dst)
-    assert [(r["seq"], r["action"]) for r in log] == [(0, "create")]
+    assert [(r["seq"], r["action"]) for r in log] == [(0, "clone")]
     assert log[0]["generation"].startswith("clone:")
     # mutate the CLONE: source untouched
     delete_keys_checkpoint(spark, dst, [1, 2, 3], "doc_id")
@@ -70,6 +70,33 @@ def test_clone_survives_source_vacuum(spark, docs, tmp_path):
     got = decode_checkpoint(spark, dst)  # clone reads its own links
     assert got.count() == 400
     assert got.exceptAll(docs).count() == 0
+
+
+def test_clone_of_mutated_source_feed_barrier(spark, docs, tmp_path):
+    """A clone of a MUTATED source carries mask sidecars in its seq-0
+    snapshot: the change feed must refuse that window (decoding the
+    files as inserts would resurrect deleted rows — review finding),
+    while live decode, time travel, and post-clone windows all work."""
+    from wills_columnar_format_spark.engine import read_changes
+
+    src = str(tmp_path / "ms")
+    dst = str(tmp_path / "md")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        src, schema=docs.schema)
+    delete_keys_checkpoint(spark, src, list(range(50)), "doc_id")
+    clone_checkpoint(spark, src, dst)
+    live = decode_checkpoint(spark, dst)
+    assert live.count() == 350  # masks ride the clone
+    assert decode_checkpoint(spark, dst, as_of=0).count() == 350
+    with pytest.raises(ValueError, match="clone SNAPSHOT"):
+        read_changes(spark, dst, since=-1, key_col="doc_id")
+    # mutations AFTER the clone attribute normally
+    delete_keys_checkpoint(spark, dst, [100], "doc_id")
+    feed = read_changes(spark, dst, since=0, key_col="doc_id")
+    assert feed.count() == 1
+    assert feed.first()["_change_type"] == "delete"
 
 
 def test_clone_refusals(spark, docs, tmp_path):

@@ -94,6 +94,26 @@ def test_nullable_sum_and_count(spark, table, manifest):
         table.select(F.avg("maybe")).first()[0])
 
 
+def test_nonnull_count_with_clustered_nulls(spark):
+    """#valid sub-columns exist ONLY for chunks that hold a null: a
+    nullable column whose nulls cluster in one chunk must still report
+    the whole column's non-null count (review finding: coalesce over
+    the partial #valid sum returned 32 instead of 96)."""
+    rows = [Row(k=i, m=None if i < 32 else i) for i in range(128)]
+    df = spark.createDataFrame(rows, "k long, m long").coalesce(1)
+    man = encode_table(df, key_col="k", num_partitions=1, chunk_rows=64,
+                       allow_nulls=True, partitioner="none")
+    # two chunks; only chunk 0 holds nulls
+    assert man.filter("column = 'm#valid'").count() == 1
+    got = {r["column_name"]: r for r in column_sums(man).collect()}
+    assert got["m"]["n_nonnull"] == 96
+    assert got["m"]["n_rows"] == 128
+    assert int(got["m"]["v_sum"]) == sum(range(32, 128))
+    avg = float(got["m"]["v_sum"]) / got["m"]["n_nonnull"]
+    assert avg == pytest.approx(
+        df.select(F.avg("m")).first()[0])
+
+
 def test_blob_free(spark, manifest):
     """The aggregate runs on a manifest with NO blob column at all —
     proof the pushdown reads zero data bytes."""

@@ -108,6 +108,33 @@ def test_restore_crash_rolls_forward(spark, docs, tmp_path):
     assert read_commit_log(ckpt)[-1]["action"] == "restore"
 
 
+def test_finish_after_commit_landed_appends_nothing(spark, docs,
+                                                    tmp_path):
+    """Crash AFTER the restore commit landed but BEFORE the marker was
+    removed: finish_mutation must NOT append a duplicate restore commit
+    (the duplicate would mark the first one's snapshot 'rolled back' —
+    review finding)."""
+    import json
+    import os
+
+    ckpt = _mutated_ckpt(spark, docs, str(tmp_path / "z"))
+    from wills_columnar_format_spark.engine import (
+        _files_as_of,
+        _list_data_files,
+    )
+
+    seq = restore_checkpoint(spark, ckpt, 0)  # commit 3, clean
+    live = _list_data_files(ckpt)
+    with open(os.path.join(ckpt, "_mutation_pending"), "w") as f:
+        json.dump({"action": "restore", "generation": "0",
+                   "before": live, "victims": [],
+                   "restore_files": sorted(_files_as_of(ckpt, 0))}, f)
+    assert finish_mutation(ckpt) == "restore"
+    log = read_commit_log(ckpt)
+    assert [r["seq"] for r in log] == [0, 1, 2, 3]  # no duplicate
+    assert decode_checkpoint(spark, ckpt, as_of=seq).count() == 400
+
+
 def test_restore_refuses_drop_window(spark, docs, tmp_path):
     ckpt = str(tmp_path / "d")
     write_checkpoint(

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 from typing import Iterator
 
 import numpy as np
@@ -183,6 +184,14 @@ def _value_sum(cv: ColumnValues):
 # columns would saturate — documented, not guarded).
 _NDV_P = 10
 _NDV_M = 1 << _NDV_P
+
+# Metadata-aggregate eligibility: top-level scalars AND pure struct-leaf
+# paths (every segment after the root is a `#f:` field hop). List/map
+# internals (#lengths/#values/#valid/#mk/#mv) never match — a list's
+# #values counts elements, not rows. Shared by the read-side aggregates
+# (column_stats/sums/ndv) and the encode-side sketch gate.
+_STATS_LEAF_RE = r"^[^#]+(#f:[^#]+)*$"
+_STATS_LEAF_CRE = re.compile(_STATS_LEAF_RE)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -728,7 +737,10 @@ def make_encode_fn(
                     rows["val_max_str"].append(smax)
                     rows["val_sum"].append(_value_sum(cv))
                     rows["val_ndv"].append(
-                        _ndv_sketch(cv) if ndv_sketches else None)
+                        _ndv_sketch(cv)
+                        if ndv_sketches and _STATS_LEAF_CRE.match(sub_name)
+                        else None)  # internals are never reportable —
+                    # don't pay their hashing or ~1 KB/chunk metadata
                     rows["key_bloom"].append(kbloom if sub_name == key_col else None)
                     rows["snapshot_id"].append(snapshot_id)
                     rows["blob"].append(blob)
@@ -1613,30 +1625,40 @@ def _value_maps_col(value_range) -> str:
     return "val_min_str" if isinstance(value_range[1], str) else "val_min"
 
 
-def _value_range_keys(manifest_df, value_range):
-    """Manifest rows (chunk_key level) whose ``value_range`` column MAY
-    hold values in [lo, hi], per the per-chunk value zone maps. NULL
-    maps (non-numeric / all-NaN / pre-zone-map manifests) keep the chunk
-    conservatively — the exact post-filter removes stray rows.
-
-    String bounds are checked ASYMMETRICALLY: val_min_str is a
-    256-char-prefix lower bound (prefix > hi proves every value > hi —
-    safe drop), while a NULL val_max_str means "max too long to store"
-    (+inf) and keeps the chunk."""
+def _zone_admit_expr(lo, hi):
+    """THE zone-map containment test for [lo, hi] over one manifest
+    row — the single definition of the conservative keep rules, shared
+    by range pruning (``_value_range_keys``), IN-list pruning
+    (``_disjunctive_hit_keys``), and the predicate-delete candidates
+    (``_where_candidates``). NULL numeric maps (non-numeric / all-NaN /
+    pre-zone-map manifests) keep the chunk conservatively — exact
+    post-filters always remove stray rows. String bounds are checked
+    ASYMMETRICALLY: val_min_str is a 256-char-prefix lower bound
+    (prefix > hi proves every value > hi — safe drop), while a NULL
+    val_max_str means "max too long to store" (+inf) and keeps the
+    chunk."""
     from pyspark.sql import functions as F
 
-    vcol, lo, hi = value_range
     if isinstance(lo, str):
-        keep = (
+        return (
             ((F.col("val_max_str") >= F.lit(lo)) | F.col("val_max_str").isNull())
             & ((F.col("val_min_str") <= F.lit(hi)) | F.col("val_min_str").isNull())
         )
-    else:
-        keep = (
-            ((F.col("val_max") >= F.lit(lo)) & (F.col("val_min") <= F.lit(hi)))
-            | F.col("val_min").isNull()
-        )
-    return manifest_df.filter((F.col("column") == vcol) & keep)
+    return (
+        ((F.col("val_max") >= F.lit(lo)) & (F.col("val_min") <= F.lit(hi)))
+        | F.col("val_min").isNull()
+    )
+
+
+def _value_range_keys(manifest_df, value_range):
+    """Manifest rows (chunk_key level) whose ``value_range`` column MAY
+    hold values in [lo, hi], per the per-chunk value zone maps
+    (``_zone_admit_expr`` carries the keep rules)."""
+    from pyspark.sql import functions as F
+
+    vcol, lo, hi = value_range
+    return manifest_df.filter(
+        (F.col("column") == vcol) & _zone_admit_expr(lo, hi))
 
 
 def _conjunctive_hit_keys(manifest_df, vrs, extra_cols=()):
@@ -1676,21 +1698,8 @@ def _disjunctive_hit_keys(manifest_df, in_vrs, extra_cols=()):
     from pyspark.sql import functions as F
 
     vcol = in_vrs[0][0]
-    es = []
-    for v in in_vrs:
-        _, lo, hi = v[:3]
-        if isinstance(lo, str):
-            e = (
-                ((F.col("val_max_str") >= F.lit(lo)) | F.col("val_max_str").isNull())
-                & ((F.col("val_min_str") <= F.lit(hi)) | F.col("val_min_str").isNull())
-            )
-        else:
-            e = (
-                ((F.col("val_max") >= F.lit(lo)) & (F.col("val_min") <= F.lit(hi)))
-                | F.col("val_min").isNull()
-            )
-        es.append(e)
-    keep = reduce(lambda a, b: a | b, es)
+    keep = reduce(lambda a, b: a | b,
+                  [_zone_admit_expr(v[1], v[2]) for v in in_vrs])
     cols = ["chunk_key", *extra_cols]
     return (
         manifest_df.filter((F.col("column") == vcol) & keep)
@@ -2820,23 +2829,11 @@ def _where_candidates(manifest_df, value_range):
         _where_probe_columns(manifest_df, vcol)
         gen = _where_in_generation(vcol, vals)
         # disjunctive zone test: a chunk survives when ANY value falls
-        # inside its [val_min, val_max] (NULL maps keep conservatively)
-        if is_str:
-            es = [
-                ((F.col("val_max_str") >= F.lit(v))
-                 | F.col("val_max_str").isNull())
-                & ((F.col("val_min_str") <= F.lit(v))
-                   | F.col("val_min_str").isNull())
-                for v in vals
-            ]
-        else:
-            es = [
-                ((F.col("val_max") >= F.lit(float(v)))
-                 & (F.col("val_min") <= F.lit(float(v))))
-                | F.col("val_min").isNull()
-                for v in vals
-            ]
-        keep = reduce(lambda a, b: a | b, es)
+        # inside its [val_min, val_max] (keep rules: _zone_admit_expr)
+        keep = reduce(
+            lambda a, b: a | b,
+            [_zone_admit_expr(v if is_str else float(v),
+                              v if is_str else float(v)) for v in vals])
         cand = manifest_df.filter((F.col("column") == vcol) & keep)
         return gen, cand, _make_where_in_explode_fn(vals, is_str)
     vcol, lo, hi, hi_inc = _canon_where_spec(value_range)
@@ -3720,6 +3717,15 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
             "attribution does not survive a rollback (the rolled-back "
             "commits' files are deleted); resync the consumer from "
             f"as_of={max(restores)} instead"
+        )
+    clones = [r["seq"] for r in window if r["action"] == "clone"]
+    if clones:
+        raise ValueError(
+            f"commit {max(clones)} of {ckpt_dir!r} is a clone SNAPSHOT "
+            "— its file set may carry the source's mask sidecars and "
+            "superseded upsert generations, so decoding it as an "
+            "insert set would mis-attribute rows; materialize the "
+            f"consumer from as_of={max(clones)} and sync from there"
         )
     replaces = [r["seq"] for r in window if r["action"] == "replace"]
     if replaces:
@@ -4731,13 +4737,20 @@ def finish_mutation(ckpt_dir: str) -> str:
         # roll the restore FORWARD (idempotent, like finish_optimize):
         # the marker names the victims and the target file set — delete
         # whatever victims remain, then record the restore commit
+        # UNLESS the crash happened after the original append already
+        # landed it (a duplicate restore commit would wrongly mark the
+        # first one's snapshot 'rolled back'; review finding, round 4)
         for b in rec.get("victims", []):
             try:
                 fsys.delete_file(f"{p}/{b}")
             except (OSError, ValueError):
                 pass  # already gone
-        _append_commit(ckpt_dir, "restore", gen,
-                       rec.get("restore_files", []))
+        log = read_commit_log(ckpt_dir) or []
+        already = (log and log[-1]["action"] == "restore"
+                   and log[-1]["generation"] == gen)
+        if not already:
+            _append_commit(ckpt_dir, "restore", gen,
+                           rec.get("restore_files", []))
         fsys.delete_file(f"{p}/{_MUTATION_PENDING}")
         return "restore"
     added = sorted(set(_list_data_files(ckpt_dir)) - set(rec["before"]))
@@ -4891,7 +4904,12 @@ def clone_checkpoint(spark, src_dir: str, dst_dir: str) -> str:
     schema = read_checkpoint_schema(src_dir)
     if schema is not None:
         write_checkpoint_schema(dst_dir, schema)
-    _append_commit(dst_dir, "create", f"clone:{src_dir}", sorted(files))
+    # action 'clone', NOT 'create': the cloned file set may carry mask
+    # sidecars and superseded upsert generations from the source's
+    # history, so it is a SNAPSHOT, not an insert set — read_changes
+    # treats it as a barrier (naively decoding its files as inserts
+    # would resurrect deleted rows; review finding, round 4)
+    _append_commit(dst_dir, "clone", f"clone:{src_dir}", sorted(files))
     return dst_dir
 
 
@@ -5382,13 +5400,11 @@ def manifest_summary(manifest_df):
     )
 
 
-# Metadata-aggregate eligibility: top-level scalars AND pure struct-leaf
-# paths (every segment after the root is a `#f:` field hop). List/map
-# internals (#lengths/#values/#valid/#mk/#mv) never match — a list's
-# #values counts elements, not rows. Nullable exclusion stays the exact
-# sibling `column#valid` check: flatten() nulls child slots under null
-# struct parents, so every maskable level carries its OWN #valid.
-_STATS_LEAF_RE = r"^[^#]+(#f:[^#]+)*$"
+# (The leaf-eligibility regex _STATS_LEAF_RE lives next to the NDV
+# sketch block — the encode-side sketch gate shares it. Nullable
+# exclusion stays the exact sibling `column#valid` check: flatten()
+# nulls child slots under null struct parents, so every maskable level
+# carries its OWN #valid.)
 
 
 def column_stats(manifest_df):
@@ -5531,6 +5547,7 @@ def column_sums(manifest_df):
             .alias("column_name"))
         .agg(
             F.sum("val_sum").alias("_n_valid"),
+            F.sum("n_values").alias("_vn"),
             F.count("*").alias("_vc"),
             F.count("val_sum").alias("_vs"),
         )
@@ -5557,9 +5574,17 @@ def column_sums(manifest_df):
         # a nullable column whose #valid rows are only partially summed
         # (legacy mix) has an inexact non-null count: exact-or-absent
         .filter(F.col("_vc").isNull() | (F.col("_vc") == F.col("_vs")))
+        # #valid sub-columns exist only for chunks that HOLD a null —
+        # chunks without one are fully non-null, so the non-null count
+        # is n_rows MINUS the nulls the masked chunks recorded
+        # (their n_values - their 0/1 sum), never the masked chunks'
+        # sum alone (measured wrong AVG when nulls cluster in a few
+        # chunks — review finding, round 4)
         .withColumn(
             "n_nonnull",
-            F.coalesce(F.col("_n_valid").cast("long"), F.col("n_rows")))
+            F.col("n_rows") - F.coalesce(
+                (F.col("_vn") - F.col("_n_valid")).cast("long"),
+                F.lit(0)))
         .join(F.broadcast(affected), "column_name", "left_anti")
         .select("column_name", "v_sum", "n_rows", "n_nonnull")
     )
