@@ -139,6 +139,28 @@ def test_big_int_chunks_stay_exact(spark):
     assert exact != float(exact) or True  # documentation, not assertion
 
 
+def test_duplicate_manifest_rows_not_double_counted(spark, table,
+                                                    manifest):
+    """A resumed/merged manifest carries duplicate (chunk_key, column)
+    rows — the additive aggregates must collapse them, not double the
+    SUM/COUNT (review finding); stats and NDV share the dedup base."""
+    from wills_columnar_format_spark.engine import column_ndv, column_stats
+
+    doubled = manifest.unionByName(manifest)
+    got = {r["column_name"]: r for r in column_sums(doubled).collect()}
+    assert int(got["k"]["v_sum"]) == sum(range(N))
+    assert got["k"]["n_rows"] == N
+    assert got["maybe"]["n_nonnull"] == sum(
+        1 for i in range(N) if i % 4 != 0)
+    stats = {r["column_name"]: r for r in column_stats(doubled).collect()}
+    assert stats["k"]["n_values"] == N
+    sk = encode_table(table.select("k"), key_col="k", num_partitions=1,
+                      chunk_rows=4096, ndv_sketches=True)
+    ndv = {r["column_name"]: r
+           for r in column_ndv(sk.unionByName(sk)).collect()}
+    assert ndv["k"]["n_rows"] == N
+
+
 def test_legacy_manifest_absent(spark, manifest):
     """A manifest written before val_sum existed reports nothing."""
     legacy = manifest.drop("val_sum")

@@ -177,6 +177,21 @@ def test_in_delete_refusals(spark, docs):
         delete_where(m, ("n_chars", [1, "x"]))
 
 
+def test_delete_refuses_entry_internals(spark):
+    """Map/list INTERNAL sub-columns store flattened ENTRY positions:
+    committing those as row deletion vectors would poison the
+    checkpoint or silently delete wrong rows (review finding) —
+    refused before any work happens."""
+    df = spark.createDataFrame(
+        [(i, {"a": i}, [i, i + 1]) for i in range(50)],
+        "k long, m map<string,long>, xs array<long>")
+    man = encode_table(df, key_col="k", num_partitions=1)
+    for vcol in ("m#mk", "m#mv", "xs#values", "m#lengths"):
+        with pytest.raises(TypeError,
+                           match="internal|LIST|entries"):
+            delete_where(man, (vcol, 0, 10))
+
+
 def test_in_delete_checkpoint_logs_commit(spark, docs, tmp_path):
     ckpt = str(tmp_path / "in")
     write_checkpoint(
@@ -257,6 +272,44 @@ def test_update_where_zero_hits_and_refusals(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="empty set_map"):
         update_where_checkpoint(spark, ckpt, ("n_chars", 0, 1), {},
                                 "doc_id")
+
+
+def test_update_where_typed_literals(spark, tmp_path):
+    """SET literals reconcile to the table column's own type (review
+    finding): a Decimal('1.5') on DECIMAL(10,2) must land 1.50 (a bare
+    lit would store unscaled 15 ≡ 0.15 through the scale-2 schema) and
+    a naive datetime on TIMESTAMP_NTZ must keep its WALL value (string
+    parse, never a session-tz instant)."""
+    import datetime as dt
+    import decimal
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("price", T.DecimalType(10, 2), False),
+        T.StructField("ts", T.TimestampNTZType(), False),
+    ])
+    df = spark.createDataFrame(
+        [(i, decimal.Decimal(f"{i}.25"),
+          dt.datetime(2024, 1, 1) + dt.timedelta(hours=i))
+         for i in range(100)], schema)
+    ckpt = str(tmp_path / "tl")
+    write_checkpoint(
+        encode_table(df, key_col="k", num_partitions=1, chunk_rows=32),
+        ckpt, schema=schema)
+    wall = dt.datetime(2030, 6, 1, 12, 34, 56)
+    stats = update_where_checkpoint(
+        spark, ckpt, ("k", 10, 19),
+        {"price": decimal.Decimal("1.5"), "ts": wall}, "k")
+    assert stats["updated"] == 10
+    live = decode_checkpoint(spark, ckpt)
+    hit = live.filter(F.col("k").between(10, 19))
+    assert hit.filter(F.col("price") != decimal.Decimal("1.50")).count() == 0
+    assert {r["ts"] for r in hit.select("ts").collect()} == {wall}
+    # untouched rows intact
+    assert live.filter(~F.col("k").between(10, 19))\
+        .exceptAll(df.filter(~F.col("k").between(10, 19))).count() == 0
 
 
 def test_update_where_in_spec(spark, docs, tmp_path):

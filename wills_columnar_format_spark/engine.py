@@ -2674,14 +2674,20 @@ def _where_in_generation(vcol: str, vals) -> str:
     return h.hexdigest()
 
 
-def _make_where_explode_fn(lo, hi, hi_inclusive: bool):
+_WHERE_HIT_DDL = (
+    "part_id int, chunk_id int, chunk_key string, min_key string, "
+    "max_key string, min_key_num double, max_key_num double, "
+    "snapshot_id string, pos int"
+)
+
+
+def _make_where_mask_explode_fn(mask_fn):
     """mapInArrow over the predicate column's zone-qualifying manifest
-    rows: decode each chunk's stored values, evaluate the range
-    IN-TASK, and emit one (chunk metadata, position) row PER MATCH —
-    the shuffle carries only hits, not values. Numeric compares run in
-    numpy on the stored width (int compares stay exact; a float bound
-    against int64 values coarsens past 2^53 — the same float64 rule
-    every zone map here uses); string compares run in pyarrow."""
+    rows: decode each chunk's stored values, evaluate ``mask_fn``
+    (per-chunk boolean ndarray) IN-TASK, and emit one (chunk metadata,
+    position) row PER MATCH — the shuffle carries only hits, not
+    values. THE one scaffolding for every predicate shape (range,
+    prefix, IN-list)."""
     meta_fields = ["part_id", "chunk_id", "chunk_key", "min_key",
                    "max_key", "min_key_num", "max_key_num", "snapshot_id"]
     schema = pa.schema(
@@ -2691,73 +2697,13 @@ def _make_where_explode_fn(lo, hi, hi_inclusive: bool):
          ("max_key_num", pa.float64()), ("snapshot_id", pa.string()),
          ("pos", pa.int32())]
     )
-    is_str = isinstance(lo, str)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.compute as pc
-
-        for b in batches:
-            names = set(b.schema.names)
-            for i in range(b.num_rows):
-                vals = _decode_blob(b.column("blob")[i].as_py()).to_arrow()
-                if is_str:
-                    m_lo = pc.greater_equal(vals, pa.scalar(lo))
-                    m_hi = (pc.less_equal if hi_inclusive else pc.less)(
-                        vals, pa.scalar(hi))
-                    mask = pc.and_(m_lo, m_hi).to_numpy(
-                        zero_copy_only=False)
-                    mask = np.asarray(mask, dtype=bool)
-                else:
-                    v = vals.to_numpy(zero_copy_only=False)
-                    with np.errstate(invalid="ignore"):
-                        mask = (v >= lo) & ((v <= hi) if hi_inclusive
-                                            else (v < hi))
-                pos = np.nonzero(mask)[0].astype(np.int32)
-                if not len(pos):
-                    continue
-                arrays = []
-                for f in meta_fields:
-                    val = b.column(f)[i].as_py() if f in names else None
-                    arrays.append(pa.array(
-                        [val] * len(pos), type=schema.field(f).type))
-                arrays.append(pa.array(pos))
-                yield pa.RecordBatch.from_arrays(arrays, schema=schema)
-
-    return fn
-
-
-def _make_where_in_explode_fn(vals, is_str: bool):
-    """IN-delete sibling of ``_make_where_explode_fn``: set membership
-    instead of a range test (pyarrow is_in for strings, np.isin on the
-    stored width for numerics — an all-int set against int64 values
-    stays exact; a float in the set coarsens the whole test to float64,
-    the standard >2^53 rule)."""
-    meta_fields = ["part_id", "chunk_id", "chunk_key", "min_key",
-                   "max_key", "min_key_num", "max_key_num", "snapshot_id"]
-    schema = pa.schema(
-        [("part_id", pa.int32()), ("chunk_id", pa.int32()),
-         ("chunk_key", pa.string()), ("min_key", pa.string()),
-         ("max_key", pa.string()), ("min_key_num", pa.float64()),
-         ("max_key_num", pa.float64()), ("snapshot_id", pa.string()),
-         ("pos", pa.int32())]
-    )
-    probe = list(vals)
-
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.compute as pc
-
         for b in batches:
             names = set(b.schema.names)
             for i in range(b.num_rows):
                 stored = _decode_blob(b.column("blob")[i].as_py())
-                if is_str:
-                    mask = np.asarray(
-                        pc.is_in(stored.to_arrow(),
-                                 value_set=pa.array(probe, type=pa.string()))
-                        .to_numpy(zero_copy_only=False), dtype=bool)
-                else:
-                    v = stored.to_arrow().to_numpy(zero_copy_only=False)
-                    mask = np.isin(v, np.asarray(probe))
+                mask = mask_fn(stored)
                 pos = np.nonzero(mask)[0].astype(np.int32)
                 if not len(pos):
                     continue
@@ -2770,6 +2716,52 @@ def _make_where_in_explode_fn(vals, is_str: bool):
                 yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return fn
+
+
+def _make_where_explode_fn(lo, hi, hi_inclusive: bool):
+    """Range/prefix predicate mask: numeric compares run in numpy on
+    the stored width (int compares stay exact; a float bound against
+    int64 values coarsens past 2^53 — the same float64 rule every zone
+    map here uses); string compares run in pyarrow."""
+    is_str = isinstance(lo, str)
+
+    def mask_fn(stored):
+        import pyarrow.compute as pc
+
+        if is_str:
+            vals = stored.to_arrow()
+            m_lo = pc.greater_equal(vals, pa.scalar(lo))
+            m_hi = (pc.less_equal if hi_inclusive else pc.less)(
+                vals, pa.scalar(hi))
+            return np.asarray(
+                pc.and_(m_lo, m_hi).to_numpy(zero_copy_only=False),
+                dtype=bool)
+        v = stored.to_arrow().to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            return (v >= lo) & ((v <= hi) if hi_inclusive else (v < hi))
+
+    return _make_where_mask_explode_fn(mask_fn)
+
+
+def _make_where_in_explode_fn(vals, is_str: bool):
+    """IN-delete mask: set membership instead of a range test (pyarrow
+    is_in for strings, np.isin on the stored width for numerics — an
+    all-int set against int64 values stays exact; a float in the set
+    coarsens the whole test to float64, the standard >2^53 rule)."""
+    probe = list(vals)
+
+    def mask_fn(stored):
+        import pyarrow.compute as pc
+
+        if is_str:
+            return np.asarray(
+                pc.is_in(stored.to_arrow(),
+                         value_set=pa.array(probe, type=pa.string()))
+                .to_numpy(zero_copy_only=False), dtype=bool)
+        v = stored.to_arrow().to_numpy(zero_copy_only=False)
+        return np.isin(v, np.asarray(probe))
+
+    return _make_where_mask_explode_fn(mask_fn)
 
 
 def _where_probe_columns(manifest_df, vcol: str) -> None:
@@ -2781,6 +2773,18 @@ def _where_probe_columns(manifest_df, vcol: str) -> None:
     delete null rows). One blob-free metadata probe."""
     from pyspark.sql import functions as F
 
+    if not _STATS_LEAF_CRE.match(vcol):
+        # list/map internals (#values/#mk/#mv/...) are NOT row-aligned:
+        # their positions index flattened ENTRIES, and committing entry
+        # indices as row deletion vectors either poisons the checkpoint
+        # (pos >= n_rows raises on every decode) or silently deletes
+        # the WRONG rows (review finding, round 4)
+        raise TypeError(
+            f"delete_where: {vcol!r} is a physical list/map internal — "
+            "its stored positions index flattened entries, not rows; "
+            "predicate deletes take top-level scalar columns or struct "
+            "leaves (name#f:field)"
+        )
     root = vcol.split("#", 1)[0]
     names = {
         r[0] for r in manifest_df.filter(
@@ -2871,11 +2875,7 @@ def delete_where(manifest_df, value_range, num_partitions: int | None = None):
     gen, cand, explode = _where_candidates(manifest_df, value_range)
     hits = cand.mapInArrow(
         explode,
-        schema=(
-            "part_id int, chunk_id int, chunk_key string, min_key string, "
-            "max_key string, min_key_num double, max_key_num double, "
-            "snapshot_id string, pos int"
-        ),
+        schema=_WHERE_HIT_DDL,
     )
     n = num_partitions or max(
         1, manifest_df.select("part_id").rdd.getNumPartitions())
@@ -2898,11 +2898,7 @@ def delete_where_checkpoint(spark, ckpt_dir: str, value_range,
     gen, cand, explode = _where_candidates(src, value_range)
     hits = cand.mapInArrow(
         explode,
-        schema=(
-            "part_id int, chunk_id int, chunk_key string, min_key string, "
-            "max_key string, min_key_num double, max_key_num double, "
-            "snapshot_id string, pos int"
-        ),
+        schema=_WHERE_HIT_DDL,
     )
     n = num_partitions or 8
     grouped = hits.repartition(n, "chunk_key").sortWithinPartitions(
@@ -2955,13 +2951,57 @@ def update_where_checkpoint(spark, ckpt_dir: str, value_range, set_map: dict,
                 f"update_where_checkpoint: set_map column {c!r} is not "
                 f"in the table (have {hit.columns})"
             )
+
+    def typed(c, v):
+        """SET value reconciled to the table column's own type — UPDATE
+        semantics. A bare F.lit() would land tz-shifted NTZ timestamps
+        (lit(naive datetime) is a session-tz instant; the string->NTZ
+        parse is timezone-free, the same dodge _prepare_value_range
+        uses) and wrong-scale decimals (lit(Decimal('1.5')) is
+        DECIMAL(2,1) — its unscaled 15 decodes as 0.15 through a
+        scale-2 schema). Review finding, round 4."""
+        import datetime as _dt
+
+        from pyspark.sql.types import TimestampNTZType
+
+        dt_type = hit.schema[c].dataType
+        if isinstance(v, Column):
+            return v.cast(dt_type)
+        if (isinstance(dt_type, TimestampNTZType)
+                and isinstance(v, _dt.datetime)):
+            if v.tzinfo is not None:
+                raise TypeError(
+                    f"update_where set_map[{c!r}]: NTZ column takes a "
+                    "NAIVE datetime (wall-clock semantics)"
+                )
+            return F.lit(v.strftime("%Y-%m-%d %H:%M:%S.%f")).cast(
+                "timestamp_ntz")
+        return F.lit(v).cast(dt_type)
+
+    # optimistic concurrency: remember the log head BEFORE the decode;
+    # a foreign mutation landing while we compute the update would be
+    # silently overwritten by our stale-pre-state upsert (lost update).
+    # Re-checked right before the upsert claims the mutation lock —
+    # detected conflicts raise WITHOUT mutating (retry re-reads fresh
+    # state). The residual window between check and claim is the same
+    # one Delta's OCC closes inside its commit protocol; documented.
+    log0 = read_commit_log(ckpt_dir)
+    head0 = log0[-1]["seq"] if log0 else None
     upd = hit.withColumns({
-        c: v if isinstance(v, Column) else F.lit(v)
-        for c, v in set_map.items()
+        c: typed(c, v) for c, v in set_map.items()
     }).localCheckpoint(eager=True)  # pin: upsert reads the batch twice
     n = upd.count()
     if not n:
         return {"updated": 0, "gen": ""}
+    log1 = read_commit_log(ckpt_dir)
+    head1 = log1[-1]["seq"] if log1 else None
+    if head1 != head0:
+        raise IOError(
+            f"update_where_checkpoint: checkpoint {ckpt_dir!r} advanced "
+            f"from commit {head0} to {head1} while the update was being "
+            "computed — landing it would overwrite the concurrent "
+            "mutation with stale rows (lost update); retry"
+        )
     gen = upsert_checkpoint(spark, ckpt_dir, upd, key_col,
                             **encode_kwargs)
     return {"updated": n, "gen": gen}
@@ -5407,6 +5447,64 @@ def manifest_summary(manifest_df):
 # carries its OWN #valid.)
 
 
+def _stats_base(manifest_df):
+    """Rows eligible for the metadata aggregates: leaf-shaped columns
+    (top-level scalars + struct ``#f:`` paths), markers and deletion
+    sidecars out, duplicate (chunk_key, column) rows COLLAPSED — a
+    resumed/merged manifest's duplicated chunks would otherwise
+    double-count every additive stat (SUM/COUNT; review finding,
+    round 4). The dedup is safe because duplicate rows are
+    byte-identical re-encodes of the same chunk values."""
+    from pyspark.sql import functions as F
+
+    return (
+        manifest_df.filter(
+            (F.col("column") != DONE_COLUMN)
+            & F.col("column").rlike(_STATS_LEAF_RE)
+            & ~F.col("column").startswith(DELETES_PREFIX)
+        )
+        .dropDuplicates(["chunk_key", "column"])
+    )
+
+
+def _deletion_affected_columns(manifest_df):
+    """Column names with at least one deletion-masked chunk: their
+    metadata stats are a stale SUPERSET (the deleted rows may be the
+    extremes / ride the sums), so exact-or-absent drops them until a
+    re-encoding compaction materializes the masks. Blob-free."""
+    from pyspark.sql import functions as F
+
+    deleted_chunks = (
+        manifest_df.filter(F.col("column").startswith(DELETES_PREFIX))
+        .select("chunk_key")
+        .distinct()
+    )
+    return (
+        manifest_df.join(F.broadcast(deleted_chunks), "chunk_key",
+                         "left_semi")
+        .filter(
+            (F.col("column") != DONE_COLUMN)
+            & F.col("column").rlike(_STATS_LEAF_RE)
+            & ~F.col("column").startswith(DELETES_PREFIX)
+        )
+        .select(F.col("column").alias("column_name"))
+        .distinct()
+    )
+
+
+def _nullable_columns(manifest_df):
+    """Column names carrying a ``#valid`` mask sub-column."""
+    from pyspark.sql import functions as F
+
+    return (
+        manifest_df.filter(F.col("column").endswith("#valid"))
+        .select(
+            F.expr("substring(column, 1, length(column) - 6)")
+            .alias("column_name"))
+        .distinct()
+    )
+
+
 def column_stats(manifest_df):
     """Aggregate PUSHDOWN to manifest metadata: per-column
     ``(column_name, v_min, v_max, n_values)`` computed ENTIRELY from the
@@ -5441,10 +5539,7 @@ def column_stats(manifest_df):
     from pyspark.sql import functions as F
 
     agg = (
-        manifest_df.filter(
-            (F.col("column") != DONE_COLUMN)
-            & F.col("column").rlike(_STATS_LEAF_RE)
-        )
+        _stats_base(manifest_df)
         .groupBy(F.col("column").alias("column_name"))
         .agg(
             F.min("val_min").alias("v_min"),
@@ -5454,39 +5549,12 @@ def column_stats(manifest_df):
             F.count("val_min").alias("_n_mapped"),
         )
     )
-    nullable = (
-        manifest_df.filter(F.col("column").endswith("#valid"))
-        .select(
-            F.expr("substring(column, 1, length(column) - 6)").alias("column_name")
-        )
-        .distinct()
-    )
-    # deletion vectors make a chunk's stats a stale SUPERSET (the
-    # deleted rows may be the extremes) — exact-or-absent means every
-    # column of a deleted chunk drops out until a re-encoding
-    # compaction materializes the deletes. Blob-free metadata joins.
-    deleted_chunks = (
-        manifest_df.filter(F.col("column").startswith(DELETES_PREFIX))
-        .select("chunk_key")
-        .distinct()
-    )
-    affected = (
-        manifest_df.join(F.broadcast(deleted_chunks), "chunk_key", "left_semi")
-        .filter(
-            (F.col("column") != DONE_COLUMN)
-            & F.col("column").rlike(_STATS_LEAF_RE)
-            & ~F.col("column").startswith(DELETES_PREFIX)
-        )
-        .select(F.col("column").alias("column_name"))
-        .distinct()
-    )
     return (
-        agg.filter(
-            (F.col("_n_chunks") == F.col("_n_mapped"))
-            & ~F.col("column_name").startswith(DELETES_PREFIX)
-        )
-        .join(F.broadcast(nullable), "column_name", "left_anti")
-        .join(F.broadcast(affected), "column_name", "left_anti")
+        agg.filter(F.col("_n_chunks") == F.col("_n_mapped"))
+        .join(F.broadcast(_nullable_columns(manifest_df)),
+              "column_name", "left_anti")
+        .join(F.broadcast(_deletion_affected_columns(manifest_df)),
+              "column_name", "left_anti")
         .drop("_n_chunks", "_n_mapped")
     )
 
@@ -5527,11 +5595,7 @@ def column_sums(manifest_df):
         spark = manifest_df.sparkSession
         return spark.createDataFrame([], out_ddl)
     agg = (
-        manifest_df.filter(
-            (F.col("column") != DONE_COLUMN)
-            & F.col("column").rlike(_STATS_LEAF_RE)
-            & ~F.col("column").startswith(DELETES_PREFIX)
-        )
+        _stats_base(manifest_df)
         .groupBy(F.col("column").alias("column_name"))
         .agg(
             F.sum("val_sum").alias("v_sum"),
@@ -5542,6 +5606,7 @@ def column_sums(manifest_df):
     )
     valid = (
         manifest_df.filter(F.col("column").endswith("#valid"))
+        .dropDuplicates(["chunk_key", "column"])
         .groupBy(
             F.expr("substring(column, 1, length(column) - 6)")
             .alias("column_name"))
@@ -5551,22 +5616,6 @@ def column_sums(manifest_df):
             F.count("*").alias("_vc"),
             F.count("val_sum").alias("_vs"),
         )
-    )
-    deleted_chunks = (
-        manifest_df.filter(F.col("column").startswith(DELETES_PREFIX))
-        .select("chunk_key")
-        .distinct()
-    )
-    affected = (
-        manifest_df.join(F.broadcast(deleted_chunks), "chunk_key",
-                         "left_semi")
-        .filter(
-            (F.col("column") != DONE_COLUMN)
-            & F.col("column").rlike(_STATS_LEAF_RE)
-            & ~F.col("column").startswith(DELETES_PREFIX)
-        )
-        .select(F.col("column").alias("column_name"))
-        .distinct()
     )
     return (
         agg.filter(F.col("_n_chunks") == F.col("_n_summed"))
@@ -5585,7 +5634,8 @@ def column_sums(manifest_df):
             F.col("n_rows") - F.coalesce(
                 (F.col("_vn") - F.col("_n_valid")).cast("long"),
                 F.lit(0)))
-        .join(F.broadcast(affected), "column_name", "left_anti")
+        .join(F.broadcast(_deletion_affected_columns(manifest_df)),
+              "column_name", "left_anti")
         .select("column_name", "v_sum", "n_rows", "n_nonnull")
     )
 
@@ -5630,11 +5680,7 @@ def column_ndv(manifest_df):
     _merge.__annotations__ = {"s": pd.Series, "return": float}
     merge_est = F.pandas_udf(_merge, "double")
 
-    base = manifest_df.filter(
-        (F.col("column") != DONE_COLUMN)
-        & F.col("column").rlike(_STATS_LEAF_RE)
-        & ~F.col("column").startswith(DELETES_PREFIX)
-    )
+    base = _stats_base(manifest_df)
     # a grouped-agg pandas UDF cannot share an .agg() with JVM
     # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — two passes over the
     # tiny metadata relation, joined on the column name
@@ -5651,32 +5697,11 @@ def column_ndv(manifest_df):
         )
     )
     agg = est.join(counts, "column_name")
-    nullable = (
-        manifest_df.filter(F.col("column").endswith("#valid"))
-        .select(
-            F.expr("substring(column, 1, length(column) - 6)")
-            .alias("column_name"))
-        .distinct()
-    )
-    deleted_chunks = (
-        manifest_df.filter(F.col("column").startswith(DELETES_PREFIX))
-        .select("chunk_key")
-        .distinct()
-    )
-    affected = (
-        manifest_df.join(F.broadcast(deleted_chunks), "chunk_key",
-                         "left_semi")
-        .filter(
-            (F.col("column") != DONE_COLUMN)
-            & F.col("column").rlike(_STATS_LEAF_RE)
-            & ~F.col("column").startswith(DELETES_PREFIX)
-        )
-        .select(F.col("column").alias("column_name"))
-        .distinct()
-    )
     return (
         agg.filter(F.col("_n_chunks") == F.col("_n_sketched"))
-        .join(F.broadcast(nullable), "column_name", "left_anti")
-        .join(F.broadcast(affected), "column_name", "left_anti")
+        .join(F.broadcast(_nullable_columns(manifest_df)),
+              "column_name", "left_anti")
+        .join(F.broadcast(_deletion_affected_columns(manifest_df)),
+              "column_name", "left_anti")
         .select("column_name", "ndv_estimate", "n_rows")
     )
