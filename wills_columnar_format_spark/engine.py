@@ -2940,6 +2940,12 @@ def update_where_checkpoint(spark, ckpt_dir: str, value_range, set_map: dict,
             f"{key_col!r} — a key change is a delete + insert of a "
             "DIFFERENT key; spell it with delete_where + an append"
         )
+    # optimistic-concurrency snapshot BEFORE the decode lists files: a
+    # foreign commit landing anywhere between here and the pre-upsert
+    # re-check is detected (after the listing would leave an undetected
+    # stale read in the listing->snapshot gap)
+    _log0 = read_commit_log(ckpt_dir)
+    _head0 = _log0[-1]["seq"] if _log0 else None
     if _is_in_spec(value_range):
         # IN-list spec: route through the value_in decode prune
         hit = decode_checkpoint(spark, ckpt_dir, value_in=value_range)
@@ -2978,15 +2984,14 @@ def update_where_checkpoint(spark, ckpt_dir: str, value_range, set_map: dict,
                 "timestamp_ntz")
         return F.lit(v).cast(dt_type)
 
-    # optimistic concurrency: remember the log head BEFORE the decode;
-    # a foreign mutation landing while we compute the update would be
-    # silently overwritten by our stale-pre-state upsert (lost update).
-    # Re-checked right before the upsert claims the mutation lock —
-    # detected conflicts raise WITHOUT mutating (retry re-reads fresh
-    # state). The residual window between check and claim is the same
-    # one Delta's OCC closes inside its commit protocol; documented.
-    log0 = read_commit_log(ckpt_dir)
-    head0 = log0[-1]["seq"] if log0 else None
+    # optimistic concurrency (snapshot _head0 taken above, BEFORE the
+    # decode): a foreign mutation landing while we compute the update
+    # would be silently overwritten by our stale-pre-state upsert
+    # (lost update — review finding). Re-checked right before the
+    # upsert claims the mutation lock; detected conflicts raise WITHOUT
+    # mutating (retry re-reads fresh state). The residual window
+    # between re-check and claim is the one Delta's OCC closes inside
+    # its commit protocol; documented.
     upd = hit.withColumns({
         c: typed(c, v) for c, v in set_map.items()
     }).localCheckpoint(eager=True)  # pin: upsert reads the batch twice
@@ -2995,10 +3000,10 @@ def update_where_checkpoint(spark, ckpt_dir: str, value_range, set_map: dict,
         return {"updated": 0, "gen": ""}
     log1 = read_commit_log(ckpt_dir)
     head1 = log1[-1]["seq"] if log1 else None
-    if head1 != head0:
+    if head1 != _head0:
         raise IOError(
             f"update_where_checkpoint: checkpoint {ckpt_dir!r} advanced "
-            f"from commit {head0} to {head1} while the update was being "
+            f"from commit {_head0} to {head1} while the update was being "
             "computed — landing it would overwrite the concurrent "
             "mutation with stale rows (lost update); retry"
         )
