@@ -126,6 +126,48 @@ def test_interrupted_upsert_sidecars_only_records_delete(
     assert decode_checkpoint(spark, ckpt, as_of=1).count() == 370
 
 
+def test_commit_record_write_failure_keeps_marker(
+        spark, docs, tmp_path, monkeypatch):
+    """A mutation whose data files landed but whose COMMIT RECORD could
+    not be written (_append_commit swallows storage errors into None)
+    must raise and KEEP the marker — deleting it would leave the files
+    permanently unrecorded and every snapshot/CDF consumer silently
+    diverged from live reads (review finding, round 4)."""
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    monkeypatch.setattr(engine, "_append_commit", lambda *a, **k: None)
+    with pytest.raises(IOError, match="finish_mutation"):
+        delete_keys_checkpoint(spark, ckpt, list(range(0, 40)), "doc_id")
+    monkeypatch.undo()
+
+    # the window is still open: marker present, readers refuse
+    assert engine._read_mutation_pending(ckpt) is not None
+    with pytest.raises(IOError, match="finish_mutation"):
+        decode_checkpoint(spark, ckpt)
+    # storage healed: reconciliation records the delete exactly once
+    assert finish_mutation(ckpt) == "delete"
+    log = read_commit_log(ckpt)
+    assert [(r["seq"], r["action"]) for r in log] == \
+        [(0, "create"), (1, "delete")]
+    assert decode_checkpoint(spark, ckpt).count() == 360
+
+
+def test_finish_mutation_commit_failure_keeps_marker(
+        spark, docs, tmp_path, monkeypatch):
+    """finish_mutation itself hitting the commit-record failure must
+    also keep the marker so it can be retried."""
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    before = engine._list_data_files(ckpt)
+    assert engine._begin_logged_mutation(ckpt, "delete", "g", before)
+    delete_keys_checkpoint(spark, ckpt, [0, 1], "doc_id", _log=False)
+    monkeypatch.setattr(engine, "_append_commit", lambda *a, **k: None)
+    with pytest.raises(IOError, match="finish_mutation"):
+        finish_mutation(ckpt)
+    monkeypatch.undo()
+    assert engine._read_mutation_pending(ckpt) is not None
+    assert finish_mutation(ckpt) == "delete"
+    assert engine._read_mutation_pending(ckpt) is None
+
+
 def test_finish_mutation_nothing_landed(spark, docs, tmp_path):
     ckpt = _logged_ckpt(spark, docs, tmp_path)
     before = engine._list_data_files(ckpt)

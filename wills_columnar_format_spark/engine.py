@@ -3297,6 +3297,16 @@ def drop_column_checkpoint(spark, ckpt_dir: str, col_name: str) -> int:
             fsys.delete_file(f"{p.rstrip('/')}/{_MUTATION_PENDING}")
         except (OSError, ValueError):
             pass
+    if seq is None:
+        # the sidecar is already narrowed (reads are consistent) but the
+        # drop_column record is missing: time-travel/backfill guards
+        # that consult the log won't see this drop — surface it loudly
+        raise IOError(
+            f"drop_column of {col_name!r} narrowed the _table_schema "
+            f"sidecar of {ckpt_dir!r} but the commit record could not "
+            "be written — live reads are correct, history is degraded; "
+            "fix the storage and compact the checkpoint to re-baseline."
+        )
     return seq
 
 
@@ -4751,10 +4761,30 @@ def _begin_logged_mutation(ckpt_dir: str, action: str, generation: str,
 
 
 def _end_logged_mutation(ckpt_dir: str, action: str, generation: str,
-                         before: list[str]) -> None:
-    added = sorted(set(_list_data_files(ckpt_dir)) - set(before))
+                         before: list[str],
+                         added: list[str] | None = None) -> None:
+    """Close a logged mutation's window: record the commit, then drop
+    the marker. ``added`` is the EXACT file list the mutation landed
+    (``_staged_append`` attribution — a listing diff would claim a
+    concurrent plain append's files into this commit and corrupt
+    time-travel snapshots); None falls back to the listing diff for
+    callers that cannot know (crash reconciliation via the marker's
+    ``before``). If the commit record cannot be written the marker is
+    KEPT and an error raised — deleting it would leave landed files
+    permanently unrecorded, the exact silent divergence the marker
+    exists to prevent (review finding, round 4)."""
+    if added is None:
+        added = sorted(set(_list_data_files(ckpt_dir)) - set(before))
     if added:
-        _append_commit(ckpt_dir, action, generation, added)
+        seq = _append_commit(ckpt_dir, action, generation, added)
+        if seq is None:
+            raise IOError(
+                f"{action} mutation of {ckpt_dir!r} landed its data "
+                f"files but the commit record could not be written "
+                "(storage error on _commits/) — the _mutation_pending "
+                "marker is left in place; fix the storage and run "
+                "finish_mutation(ckpt_dir) to record the commit."
+            )
     fsys, p = _manifest_fs(ckpt_dir)
     fsys.delete_file(f"{p.rstrip('/')}/{_MUTATION_PENDING}")
 
@@ -4794,8 +4824,15 @@ def finish_mutation(ckpt_dir: str) -> str:
         already = (log and log[-1]["action"] == "restore"
                    and log[-1]["generation"] == gen)
         if not already:
-            _append_commit(ckpt_dir, "restore", gen,
-                           rec.get("restore_files", []))
+            seq = _append_commit(ckpt_dir, "restore", gen,
+                                 rec.get("restore_files", []))
+            if seq is None:
+                raise IOError(
+                    f"finish_mutation: restore of {ckpt_dir!r} deleted "
+                    "its victim files but the restore commit record "
+                    "could not be written — marker kept; fix the "
+                    "storage and re-run finish_mutation."
+                )
         fsys.delete_file(f"{p}/{_MUTATION_PENDING}")
         return "restore"
     added = sorted(set(_list_data_files(ckpt_dir)) - set(rec["before"]))
@@ -4819,7 +4856,14 @@ def finish_mutation(ckpt_dir: str) -> str:
             recorded = "upsert" if has_data else "delete"
         else:
             recorded = action
-        _append_commit(ckpt_dir, recorded, gen, added)
+        seq = _append_commit(ckpt_dir, recorded, gen, added)
+        if seq is None:
+            raise IOError(
+                f"finish_mutation: {recorded} files of {ckpt_dir!r} are "
+                "landed but the commit record could not be written — "
+                "marker kept; fix the storage and re-run "
+                "finish_mutation."
+            )
     fsys.delete_file(f"{p}/{_MUTATION_PENDING}")
     return recorded
 
@@ -4896,6 +4940,15 @@ def restore_checkpoint(spark, ckpt_dir: str, as_of: int) -> int:
         except (OSError, ValueError):
             pass
     seq = _append_commit(ckpt_dir, "restore", str(as_of), sorted(allowed))
+    if seq is None:
+        # the victims are already deleted: dropping the marker now would
+        # leave the log head pointing at commits whose files are gone.
+        # Keep it — finish_mutation retries the commit record.
+        raise IOError(
+            f"restore of {ckpt_dir!r} deleted its victim files but the "
+            "restore commit record could not be written — marker kept; "
+            "fix the storage and run finish_mutation(ckpt_dir)."
+        )
     fsys.delete_file(f"{p}/{_MUTATION_PENDING}")
     return seq
 
