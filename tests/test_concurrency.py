@@ -164,3 +164,52 @@ def test_concurrent_appends_attribute_own_files(spark, docs, ckpt):
                       & (F.col("doc_id") < 2000)).count()
     n_b = snap.filter(F.col("doc_id") >= 2000).count()
     assert sorted([n_a, n_b]) == [0, 300]
+
+
+def test_logged_mutation_commit_excludes_interloper_files(
+        spark, docs, ckpt, monkeypatch):
+    """A plain appender that started BEFORE the mutation claimed the
+    marker can land its staged file inside the mutation window; the
+    mutation's commit must record EXACTLY its own files (staged-append
+    attribution), never the interloper's (review finding, round 4)."""
+    import shutil
+
+    real_end = engine._end_logged_mutation
+    foreign = "part-00000-interloper.snappy.parquet"
+
+    def end_with_interloper(ckpt_dir, action, gen, before, added=None):
+        donor = next(f for f in os.listdir(ckpt_dir)
+                     if f.endswith(".parquet") and not f.startswith("_"))
+        shutil.copy(os.path.join(ckpt_dir, donor),
+                    os.path.join(ckpt_dir, foreign))
+        return real_end(ckpt_dir, action, gen, before, added=added)
+
+    monkeypatch.setattr(engine, "_end_logged_mutation",
+                        end_with_interloper)
+    delete_keys_checkpoint(spark, ckpt, [0, 1, 2], "doc_id")
+    monkeypatch.undo()
+
+    log = read_commit_log(ckpt)
+    assert log[-1]["action"] == "delete"
+    assert foreign not in log[-1]["files"]
+    assert log[-1]["files"]  # the sidecars themselves ARE recorded
+
+
+def test_plain_append_refused_during_mutation_window(spark, docs, ckpt):
+    """write_checkpoint(mode='append') must respect the mutation lock:
+    an append interleaved with an in-flight logged mutation would be
+    lost by an optimize swap or claimed by a crash reconcile's listing
+    diff."""
+    before = engine._list_data_files(ckpt)
+    assert engine._begin_logged_mutation(ckpt, "delete", "g", before)
+    with pytest.raises(IOError, match="mutation"):
+        write_checkpoint(
+            encode_table(docs.limit(5), key_col="doc_id",
+                         num_partitions=1),
+            ckpt, mode="append")
+    engine.finish_mutation(ckpt)
+    write_checkpoint(  # and again after the window closes
+        encode_table(docs.withColumn("doc_id", F.col("doc_id") + 5000),
+                     key_col="doc_id", num_partitions=1),
+        ckpt, mode="append")
+    assert read_commit_log(ckpt)[-1]["action"] == "append"

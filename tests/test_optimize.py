@@ -220,3 +220,86 @@ def test_optimize_improves_chunking(spark, docs, tmp_path):
                         num_partitions=2)
     n_after = spark.read.parquet(ckpt).select("chunk_key").distinct().count()
     assert n_after < n_before / 2
+
+
+def test_optimize_locks_out_concurrent_mutations(
+        spark, docs, tmp_path, monkeypatch):
+    """The whole-rewrite mutation lock: a delete/upsert/append landing
+    while the optimize's compact runs would be silently vacuumed by the
+    swap (masked-row resurrection — review finding, round 4), so
+    writers must refuse for the whole window while READS keep working
+    (the live file set is untouched until the swap)."""
+    from wills_columnar_format_spark import engine
+
+    ckpt, expected = _mutated_ckpt(spark, docs, tmp_path)
+    real_compact = engine.compact_checkpoint
+    observed = {}
+
+    def compact_probe(*a, **k):
+        with pytest.raises(IOError, match="mutation"):
+            delete_keys_checkpoint(spark, ckpt, [4], "doc_id")
+        with pytest.raises(IOError, match="mutation"):
+            write_checkpoint(
+                encode_table(docs.limit(5), key_col="doc_id",
+                             num_partitions=1),
+                ckpt, mode="append")
+        # readers pass: live set untouched until the guarded swap
+        observed["read_rows"] = decode_checkpoint(spark, ckpt).count()
+        return real_compact(*a, **k)
+
+    monkeypatch.setattr(engine, "compact_checkpoint", compact_probe)
+    optimize_checkpoint(spark, ckpt, key_col="doc_id")
+    monkeypatch.undo()
+
+    assert observed["read_rows"] == expected.count()
+    assert engine._read_mutation_pending(ckpt) is None  # lock released
+    out = decode_checkpoint(spark, ckpt)
+    assert sorted(out.collect()) == sorted(expected.collect())
+    # and the blocked delete works fine now
+    delete_keys_checkpoint(spark, ckpt, [4], "doc_id")
+    assert decode_checkpoint(spark, ckpt).count() == expected.count() - 1
+
+
+def test_optimize_failure_releases_lock(spark, docs, tmp_path, monkeypatch):
+    """A compact failing BEFORE the swap marker leaves the live set
+    untouched: the lock is released, staging cleared, retry succeeds."""
+    from wills_columnar_format_spark import engine
+
+    ckpt, expected = _mutated_ckpt(spark, docs, tmp_path)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated executor loss")
+
+    monkeypatch.setattr(engine, "compact_checkpoint", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        optimize_checkpoint(spark, ckpt, key_col="doc_id")
+    monkeypatch.undo()
+    assert engine._read_mutation_pending(ckpt) is None
+    assert not os.path.isdir(os.path.join(ckpt, "_staging_optimize"))
+    optimize_checkpoint(spark, ckpt, key_col="doc_id")  # retry clean
+    out = decode_checkpoint(spark, ckpt)
+    assert sorted(out.collect()) == sorted(expected.collect())
+
+
+def test_finish_mutation_reconciles_crashed_optimize(
+        spark, docs, tmp_path):
+    """Process death mid-compact leaves the optimize's read_ok marker:
+    reads keep working, writers refuse, finish_mutation clears the
+    stage and releases the lock (nothing landed)."""
+    import json as _json
+
+    from wills_columnar_format_spark import engine
+    from wills_columnar_format_spark.engine import finish_mutation
+
+    ckpt, expected = _mutated_ckpt(spark, docs, tmp_path)
+    with open(os.path.join(ckpt, "_mutation_pending"), "w") as f:
+        _json.dump({"action": "optimize", "generation": "",
+                    "before": [], "read_ok": True}, f)
+    os.makedirs(os.path.join(ckpt, "_staging_optimize"), exist_ok=True)
+    assert decode_checkpoint(spark, ckpt).count() == expected.count()
+    with pytest.raises(IOError, match="mutation"):
+        delete_keys_checkpoint(spark, ckpt, [4], "doc_id")
+    assert finish_mutation(ckpt) == ""
+    assert engine._read_mutation_pending(ckpt) is None
+    assert not os.path.isdir(os.path.join(ckpt, "_staging_optimize"))
+    delete_keys_checkpoint(spark, ckpt, [4], "doc_id")  # lock released

@@ -2311,6 +2311,20 @@ def delete_keys(manifest_df, keys, key_col: str):
         # pinned plan
         manifest_df = manifest_df.localCheckpoint(eager=True)
     gen = _deletes_generation(probe)
+    sidecars = _mark_sidecars(manifest_df, probe, gen, key_col)
+    return manifest_df.unionByName(sidecars, allowMissingColumns=True)
+
+
+def _mark_sidecars(manifest_df, probe, gen: str, key_col: str):
+    """The shared MARK pass of every key deletion: prune the key
+    sub-column's chunks through the zone-map and bloom metadata
+    filters, decode survivors' keys in one distributed pass, and emit
+    the deletion-vector sidecar rows. One implementation for the
+    in-memory (``delete_keys``) and checkpoint paths — a fix applied to
+    one previously had to be remembered in the other (review finding,
+    round 4)."""
+    from pyspark.sql import functions as F
+
     mdf = manifest_df.filter(F.col("column") == F.lit(key_col))
     mdf = _prune_by_key_set(mdf, probe)
     if "key_bloom" in mdf.columns:
@@ -2318,10 +2332,9 @@ def delete_keys(manifest_df, keys, key_col: str):
         if keep is not None:
             mdf = _bloom_semi_join(mdf, keep)
     cols = [n for n, _ in MANIFEST_FIELDS if n in mdf.columns]
-    sidecars = mdf.select(*cols).mapInArrow(
+    return mdf.select(*cols).mapInArrow(
         _make_mark_fn(probe, gen, key_col), schema=MANIFEST_DDL
     )
-    return manifest_df.unionByName(sidecars, allowMissingColumns=True)
 
 
 def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str,
@@ -2336,33 +2349,26 @@ def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str,
     checkpoint (write_checkpoint) the appended files are recorded as a
     ``delete`` commit, so earlier snapshots stay time-travel readable.
     Returns the generation id written."""
-    from pyspark.sql import functions as F
-
     if _log:  # the upsert-internal call runs under upsert's own marker
-        _raise_if_pending(ckpt_dir)
+        _raise_if_pending(ckpt_dir, for_write=True)
     probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
     if _keys_kind(probe) == "empty":
         return ""
     gen = _deletes_generation(probe)
-    src = spark.read.parquet(ckpt_dir)
-    mdf = src.filter(F.col("column") == F.lit(key_col))
-    mdf = _prune_by_key_set(mdf, probe)
-    if "key_bloom" in mdf.columns:
-        keep = _bloom_keep_chunks(mdf, probe, key_col)
-        if keep is not None:
-            mdf = _bloom_semi_join(mdf, keep)
-    cols = [n for n, _ in MANIFEST_FIELDS if n in mdf.columns]
-    sidecars = mdf.select(*cols).mapInArrow(
-        _make_mark_fn(probe, gen, key_col), schema=MANIFEST_DDL
-    )
+    sidecars = _mark_sidecars(spark.read.parquet(ckpt_dir), probe, gen,
+                              key_col)
     if _log:
         before = _list_data_files(ckpt_dir)
         logged = _begin_logged_mutation(ckpt_dir, "delete", gen, before)
-        sidecars.write.mode("append").parquet(ckpt_dir)
+        # staged append: the commit must record EXACTLY this mutation's
+        # files — a listing diff would claim a concurrent plain
+        # appender's files into the delete commit (review finding)
+        added = _staged_append(sidecars, ckpt_dir)
         if logged:
-            _end_logged_mutation(ckpt_dir, "delete", gen, before)
+            _end_logged_mutation(ckpt_dir, "delete", gen, before,
+                                 added=added)
     else:
-        sidecars.write.mode("append").parquet(ckpt_dir)
+        _staged_append(sidecars, ckpt_dir)
     return gen
 
 
@@ -2448,23 +2454,34 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
     appends (mask sidecars + new generation) land as ONE ``upsert``
     commit, so no time-travel snapshot ever sees the deleted-but-not-
     reinserted intermediate state. Returns the generation id."""
-    _raise_if_pending(ckpt_dir)
+    _raise_if_pending(ckpt_dir, for_write=True)
     keys = _collect_upsert_keys(new_df, key_col)
     before = _list_data_files(ckpt_dir)
+    probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
     # salt the appended generation with the PRE-append listing: a
     # replayed upsert (idempotent change-feed apply, retried sync job)
     # then mints a fresh generation instead of colliding with the one
     # it already wrote — see _upsert_generation
-    gen = _upsert_generation(
-        list(dict.fromkeys(_canon_temporal_keys(keys))), "|".join(before))
+    gen = _upsert_generation(probe, "|".join(before))
     logged = _begin_logged_mutation(ckpt_dir, "upsert", gen, before)
-    delete_keys_checkpoint(spark, ckpt_dir, keys, key_col, _log=False)
+    added: list[str] = []
+    if _keys_kind(probe) != "empty":
+        # the mask pass; its generation stays CONTENT-derived (mask
+        # replay must collapse to identical rows — see delete_keys)
+        dgen = _deletes_generation(probe)
+        sidecars = _mark_sidecars(spark.read.parquet(ckpt_dir), probe,
+                                  dgen, key_col)
+        added += _staged_append(sidecars, ckpt_dir)
     newm = _salt_chunk_keys(
         encode_table(new_df, key_col=key_col, **encode_kwargs), gen
     )
-    newm.write.mode("append").parquet(ckpt_dir)
+    # staged appends: the single upsert commit records EXACTLY the
+    # mask + new-generation files this mutation landed, never a
+    # concurrent appender's (review finding, round 4)
+    added += _staged_append(newm, ckpt_dir)
     if logged:
-        _end_logged_mutation(ckpt_dir, "upsert", gen, before)
+        _end_logged_mutation(ckpt_dir, "upsert", gen, before,
+                             added=sorted(added))
     return gen
 
 
@@ -2893,7 +2910,7 @@ def delete_where_checkpoint(spark, ckpt_dir: str, value_range,
     as a ``delete`` commit under the mutation marker
     (crash-reconcilable, time-travel readable), exactly like
     ``delete_keys_checkpoint``. Returns the generation id."""
-    _raise_if_pending(ckpt_dir)
+    _raise_if_pending(ckpt_dir, for_write=True)
     src = spark.read.parquet(ckpt_dir)
     gen, cand, explode = _where_candidates(src, value_range)
     hits = cand.mapInArrow(
@@ -2907,9 +2924,9 @@ def delete_where_checkpoint(spark, ckpt_dir: str, value_range,
         make_positions_mark_fn(gen), schema=MANIFEST_DDL)
     before = _list_data_files(ckpt_dir)
     logged = _begin_logged_mutation(ckpt_dir, "delete", gen, before)
-    sidecars.write.mode("append").parquet(ckpt_dir)
+    added = _staged_append(sidecars, ckpt_dir)
     if logged:
-        _end_logged_mutation(ckpt_dir, "delete", gen, before)
+        _end_logged_mutation(ckpt_dir, "delete", gen, before, added=added)
     return gen
 
 
@@ -3259,7 +3276,7 @@ def drop_column_checkpoint(spark, ckpt_dir: str, col_name: str) -> int:
 
     Refuses unknown columns, the last remaining column, and unlogged /
     sidecar-less checkpoints. Returns the commit seq."""
-    _raise_if_pending(ckpt_dir)
+    _raise_if_pending(ckpt_dir, for_write=True)
     if not _has_commit_log(ckpt_dir):
         raise ValueError(
             f"checkpoint {ckpt_dir!r} carries no _commits log — "
@@ -3447,6 +3464,11 @@ def write_checkpoint(manifest_df, ckpt_dir: str, schema=None,
     (the Delta/Iceberg snapshot idea on this format: mutations only
     ever APPEND files, so a snapshot is precisely a file subset)."""
     if mode == "append":
+        # a logged mutation in flight would lose this append: an
+        # in-place optimize's swap vacuums files its compact never saw,
+        # and a crashed delete/upsert window is reconciled by a listing
+        # diff that would claim these files into ITS commit
+        _raise_if_pending(ckpt_dir, for_write=True)
         before = _list_data_files(ckpt_dir)
         added = _staged_append(manifest_df, ckpt_dir)
         if schema is not None:
@@ -4518,7 +4540,8 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
                        num_partitions: int | None = None,
                        partitioner: str | None = None,
                        zorder_cols: list[str] | None = None,
-                       target_page_size: int = DEFAULT_TARGET_PAGE_SIZE) -> str:
+                       target_page_size: int = DEFAULT_TARGET_PAGE_SIZE,
+                       _allow_pending: bool = False) -> str:
     """Rewrite a checkpoint manifest into the clustered layout: done
     markers stripped, duplicate (chunk_key, column) rows collapsed, every
     chunk's rows contiguous within exactly one file.
@@ -4543,7 +4566,8 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
     """
     from pyspark.sql import functions as F
 
-    _raise_if_pending(src_dir)
+    if not _allow_pending:  # optimize compacts under its OWN marker
+        _raise_if_pending(src_dir, for_write=True)
 
     if rechunk_rows is not None:
         if schema is None:
@@ -4712,20 +4736,30 @@ def _read_mutation_pending(ckpt_dir: str) -> dict | None:
         return None
 
 
-def _raise_if_pending(ckpt_dir: str) -> None:
+def _raise_if_pending(ckpt_dir: str, for_write: bool = False) -> None:
     """Refuse a checkpoint with ANY in-flight multi-step operation: an
     interrupted optimize swap, or a logged delete/upsert that appended
     data files but may not have appended its commit record yet (a crash
     in that window would otherwise silently diverge time-travel
-    snapshots from live reads forever)."""
+    snapshots from live reads forever).
+
+    ``for_write=True`` is the WRITER check: it refuses on every marker.
+    Readers (the default) pass under a marker flagged ``read_ok`` — an
+    in-place optimize holds the mutation lock for its whole rewrite
+    (hours at 100 TB) but never touches the live file set until the
+    swap, and the swap window has its own ``_optimize_pending`` guard,
+    so reads stay consistent throughout."""
     _raise_if_optimize_pending(ckpt_dir)
-    if _read_mutation_pending(ckpt_dir) is not None:
-        raise IOError(
-            f"checkpoint {ckpt_dir!r} has an interrupted logged mutation "
-            "(_mutation_pending marker): its data files may be appended "
-            "but unrecorded in the commit log. Run "
-            "finish_mutation(ckpt_dir) to reconcile, then retry."
-        )
+    rec = _read_mutation_pending(ckpt_dir)
+    if rec is None or (not for_write and rec.get("read_ok")):
+        return
+    raise IOError(
+        f"checkpoint {ckpt_dir!r} has an in-flight or interrupted "
+        "logged mutation (_mutation_pending marker): its data files "
+        "may be appended but unrecorded in the commit log. Wait for "
+        "the holder, or run finish_mutation(ckpt_dir) to reconcile a "
+        "crashed one, then retry."
+    )
 
 
 def _begin_logged_mutation(ckpt_dir: str, action: str, generation: str,
@@ -4808,6 +4842,20 @@ def finish_mutation(ckpt_dir: str) -> str:
     fsys, p = _manifest_fs(ckpt_dir)
     p = p.rstrip("/")
     action, gen = rec["action"], rec["generation"]
+    if action == "optimize":
+        # crash inside an in-place optimize. Past the swap marker:
+        # roll FORWARD (finish_optimize completes the swap and drops
+        # both markers). Before it: the live set was never touched —
+        # clear the stage and release the lock.
+        if _read_optimize_pending(ckpt_dir) is not None:
+            finish_optimize(ckpt_dir)
+            return "optimize"
+        try:
+            fsys.delete_dir(f"{p}/{_OPTIMIZE_STAGING}")
+        except (OSError, ValueError):
+            pass
+        fsys.delete_file(f"{p}/{_MUTATION_PENDING}")
+        return ""
     if action == "restore":
         # roll the restore FORWARD (idempotent, like finish_optimize):
         # the marker names the victims and the target file set — delete
@@ -4898,7 +4946,7 @@ def restore_checkpoint(spark, ckpt_dir: str, as_of: int) -> int:
     without logging). Returns the restore commit's seq."""
     import json
 
-    _raise_if_pending(ckpt_dir)
+    _raise_if_pending(ckpt_dir, for_write=True)
     log = read_commit_log(ckpt_dir)
     if log is None:
         raise ValueError(
@@ -4970,7 +5018,7 @@ def clone_checkpoint(spark, src_dir: str, dst_dir: str) -> str:
     signature is dir-specific); the first decode re-verifies and
     re-stamps. Refuses a source with a pending mutation/optimize and a
     non-empty destination. Returns ``dst_dir``."""
-    _raise_if_pending(src_dir)
+    _raise_if_pending(src_dir, for_write=True)
     files = _list_data_files(src_dir)
     if not files:
         raise ValueError(f"clone_checkpoint: {src_dir!r} has no data files")
@@ -5031,32 +5079,69 @@ def optimize_checkpoint(spark, ckpt_dir: str, key_col: str | None = None,
     re-encoding branch of ``compact_checkpoint``, so the result is
     clustered (shuffle-free decode), sidecar-free, and strictly better
     compressed when the source wrote small streaming chunks."""
-    _raise_if_pending(ckpt_dir)
+    _raise_if_pending(ckpt_dir, for_write=True)
     import json
 
     fsys, p = _manifest_fs(ckpt_dir)
     p = p.rstrip("/")
     staging = f"{p}/{_OPTIMIZE_STAGING}"
-    try:
-        # leftover staging WITHOUT a marker = an abandoned stage; the
-        # live file set was never touched, so just clear and restart
-        fsys.delete_dir(staging)
-    except (OSError, ValueError):
-        pass
-    old = _list_data_files(ckpt_dir)
-    compact_checkpoint(spark, ckpt_dir, staging, rechunk_rows=rechunk_rows,
-                       schema=schema, key_col=key_col, codec=codec,
-                       num_partitions=num_partitions, partitioner=partitioner,
-                       zorder_cols=zorder_cols,
-                       target_page_size=target_page_size)
-    new = _list_data_files(staging)
-    clash = sorted(set(new) & set(old))
-    if clash:  # unreachable with UUID part names; refuse, never clobber
+    # claim the mutation lock for the WHOLE rewrite, not just the swap:
+    # a delete/upsert landing while the compact is decoding would be
+    # silently vacuumed by the swap (its sidecars mask chunks the
+    # rewrite re-encodes alive — masked-row resurrection; review
+    # finding, round 4). ``read_ok`` lets readers pass — the live file
+    # set is untouched until the _optimize_pending-guarded swap.
+    payload = json.dumps({"action": "optimize", "generation": "",
+                          "before": [], "read_ok": True}).encode()
+    if not _publish_exclusive(fsys, f"{p}/{_MUTATION_PENDING}", payload):
         raise IOError(
-            f"optimize staging produced colliding file names: {clash[:3]}"
+            f"checkpoint {ckpt_dir!r} already has a _mutation_pending "
+            "marker — another writer holds the mutation window (retry "
+            "after it finishes), or a crashed one left it (run "
+            "finish_mutation(ckpt_dir) to reconcile)."
         )
-    with fsys.open_output_stream(f"{p}/{_OPTIMIZE_PENDING}") as f:
-        f.write(json.dumps({"old": old, "new": new}).encode())
+    wrote_swap = False
+    try:
+        try:
+            # leftover staging WITHOUT a marker = an abandoned stage;
+            # the live file set was never touched, so clear and restart
+            fsys.delete_dir(staging)
+        except (OSError, ValueError):
+            pass
+        old = _list_data_files(ckpt_dir)
+        compact_checkpoint(spark, ckpt_dir, staging,
+                           rechunk_rows=rechunk_rows,
+                           schema=schema, key_col=key_col, codec=codec,
+                           num_partitions=num_partitions,
+                           partitioner=partitioner,
+                           zorder_cols=zorder_cols,
+                           target_page_size=target_page_size,
+                           _allow_pending=True)
+        new = _list_data_files(staging)
+        clash = sorted(set(new) & set(old))
+        if clash:  # unreachable with UUID part names; refuse, not clobber
+            raise IOError(
+                f"optimize staging produced colliding file names: "
+                f"{clash[:3]}"
+            )
+        with fsys.open_output_stream(f"{p}/{_OPTIMIZE_PENDING}") as f:
+            f.write(json.dumps({"old": old, "new": new}).encode())
+        wrote_swap = True
+    except BaseException:
+        if not wrote_swap:
+            # nothing swapped — the live set is untouched: release the
+            # lock and clear the stage so a retry starts clean. (Past
+            # the swap marker both markers stay; finish_optimize /
+            # finish_mutation roll forward.)
+            try:
+                fsys.delete_dir(staging)
+            except (OSError, ValueError):
+                pass
+            try:
+                fsys.delete_file(f"{p}/{_MUTATION_PENDING}")
+            except (OSError, ValueError):
+                pass
+        raise
     return finish_optimize(ckpt_dir)
 
 
@@ -5117,6 +5202,15 @@ def finish_optimize(ckpt_dir: str) -> str:
         fsys.delete_dir(staging)
     except (OSError, ValueError):
         pass
+    # release the optimize's whole-rewrite mutation lock (claimed by
+    # optimize_checkpoint; also reached via direct finish_optimize
+    # crash recovery) — never a foreign mutation's marker
+    rec = _read_mutation_pending(ckpt_dir)
+    if rec is not None and rec.get("action") == "optimize":
+        try:
+            fsys.delete_file(f"{p}/{_MUTATION_PENDING}")
+        except (OSError, ValueError):
+            pass
     return ckpt_dir
 
 
