@@ -416,3 +416,51 @@ def test_feed_replay_randomized_mutation_sequence(spark, docs, tmp_path):
                 .select(*snap.columns))
         assert replayed.count() == live.count(), f"since={start}"
         assert replayed.exceptAll(live).count() == 0, f"since={start}"
+
+
+def test_masked_create_feed(spark, docs, tmp_path):
+    """A checkpoint whose FIRST commit carries deletion-vector sidecars
+    (write_checkpoint of a delete_keys result): the insert set must be
+    the rows alive UNDER the masks, no delete rows, no crash on the
+    missing previous commit (review finding, round 4)."""
+    from wills_columnar_format_spark.engine import delete_keys
+
+    path = str(tmp_path / "mc")
+    masked = delete_keys(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        [i for i in range(400) if i % 7 == 0], "doc_id")
+    write_checkpoint(masked, path, schema=docs.schema)
+    feed = read_changes(spark, path, since=-1, key_col="doc_id")
+    assert feed.filter(F.col("_change_type") == "delete").count() == 0
+    ins = feed.filter(F.col("_change_type") == "insert")
+    expected = docs.filter(F.col("doc_id") % 7 != 0)
+    assert ins.count() == expected.count()
+    assert ins.select("doc_id").subtract(
+        expected.select("doc_id")).count() == 0
+
+
+def test_masked_append_feed(spark, docs, tmp_path):
+    """An APPEND commit whose files carry their own mask sidecars emits
+    only the alive rows as inserts and no deletes (the masks never
+    touch earlier commits' chunks)."""
+    from wills_columnar_format_spark.engine import delete_keys
+
+    path = str(tmp_path / "ma")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        path, schema=docs.schema)
+    extra = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    masked = delete_keys(
+        encode_table(extra, key_col="doc_id", num_partitions=2,
+                     chunk_rows=64),
+        [1000, 1001, 1002], "doc_id")
+    write_checkpoint(masked, path, mode="append")
+    feed = read_changes(spark, path, since=0, key_col="doc_id")
+    assert feed.filter(F.col("_change_type") == "delete").count() == 0
+    ins = feed.filter(F.col("_change_type") == "insert")
+    assert ins.count() == 397
+    assert ins.filter(F.col("doc_id").isin([1000, 1001, 1002])).count() == 0
+    # live decode agrees with the feed
+    assert decode_checkpoint(spark, path).count() == 797

@@ -3861,15 +3861,34 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
         data = cm.filter(
             (F.col("column") != DONE_COLUMN)
             & ~F.col("column").startswith(DELETES_PREFIX))
+        side = cm.filter(F.col("column").startswith(DELETES_PREFIX))
         if r["action"] in ("create", "append", "upsert"):
             # the commit's own files are a complete manifest for the
-            # rows it inserted (one encode_table output)
+            # rows it inserted (one encode_table output). The decode
+            # KEEPS the sidecars that mask the commit's OWN chunks: a
+            # create/append whose manifest carries deletion vectors
+            # (write_checkpoint of a delete_keys result, the seeded
+            # create over a masked unlogged dir) must not emit its
+            # masked rows as inserts (review finding, round 4). An
+            # upsert's sidecars mask OLD generations' chunks — absent
+            # from its own file set — so they are dropped here (decode
+            # refuses orphaned sidecars); the snapshot diff below
+            # attributes those deletes.
+            own_side = side.join(
+                data.select("chunk_key").distinct(), "chunk_key",
+                "left_semi")
             if data.limit(1).count():
-                pieces.append(tag(decode_table(data, out_schema), "insert",
-                                  r["seq"]))
-        side = cm.filter(F.col("column").startswith(DELETES_PREFIX))
+                pieces.append(tag(
+                    decode_table(data.unionByName(own_side), out_schema),
+                    "insert", r["seq"]))
         hit = side.select("chunk_key").distinct()
         if not hit.limit(1).count():
+            continue
+        prevs = [s for s in seqs if s < r["seq"]]
+        if not prevs:
+            # first commit: its masks can only cover its own rows
+            # (already excluded from the insert decode above) — nothing
+            # was visible before it, so it deletes nothing
             continue
         if key_col is None:
             raise ValueError(
@@ -3881,7 +3900,7 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
         # The chunk restriction is a broadcast semi-join on the masked
         # chunk keys (count bounded by the mutation, never collected to
         # an expression literal).
-        prev_seq = max(s for s in seqs if s < r["seq"])
+        prev_seq = max(prevs)
         before = _files_as_of(ckpt_dir, prev_seq)
         now = _files_as_of(ckpt_dir, r["seq"])
 
