@@ -111,3 +111,43 @@ def test_clone_refusals(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="no data files"):
         clone_checkpoint(spark, str(tmp_path / "nope"),
                          str(tmp_path / "c"))
+
+
+def test_clone_failure_cleans_partial_destination(
+        spark, docs, tmp_path, monkeypatch):
+    """A source file vanishing mid-clone (concurrent restore/optimize)
+    must clean up the partial destination so a retry isn't blocked by
+    the non-empty check (review finding, round 4)."""
+    import os
+
+    from wills_columnar_format_spark import engine
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=4),
+        src, schema=docs.schema)
+    files = engine._list_data_files(src)
+    assert len(files) > 1
+    victim = files[-1]
+    real_link = os.link
+    state = {"n": 0}
+
+    def link_with_vanish(a, b):
+        state["n"] += 1
+        if state["n"] == 2:  # after the first file landed
+            os.remove(os.path.join(src, victim))
+        return real_link(a, b)
+
+    monkeypatch.setattr(os, "link", link_with_vanish)
+    with pytest.raises(IOError, match="mid-clone"):
+        clone_checkpoint(spark, src, dst)
+    monkeypatch.undo()
+    assert engine._list_data_files(dst) == []  # partial dst cleaned
+
+    # heal the source and retry into the same dst
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=4),
+        src + "2", schema=docs.schema)
+    clone_checkpoint(spark, src + "2", dst)
+    assert decode_checkpoint(spark, dst).count() == docs.count()

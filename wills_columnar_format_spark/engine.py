@@ -5055,17 +5055,37 @@ def clone_checkpoint(spark, src_dir: str, dst_dir: str) -> str:
 
     local = (isinstance(sfs, pafs.LocalFileSystem)
              and isinstance(dfs, pafs.LocalFileSystem))
-    for b in files:
-        src_f, dst_f = f"{sp}/{b}", f"{dp}/{b}"
-        if local:
+    landed = []
+    try:
+        for b in files:
+            src_f, dst_f = f"{sp}/{b}", f"{dp}/{b}"
+            if local:
+                try:
+                    os.link(src_f, dst_f)
+                    landed.append(b)
+                    continue
+                except OSError:
+                    pass  # cross-device / exists: stream-copy below
+            with sfs.open_input_stream(src_f) as r, \
+                    dfs.open_output_stream(dst_f) as w:
+                w.write(r.read())
+            landed.append(b)
+    except BaseException as e:
+        # a concurrent restore/optimize claiming the source mid-clone
+        # deletes files under us: remove the partial destination so a
+        # retry isn't blocked by the non-empty check, and name the
+        # likely cause (review finding, round 4)
+        for b in landed:
             try:
-                os.link(src_f, dst_f)
-                continue
-            except OSError:
-                pass  # cross-device / exists: stream-copy below
-        with sfs.open_input_stream(src_f) as r, \
-                dfs.open_output_stream(dst_f) as w:
-            w.write(r.read())
+                dfs.delete_file(f"{dp}/{b}")
+            except (OSError, ValueError):
+                pass
+        raise IOError(
+            f"clone_checkpoint: source file vanished mid-clone "
+            f"(a concurrent restore/optimize/vacuum on {src_dir!r}?) — "
+            f"partial destination {dst_dir!r} cleaned up; retry after "
+            "the source settles"
+        ) from e
     schema = read_checkpoint_schema(src_dir)
     if schema is not None:
         write_checkpoint_schema(dst_dir, schema)
