@@ -464,3 +464,41 @@ def test_masked_append_feed(spark, docs, tmp_path):
     assert ins.filter(F.col("doc_id").isin([1000, 1001, 1002])).count() == 0
     # live decode agrees with the feed
     assert decode_checkpoint(spark, path).count() == 797
+
+
+def test_sync_refuses_duplicate_key_source(spark, docs, tmp_path):
+    """A source whose appends legitimately carry the SAME key twice is
+    not representable by keyed apply (the net-per-key collapse would
+    silently drop a row): sync_checkpoint's strict apply must raise
+    instead (review finding, round 4). A delete + re-insert of a key
+    (a replace) must NOT trip the check."""
+    from wills_columnar_format_spark.engine import sync_checkpoint
+
+    src = str(tmp_path / "dupsrc")
+    dst = str(tmp_path / "dupdst")
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2),
+        src, schema=docs.schema)
+    write_checkpoint(
+        encode_table(docs, key_col="doc_id", num_partitions=2),
+        dst, schema=docs.schema)
+    # a legal replace first: delete key 7, re-insert it later
+    delete_keys_checkpoint(spark, src, [7], "doc_id")
+    write_checkpoint(
+        encode_table(docs.filter(F.col("doc_id") == 7),
+                     key_col="doc_id", num_partitions=1),
+        src, mode="append")
+    out = sync_checkpoint(spark, src, dst, "doc_id", since=0,
+                          num_partitions=1)
+    assert out["synced"] and out["upserted"] == 1
+    # now a genuine duplicate inside one sync window: key 8 appended
+    # twice with no delete between (two rows for one key — a keyed
+    # apply cannot represent that; the un-strict collapse would
+    # silently drop one)
+    for _ in range(2):
+        write_checkpoint(
+            encode_table(docs.filter(F.col("doc_id") == 8),
+                         key_col="doc_id", num_partitions=1),
+            src, mode="append")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sync_checkpoint(spark, src, dst, "doc_id", num_partitions=1)

@@ -3929,7 +3929,7 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
 
 
 def apply_changes(spark, dst_dir: str, feed, key_col: str,
-                  **encode_kwargs) -> dict:
+                  strict: bool = False, **encode_kwargs) -> dict:
     """Apply a ``read_changes`` feed to a DOWNSTREAM checkpoint — the
     consumer half of the change-data-feed pair. A derived table that
     materialized the source as of commit S calls
@@ -3955,7 +3955,21 @@ def apply_changes(spark, dst_dir: str, feed, key_col: str,
     state is the net key set (bounded by the upsert/delete caps — split
     a giant backlog into per-commit windows the same way a giant merge
     lands in waves). Returns ``{"deleted": n_keys, "upserted": n_rows,
-    "delete_gen": g1, "upsert_gen": g2}``."""
+    "delete_gen": g1, "upsert_gen": g2}``.
+
+    CONTRACT: the source must be KEY-UNIQUE (the invariant
+    ``upsert_checkpoint`` enforces on the destination). A source that
+    legitimately carries the same key twice across append commits is
+    not representable by keyed apply — the collapse keeps the later
+    row. ``strict=True`` detects the case visible in the window (two
+    inserts of a key with no delete between) and raises instead of
+    silently dropping a row; a duplicate relative to PRE-window state
+    is indistinguishable from an idempotent window replay and stays
+    the caller's key-uniqueness contract. Strict is OPT-IN because a
+    payload-filtered feed can legitimately lose its delete rows (their
+    payload columns are NULL) and would false-positive —
+    ``sync_checkpoint``, whose feed is unfiltered, always passes it
+    (review finding, round 4)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -3965,6 +3979,35 @@ def apply_changes(spark, dst_dir: str, feed, key_col: str,
                 f"apply_changes: feed carries no {c!r} column — pass the "
                 "DataFrame read_changes returned (payload + _change_type "
                 "+ _commit_seq)"
+            )
+    if strict:
+        # pin the feed once (its lineage re-decodes the source per
+        # evaluation), then hunt for two inserts of one key with no
+        # delete between: ordering deletes before inserts within a seq
+        # makes an upsert's delete+insert pair benign, so any
+        # insert->insert adjacency is a genuine duplicate key the keyed
+        # collapse would silently drop
+        feed = feed.localCheckpoint(eager=True)
+        ws = Window.partitionBy(key_col).orderBy(
+            F.col("_commit_seq"),
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0),
+        )
+        dup = (
+            feed.withColumn("__prev", F.lag("_change_type").over(ws))
+            .filter((F.col("_change_type") == "insert")
+                    & (F.col("__prev") == "insert"))
+            .select(key_col, "_commit_seq")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"apply_changes: key {dup[0][0]!r} is inserted twice "
+                f"(second at commit {dup[0][1]}) with no delete between "
+                "— the source carries duplicate keys, which a keyed "
+                "apply cannot represent (the collapse would drop a "
+                "row); deduplicate the source or materialize the "
+                "snapshot instead"
             )
     w = Window.partitionBy(key_col).orderBy(
         F.col("_commit_seq").desc(),
@@ -4080,7 +4123,8 @@ def sync_checkpoint(spark, src_dir: str, dst_dir: str, key_col: str,
                 "synced": False}
     feed = read_changes(spark, src_dir, since=since, until=until,
                         key_col=key_col)
-    out = apply_changes(spark, dst_dir, feed, key_col, **encode_kwargs)
+    out = apply_changes(spark, dst_dir, feed, key_col, strict=True,
+                        **encode_kwargs)
     _write_sync_state(dst_dir, src_dir, until)
     out.update({"since": since, "until": until, "synced": True})
     return out
