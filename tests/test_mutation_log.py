@@ -252,3 +252,55 @@ def test_gapped_commit_log_refused(spark, docs, tmp_path):
         read_commit_log(ckpt)
     with pytest.raises(IOError, match="gapped|missing"):
         decode_checkpoint(spark, ckpt, as_of=0).count()
+
+
+def test_rollup_commit_log_roundtrip(spark, docs, tmp_path):
+    """rollup_commit_log bundles the 0..head records into one file and
+    prunes the per-commit files; history, time travel, and subsequent
+    mutations (which must claim seqs ABOVE the rollup) are unchanged."""
+    from wills_columnar_format_spark.engine import (
+        decode_checkpoint as dc,
+        rollup_commit_log,
+    )
+
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    delete_keys_checkpoint(spark, ckpt, [0, 1], "doc_id")
+    delete_keys_checkpoint(spark, ckpt, [2], "doc_id")
+    before = read_commit_log(ckpt)
+    assert [r["seq"] for r in before] == [0, 1, 2]
+
+    assert rollup_commit_log(ckpt) == 2
+    names = sorted(os.listdir(os.path.join(ckpt, "_commits")))
+    assert names == ["rollup-000002.json"]  # singles pruned
+    assert read_commit_log(ckpt) == before  # verbatim history
+    assert engine._commit_log_seqs(ckpt) == [0, 1, 2]
+
+    # mutations continue above the rollup and read back combined
+    delete_keys_checkpoint(spark, ckpt, [3], "doc_id")
+    log = read_commit_log(ckpt)
+    assert [(r["seq"], r["action"]) for r in log] == \
+        [(0, "create"), (1, "delete"), (2, "delete"), (3, "delete")]
+    assert dc(spark, ckpt).count() == 396
+    assert dc(spark, ckpt, as_of=1).count() == 398  # time travel intact
+
+    # a second rollup supersedes the first
+    assert rollup_commit_log(ckpt) == 3
+    names = sorted(os.listdir(os.path.join(ckpt, "_commits")))
+    assert names == ["rollup-000003.json"]
+    assert dc(spark, ckpt, as_of=2).count() == 397
+
+
+def test_rollup_gap_detection_survives(spark, docs, tmp_path):
+    """Deleting a post-rollup record still raises the gapped error;
+    deleting the rollup itself (the whole 0..N prefix) is also caught."""
+    from wills_columnar_format_spark.engine import rollup_commit_log
+
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    delete_keys_checkpoint(spark, ckpt, [0], "doc_id")
+    rollup_commit_log(ckpt)
+    delete_keys_checkpoint(spark, ckpt, [1], "doc_id")
+    delete_keys_checkpoint(spark, ckpt, [2], "doc_id")
+    cdir = os.path.join(ckpt, "_commits")
+    os.remove(os.path.join(cdir, "000002.json"))
+    with pytest.raises(IOError, match="gapped|missing"):
+        read_commit_log(ckpt)

@@ -3553,25 +3553,37 @@ def _commit_log_seqs(ckpt_dir: str) -> list[int]:
         infos = fsys.get_file_info(pafs.FileSelector(cdir, recursive=False))
     except (OSError, ValueError):
         return []
-    out = []
+    seqs: set[int] = set()
     for i in infos:
         if i.type != pafs.FileType.File or not i.base_name.endswith(".json"):
             continue
         stem = i.base_name[:-5]
         if stem.isdigit():
-            out.append(int(stem))
-    return sorted(out)
+            seqs.add(int(stem))
+        elif stem.startswith(_ROLLUP_PREFIX):
+            tail = stem[len(_ROLLUP_PREFIX):]
+            if tail.isdigit():
+                # a rollup bundles ALL records 0..N (contiguity checked
+                # at write); its pruned per-commit files still count
+                seqs.update(range(0, int(tail) + 1))
+    return sorted(seqs)
 
 
 def _has_commit_log(ckpt_dir: str) -> bool:
     return bool(_commit_log_seqs(ckpt_dir))
 
 
+_ROLLUP_PREFIX = "rollup-"
+
+
 def read_commit_log(ckpt_dir: str) -> list[dict] | None:
     """The checkpoint's commit records sorted by ``seq`` (each:
     ``{"seq", "action", "generation", "files"}``), or None when the
     checkpoint carries no ``_commits/`` log (written by paths other
-    than write_checkpoint, or predating it). A record that fails to
+    than write_checkpoint, or predating it). When a ``rollup-NNNNNN``
+    file exists (``rollup_commit_log``) the 0..N prefix is read from
+    it in ONE get and per-commit files at or below it are never
+    opened. A record that fails to
     parse raises a NAMED error rather than an opaque JSONDecodeError —
     commits are written via temp+rename so torn files cannot appear on
     rename-atomic filesystems; an unparseable record means external
@@ -3587,20 +3599,43 @@ def read_commit_log(ckpt_dir: str) -> list[dict] | None:
         infos = fsys.get_file_info(pafs.FileSelector(cdir, recursive=False))
     except (OSError, ValueError):
         return None
-    recs = []
+    singles: list[tuple[int, str]] = []
+    rollups: list[tuple[int, str]] = []
     for i in infos:
         if i.type != pafs.FileType.File or not i.base_name.endswith(".json"):
             continue
-        with fsys.open_input_stream(i.path) as f:
+        stem = i.base_name[:-5]
+        if stem.isdigit():
+            singles.append((int(stem), i.path))
+        elif stem.startswith(_ROLLUP_PREFIX) \
+                and stem[len(_ROLLUP_PREFIX):].isdigit():
+            rollups.append((int(stem[len(_ROLLUP_PREFIX):]), i.path))
+
+    def read_json(path):
+        with fsys.open_input_stream(path) as f:
             raw = f.read().decode()
         try:
-            recs.append(json.loads(raw))
+            return json.loads(raw)
         except ValueError as e:
             raise IOError(
-                f"commit record {i.path!r} is unreadable ({e}) — the "
+                f"commit record {path!r} is unreadable ({e}) — the "
                 "commit log is damaged. Repair: restore the file, or "
                 "compact/optimize the checkpoint to re-baseline history."
             ) from e
+
+    recs = []
+    base = -1
+    if rollups:
+        # read the newest rollup (ONE get for its whole 0..N prefix) and
+        # only the per-commit records above it — per-commit files at or
+        # below the rollup are redundant copies (possibly already
+        # pruned) and are never opened, which also makes a concurrent
+        # prune invisible to readers
+        base, rpath = max(rollups)
+        recs = read_json(rpath)["records"]
+    for seq, path in sorted(singles):
+        if seq > base:
+            recs.append(read_json(path))
     recs.sort(key=lambda r: r["seq"])
     if recs:
         seqs = [r["seq"] for r in recs]
@@ -3615,6 +3650,63 @@ def read_commit_log(ckpt_dir: str) -> list[dict] | None:
                 "it, or compact the checkpoint to re-baseline history."
             )
     return recs or None
+
+
+def rollup_commit_log(ckpt_dir: str, prune: bool = True) -> int:
+    """Bundle the commit log into ONE rollup file (Delta's log-
+    checkpoint idea): afterwards ``read_commit_log`` costs one GET for
+    the rolled 0..head prefix plus one per newer commit, instead of
+    one GET per commit since the table was created — at 10^5 mutations
+    on an object store that is the difference between a milliseconds
+    and a minutes metadata read before EVERY decode/time-travel/CDF
+    call. The rollup carries verbatim copies of the records, so
+    history semantics are unchanged; with ``prune`` (default) the
+    per-commit files at or below the rollup and older rollups are
+    deleted, keeping the ``_commits/`` listing O(commits since last
+    rollup).
+
+    Concurrent-writer safe: the rollup covers only already-committed
+    seqs, a racing ``_append_commit`` claims above the head (rollup
+    names count toward seq derivation), and readers never open pruned
+    files — they skip per-commit records at or below the newest
+    rollup, so a prune racing a read is invisible. Run it from the
+    same cadence as compaction (every N mutations)."""
+    import json
+
+    log = read_commit_log(ckpt_dir)  # validates contiguity from 0
+    if log is None:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _commits log — "
+            "nothing to roll up"
+        )
+    head = log[-1]["seq"]
+    fsys, p = _manifest_fs(ckpt_dir)
+    cdir = f"{p.rstrip('/')}/{_COMMITS_DIR}"
+    path = f"{cdir}/{_ROLLUP_PREFIX}{head:06d}.json"
+    tmp = f"{path}.tmp"
+    with fsys.open_output_stream(tmp) as f:
+        f.write(json.dumps({"seq": head, "records": log}).encode())
+    fsys.move(tmp, path)  # atomic on rename-atomic stores; idempotent
+    if prune:
+        from pyarrow import fs as pafs
+
+        infos = fsys.get_file_info(pafs.FileSelector(cdir,
+                                                     recursive=False))
+        for i in infos:
+            if i.type != pafs.FileType.File \
+                    or not i.base_name.endswith(".json"):
+                continue
+            stem = i.base_name[:-5]
+            doomed = (stem.isdigit() and int(stem) <= head) or (
+                stem.startswith(_ROLLUP_PREFIX)
+                and stem[len(_ROLLUP_PREFIX):].isdigit()
+                and int(stem[len(_ROLLUP_PREFIX):]) < head)
+            if doomed:
+                try:
+                    fsys.delete_file(i.path)
+                except (OSError, ValueError):
+                    pass
+    return head
 
 
 def _publish_exclusive(fsys, path: str, payload: bytes) -> bool:
