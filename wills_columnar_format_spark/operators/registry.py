@@ -651,6 +651,60 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_history_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log ROLLUP (Delta's log-checkpoint idea — engine
+    ``rollup_commit_log``): encode documents into a logged checkpoint,
+    delete 10% of the keys, upsert a mutated batch, then bundle the
+    whole commit log into ONE rollup file (pruning the per-commit
+    records) and land one more delete on top of it. Time travel to the
+    CREATE commit must still equal the original table bit-for-bit even
+    though every pre-rollup record now lives only inside the rollup —
+    pinning that the one-GET history read (the metadata-scale lever at
+    10^5 mutations) preserves snapshot semantics exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        decode_checkpoint,
+        delete_keys_checkpoint,
+        encode_table,
+        rollup_commit_log,
+        upsert_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_rollup_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            ckpt, schema=df.schema)
+        delete_keys_checkpoint(
+            spark, ckpt,
+            [r["doc_id"] for r in
+             df.filter(F.col("doc_id") % 10 == 3).select("doc_id").collect()],
+            "doc_id")
+        upsert_checkpoint(
+            spark, ckpt,
+            df.filter(F.col("doc_id") % 10 == 4)
+              .withColumn("n_chars", F.lit(-1)),
+            "doc_id", num_partitions=2)
+        assert rollup_commit_log(ckpt) == 2
+        delete_keys_checkpoint(
+            spark, ckpt,
+            [r["doc_id"] for r in
+             df.filter(F.col("doc_id") % 10 == 5).select("doc_id")
+               .limit(50).collect()],
+            "doc_id")
+        out = decode_checkpoint(spark, ckpt, as_of=0)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-place OPTIMIZE + VACUUM lifecycle: encode documents into a
     logged checkpoint, delete 10% of the keys, upsert a mutated batch,
@@ -2740,6 +2794,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_struct": (q_roundtrip_struct, ORACLE_ROUNDTRIP_STRUCT),
     "roundtrip_map": (q_roundtrip_map, ORACLE_ROUNDTRIP_MAP),
     "time_travel": (q_time_travel, ORACLE_ROUNDTRIP_DOCUMENTS),
+    "history_rollup": (q_history_rollup, ORACLE_ROUNDTRIP_DOCUMENTS),
     "optimize_roundtrip": (q_optimize_roundtrip, ORACLE_OPTIMIZE_ROUNDTRIP),
     "change_feed": (q_change_feed, DUCK_CHANGE_FEED),
     "change_apply": (q_change_apply, ORACLE_OPTIMIZE_ROUNDTRIP),
