@@ -213,3 +213,82 @@ def test_plain_append_refused_during_mutation_window(spark, docs, ckpt):
                      key_col="doc_id", num_partitions=1),
         ckpt, mode="append")
     assert read_commit_log(ckpt)[-1]["action"] == "append"
+
+
+def test_chaos_mutations_preserve_log_invariants(spark, docs, ckpt):
+    """Interleaving-independent invariants under concurrent writers
+    (delete / upsert / plain append / rollup racing with lock-contention
+    retries): whatever the schedule, afterwards (a) the log is
+    contiguous from 0, (b) every committed file exists on disk, (c) the
+    union of commit file lists is exactly the live data listing (no
+    stolen or orphaned attribution), and (d) the head snapshot decodes
+    identically to the live read."""
+    import time
+
+    from wills_columnar_format_spark.engine import (
+        rollup_commit_log,
+        upsert_checkpoint,
+    )
+
+    def with_retries(fn, tries=40):
+        for _ in range(tries):
+            try:
+                fn()
+                return
+            except IOError as e:
+                if "mutation" not in str(e) and "finish" not in str(e):
+                    raise
+                time.sleep(0.2)
+        raise AssertionError("mutation never got the lock")
+
+    errs = []
+
+    def guard(fn):
+        def run():
+            try:
+                with_retries(fn)
+            except Exception as e:  # noqa: BLE001
+                errs.append(repr(e))
+        return run
+
+    jobs = [  # disjoint key sets: the final state is schedule-free
+        guard(lambda: delete_keys_checkpoint(
+            spark, ckpt, list(range(100, 130)), "doc_id")),
+        guard(lambda: upsert_checkpoint(
+            spark, ckpt,
+            docs.filter(F.col("doc_id") < 20).withColumn(
+                "n_chars", F.lit(-1)),
+            "doc_id", num_partitions=1)),
+        guard(lambda: write_checkpoint(
+            encode_table(docs.withColumn("doc_id", F.col("doc_id") + 9000),
+                         key_col="doc_id", num_partitions=1),
+            ckpt, mode="append")),
+        guard(lambda: rollup_commit_log(ckpt)),
+        guard(lambda: delete_keys_checkpoint(
+            spark, ckpt, list(range(50, 60)), "doc_id")),
+    ]
+    ts = [threading.Thread(target=j) for j in jobs]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert errs == []
+
+    log = read_commit_log(ckpt)  # (a) raises if gapped
+    seqs = [r["seq"] for r in log]
+    assert seqs == list(range(len(seqs)))
+    live_files = set(engine._list_data_files(ckpt))
+    committed = set()
+    for r in log:
+        committed.update(r["files"])
+    assert committed == live_files  # (b) + (c): exact attribution
+    live = decode_checkpoint(spark, ckpt)
+    snap = decode_checkpoint(spark, ckpt, as_of=seqs[-1])
+    assert live.count() == snap.count()
+    assert live.exceptAll(snap).count() == 0  # (d)
+    # and the content is the expected final state (all ops applied)
+    assert live.filter(F.col("doc_id") >= 9000).count() == 300
+    assert live.filter((F.col("doc_id") >= 100)
+                       & (F.col("doc_id") < 130)).count() == 0
+    assert live.filter((F.col("doc_id") >= 50)
+                       & (F.col("doc_id") < 60)).count() == 0
+    assert live.filter(F.col("n_chars") == -1).count() == 20
+    assert live.count() == 300 + 300 - 30 - 10
