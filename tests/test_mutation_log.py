@@ -304,3 +304,50 @@ def test_rollup_gap_detection_survives(spark, docs, tmp_path):
     os.remove(os.path.join(cdir, "000002.json"))
     with pytest.raises(IOError, match="gapped|missing"):
         read_commit_log(ckpt)
+
+
+def test_vacuum_orphans_sweeps_stale_transients_only(
+        spark, docs, tmp_path):
+    """vacuum_orphans deletes age-gated crashed-writer leftovers
+    (_staging_* dirs, *.tmp publish files) and NOTHING else: fresh
+    stages survive, an optimize-owned _staging_optimize survives, and
+    data/markers/commit records are untouched."""
+    import time
+
+    from wills_columnar_format_spark.engine import vacuum_orphans
+
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    delete_keys_checkpoint(spark, ckpt, [0], "doc_id")
+    old_ts = time.time() - 7200
+
+    stale = os.path.join(ckpt, "_staging_deadbeef")
+    os.makedirs(stale)
+    os.utime(stale, (old_ts, old_ts))
+    fresh = os.path.join(ckpt, "_staging_cafe")
+    os.makedirs(fresh)
+    tmp1 = os.path.join(ckpt, "_sync_state.json.tmp")
+    open(tmp1, "w").write("{}")
+    os.utime(tmp1, (old_ts, old_ts))
+    tmp2 = os.path.join(ckpt, "_commits", "000009.json.abc.tmp")
+    open(tmp2, "w").write("{}")
+    os.utime(tmp2, (old_ts, old_ts))
+    opt_stage = os.path.join(ckpt, "_staging_optimize")
+    os.makedirs(opt_stage)
+    os.utime(opt_stage, (old_ts, old_ts))
+    with open(os.path.join(ckpt, "_optimize_pending"), "w") as f:
+        json.dump({"old": [], "new": []}, f)
+
+    before_data = engine._list_data_files(ckpt)
+    deleted = vacuum_orphans(ckpt, older_than_seconds=3600)
+    assert sorted(os.path.basename(d) for d in deleted) == \
+        ["000009.json.abc.tmp", "_staging_deadbeef",
+         "_sync_state.json.tmp"]
+    assert os.path.isdir(fresh)          # age gate
+    assert os.path.isdir(opt_stage)      # optimize owns it
+    assert engine._list_data_files(ckpt) == before_data
+    assert len(read_commit_log(ckpt)) == 2
+
+    # marker cleared -> an old optimize stage is sweepable
+    os.remove(os.path.join(ckpt, "_optimize_pending"))
+    deleted = vacuum_orphans(ckpt, older_than_seconds=3600)
+    assert [os.path.basename(d) for d in deleted] == ["_staging_optimize"]

@@ -3709,6 +3709,83 @@ def rollup_commit_log(ckpt_dir: str, prune: bool = True) -> int:
     return head
 
 
+def vacuum_orphans(ckpt_dir: str, older_than_seconds: float = 86400.0
+                   ) -> list[str]:
+    """Delete the TRANSIENT artifacts crashed writers leave behind —
+    never data, markers, or commit records. Targets: writer-unique
+    ``_staging_*`` dirs (a ``_staged_append`` that died mid-write),
+    the ``_staging_optimize`` dir when NO optimize owns it (no
+    ``_optimize_pending`` and no optimize-action mutation marker —
+    the finish paths own it otherwise), and ``*.tmp`` files from
+    interrupted atomic publishes (checkpoint root and ``_commits/``).
+    Everything is AGE-GATED by ``older_than_seconds`` (default 24 h)
+    so a live writer's in-flight stage is never swept; run it on the
+    compaction cadence. All listed artifacts are invisible to every
+    read path (sidecar-prefixed / tmp-suffixed), so vacuuming them is
+    always safe for readers. Returns the deleted paths."""
+    import time
+
+    from pyarrow import fs as pafs
+
+    fsys, p = _manifest_fs(ckpt_dir)
+    p = p.rstrip("/")
+    now = time.time()
+
+    def old_enough(info) -> bool:
+        mt = info.mtime
+        if mt is None:
+            return False
+        ts = mt.timestamp() if hasattr(mt, "timestamp") else float(mt)
+        return (now - ts) >= older_than_seconds
+
+    rec = _read_mutation_pending(ckpt_dir)
+    optimize_owns_stage = (
+        _read_optimize_pending(ckpt_dir) is not None
+        or (rec is not None and rec.get("action") == "optimize")
+    )
+    deleted: list[str] = []
+
+    def sweep_tmp_files(dirpath: str) -> None:
+        try:
+            infos = fsys.get_file_info(
+                pafs.FileSelector(dirpath, recursive=False))
+        except (OSError, ValueError):
+            return
+        for i in infos:
+            if (i.type == pafs.FileType.File
+                    and i.base_name.endswith(".tmp") and old_enough(i)):
+                try:
+                    fsys.delete_file(i.path)
+                    deleted.append(i.path)
+                except (OSError, ValueError):
+                    pass
+
+    try:
+        infos = fsys.get_file_info(pafs.FileSelector(p, recursive=False))
+    except (OSError, ValueError):
+        return deleted
+    for i in infos:
+        if i.type != pafs.FileType.Directory:
+            continue
+        name = i.base_name
+        if name == _OPTIMIZE_STAGING:
+            if not optimize_owns_stage and old_enough(i):
+                try:
+                    fsys.delete_dir(i.path)
+                    deleted.append(i.path)
+                except (OSError, ValueError):
+                    pass
+        elif name.startswith("_staging_") and old_enough(i):
+            try:
+                fsys.delete_dir(i.path)
+                deleted.append(i.path)
+            except (OSError, ValueError):
+                pass
+    sweep_tmp_files(p)
+    sweep_tmp_files(f"{p}/{_COMMITS_DIR}")
+    return deleted
+
+
 def _publish_exclusive(fsys, path: str, payload: bytes) -> bool:
     """Atomically create ``path`` holding exactly ``payload`` IFF it
     does not already exist. Local filesystem: write a writer-unique tmp
