@@ -306,6 +306,93 @@ def test_rollup_gap_detection_survives(spark, docs, tmp_path):
         read_commit_log(ckpt)
 
 
+def test_read_retries_past_concurrent_prune(
+        spark, docs, tmp_path, monkeypatch):
+    """A listed commit file that vanishes before its get (a concurrent
+    rollup prune swept it) makes the reader re-list instead of
+    surfacing a raw FileNotFoundError; a log that keeps vanishing is
+    reported as a racing prune loop."""
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    delete_keys_checkpoint(spark, ckpt, [0], "doc_id")
+    expect = read_commit_log(ckpt)
+
+    real = engine._read_commit_log_once
+    calls = {"n": 0}
+
+    def flaky(d):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise FileNotFoundError("swept by a concurrent prune")
+        return real(d)
+
+    monkeypatch.setattr(engine, "_read_commit_log_once", flaky)
+    assert read_commit_log(ckpt) == expect
+    assert calls["n"] == 3
+
+    monkeypatch.setattr(
+        engine, "_read_commit_log_once",
+        lambda d: (_ for _ in ()).throw(FileNotFoundError("always")))
+    with pytest.raises(IOError, match="kept changing"):
+        read_commit_log(ckpt)
+
+
+def test_read_retries_transient_gap(spark, docs, tmp_path, monkeypatch):
+    """An apparent gap from ONE listing is retried (a listing that
+    straddles the rollup rename + prune can miss both the rollup and
+    the pruned singles); only a gap stable across fresh listings
+    raises — the persistent case is pinned by
+    test_gapped_commit_log_refused / test_rollup_gap_detection_survives."""
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    delete_keys_checkpoint(spark, ckpt, [0], "doc_id")
+    expect = read_commit_log(ckpt)
+
+    real = engine._read_commit_log_once
+    calls = {"n": 0}
+
+    def flaky(d):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise engine._CommitLogGap("transient straddled listing")
+        return real(d)
+
+    monkeypatch.setattr(engine, "_read_commit_log_once", flaky)
+    assert read_commit_log(ckpt) == expect
+    assert calls["n"] == 3
+
+
+def test_append_retracts_rollup_shadowed_claim(
+        spark, docs, tmp_path, monkeypatch):
+    """A writer whose claim listing missed a fresh rollup AND its
+    pruned singles would claim a PRUNED seq (the exclusive create
+    succeeds on the deleted name) and the record would be invisible
+    behind the rollup forever. The post-publish verify must catch the
+    shadow, retract the claim, and re-claim above the rollup."""
+    from wills_columnar_format_spark.engine import rollup_commit_log
+
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    delete_keys_checkpoint(spark, ckpt, [0], "doc_id")
+    delete_keys_checkpoint(spark, ckpt, [1], "doc_id")
+    assert rollup_commit_log(ckpt) == 2  # prunes 000000..000002.json
+
+    real = engine._commit_log_seqs
+    calls = {"n": 0}
+
+    def stale_once(d):
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else real(d)
+
+    monkeypatch.setattr(engine, "_commit_log_seqs", stale_once)
+    seq = engine._append_commit(ckpt, "delete", "g-test", ["x.parquet"])
+    assert seq == 3  # NOT 0: the shadowed claim was retracted
+    assert calls["n"] >= 2
+    cdir = os.path.join(ckpt, "_commits")
+    assert not os.path.exists(os.path.join(cdir, "000000.json"))
+    log = read_commit_log(ckpt)
+    assert [(r["seq"], r["action"]) for r in log] == \
+        [(0, "create"), (1, "delete"), (2, "delete"), (3, "delete")]
+    assert log[-1]["files"] == ["x.parquet"]
+
+
 def test_vacuum_orphans_sweeps_stale_transients_only(
         spark, docs, tmp_path):
     """vacuum_orphans deletes age-gated crashed-writer leftovers

@@ -3588,7 +3588,41 @@ def read_commit_log(ckpt_dir: str) -> list[dict] | None:
     commits are written via temp+rename so torn files cannot appear on
     rename-atomic filesystems; an unparseable record means external
     damage, and skipping it silently would misrepresent every snapshot
-    from that seq on."""
+    from that seq on.
+
+    A file listed but GONE by the time it is opened means a concurrent
+    ``rollup_commit_log(prune=True)`` swept it between this reader's
+    listing and its gets — the records now live in a rollup the stale
+    listing never saw, so the read retries from a fresh listing instead
+    of surfacing a raw FileNotFoundError. An apparent GAP is retried the
+    same way (a listing that straddles the rollup rename and the prune
+    deletes can miss both the rollup and the pruned singles); only a gap
+    stable across fresh listings is reported as real damage."""
+    gap: Exception | None = None
+    for _ in range(3):
+        try:
+            return _read_commit_log_once(ckpt_dir)
+        except _CommitLogGap as e:
+            gap = e
+            continue
+        except FileNotFoundError:
+            gap = None
+            continue
+    if gap is not None:
+        raise gap
+    raise IOError(
+        f"commit log of {ckpt_dir!r} kept changing under the reader "
+        "(listed records vanished on 3 consecutive attempts) — a "
+        "rollup/prune loop is racing this read; retry."
+    )
+
+
+class _CommitLogGap(IOError):
+    """A commit-log listing with missing seqs — real damage only when
+    it survives re-listing (see read_commit_log's retry rationale)."""
+
+
+def _read_commit_log_once(ckpt_dir: str) -> list[dict] | None:
     import json
 
     from pyarrow import fs as pafs
@@ -3597,6 +3631,8 @@ def read_commit_log(ckpt_dir: str) -> list[dict] | None:
         fsys, p = _manifest_fs(ckpt_dir)
         cdir = f"{p.rstrip('/')}/{_COMMITS_DIR}"
         infos = fsys.get_file_info(pafs.FileSelector(cdir, recursive=False))
+    except FileNotFoundError:
+        return None
     except (OSError, ValueError):
         return None
     singles: list[tuple[int, str]] = []
@@ -3644,7 +3680,7 @@ def read_commit_log(ckpt_dir: str) -> list[dict] | None:
             # a GAP means a commit record was externally deleted: every
             # snapshot from the gap on would silently lose that commit's
             # files — refuse instead of misrepresenting history
-            raise IOError(
+            raise _CommitLogGap(
                 f"commit log of {ckpt_dir!r} is gapped or rebased "
                 f"(seqs {seqs}): a commit record is missing — restore "
                 "it, or compact the checkpoint to re-baseline history."
@@ -3833,8 +3869,19 @@ def _append_commit(ckpt_dir: str, action: str, generation: str,
     appends interleave freely since each commit lists only its own
     files). Returns the new seq, or None when the log could not be
     written (read-only dir: the log is an opt-in feature, never a
-    failed write)."""
+    failed write).
+
+    Rollup-shadow guard: a claim listing that straddles a concurrent
+    ``rollup_commit_log(prune=True)`` can miss BOTH the fresh rollup
+    and the singles it pruned, so the exclusive create would succeed
+    on a PRUNED seq — and the record would be invisible forever
+    (readers skip singles at or below the newest rollup). The rollup
+    necessarily existed before that create could succeed, so a listing
+    taken strictly AFTER publish is guaranteed to show it: verify, and
+    retract + re-claim when shadowed."""
     import json
+
+    from pyarrow import fs as pafs
 
     try:
         fsys, p = _manifest_fs(ckpt_dir)
@@ -3850,7 +3897,25 @@ def _append_commit(ckpt_dir: str, action: str, generation: str,
                    "files": sorted(files)}
             if _publish_exclusive(fsys, f"{cdir}/{seq:06d}.json",
                                   json.dumps(rec).encode()):
-                return seq
+                shadow = -1
+                for i in fsys.get_file_info(
+                        pafs.FileSelector(cdir, recursive=False)):
+                    if i.type != pafs.FileType.File \
+                            or not i.base_name.endswith(".json"):
+                        continue
+                    stem = i.base_name[:-5]
+                    if stem.startswith(_ROLLUP_PREFIX) \
+                            and stem[len(_ROLLUP_PREFIX):].isdigit():
+                        shadow = max(shadow,
+                                     int(stem[len(_ROLLUP_PREFIX):]))
+                if seq > shadow:
+                    return seq
+                # claimed a pruned seq off a stale listing — retract
+                # (readers racing this delete retry per read_commit_log)
+                try:
+                    fsys.delete_file(f"{cdir}/{seq:06d}.json")
+                except (OSError, ValueError):
+                    pass
         raise RuntimeError(
             f"could not claim a commit seq in {cdir!r} after 64 attempts "
             "— pathological write contention on one checkpoint"
