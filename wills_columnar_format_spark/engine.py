@@ -3715,14 +3715,22 @@ def rollup_commit_log(ckpt_dir: str, prune: bool = True) -> int:
             f"checkpoint {ckpt_dir!r} carries no _commits log — "
             "nothing to roll up"
         )
+    import uuid
+
     head = log[-1]["seq"]
     fsys, p = _manifest_fs(ckpt_dir)
     cdir = f"{p.rstrip('/')}/{_COMMITS_DIR}"
     path = f"{cdir}/{_ROLLUP_PREFIX}{head:06d}.json"
-    tmp = f"{path}.tmp"
+    # writer-UNIQUE tmp: two concurrent rollups at the same head sharing
+    # one tmp path could publish the other's half-written prefix (the
+    # first mover renames while the second is still writing) — a torn
+    # rollup that every later read reports as damage
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with fsys.open_output_stream(tmp) as f:
         f.write(json.dumps({"seq": head, "records": log}).encode())
     fsys.move(tmp, path)  # atomic on rename-atomic stores; idempotent
+    # (concurrent same-head rollups race the rename; both publish
+    # byte-identical content, so last-wins is harmless)
     if prune:
         from pyarrow import fs as pafs
 
