@@ -306,6 +306,62 @@ def test_rollup_gap_detection_survives(spark, docs, tmp_path):
         read_commit_log(ckpt)
 
 
+def test_rollup_interacts_with_restore_changes_clone(
+        spark, docs, tmp_path):
+    """Cross-feature: a pruned rollup is the ONLY carrier of early
+    history, and restore / change feed / clone must keep working from
+    it — restore rolls back to a commit whose record lives in the
+    rollup, the feed replays a fully rolled-up window, and a clone of
+    a rolled-up source starts an independent log."""
+    from wills_columnar_format_spark.engine import (
+        clone_checkpoint,
+        read_changes,
+        restore_checkpoint,
+        rollup_commit_log,
+    )
+
+    ckpt = _logged_ckpt(spark, docs, tmp_path)
+    delete_keys_checkpoint(spark, ckpt, [0, 1], "doc_id")
+    delete_keys_checkpoint(spark, ckpt, [2], "doc_id")
+    feed_before = sorted(
+        (r["_commit_seq"], r["_change_type"], r["doc_id"])
+        for r in read_changes(spark, ckpt, since=0, until=2,
+                              key_col="doc_id").collect())
+    assert rollup_commit_log(ckpt) == 2  # prunes 000000..000002.json
+
+    # change feed replays the rolled-up window identically
+    feed_after = sorted(
+        (r["_commit_seq"], r["_change_type"], r["doc_id"])
+        for r in read_changes(spark, ckpt, since=0, until=2,
+                              key_col="doc_id").collect())
+    assert feed_after == feed_before
+    assert [t[2] for t in feed_after] == [0, 1, 2]
+
+    # clone of a rolled-up source: independent log, same rows
+    clone = str(tmp_path / "clone")
+    clone_checkpoint(spark, ckpt, clone)
+    clog = read_commit_log(clone)
+    assert [(r["seq"], r["action"]) for r in clog] == [(0, "clone")]
+    assert decode_checkpoint(spark, clone).count() == 397
+
+    # restore to a commit whose record lives ONLY in the rollup
+    seq = restore_checkpoint(spark, ckpt, as_of=1)
+    assert decode_checkpoint(spark, ckpt).count() == 398
+    log = read_commit_log(ckpt)
+    assert [(r["seq"], r["action"]) for r in log] == \
+        [(0, "create"), (1, "delete"), (2, "delete"), (3, "restore")]
+    with pytest.raises(ValueError, match="rolled back"):
+        decode_checkpoint(spark, ckpt, as_of=2).count()
+
+    # a second rollup covers the restore commit; history still reads
+    assert rollup_commit_log(ckpt) == seq
+    assert [(r["seq"], r["action"]) for r in read_commit_log(ckpt)] == \
+        [(0, "create"), (1, "delete"), (2, "delete"), (3, "restore")]
+    assert decode_checkpoint(spark, ckpt, as_of=1).count() == 398
+    # the clone never saw any of it
+    assert decode_checkpoint(spark, clone).count() == 397
+
+
 def test_read_retries_past_concurrent_prune(
         spark, docs, tmp_path, monkeypatch):
     """A listed commit file that vanishes before its get (a concurrent
