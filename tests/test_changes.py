@@ -502,3 +502,39 @@ def test_sync_refuses_duplicate_key_source(spark, docs, tmp_path):
             src, mode="append")
     with pytest.raises(ValueError, match="duplicate keys"):
         sync_checkpoint(spark, src, dst, "doc_id", num_partitions=1)
+
+
+def test_compact_seed_commit_emits_inserts(spark, docs, ckpt, tmp_path):
+    """A compact-seeded checkpoint's seq-0 'compact' commit IS the
+    snapshot's insert set: since=-1 must emit every live row (it used
+    to silently emit nothing — review finding, round 4). Both compact
+    branches: metadata-only (mask sidecars carried, applied via the
+    own-chunk decode) and re-encoding (masks materialized)."""
+    from wills_columnar_format_spark.engine import compact_checkpoint
+
+    live = decode_checkpoint(spark, ckpt)  # post-fixture mutations
+
+    meta = str(tmp_path / "meta_compact")
+    compact_checkpoint(spark, ckpt, meta, num_files=2)
+    feed = read_changes(spark, meta, since=-1, key_col="doc_id")
+    assert set(r["_change_type"] for r in
+               feed.select("_change_type").distinct().collect()) == \
+        {"insert"}
+    assert feed.filter("_commit_seq = 0").count() == live.count()
+    assert feed.drop("_change_type", "_commit_seq") \
+        .exceptAll(live).count() == 0
+
+    reenc = str(tmp_path / "reenc_compact")
+    compact_checkpoint(spark, ckpt, reenc, rechunk_rows=4096,
+                       key_col="doc_id",
+                       schema=docs.schema)
+    feed2 = read_changes(spark, reenc, since=-1, key_col="doc_id")
+    assert feed2.count() == live.count()
+    assert feed2.drop("_change_type", "_commit_seq") \
+        .exceptAll(live).count() == 0
+
+    # and a mutation AFTER the seed feeds incrementally from since=0
+    delete_keys_checkpoint(spark, meta, [0, 10], "doc_id")
+    tail = read_changes(spark, meta, since=0, key_col="doc_id")
+    got = sorted((r["_change_type"], r["doc_id"]) for r in tail.collect())
+    assert got == [("delete", 0), ("delete", 10)]

@@ -4104,9 +4104,19 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
             (F.col("column") != DONE_COLUMN)
             & ~F.col("column").startswith(DELETES_PREFIX))
         side = cm.filter(F.col("column").startswith(DELETES_PREFIX))
-        if r["action"] in ("create", "append", "upsert"):
+        if r["action"] in ("create", "append", "upsert", "compact"):
             # the commit's own files are a complete manifest for the
-            # rows it inserted (one encode_table output). The decode
+            # rows it inserted (one encode_table output). A 'compact'
+            # seed commit (compact_checkpoint's fresh-history seq 0)
+            # also qualifies: its file set decodes to exactly the
+            # compacted snapshot — any carried-over mask sidecars
+            # reference chunk_keys WITHIN the same set, so the own_side
+            # union below applies them (a clone snapshot stays refused
+            # above — conservative, since its set mirrors a foreign
+            # dir's history rather than a compaction's certified
+            # output). Skipping compact silently emitted NOTHING for
+            # since=-1 reads of a compact-seeded table (review finding,
+            # round 4). The decode
             # KEEPS the sidecars that mask the commit's OWN chunks: a
             # create/append whose manifest carries deletion vectors
             # (write_checkpoint of a delete_keys result, the seeded
