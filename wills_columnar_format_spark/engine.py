@@ -2351,6 +2351,10 @@ def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str,
     Returns the generation id written."""
     if _log:  # the upsert-internal call runs under upsert's own marker
         _raise_if_pending(ckpt_dir, for_write=True)
+    # renamed checkpoint: the key sub-column lives under its PHYSICAL
+    # manifest name (upsert translates before its internal call)
+    if _log:
+        key_col = _checkpoint_rename_map(ckpt_dir).get(key_col, key_col)
     probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
     if _keys_kind(probe) == "empty":
         return ""
@@ -2455,6 +2459,16 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
     commit, so no time-travel snapshot ever sees the deleted-but-not-
     reinserted intermediate state. Returns the generation id."""
     _raise_if_pending(ckpt_dir, for_write=True)
+    rmap = _checkpoint_rename_map(ckpt_dir)
+    if rmap:
+        # renamed destination: move the batch into PHYSICAL name space
+        # up front — the mask pass probes the physical key sub-column
+        # and the new generation encodes under the physical names
+        from pyspark.sql import functions as F
+
+        new_df = new_df.select(
+            *[F.col(c).alias(rmap.get(c, c)) for c in new_df.columns])
+        key_col = rmap.get(key_col, key_col)
     keys = _collect_upsert_keys(new_df, key_col)
     before = _list_data_files(ckpt_dir)
     probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
@@ -2911,6 +2925,8 @@ def delete_where_checkpoint(spark, ckpt_dir: str, value_range,
     (crash-reconcilable, time-travel readable), exactly like
     ``delete_keys_checkpoint``. Returns the generation id."""
     _raise_if_pending(ckpt_dir, for_write=True)
+    value_range = _translate_value_specs(
+        value_range, _checkpoint_rename_map(ckpt_dir))
     src = spark.read.parquet(ckpt_dir)
     gen, cand, explode = _where_candidates(src, value_range)
     hits = cand.mapInArrow(
@@ -3301,6 +3317,17 @@ def drop_column_checkpoint(spark, ckpt_dir: str, col_name: str) -> int:
             f"drop_column: {col_name!r} is the LAST column — dropping "
             "it leaves no table; delete the checkpoint instead"
         )
+    phys = (schema.field(col_name).metadata or {}).get(_PHYSICAL_META)
+    if phys is not None and phys.decode() != col_name:
+        # the drop record and the metadata compact's strip list speak
+        # LOGICAL names while the manifest rows carry the physical one
+        # — dropping through the mapping would orphan those rows
+        # unreclaimably. Materialize the rename first.
+        raise ValueError(
+            f"drop_column: {col_name!r} is a RENAMED column (physical "
+            f"manifest name {phys.decode()!r}) — compact or optimize "
+            "the checkpoint first to materialize the rename, then drop"
+        )
     before = _list_data_files(ckpt_dir)
     _begin_logged_mutation(ckpt_dir, "drop_column", col_name, before)
     try:
@@ -3320,6 +3347,193 @@ def drop_column_checkpoint(spark, ckpt_dir: str, col_name: str) -> int:
         # that consult the log won't see this drop — surface it loudly
         raise IOError(
             f"drop_column of {col_name!r} narrowed the _table_schema "
+            f"sidecar of {ckpt_dir!r} but the commit record could not "
+            "be written — live reads are correct, history is degraded; "
+            "fix the storage and compact the checkpoint to re-baseline."
+        )
+    return seq
+
+
+_PHYSICAL_META = b"physical"
+
+
+def _checkpoint_rename_map(ckpt_dir: str) -> dict[str, str]:
+    """Logical column name -> PHYSICAL manifest name, from the
+    ``_table_schema`` sidecar's per-field ``physical`` metadata
+    (written by ``rename_column_checkpoint``). {} when the checkpoint
+    was never renamed — the fast path every untouched table takes."""
+    schema = read_checkpoint_schema(ckpt_dir)
+    out: dict[str, str] = {}
+    if schema is not None:
+        for f in schema:
+            phys = (f.metadata or {}).get(_PHYSICAL_META)
+            if phys is not None and phys.decode() != f.name:
+                out[f.name] = phys.decode()
+    return out
+
+
+def _physical_schema(out_schema: pa.Schema, rmap: dict[str, str]) -> pa.Schema:
+    """``out_schema`` with renamed fields carrying their PHYSICAL
+    manifest names (and the mapping metadata stripped, so the result
+    is a plain decode schema)."""
+    fields = []
+    for f in out_schema:
+        f = f.with_name(rmap.get(f.name, f.name))
+        if f.metadata and _PHYSICAL_META in f.metadata:
+            md = {k: v for k, v in f.metadata.items()
+                  if k != _PHYSICAL_META}
+            f = f.with_metadata(md) if md else f.remove_metadata()
+        fields.append(f)
+    return pa.schema(fields, metadata=out_schema.metadata)
+
+
+def _strip_rename_metadata(schema) -> pa.Schema:
+    """Schema without per-field ``physical`` mappings — written by the
+    re-encoding compaction, whose output manifest carries the LOGICAL
+    names (the rename is materialized there). Accepts a Spark
+    StructType (caller-passed schemas carry no mappings to strip)."""
+    if not isinstance(schema, pa.Schema):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = to_arrow_schema(schema)
+    fields = []
+    for f in schema:
+        if f.metadata and _PHYSICAL_META in f.metadata:
+            md = {k: v for k, v in f.metadata.items()
+                  if k != _PHYSICAL_META}
+            f = f.with_metadata(md) if md else f.remove_metadata()
+        fields.append(f)
+    return pa.schema(fields, metadata=schema.metadata)
+
+
+def _translate_value_specs(spec, rmap: dict[str, str]):
+    """value_range / value_in spec(s) with each leading column name's
+    ROOT segment (struct paths are dot-separated) mapped
+    logical->physical. Accepts one tuple or a list of tuples."""
+    if spec is None or not rmap:
+        return spec
+
+    def one(t):
+        col = t[0]
+        root, dot, rest = col.partition(".")
+        return (rmap.get(root, root) + dot + rest,) + tuple(t[1:])
+
+    if isinstance(spec, tuple):
+        return one(spec)
+    return [one(t) for t in spec]
+
+
+def _translate_manifest_columns(manifest_df, rmap: dict[str, str]):
+    """Manifest rows with the ``column`` field's root segment (before
+    the first ``#`` sub-column separator) mapped logical->physical —
+    how freshly ENCODED chunks (named after the caller's logical
+    columns) land consistently next to a renamed checkpoint's physical
+    rows. Sentinel rows (done markers, deletion sidecars) never match a
+    logical name: rename refuses reserved spellings."""
+    if not rmap:
+        return manifest_df
+    from pyspark.sql import functions as F
+
+    root = F.substring_index(F.col("column"), "#", 1)
+    mapping = F.create_map(*[F.lit(x) for kv in rmap.items() for x in kv])
+    new_root = F.coalesce(mapping[root], root)
+    suffix = F.expr(
+        "substring(column, length(substring_index(column, '#', 1)) + 1)")
+    return manifest_df.withColumn("column", F.concat(new_root, suffix))
+
+
+def rename_column_checkpoint(ckpt_dir: str, old: str, new: str) -> int:
+    """RENAME COLUMN as a METADATA-ONLY logged mutation (Delta's
+    column-mapping semantics): no data file is touched — the
+    ``_table_schema`` sidecar's field is renamed with its PHYSICAL
+    manifest name recorded in field metadata, and a ``rename_column``
+    commit (generation ``old:new``) logs it. Every read and mutation
+    path translates at the checkpoint boundary: ``decode_checkpoint``
+    (including ``columns=`` / ``value_range`` / ``value_in`` /
+    ``key_col``), ``delete_keys_checkpoint`` / ``delete_where_checkpoint``
+    / ``update_where_checkpoint`` / ``upsert_checkpoint``,
+    ``write_checkpoint(mode='append')`` (freshly encoded manifests land
+    under the physical names), and ``read_changes`` (the feed speaks
+    logical names). Time travel shows CURRENT names for every snapshot
+    (Delta's behavior — names are presentation, the physical layout is
+    identity), so no ``as_of`` guard is needed; ``restore_checkpoint``
+    across a rename is likewise safe (the commit carries no files).
+    The re-encoding ``compact_checkpoint`` / ``optimize_checkpoint``
+    MATERIALIZE the rename (new manifest under logical names, mapping
+    stripped); the metadata-only compact carries it forward.
+
+    Manifest-level helpers (``column_stats`` / ``column_sums`` /
+    ``column_ndv`` / ``backfill_column``) operate below the mapping and
+    see physical names. Chained renames keep pointing at the ORIGINAL
+    physical name. Refuses: unknown/duplicate names, reserved
+    spellings (``#`` sub-column separator, ``_``/``.`` sidecar
+    prefixes), a name that is any live field's physical identity
+    (the manifest namespace must stay collision-free), and unlogged /
+    sidecar-less checkpoints. Returns the commit seq."""
+    _raise_if_pending(ckpt_dir, for_write=True)
+    if not _has_commit_log(ckpt_dir):
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _commits log — "
+            "rename_column is a logged mutation; persist via "
+            "write_checkpoint first"
+        )
+    schema = read_checkpoint_schema(ckpt_dir)
+    if schema is None:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _table_schema sidecar "
+            "— rename_column rewrites it; write_checkpoint(manifest, "
+            "dir, schema=...) makes the checkpoint self-describing"
+        )
+    if old not in schema.names:
+        raise ValueError(
+            f"rename_column: {old!r} is not in the table "
+            f"(have {schema.names})"
+        )
+    if new in schema.names:
+        raise ValueError(
+            f"rename_column: {new!r} already names a column")
+    if (not new or "#" in new or new.startswith(("_", "."))
+            or new != new.strip()):
+        raise ValueError(
+            f"rename_column: {new!r} is a reserved spelling — names "
+            "must be non-empty, unpadded, not start with '_'/'.' and "
+            "not contain '#' (the sub-column separator)"
+        )
+    taken = {
+        ((f.metadata or {}).get(_PHYSICAL_META) or f.name.encode()).decode()
+        for f in schema
+    }
+    if new in taken:
+        raise ValueError(
+            f"rename_column: {new!r} is a live column's PHYSICAL "
+            "manifest name — reusing it would collide in the manifest "
+            "namespace; compact the checkpoint first to materialize "
+            "renames, then retry"
+        )
+    before = _list_data_files(ckpt_dir)
+    _begin_logged_mutation(ckpt_dir, "rename_column", f"{old}:{new}",
+                           before)
+    seq = None
+    try:
+        fields = []
+        for f in schema:
+            if f.name == old:
+                md = dict(f.metadata or {})
+                md.setdefault(_PHYSICAL_META, old.encode())
+                f = f.with_name(new).with_metadata(md)
+            fields.append(f)
+        write_checkpoint_schema(
+            ckpt_dir, pa.schema(fields, metadata=schema.metadata))
+        seq = _append_commit(ckpt_dir, "rename_column", f"{old}:{new}", [])
+    finally:
+        fsys, p = _manifest_fs(ckpt_dir)
+        try:
+            fsys.delete_file(f"{p.rstrip('/')}/{_MUTATION_PENDING}")
+        except (OSError, ValueError):
+            pass
+    if seq is None:
+        raise IOError(
+            f"rename_column {old!r}->{new!r} rewrote the _table_schema "
             f"sidecar of {ckpt_dir!r} but the commit record could not "
             "be written — live reads are correct, history is degraded; "
             "fix the storage and compact the checkpoint to re-baseline."
@@ -3469,6 +3683,14 @@ def write_checkpoint(manifest_df, ckpt_dir: str, schema=None,
         # and a crashed delete/upsert window is reconciled by a listing
         # diff that would claim these files into ITS commit
         _raise_if_pending(ckpt_dir, for_write=True)
+        rmap = _checkpoint_rename_map(ckpt_dir)
+        if rmap:
+            # renamed destination: freshly encoded manifests carry the
+            # caller's LOGICAL names — land them under the physical
+            # ones, and keep the mapping sidecar (a caller-passed
+            # schema would overwrite the field metadata)
+            manifest_df = _translate_manifest_columns(manifest_df, rmap)
+            schema = None
         before = _list_data_files(ckpt_dir)
         added = _staged_append(manifest_df, ckpt_dir)
         if schema is not None:
@@ -4073,6 +4295,18 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
             )
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
+    # renamed checkpoint: the manifests speak PHYSICAL names — decode
+    # under them and relabel the finished feed to the logical names
+    # (the feed, like every read, shows current names for all commits)
+    rmap = _checkpoint_rename_map(ckpt_dir)
+    logical_names = [f.name for f in out_schema] + \
+        ["_change_type", "_commit_seq"]
+    out_schema = _physical_schema(out_schema, rmap)
+    key_col = rmap.get(key_col, key_col) if key_col is not None else None
+
+    def relabel(df):
+        return df.toDF(*logical_names) if rmap else df
+
     spark_schema = from_arrow_schema(out_schema, prefer_timestamp_ntz=True)
     base = ckpt_dir.rstrip("/")
 
@@ -4173,11 +4407,11 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
         pieces.append(tag(gone.select(*null_payload), "delete", r["seq"]))
 
     if not pieces:
-        return empty_feed()
+        return relabel(empty_feed())
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
-    return out
+    return relabel(out)
 
 
 def apply_changes(spark, dst_dir: str, feed, key_col: str,
@@ -4629,6 +4863,44 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                 )
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
+    rmap = _checkpoint_rename_map(ckpt_dir)
+    if rmap and any(f.name in rmap for f in out_schema):
+        # renamed checkpoint: decode under the PHYSICAL manifest names
+        # (one self-call — the physical schema carries no mapped names,
+        # so it recurses exactly once) and relabel the output to the
+        # logical names. Every name-bearing argument translates here.
+        inv = {p: l for l, p in rmap.items()}
+
+        def _chk(name, what):
+            # a renamed-AWAY name must not resolve through the physical
+            # schema by accident — refuse it with the current name
+            if name in inv:
+                raise KeyError(
+                    f"{what} {name!r} was renamed to {inv[name]!r} — "
+                    "use the current name"
+                )
+
+        for c in (columns or []):
+            _chk(c, "column")
+        if key_col is not None:
+            _chk(key_col, "key_col")
+        for spec, what in ((value_range, "value_range column"),
+                           (value_in, "value_in column")):
+            if spec is not None:
+                for t in ([spec] if isinstance(spec, tuple) else spec):
+                    _chk(t[0].partition(".")[0], what)
+        dec = decode_checkpoint(
+            spark, ckpt_dir, _physical_schema(out_schema, rmap),
+            key_range=key_range,
+            key_col=rmap.get(key_col, key_col),
+            columns=([rmap.get(c, c) for c in columns]
+                     if columns is not None else None),
+            legacy_nan_zonemaps=legacy_nan_zonemaps,
+            value_range=_translate_value_specs(value_range, rmap),
+            keys=keys,
+            value_in=_translate_value_specs(value_in, rmap),
+            verify_checksums=verify_checksums, as_of=as_of)
+        return dec.toDF(*[inv.get(c, c) for c in dec.columns])
     full_schema = out_schema
     out_schema, phys = _project_out_schema(out_schema, columns)
     # file signature BEFORE the scan lists files: anything appended
@@ -4916,7 +5188,10 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
             # a re-encoding compaction materializes every mask — the new
             # checkpoint is certified sidecar-free
             _write_clustered_marker(dst_dir, has_deletes=False)
-            write_checkpoint_schema(dst_dir, schema)  # stays self-describing
+            # stays self-describing; a source rename is MATERIALIZED
+            # here (the new manifest carries the logical names), so the
+            # physical mapping is stripped from the new sidecar
+            write_checkpoint_schema(dst_dir, _strip_rename_metadata(schema))
         except (OSError, ValueError):
             pass
         # fresh commit log: history restarts at the compacted snapshot
@@ -5459,6 +5734,21 @@ def optimize_checkpoint(spark, ckpt_dir: str, key_col: str | None = None,
                 f"optimize staging produced colliding file names: "
                 f"{clash[:3]}"
             )
+        if _checkpoint_rename_map(ckpt_dir):
+            # renamed checkpoint: the swap must also adopt the staged
+            # (rename-materialized) sidecar — refuse BEFORE the swap
+            # marker if the compact could not stage it, else the root
+            # mapping would point at names the new manifest lost
+            from pyarrow import fs as pafs
+
+            if fsys.get_file_info(
+                    f"{staging}/{_TABLE_SCHEMA_SIDECAR}"
+            ).type != pafs.FileType.File:
+                raise IOError(
+                    f"optimize of renamed checkpoint {ckpt_dir!r} could "
+                    "not stage the materialized _table_schema sidecar — "
+                    "fix the storage and retry (nothing was swapped)"
+                )
         with fsys.open_output_stream(f"{p}/{_OPTIMIZE_PENDING}") as f:
             f.write(json.dumps({"old": old, "new": new}).encode())
         wrote_swap = True
@@ -5518,11 +5808,23 @@ def finish_optimize(ckpt_dir: str) -> str:
             fsys.delete_file(f"{p}/{b}")
         except (OSError, ValueError):
             pass  # already deleted by a previous attempt
+    # adopt the staged _table_schema when the compact wrote one: the
+    # re-encode MATERIALIZED any column rename (new manifest under the
+    # logical names), so the root sidecar's physical mapping would
+    # point at names the swapped manifest no longer carries. Idempotent
+    # (a re-run finds no staged sidecar and keeps the adopted one);
+    # byte-identical for never-renamed tables.
+    staged_schema = f"{staging}/{_TABLE_SCHEMA_SIDECAR}"
+    if fsys.get_file_info(staged_schema).type == pafs.FileType.File:
+        try:
+            fsys.delete_file(f"{p}/{_TABLE_SCHEMA_SIDECAR}")
+        except (OSError, ValueError):
+            pass
+        fsys.move(staged_schema, f"{p}/{_TABLE_SCHEMA_SIDECAR}")
     try:
         # clustered by construction (one task per file, fresh encode)
         # and mask-free (the re-encode materialized every deletion
-        # vector); the _table_schema sidecar is untouched — the schema
-        # didn't change
+        # vector)
         _write_clustered_marker(ckpt_dir, has_deletes=False)
     except (OSError, ValueError):
         pass

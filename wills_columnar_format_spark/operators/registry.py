@@ -971,6 +971,55 @@ def q_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUCK_DROP_COLUMN = "SELECT doc_id, lang, source, n_chars FROM documents"
 
 
+def q_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN as a metadata-only logged mutation
+    (`rename_column_checkpoint`) — Delta column-mapping semantics on
+    this format: the `_table_schema` sidecar field is renamed carrying
+    its PHYSICAL manifest name in field metadata; zero data files are
+    touched, and every checkpoint-boundary path translates
+    logical->physical (decode projections, value-range pruning,
+    mutations, appends, the change feed). Here: rename two columns,
+    delete a band THROUGH the new name, then value-range decode on the
+    new name — zone-map pruning and the deletion masks both resolve
+    through the mapping."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        decode_checkpoint,
+        delete_where_checkpoint,
+        encode_table,
+        rename_column_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_rn_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8, chunk_rows=4096),
+            ckpt, schema=df.schema)
+        rename_column_checkpoint(ckpt, "n_chars", "length")
+        rename_column_checkpoint(ckpt, "source", "origin")
+        delete_where_checkpoint(spark, ckpt, ("length", 300, 399))
+        out = decode_checkpoint(
+            spark, ckpt, value_range=("length", 100, 600),
+            columns=["doc_id", "origin", "length"])
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_RENAME_COLUMN = (
+    "SELECT doc_id, source AS origin, n_chars AS length FROM documents "
+    "WHERE n_chars BETWEEN 100 AND 600 "
+    "AND NOT (n_chars BETWEEN 300 AND 399)"
+)
+
+
 def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE to a snapshot (`restore_checkpoint`): mutations only
     ever append files, so rolling back = deleting the files later
@@ -2803,6 +2852,7 @@ REGISTRY: dict[str, tuple] = {
     "delete_where_in": (q_delete_where_in, DUCK_DELETE_WHERE_IN),
     "update_where": (q_update_where, DUCK_UPDATE_WHERE),
     "drop_column": (q_drop_column, DUCK_DROP_COLUMN),
+    "rename_column": (q_rename_column, DUCK_RENAME_COLUMN),
     "restore_snapshot": (q_restore, DUCK_RESTORE),
     "clone_table": (q_clone, DUCK_CLONE),
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
