@@ -1258,7 +1258,7 @@ def _apply_deletes(rb: pa.RecordBatch, delete_blobs) -> pa.RecordBatch:
 
 
 def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False,
-                   extra_deletes=None):
+                   extra_deletes=None, defaults=None):
     """mapInArrow decode over manifest rows, grouped by chunk_key.
 
     Requires rows of one chunk_key group to be contiguous in the stream —
@@ -1276,12 +1276,21 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False,
     out-of-band carrier ``decode_checkpoint`` uses when the sidecars
     live in appended files outside the clustered layout — a dict
     ``chunk_key -> [positions blob, ...]`` (both sources union).
+
+    ``defaults`` (field name -> python value) marks METADATA-ONLY ADDED
+    columns (``add_column_checkpoint``): a chunk carrying NO sub-column
+    for such a field rebuilds it as a constant/null array of the
+    chunk's row count (``pa.repeat`` — vectorized, no I/O). Fields
+    outside ``defaults`` keep the hard missing-sub-column diagnostics.
     """
 
     # only the sub-columns the output schema references are decoded —
     # a projection decode must not pay decompression for columns it
     # never returns (verification consequently covers the decoded set)
     needed = {s for f in out_schema for s in _phys_sub_names(f.name, f.type)}
+    # plain python values ride the closure (pa.Scalar pickling is an
+    # implementation detail); scalars build worker-side per task
+    fill = dict(defaults) if defaults else {}
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending_key = None
@@ -1327,8 +1336,39 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False,
                             "canonical hash (re-encode it, or decode "
                             "without verify_checksums)"
                         )
+            to_fill = []
+            if fill:
+                # metadata-only ADDED columns: a chunk with ZERO
+                # sub-columns for the field predates the add — fill a
+                # constant array after the real fields pin the row
+                # count. Partial presence (torn chunk) still takes the
+                # diagnostic path below.
+                to_fill = [
+                    f for f in out_schema
+                    if f.name in fill and not any(
+                        s in cvs for s in _phys_sub_names(f.name, f.type))
+                ]
             try:
-                arrays = [_rebuild_field(f, cvs) for f in out_schema]
+                built = {
+                    f.name: _rebuild_field(f, cvs)
+                    for f in out_schema if f not in to_fill
+                }
+                if to_fill:
+                    if not built:
+                        raise IOError(
+                            f"chunk {pending_key!r} carries data for "
+                            "NONE of the projected columns — a "
+                            "projection of only metadata-added columns "
+                            "needs at least one stored column to "
+                            "anchor row counts"
+                        )
+                    n = len(next(iter(built.values())))
+                    for f in to_fill:
+                        v = fill[f.name]
+                        built[f.name] = (
+                            pa.nulls(n, f.type) if v is None
+                            else pa.repeat(pa.scalar(v, type=f.type), n))
+                arrays = [built[f.name] for f in out_schema]
             except KeyError as e:
                 # the clustered gate checks one-file-per-chunk and no
                 # duplicates but not WITHIN-file contiguity: a manifest
@@ -2045,6 +2085,14 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         manifest_df = manifest_df.filter(
             _zone_keep_expr(key_range, legacy_nan_zonemaps)
         )
+    added = _added_defaults(out_schema)
+    if added and len(added) == len(out_schema):
+        raise ValueError(
+            f"columns {sorted(added)} are all metadata-only ADDED "
+            "columns (add_column_checkpoint) — include at least one "
+            "stored column in the projection to anchor row counts, or "
+            "compact the checkpoint to materialize them"
+        )
     # the deterministic-rescan verdict is read ONCE, on the scan+filter
     # plan, BEFORE any pruning semi-join is attached: the join nodes
     # would mask a persisted manifest's cheap plan and force a
@@ -2058,9 +2106,12 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     if value_range is not None:
         specs = value_range if isinstance(value_range, list) else [value_range]
         vrs = [_prepare_value_range(out_schema, s) for s in specs]
-        usable = [v for v in vrs if _value_maps_col(v[:3]) in manifest_df.columns]
-        # (non-usable = manifest predates these zone maps — no pruning
-        # for that predicate, its exact filter below still applies)
+        usable = [v for v in vrs if _value_maps_col(v[:3]) in manifest_df.columns
+                  and v[0].split("#")[0] not in added]
+        # (non-usable = manifest predates these zone maps, or the
+        # column is a metadata-only add whose absent chunks are
+        # all-default VALUES — no pruning for that predicate, its
+        # exact filter below still applies)
         if usable:
             if not cheap:
                 # AUTO-MATERIALIZE an in-flight manifest (one flowing
@@ -2109,7 +2160,8 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         # set (one metadata pass) — AND-composes with the value_range
         # semi-join above because it stacks a second semi-join.
         in_vrs, in_expr = _prepare_value_in(out_schema, value_in)
-        if _value_maps_col(in_vrs[0][:3]) in manifest_df.columns:
+        if (_value_maps_col(in_vrs[0][:3]) in manifest_df.columns
+                and in_vrs[0][0].split("#")[0] not in added):
             if not cheap and not pinned:
                 manifest_df = manifest_df.localCheckpoint(eager=True)
                 pinned = True
@@ -2161,7 +2213,8 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         n = max(1, manifest_df.select("part_id").rdd.getNumPartitions())
         grouped = manifest_df.repartition(n, "chunk_key").sortWithinPartitions("chunk_key", "column")
     out = grouped.mapInArrow(
-        make_decode_fn(out_schema, verify_checksums=verify_checksums),
+        make_decode_fn(out_schema, verify_checksums=verify_checksums,
+                       defaults=added or None),
         schema=from_arrow_schema(out_schema, prefer_timestamp_ntz=True),
     )
     if key_range is not None and key_col is not None:
@@ -2925,9 +2978,35 @@ def delete_where_checkpoint(spark, ckpt_dir: str, value_range,
     (crash-reconcilable, time-travel readable), exactly like
     ``delete_keys_checkpoint``. Returns the generation id."""
     _raise_if_pending(ckpt_dir, for_write=True)
+    side = read_checkpoint_schema(ckpt_dir)
+    if side is not None:
+        adefs = _added_defaults(side)
+        root = value_range[0].split("#")[0].partition(".")[0]
+        if root in adefs and _default_may_match_where(
+                value_range, adefs[root]):
+            raise ValueError(
+                f"delete_where on metadata-added column {root!r}: the "
+                f"column's default ({adefs[root]!r}) may satisfy the "
+                "predicate, but chunks encoded before the add carry no "
+                "rows to mask — the delete would silently skip them. "
+                "Materialize the column first (compact_checkpoint / "
+                "optimize_checkpoint), or delete by keys."
+            )
     value_range = _translate_value_specs(
         value_range, _checkpoint_rename_map(ckpt_dir))
     src = spark.read.parquet(ckpt_dir)
+    if side is not None and root in adefs:
+        # default cannot match (the guard above passed): only chunks
+        # carrying REAL stored values can hold hits. With zero such
+        # chunks the delete is a provable no-op — return without a
+        # phantom commit (same contract as update_where's zero hits).
+        from pyspark.sql import functions as F
+
+        pn = value_range[0].split("#")[0].partition(".")[0]
+        if not src.filter((F.col("column") == pn)
+                          | F.col("column").startswith(pn + "#")) \
+                  .select("column").limit(1).take(1):
+            return None
     gen, cand, explode = _where_candidates(src, value_range)
     hits = cand.mapInArrow(
         explode,
@@ -3322,12 +3401,28 @@ def drop_column_checkpoint(spark, ckpt_dir: str, col_name: str) -> int:
         # the drop record and the metadata compact's strip list speak
         # LOGICAL names while the manifest rows carry the physical one
         # — dropping through the mapping would orphan those rows
-        # unreclaimably. Materialize the rename first.
-        raise ValueError(
-            f"drop_column: {col_name!r} is a RENAMED column (physical "
-            f"manifest name {phys.decode()!r}) — compact or optimize "
-            "the checkpoint first to materialize the rename, then drop"
-        )
+        # unreclaimably. Materialize the rename first. EXCEPTION: a
+        # metadata-added column with ZERO stored rows under its
+        # physical name (added, renamed, never appended to) has
+        # nothing to orphan — one blob-free existence probe decides.
+        from pyspark.sql import functions as F
+
+        stored = _ADDED_DEFAULT_META not in (
+            schema.field(col_name).metadata or {})
+        if not stored:
+            pn = phys.decode()
+            stored = bool(
+                spark.read.parquet(ckpt_dir)
+                .filter((F.col("column") == pn)
+                        | F.col("column").startswith(pn + "#"))
+                .select("column").limit(1).take(1))
+        if stored:
+            raise ValueError(
+                f"drop_column: {col_name!r} is a RENAMED column "
+                f"(physical manifest name {phys.decode()!r}) — compact "
+                "or optimize the checkpoint first to materialize the "
+                "rename, then drop"
+            )
     before = _list_data_files(ckpt_dir)
     _begin_logged_mutation(ckpt_dir, "drop_column", col_name, before)
     try:
@@ -3355,6 +3450,64 @@ def drop_column_checkpoint(spark, ckpt_dir: str, col_name: str) -> int:
 
 
 _PHYSICAL_META = b"physical"
+_ADDED_DEFAULT_META = b"added_default"
+
+
+def _encode_default_meta(value, t: pa.DataType) -> bytes:
+    """Exact typed serialization of an ADD COLUMN default: a 1-row
+    Arrow IPC stream (None rides as the null slot), base64-wrapped
+    because the bytes live in Arrow FIELD METADATA — the flatbuffers
+    KeyValue slot is a UTF-8 string, and the JVM's Arrow reader
+    rejects raw binary there (schemas carrying the marker cross the
+    mapInArrow worker->JVM boundary on every decode). Doubles as the
+    type check — pa.array raises when the value doesn't fit ``t``."""
+    import base64
+
+    arr = pa.array([value], type=t)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, pa.schema([pa.field("d", t)])) as w:
+        w.write_batch(pa.record_batch([arr], names=["d"]))
+    return base64.b64encode(sink.getvalue().to_pybytes())
+
+
+def _decode_default_meta(buf: bytes):
+    """Python value of a serialized ADD COLUMN default (None for the
+    null default)."""
+    import base64
+
+    with pa.ipc.open_stream(pa.BufferReader(base64.b64decode(buf))) as r:
+        return r.read_all().column("d")[0].as_py()
+
+
+def _default_may_match_where(spec, default) -> bool:
+    """Whether an ADD COLUMN ``default`` could satisfy a delete_where
+    spec on that column — the gate deciding if pre-add chunks (all
+    rows = default, zero manifest rows to mask) are safely skippable.
+    Conservative: anything uncomparable counts as a match."""
+    if default is None:
+        return False  # NULL satisfies no range/IN/prefix predicate
+    try:
+        if _is_in_spec(spec):
+            return any(default == v for v in spec[1])
+        if len(spec) == 2:  # LIKE-prefix form
+            return isinstance(default, str) and default.startswith(spec[1])
+        return spec[1] <= default <= spec[2]
+    except TypeError:
+        return True
+
+
+def _added_defaults(out_schema: pa.Schema) -> dict:
+    """Field name -> python default value for every field the schema
+    marks as METADATA-ONLY ADDED (``add_column_checkpoint``). Chunks
+    encoded before the add carry no sub-columns for these fields; the
+    decode synthesizes a constant/null array per chunk instead. {}
+    for never-evolved schemas — the universal fast path."""
+    out = {}
+    for f in out_schema:
+        buf = (f.metadata or {}).get(_ADDED_DEFAULT_META)
+        if buf is not None:
+            out[f.name] = _decode_default_meta(buf)
+    return out
 
 
 def _checkpoint_rename_map(ckpt_dir: str) -> dict[str, str]:
@@ -3388,19 +3541,21 @@ def _physical_schema(out_schema: pa.Schema, rmap: dict[str, str]) -> pa.Schema:
 
 
 def _strip_rename_metadata(schema) -> pa.Schema:
-    """Schema without per-field ``physical`` mappings — written by the
+    """Schema without per-field schema-evolution markers (``physical``
+    rename mappings AND ``added_default`` fills) — written by the
     re-encoding compaction, whose output manifest carries the LOGICAL
-    names (the rename is materialized there). Accepts a Spark
-    StructType (caller-passed schemas carry no mappings to strip)."""
+    names with every column materialized as real data. Accepts a Spark
+    StructType (caller-passed schemas carry no markers to strip)."""
     if not isinstance(schema, pa.Schema):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         schema = to_arrow_schema(schema)
     fields = []
     for f in schema:
-        if f.metadata and _PHYSICAL_META in f.metadata:
+        if f.metadata and (_PHYSICAL_META in f.metadata
+                           or _ADDED_DEFAULT_META in f.metadata):
             md = {k: v for k, v in f.metadata.items()
-                  if k != _PHYSICAL_META}
+                  if k not in (_PHYSICAL_META, _ADDED_DEFAULT_META)}
             f = f.with_metadata(md) if md else f.remove_metadata()
         fields.append(f)
     return pa.schema(fields, metadata=schema.metadata)
@@ -3537,6 +3692,104 @@ def rename_column_checkpoint(ckpt_dir: str, old: str, new: str) -> int:
             f"sidecar of {ckpt_dir!r} but the commit record could not "
             "be written — live reads are correct, history is degraded; "
             "fix the storage and compact the checkpoint to re-baseline."
+        )
+    return seq
+
+
+def add_column_checkpoint(ckpt_dir: str, name: str, dtype,
+                          default=None) -> int:
+    """ADD COLUMN as a METADATA-ONLY logged mutation (Delta's
+    ALTER TABLE ADD COLUMN with a default): no data file is touched —
+    the ``_table_schema`` sidecar widens by one field whose typed
+    ``default`` (None = NULL) rides in field metadata, and an
+    ``add_column`` commit logs it. Chunks encoded BEFORE the add carry
+    no sub-columns for the field; every decode synthesizes a constant
+    array per such chunk (vectorized ``pa.repeat``, zero extra I/O),
+    while chunks appended/upserted AFTER the add carry real data —
+    mixed checkpoints decode seamlessly.
+
+    ``dtype`` is a Spark DDL string (``"long"``, ``"string"``,
+    ``"array<int>"``), a Spark DataType, or an Arrow type. A
+    non-null ``default`` is type-checked against it here. Semantics
+    downstream: reads at ANY snapshot (time travel included) show the
+    CURRENT schema, so pre-add snapshots decode the column as the
+    default — names and widths are presentation, the physical layout
+    is identity (same rule as ``rename_column_checkpoint``).
+    ``value_range`` / ``value_in`` on the added column decode without
+    chunk pruning (a missing sub-column is a VALUE, not an absence —
+    zone maps can't speak for it) and exact-filter the filled rows;
+    ``delete_where`` refuses specs the default might match until the
+    column is materialized. Re-encoding ``compact_checkpoint`` /
+    ``optimize_checkpoint`` MATERIALIZE the fill (and strip the
+    marker); the metadata-only compact carries it. ``backfill_column``
+    (manifest-level) remains the per-key value-bearing alternative.
+    Returns the commit seq."""
+    _raise_if_pending(ckpt_dir, for_write=True)
+    if not _has_commit_log(ckpt_dir):
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _commits log — "
+            "add_column is a logged mutation; persist via "
+            "write_checkpoint first"
+        )
+    schema = read_checkpoint_schema(ckpt_dir)
+    if schema is None:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _table_schema sidecar "
+            "— add_column rewrites it; write_checkpoint(manifest, dir, "
+            "schema=...) makes the checkpoint self-describing"
+        )
+    if name in schema.names:
+        raise ValueError(f"add_column: {name!r} already names a column")
+    if (not name or "#" in name or name.startswith(("_", "."))
+            or name != name.strip()):
+        raise ValueError(
+            f"add_column: {name!r} is a reserved spelling — names "
+            "must be non-empty, unpadded, not start with '_'/'.' and "
+            "not contain '#' (the sub-column separator)"
+        )
+    taken = {
+        ((f.metadata or {}).get(_PHYSICAL_META) or f.name.encode()).decode()
+        for f in schema
+    }
+    if name in taken:
+        raise ValueError(
+            f"add_column: {name!r} is a live column's PHYSICAL "
+            "manifest name — reusing it would collide in the manifest "
+            "namespace; compact the checkpoint first to materialize "
+            "renames, then retry"
+        )
+    if isinstance(dtype, pa.DataType):
+        t = dtype
+    else:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        if isinstance(dtype, str):
+            dtype = _parse_datatype_string(dtype)
+        t = to_arrow_schema(StructType([StructField(name, dtype)]))[0].type
+    meta = _encode_default_meta(default, t)  # also the type check
+    field = pa.field(name, t, nullable=True,
+                     metadata={_ADDED_DEFAULT_META: meta})
+    before = _list_data_files(ckpt_dir)
+    _begin_logged_mutation(ckpt_dir, "add_column", name, before)
+    seq = None
+    try:
+        write_checkpoint_schema(
+            ckpt_dir, pa.schema(list(schema) + [field],
+                                metadata=schema.metadata))
+        seq = _append_commit(ckpt_dir, "add_column", f"{name}:{t}", [])
+    finally:
+        fsys, p = _manifest_fs(ckpt_dir)
+        try:
+            fsys.delete_file(f"{p.rstrip('/')}/{_MUTATION_PENDING}")
+        except (OSError, ValueError):
+            pass
+    if seq is None:
+        raise IOError(
+            f"add_column {name!r} rewrote the _table_schema sidecar of "
+            f"{ckpt_dir!r} but the commit record could not be written — "
+            "live reads are correct, history is degraded; fix the "
+            "storage and compact the checkpoint to re-baseline."
         )
     return seq
 
@@ -3691,6 +3944,14 @@ def write_checkpoint(manifest_df, ckpt_dir: str, schema=None,
             # schema would overwrite the field metadata)
             manifest_df = _translate_manifest_columns(manifest_df, rmap)
             schema = None
+        else:
+            side = read_checkpoint_schema(ckpt_dir)
+            if side is not None and _added_defaults(side):
+                # metadata-added columns live ONLY in the sidecar's
+                # field metadata — a caller-passed schema on append
+                # would strip the default markers and break decode of
+                # pre-add chunks
+                schema = None
         before = _list_data_files(ckpt_dir)
         added = _staged_append(manifest_df, ckpt_dir)
         if schema is not None:
@@ -4698,7 +4959,8 @@ VALUE_PRUNE_MAX_KEYS = 100_000
 
 def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
                         legacy_nan_zonemaps: bool, point_keys=None,
-                        verify_checksums: bool = False, extra_deletes=None):
+                        verify_checksums: bool = False, extra_deletes=None,
+                        defaults=None):
     """mapInArrow function over a (path string) DataFrame: each task reads
     one manifest parquet file sequentially and decodes its chunk groups.
     Projection and zone-map predicates are pushed into the pyarrow read
@@ -4756,7 +5018,8 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
                 filt = filt & (zf | mn.is_null())
 
         decode = make_decode_fn(out_schema, verify_checksums=verify_checksums,
-                                extra_deletes=extra_deletes)
+                                extra_deletes=extra_deletes,
+                                defaults=defaults)
         read_cols = ["chunk_key", "column", "blob"]
         if verify_checksums:
             read_cols.append("checksum")
@@ -4903,6 +5166,14 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         return dec.toDF(*[inv.get(c, c) for c in dec.columns])
     full_schema = out_schema
     out_schema, phys = _project_out_schema(out_schema, columns)
+    added = _added_defaults(out_schema)
+    if added and len(added) == len(out_schema):
+        raise ValueError(
+            f"columns {sorted(added)} are all metadata-only ADDED "
+            "columns (add_column_checkpoint) — include at least one "
+            "stored column in the projection to anchor row counts, or "
+            "compact the checkpoint to materialize them"
+        )
     # file signature BEFORE the scan lists files: anything appended
     # after this point is either seen by the gate (and verified) or
     # newer than the marker we may write (and re-verified next call)
@@ -5050,7 +5321,11 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     if value_range is not None:
         specs = value_range if isinstance(value_range, list) else [value_range]
         vrs = [_prepare_value_range(out_schema, s) for s in specs]
-        usable = [v for v in vrs if _value_maps_col(v[:3]) in fdf.columns]
+        # added-default columns never prune: a chunk with NO manifest
+        # rows for the column is all-default VALUES, not an absence —
+        # the exact post-filter below carries the whole predicate
+        usable = [v for v in vrs if _value_maps_col(v[:3]) in fdf.columns
+                  and v[0].split("#")[0] not in added]
         if usable:
             hits = _conjunctive_hit_keys(fdf, usable, extra_cols=("__file",))
             rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
@@ -5068,7 +5343,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         # the bloom-pruned fdf, so their chunk lists are already
         # subsets of any bloom keep)
         in_vrs, in_expr = _prepare_value_in(out_schema, value_in)
-        if _value_maps_col(in_vrs[0][:3]) in fdf.columns:
+        if (_value_maps_col(in_vrs[0][:3]) in fdf.columns
+                and in_vrs[0][0].split("#")[0] not in added):
             hits = _disjunctive_hit_keys(fdf, in_vrs, extra_cols=("__file",))
             rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
             if len(rows) <= VALUE_PRUNE_MAX_KEYS:
@@ -5102,7 +5378,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         make_file_decode_fn(out_schema, phys, key_range, legacy_nan_zonemaps,
                             point_keys=probe_keys,
                             verify_checksums=verify_checksums,
-                            extra_deletes=extra_deletes),
+                            extra_deletes=extra_deletes,
+                            defaults=added or None),
         schema=from_arrow_schema(out_schema, prefer_timestamp_ntz=True),
     )
     from pyspark.sql import functions as F
@@ -5180,6 +5457,11 @@ def compact_checkpoint(spark, src_dir: str, dst_dir: str,
             num_partitions=num_partitions, partitioner=partitioner,
             zorder_cols=zorder_cols,
             target_page_size=target_page_size,
+            # whatever the checkpoint decoded IS the table — nulls here
+            # are legitimate by construction (nullable encodes,
+            # metadata-added NULL-default columns); with zero nulls
+            # this changes nothing (no #valid emitted, bytes identical)
+            allow_nulls=True,
         )
         # one task's output per file — clustered by construction, same
         # layout contract as a fresh encode_table checkpoint write
@@ -5734,20 +6016,24 @@ def optimize_checkpoint(spark, ckpt_dir: str, key_col: str | None = None,
                 f"optimize staging produced colliding file names: "
                 f"{clash[:3]}"
             )
-        if _checkpoint_rename_map(ckpt_dir):
-            # renamed checkpoint: the swap must also adopt the staged
-            # (rename-materialized) sidecar — refuse BEFORE the swap
-            # marker if the compact could not stage it, else the root
-            # mapping would point at names the new manifest lost
+        side = read_checkpoint_schema(ckpt_dir)
+        if _checkpoint_rename_map(ckpt_dir) or (
+                side is not None and _added_defaults(side)):
+            # schema-evolved checkpoint (renames / metadata-added
+            # columns): the swap must also adopt the staged
+            # (materialized) sidecar — refuse BEFORE the swap marker if
+            # the compact could not stage it, else the root's evolution
+            # markers would misdescribe the rewritten manifest
             from pyarrow import fs as pafs
 
             if fsys.get_file_info(
                     f"{staging}/{_TABLE_SCHEMA_SIDECAR}"
             ).type != pafs.FileType.File:
                 raise IOError(
-                    f"optimize of renamed checkpoint {ckpt_dir!r} could "
-                    "not stage the materialized _table_schema sidecar — "
-                    "fix the storage and retry (nothing was swapped)"
+                    f"optimize of schema-evolved checkpoint {ckpt_dir!r} "
+                    "could not stage the materialized _table_schema "
+                    "sidecar — fix the storage and retry (nothing was "
+                    "swapped)"
                 )
         with fsys.open_output_stream(f"{p}/{_OPTIMIZE_PENDING}") as f:
             f.write(json.dumps({"old": old, "new": new}).encode())

@@ -1020,6 +1020,62 @@ DUCK_RENAME_COLUMN = (
 )
 
 
+def q_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN as a metadata-only logged mutation
+    (`add_column_checkpoint`, Delta's ALTER TABLE ADD COLUMN with a
+    default): zero data files touched — the schema sidecar widens by a
+    field whose typed default rides in field metadata, pre-add chunks
+    decode the default via a vectorized constant fill, post-add
+    appends carry real stored values, and the two chunk populations
+    decode seamlessly side by side. Here: encode the long documents,
+    add `tier` defaulting to 'legacy', append the short documents
+    tagged 'fresh', add a NULL-default `score`, then decode — the
+    oracle derives tier from the same n_chars split."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..engine import (
+        add_column_checkpoint,
+        decode_checkpoint,
+        encode_table,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_ac_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df.filter(F.col("n_chars") >= 100),
+                         key_col="doc_id", codec="auto",
+                         num_partitions=8),
+            ckpt, schema=df.schema)
+        add_column_checkpoint(ckpt, "tier", "string", default="legacy")
+        extra = df.filter(F.col("n_chars") < 100) \
+                  .withColumn("tier", F.lit("fresh"))
+        write_checkpoint(
+            encode_table(extra, key_col="doc_id", codec="auto",
+                         num_partitions=4),
+            ckpt, mode="append")
+        add_column_checkpoint(ckpt, "score", "double")
+        out = decode_checkpoint(
+            spark, ckpt,
+            columns=["doc_id", "lang", "n_chars", "tier", "score"])
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_ADD_COLUMN = (
+    "SELECT doc_id, lang, n_chars, "
+    "CASE WHEN n_chars < 100 THEN 'fresh' ELSE 'legacy' END AS tier, "
+    "CAST(NULL AS DOUBLE) AS score FROM documents"
+)
+
+
 def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE to a snapshot (`restore_checkpoint`): mutations only
     ever append files, so rolling back = deleting the files later
@@ -2853,6 +2909,7 @@ REGISTRY: dict[str, tuple] = {
     "update_where": (q_update_where, DUCK_UPDATE_WHERE),
     "drop_column": (q_drop_column, DUCK_DROP_COLUMN),
     "rename_column": (q_rename_column, DUCK_RENAME_COLUMN),
+    "add_column": (q_add_column, DUCK_ADD_COLUMN),
     "restore_snapshot": (q_restore, DUCK_RESTORE),
     "clone_table": (q_clone, DUCK_CLONE),
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
