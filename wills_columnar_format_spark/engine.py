@@ -1088,6 +1088,84 @@ def _decode_blob(blob: bytes) -> ColumnValues:
     return codec.decode(data_section(blob), footer)
 
 
+def _cast_checked(vals: np.ndarray, tag: int, npt, name: str) -> np.ndarray:
+    """Class- and VALUE-checked cast of a decoded chunk to the
+    requested numpy dtype — the engine-side decode type guard (the
+    reference's src/decode.rs:44-50 check, made value-exact). Integer
+    codecs decode class-WIDE (int64/uint64 regardless of stored width,
+    see the decoder contract at the top of this module), so the wire
+    width is invisible here: a chunk encoded from int32 decoding into
+    an int32 schema is the normal roundtrip, while 300 decoding into
+    an int8 schema must raise, not wrap to 44. Rules: float chunks go
+    only to same-or-wider floats; integer chunks go to any integer
+    width of the same signedness provided EVERY value survives the
+    round trip (one vectorized compare — the only lossy-direction
+    cost), to signed targets from unsigned chunks under an explicit
+    bound check (the bit round trip is lossless even when the value
+    would flip sign, so compare alone cannot catch it), and to bool
+    only for 0/1 payloads; everything cross-class refuses. This is
+    also what makes metadata-only type WIDENING
+    (``alter_column_type_checkpoint``) free: pre-widen chunks decode
+    into the wider schema through the same checked cast."""
+    npt = np.dtype(npt)
+    src = vals.dtype
+    if src == npt:
+        return vals
+    if tag in dtypes.FLOAT_TAGS:
+        if npt.kind != "f" or npt.itemsize < src.itemsize:
+            raise dtypes.UnsupportedDataType(
+                f"column {name!r} stores {src.name} floats; decoding as "
+                f"{npt.name} would lose precision or change class"
+            )
+        return vals.astype(npt)
+    if tag in dtypes.INTEGER_TAGS:
+        if npt.kind == "b":
+            out = vals.astype(npt)
+            if vals.size and not np.array_equal(out.astype(src), vals):
+                raise dtypes.UnsupportedDataType(
+                    f"column {name!r} stores non-0/1 integers; cannot "
+                    "decode as boolean"
+                )
+            return out
+        if npt.kind not in ("i", "u"):
+            raise dtypes.UnsupportedDataType(
+                f"column {name!r} stores integers; cannot decode as "
+                f"{npt.name}"
+            )
+        if src.kind == "u" and npt.kind == "i":
+            if vals.size and int(vals.max()) > np.iinfo(npt).max:
+                raise dtypes.UnsupportedDataType(
+                    f"column {name!r} holds unsigned values above "
+                    f"{npt.name}'s range"
+                )
+            return vals.astype(npt)
+        if src.kind == "i" and npt.kind == "u":
+            if vals.size and int(vals.min()) < 0:
+                raise dtypes.UnsupportedDataType(
+                    f"column {name!r} holds negative values; cannot "
+                    f"decode as {npt.name}"
+                )
+            out = vals.astype(npt)
+            if vals.size and int(vals.max()) > np.iinfo(npt).max:
+                raise dtypes.UnsupportedDataType(
+                    f"column {name!r} holds values above {npt.name}'s "
+                    "range"
+                )
+            return out
+        out = vals.astype(npt)
+        if vals.size and not np.array_equal(out.astype(src), vals):
+            raise dtypes.UnsupportedDataType(
+                f"column {name!r} holds values outside {npt.name}'s "
+                "range — decode with the stored (wider) type"
+            )
+        return out
+    # varlen/bool-tagged chunks never reach here with a numpy target
+    raise dtypes.UnsupportedDataType(
+        f"column {name!r} stores "
+        f"{dtypes.TAG_NAMES.get(tag, tag)}; cannot decode as {npt.name}"
+    )
+
+
 def _rebuild_field(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
     t = field.type
     if pa.types.is_struct(t):
@@ -1175,7 +1253,11 @@ def _rebuild_values(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
             # whole number); rebuild from the unscaled words instead
             values = _unscaled_to_decimal(vals_cv.vals, elem_t)
         elif vals_cv.vals is not None:
-            values = pa.array(vals_cv.vals.astype(_ARROW_NP.get(elem_t, np.int64)), type=elem_t)
+            values = pa.array(
+                _cast_checked(vals_cv.vals, vals_cv.tag,
+                              _ARROW_NP.get(elem_t, np.int64),
+                              f"{field.name}#values"),
+                type=elem_t)
         else:
             values = vals_cv.to_arrow().cast(elem_t)
         if pa.types.is_large_list(t):
@@ -1194,8 +1276,12 @@ def _rebuild_values(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
         ):
             # temporal: stored as epoch ints (_normalize_temporal); cast back
             width = pa.int32() if pa.types.is_date32(t) or pa.types.is_time32(t) else pa.int64()
-            return pa.array(cv.vals.astype(_ARROW_NP[width]), type=width).cast(t)
-        return pa.array(cv.vals.astype(npt) if npt is not None else cv.vals, type=t)
+            return pa.array(
+                _cast_checked(cv.vals, cv.tag, _ARROW_NP[width], field.name),
+                type=width).cast(t)
+        return pa.array(
+            _cast_checked(cv.vals, cv.tag, npt, field.name)
+            if npt is not None else cv.vals, type=t)
     return cv.to_arrow().cast(t)
 
 
@@ -3790,6 +3876,163 @@ def add_column_checkpoint(ckpt_dir: str, name: str, dtype,
             f"{ckpt_dir!r} but the commit record could not be written — "
             "live reads are correct, history is degraded; fix the "
             "storage and compact the checkpoint to re-baseline."
+        )
+    return seq
+
+
+_INT_ORDER = {pa.int8(): 0, pa.int16(): 1, pa.int32(): 2, pa.int64(): 3}
+_UINT_ORDER = {pa.uint8(): 0, pa.uint16(): 1, pa.uint32(): 2,
+               pa.uint64(): 3}
+
+
+def _widen_ok(old: pa.DataType, new: pa.DataType) -> bool:
+    """Whether ``old -> new`` is a VALUE-PRESERVING widening (Delta's
+    type-widening matrix, restricted to exact conversions): signed /
+    unsigned integers to a wider width of the same signedness, unsigned
+    to a STRICTLY wider signed width (every uintN fits int2N), float32
+    to float64, decimal to higher precision at the same scale, and the
+    same rules applied element-wise through list / map / struct
+    wrappers (struct widening requires identical field names in
+    identical order — reshaping is not a type change)."""
+    if old.equals(new):
+        return False  # a no-op alter is refused upstream with its own message
+    if old in _INT_ORDER and new in _INT_ORDER:
+        return _INT_ORDER[new] > _INT_ORDER[old]
+    if old in _UINT_ORDER and new in _UINT_ORDER:
+        return _UINT_ORDER[new] > _UINT_ORDER[old]
+    if old in _UINT_ORDER and new in _INT_ORDER:
+        return _INT_ORDER[new] > _UINT_ORDER[old]
+    if pa.types.is_float32(old) and pa.types.is_float64(new):
+        return True
+    if pa.types.is_decimal(old) and pa.types.is_decimal(new):
+        return new.scale == old.scale and new.precision >= old.precision \
+            and not old.equals(new)
+    if (pa.types.is_list(old) and pa.types.is_list(new)) or (
+            pa.types.is_large_list(old) and pa.types.is_large_list(new)):
+        return old.value_type.equals(new.value_type) or \
+            _widen_ok(old.value_type, new.value_type)
+    if pa.types.is_map(old) and pa.types.is_map(new):
+        keys_ok = old.key_type.equals(new.key_type) or \
+            _widen_ok(old.key_type, new.key_type)
+        items_ok = old.item_type.equals(new.item_type) or \
+            _widen_ok(old.item_type, new.item_type)
+        return keys_ok and items_ok
+    if pa.types.is_struct(old) and pa.types.is_struct(new):
+        if old.num_fields != new.num_fields:
+            return False
+        widened = False
+        for i in range(old.num_fields):
+            fo, fn = old.field(i), new.field(i)
+            if fo.name != fn.name:
+                return False
+            if fo.type.equals(fn.type):
+                continue
+            if not _widen_ok(fo.type, fn.type):
+                return False
+            widened = True
+        return widened
+    return False
+
+
+def alter_column_type_checkpoint(ckpt_dir: str, name: str, new_type) -> int:
+    """ALTER COLUMN TYPE as a METADATA-ONLY logged mutation (Delta's
+    type widening): no data file is touched — the ``_table_schema``
+    sidecar field's type widens in place and an ``alter_type`` commit
+    logs it. The physical layout needs no rewrite because the decode
+    is already width-polymorphic: integer codecs decode class-wide and
+    ``_cast_checked`` casts each chunk to the REQUESTED schema type
+    exactly, so chunks encoded at the old width and chunks appended
+    after the widen decode side by side into the wider schema. Only
+    value-preserving widenings are admitted (``_widen_ok``): same-sign
+    integer widths, unsigned into strictly-wider signed, float ->
+    double, decimal precision growth at fixed scale, and the same
+    element-wise through list / map / struct. Value-space metadata
+    (zone maps, per-chunk sums, blooms) is width-independent, so
+    pruning and metadata aggregates keep working unchanged; appends
+    after the widen may encode at either width. Narrowing or
+    cross-class changes are refused — and a chunk whose values genuinely
+    exceed a (buggy, hand-edited) sidecar's narrower type fails the
+    decode loudly rather than wrapping. Schema-evolution markers on the
+    field (rename mapping, add_column default) survive the alter.
+    Returns the commit seq."""
+    _raise_if_pending(ckpt_dir, for_write=True)
+    if not _has_commit_log(ckpt_dir):
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _commits log — "
+            "alter_column_type is a logged mutation; persist via "
+            "write_checkpoint first"
+        )
+    schema = read_checkpoint_schema(ckpt_dir)
+    if schema is None:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _table_schema sidecar "
+            "— alter_column_type rewrites it; write_checkpoint("
+            "manifest, dir, schema=...) makes the checkpoint "
+            "self-describing"
+        )
+    if name not in schema.names:
+        raise ValueError(
+            f"alter_column_type: {name!r} is not in the table "
+            f"(have {schema.names})"
+        )
+    if isinstance(new_type, pa.DataType):
+        t = new_type
+    else:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import (
+            StructField, StructType, _parse_datatype_string)
+
+        if isinstance(new_type, str):
+            new_type = _parse_datatype_string(new_type)
+        t = to_arrow_schema(StructType([StructField(name, new_type)]))[0].type
+    old_field = schema.field(name)
+    if old_field.type.equals(t):
+        raise ValueError(
+            f"alter_column_type: {name!r} already has type {t}")
+    if not _widen_ok(old_field.type, t):
+        raise ValueError(
+            f"alter_column_type: {old_field.type} -> {t} is not a "
+            "value-preserving widening — only same-sign integer width "
+            "growth, unsigned into strictly-wider signed, float -> "
+            "double, decimal precision growth at fixed scale, and "
+            "their list/map/struct element versions are metadata-only; "
+            "anything else needs a re-encode (decode, cast, "
+            "encode_table into a new checkpoint)"
+        )
+    if (old_field.metadata or {}).get(_ADDED_DEFAULT_META):
+        # re-serialize the default at the new type so _added_defaults
+        # keeps decoding a value that pa.scalar can carry exactly
+        v = _decode_default_meta(old_field.metadata[_ADDED_DEFAULT_META])
+        md = dict(old_field.metadata)
+        md[_ADDED_DEFAULT_META] = _encode_default_meta(v, t)
+        new_field = pa.field(name, t, nullable=old_field.nullable,
+                             metadata=md)
+    else:
+        new_field = pa.field(name, t, nullable=old_field.nullable,
+                             metadata=old_field.metadata)
+    before = _list_data_files(ckpt_dir)
+    _begin_logged_mutation(ckpt_dir, "alter_type",
+                           f"{name}:{old_field.type}:{t}", before)
+    seq = None
+    try:
+        write_checkpoint_schema(
+            ckpt_dir,
+            pa.schema([new_field if f.name == name else f for f in schema],
+                      metadata=schema.metadata))
+        seq = _append_commit(ckpt_dir, "alter_type",
+                             f"{name}:{old_field.type}:{t}", [])
+    finally:
+        fsys, p = _manifest_fs(ckpt_dir)
+        try:
+            fsys.delete_file(f"{p.rstrip('/')}/{_MUTATION_PENDING}")
+        except (OSError, ValueError):
+            pass
+    if seq is None:
+        raise IOError(
+            f"alter_column_type {name!r} rewrote the _table_schema "
+            f"sidecar of {ckpt_dir!r} but the commit record could not "
+            "be written — live reads are correct, history is degraded; "
+            "fix the storage and compact the checkpoint to re-baseline."
         )
     return seq
 

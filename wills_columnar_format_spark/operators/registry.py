@@ -1076,6 +1076,62 @@ DUCK_ADD_COLUMN = (
 )
 
 
+def q_alter_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN TYPE as a metadata-only logged mutation
+    (`alter_column_type_checkpoint`, Delta's type widening): the schema
+    sidecar field widens INT -> BIGINT without touching a data file —
+    integer codecs decode class-wide and each chunk value-checks its
+    cast to the requested schema type, so pre-widen (int) chunks and a
+    post-widen append carrying 2^40-scale values decode side by side.
+    The oracle unions the base table with the same synthetic wide
+    rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..engine import (
+        alter_column_type_checkpoint,
+        decode_checkpoint,
+        encode_table,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumn("n_chars", F.col("n_chars").cast("int"))
+    work = tempfile.mkdtemp(prefix="wcfs_at_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8),
+            ckpt, schema=df.schema)
+        alter_column_type_checkpoint(ckpt, "n_chars", "long")
+        extra = spark.createDataFrame(
+            [(10_000_000 + i, f"t{i}", "xx", "widen", (1 << 40) + i)
+             for i in range(20)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        write_checkpoint(
+            encode_table(extra, key_col="doc_id", codec="auto",
+                         num_partitions=2),
+            ckpt, mode="append")
+        out = decode_checkpoint(
+            spark, ckpt, columns=["doc_id", "lang", "source", "n_chars"])
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_ALTER_TYPE = (
+    "SELECT doc_id, lang, source, n_chars FROM documents "
+    "UNION ALL "
+    "SELECT 10000000 + i, 'xx', 'widen', 1099511627776 + i "
+    "FROM range(20) t(i)"
+)
+
+
 def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE to a snapshot (`restore_checkpoint`): mutations only
     ever append files, so rolling back = deleting the files later
@@ -2910,6 +2966,7 @@ REGISTRY: dict[str, tuple] = {
     "drop_column": (q_drop_column, DUCK_DROP_COLUMN),
     "rename_column": (q_rename_column, DUCK_RENAME_COLUMN),
     "add_column": (q_add_column, DUCK_ADD_COLUMN),
+    "alter_type": (q_alter_type, DUCK_ALTER_TYPE),
     "restore_snapshot": (q_restore, DUCK_RESTORE),
     "clone_table": (q_clone, DUCK_CLONE),
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
