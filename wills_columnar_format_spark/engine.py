@@ -3111,6 +3111,35 @@ def delete_where_checkpoint(spark, ckpt_dir: str, value_range,
     return gen
 
 
+def _typed_set_expr(dt_type, c: str, v):
+    """SET value reconciled to the table column's own type — UPDATE
+    semantics. A bare F.lit() would land tz-shifted NTZ timestamps
+    (lit(naive datetime) is a session-tz instant; the string->NTZ
+    parse is timezone-free, the same dodge _prepare_value_range
+    uses) and wrong-scale decimals (lit(Decimal('1.5')) is
+    DECIMAL(2,1) — its unscaled 15 decodes as 0.15 through a
+    scale-2 schema). Review finding, round 4. Shared by
+    ``update_where_checkpoint`` and ``merge_checkpoint``."""
+    import datetime as _dt
+
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(v, Column):
+        return v.cast(dt_type)
+    if (isinstance(dt_type, TimestampNTZType)
+            and isinstance(v, _dt.datetime)):
+        if v.tzinfo is not None:
+            raise TypeError(
+                f"set_map[{c!r}]: NTZ column takes a NAIVE datetime "
+                "(wall-clock semantics)"
+            )
+        return F.lit(v.strftime("%Y-%m-%d %H:%M:%S.%f")).cast(
+            "timestamp_ntz")
+    return F.lit(v).cast(dt_type)
+
+
 def update_where_checkpoint(spark, ckpt_dir: str, value_range, set_map: dict,
                             key_col: str, **encode_kwargs):
     """``UPDATE ... SET ... WHERE``: decode exactly the predicate-hit
@@ -3157,30 +3186,7 @@ def update_where_checkpoint(spark, ckpt_dir: str, value_range, set_map: dict,
             )
 
     def typed(c, v):
-        """SET value reconciled to the table column's own type — UPDATE
-        semantics. A bare F.lit() would land tz-shifted NTZ timestamps
-        (lit(naive datetime) is a session-tz instant; the string->NTZ
-        parse is timezone-free, the same dodge _prepare_value_range
-        uses) and wrong-scale decimals (lit(Decimal('1.5')) is
-        DECIMAL(2,1) — its unscaled 15 decodes as 0.15 through a
-        scale-2 schema). Review finding, round 4."""
-        import datetime as _dt
-
-        from pyspark.sql.types import TimestampNTZType
-
-        dt_type = hit.schema[c].dataType
-        if isinstance(v, Column):
-            return v.cast(dt_type)
-        if (isinstance(dt_type, TimestampNTZType)
-                and isinstance(v, _dt.datetime)):
-            if v.tzinfo is not None:
-                raise TypeError(
-                    f"update_where set_map[{c!r}]: NTZ column takes a "
-                    "NAIVE datetime (wall-clock semantics)"
-                )
-            return F.lit(v.strftime("%Y-%m-%d %H:%M:%S.%f")).cast(
-                "timestamp_ntz")
-        return F.lit(v).cast(dt_type)
+        return _typed_set_expr(hit.schema[c].dataType, c, v)
 
     # optimistic concurrency (snapshot _head0 taken above, BEFORE the
     # decode): a foreign mutation landing while we compute the update
@@ -3208,6 +3214,193 @@ def update_where_checkpoint(spark, ckpt_dir: str, value_range, set_map: dict,
     gen = upsert_checkpoint(spark, ckpt_dir, upd, key_col,
                             **encode_kwargs)
     return {"updated": n, "gen": gen}
+
+
+def merge_checkpoint(spark, ckpt_dir: str, source_df, key_col: str,
+                     when_matched: str | None = "update",
+                     matched_condition=None, set_map: dict | None = None,
+                     when_not_matched: str | None = "insert",
+                     not_matched_condition=None, **encode_kwargs) -> dict:
+    """MERGE INTO with conditional clauses — Delta's
+    ``WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE`` /
+    ``WHEN NOT MATCHED [AND cond] THEN INSERT *`` on this format's
+    physical model, landed as ONE logged ``merge`` commit (mask
+    sidecars for updated+deleted keys, one appended generation for
+    updated+inserted rows — no snapshot ever sees a half-applied
+    merge). The ON condition is key equality on ``key_col`` (the
+    format's physical identity). Cost ∝ the source batch plus the
+    MATCHED chunks (bloom/zone-pruned point decode), never the corpus.
+
+    Clauses:
+      ``when_matched``: ``"update"`` (default), ``"delete"``, or
+      ``None`` (leave matched rows alone).
+      ``matched_condition``: optional ``Column`` over the matched
+      pair — target columns by name, source columns as
+      ``F.col("src_<name>")``. Matched rows failing it are untouched
+      (NOT inserted — they matched).
+      ``set_map``: for ``"update"``, target column -> literal or
+      ``Column`` over the matched pair; ``None`` replaces the whole
+      row with the source row (classic upsert).
+      ``when_not_matched``: ``"insert"`` (default) or ``None``;
+      ``not_matched_condition``: optional ``Column`` over SOURCE rows
+      (plain names).
+
+    ``source_df`` must be key-unique (checked — two source rows
+    matching one target row is the ambiguity every MERGE refuses) and
+    carry exactly the table's columns. Optimistic concurrency: a
+    foreign commit landing between the matched-row decode and the
+    write raises without mutating (lost-update protection, same
+    protocol as ``update_where_checkpoint``). A merge that ends up
+    touching nothing returns zeros without a phantom commit. Returns
+    ``{"updated", "deleted", "inserted", "gen"}``."""
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(
+            f"merge_checkpoint: when_matched={when_matched!r} — "
+            "expected 'update', 'delete', or None"
+        )
+    if when_not_matched not in ("insert", None):
+        raise ValueError(
+            f"merge_checkpoint: when_not_matched={when_not_matched!r} "
+            "— expected 'insert' or None"
+        )
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("merge_checkpoint: no clauses — nothing to do")
+    if set_map is not None and when_matched != "update":
+        raise ValueError(
+            "merge_checkpoint: set_map only applies to "
+            "when_matched='update'"
+        )
+    if set_map is not None and key_col in set_map:
+        raise ValueError(
+            f"merge_checkpoint refuses to rewrite the key column "
+            f"{key_col!r} — a key change is a delete + insert of a "
+            "DIFFERENT key; spell that intent explicitly"
+        )
+    _raise_if_pending(ckpt_dir, for_write=True)
+    side = read_checkpoint_schema(ckpt_dir)
+    if side is None:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _table_schema sidecar "
+            "— merge decodes matched rows through it; "
+            "write_checkpoint(manifest, dir, schema=...) makes the "
+            "checkpoint self-describing"
+        )
+    table_cols = list(side.names)
+    if set(source_df.columns) != set(table_cols):
+        raise ValueError(
+            f"merge_checkpoint: source columns {sorted(source_df.columns)} "
+            f"must equal the table's {sorted(table_cols)} — inserts and "
+            "whole-row updates need full rows"
+        )
+    if key_col not in table_cols:
+        raise ValueError(
+            f"merge_checkpoint: key_col {key_col!r} is not in the table")
+    # OCC snapshot BEFORE the matched decode lists files (same
+    # protocol and reasoning as update_where_checkpoint)
+    _log0 = read_commit_log(ckpt_dir)
+    _head0 = _log0[-1]["seq"] if _log0 else None
+    source_df = source_df.localCheckpoint(eager=True)  # read many times
+    dup = (source_df.groupBy(key_col).count()
+           .filter(F.col("count") > 1).limit(1).take(1))
+    if dup:
+        raise ValueError(
+            f"merge_checkpoint: source has duplicate keys (e.g. "
+            f"{dup[0][0]!r}) — a MERGE source must be key-unique"
+        )
+    keys = _collect_upsert_keys(source_df, key_col)
+    matched = decode_checkpoint(
+        spark, ckpt_dir, keys=keys, key_col=key_col)
+    joined = None
+    if when_matched is not None:
+        src_pref = source_df.select(
+            *[F.col(c).alias(f"src_{c}") for c in source_df.columns])
+        joined = matched.join(
+            src_pref, matched[key_col] == src_pref[f"src_{key_col}"],
+            "inner").localCheckpoint(eager=True)
+
+    n_up = n_del = n_ins = 0
+    append_parts = []
+    mask_keys: list = []
+    if when_matched == "delete":
+        hit = joined.filter(matched_condition) if matched_condition is not None else joined
+        del_keys = [r[0] for r in hit.select(key_col).collect()]
+        n_del = len(del_keys)
+        mask_keys += del_keys
+    elif when_matched == "update":
+        hit = joined.filter(matched_condition) if matched_condition is not None else joined
+        if set_map is None:
+            upd = hit.select(
+                *[F.col(f"src_{c}").alias(c) for c in table_cols])
+        else:
+            for c in set_map:
+                if c not in table_cols:
+                    raise ValueError(
+                        f"merge_checkpoint: set_map column {c!r} is not "
+                        f"in the table (have {table_cols})"
+                    )
+            sch = {f.name: f for f in matched.schema.fields}
+            upd = hit.select(*[
+                (_typed_set_expr(sch[c].dataType, c, set_map[c])
+                 if c in set_map else F.col(c)).alias(c)
+                for c in table_cols
+            ])
+        upd = upd.localCheckpoint(eager=True)
+        upd_keys = [r[0] for r in upd.select(key_col).collect()]
+        n_up = len(upd_keys)
+        mask_keys += upd_keys
+        if n_up:
+            append_parts.append(upd)
+    if when_not_matched == "insert":
+        ins = source_df.join(
+            matched.select(key_col), key_col, "left_anti")
+        if not_matched_condition is not None:
+            ins = ins.filter(not_matched_condition)
+        ins = ins.select(*table_cols).localCheckpoint(eager=True)
+        n_ins = ins.count()
+        if n_ins:
+            append_parts.append(ins)
+    if not mask_keys and not append_parts:
+        return {"updated": 0, "deleted": 0, "inserted": 0, "gen": ""}
+
+    log1 = read_commit_log(ckpt_dir)
+    head1 = log1[-1]["seq"] if log1 else None
+    if head1 != _head0:
+        raise IOError(
+            f"merge_checkpoint: checkpoint {ckpt_dir!r} advanced from "
+            f"commit {_head0} to {head1} while the merge was being "
+            "computed — landing it would overwrite the concurrent "
+            "mutation with stale rows (lost update); retry"
+        )
+
+    rmap = _checkpoint_rename_map(ckpt_dir)
+    key_phys = rmap.get(key_col, key_col)
+    probe = list(dict.fromkeys(_canon_temporal_keys(mask_keys)))
+    before = _list_data_files(ckpt_dir)
+    gen = _upsert_generation(probe, "|".join(before))
+    logged = _begin_logged_mutation(ckpt_dir, "merge", gen, before)
+    added: list[str] = []
+    if probe:
+        dgen = _deletes_generation(probe)
+        sidecars = _mark_sidecars(spark.read.parquet(ckpt_dir), probe,
+                                  dgen, key_phys)
+        added += _staged_append(sidecars, ckpt_dir)
+    if append_parts:
+        out = append_parts[0]
+        for p in append_parts[1:]:
+            out = out.unionByName(p)
+        if rmap:
+            out = out.select(
+                *[F.col(c).alias(rmap.get(c, c)) for c in out.columns])
+        newm = _salt_chunk_keys(
+            encode_table(out, key_col=key_phys, **encode_kwargs), gen)
+        added += _staged_append(newm, ckpt_dir)
+    if logged:
+        _end_logged_mutation(ckpt_dir, "merge", gen, before,
+                             added=sorted(added))
+    return {"updated": n_up, "deleted": n_del, "inserted": n_ins,
+            "gen": gen}
 
 
 # ---------------------------------------------------------------------------
@@ -4842,7 +5035,8 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
             (F.col("column") != DONE_COLUMN)
             & ~F.col("column").startswith(DELETES_PREFIX))
         side = cm.filter(F.col("column").startswith(DELETES_PREFIX))
-        if r["action"] in ("create", "append", "upsert", "compact"):
+        if r["action"] in ("create", "append", "upsert", "merge",
+                           "compact"):
             # the commit's own files are a complete manifest for the
             # rows it inserted (one encode_table output). A 'compact'
             # seed commit (compact_checkpoint's fresh-history seq 0)
@@ -6001,10 +6195,10 @@ def finish_mutation(ckpt_dir: str) -> str:
     added = sorted(set(_list_data_files(ckpt_dir)) - set(rec["before"]))
     recorded = ""
     if added:
-        if action == "upsert":
+        if action in ("upsert", "merge"):
             # did the new generation land, or only the mask sidecars?
-            # (an upsert is two appends: sidecars, then the encoded
-            # replacement batch)
+            # (an upsert/merge is two appends: sidecars, then the
+            # encoded replacement batch)
             import pyarrow.dataset as pads
 
             has_data = False
@@ -6016,7 +6210,7 @@ def finish_mutation(ckpt_dir: str) -> str:
                 if any(not c.startswith(DELETES_PREFIX) for c in cols):
                     has_data = True
                     break
-            recorded = "upsert" if has_data else "delete"
+            recorded = action if has_data else "delete"
         else:
             recorded = action
         seq = _append_commit(ckpt_dir, recorded, gen, added)

@@ -1132,6 +1132,67 @@ DUCK_ALTER_TYPE = (
 )
 
 
+def q_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (`merge_checkpoint`): Delta's conditional
+    WHEN MATCHED UPDATE / DELETE and WHEN NOT MATCHED INSERT clauses,
+    each merge landing as ONE logged commit (mask sidecars + one
+    appended generation — cost ∝ source batch + matched chunks, never
+    the corpus). Here: a conditional-update merge bumps n_chars by
+    100000 for matched 'en' docs in the 200-400 band and inserts 30
+    new docs, then a delete-merge erases every doc that started under
+    50 chars; the oracle replays both clauses in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..engine import (
+        decode_checkpoint,
+        encode_table,
+        merge_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_mg_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8),
+            ckpt, schema=df.schema)
+        upd_src = df.filter(F.col("n_chars").between(200, 400)) \
+            .withColumn("n_chars", F.col("n_chars") + 100_000)
+        ins = spark.createDataFrame(
+            [(20_000_000 + i, f"t{i}", "xx", "merged", 500 + i)
+             for i in range(30)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        merge_checkpoint(
+            spark, ckpt, upd_src.unionByName(ins), "doc_id",
+            matched_condition=F.col("lang") == "en",
+            set_map={"n_chars": F.col("src_n_chars")})
+        merge_checkpoint(
+            spark, ckpt, df.filter(F.col("n_chars") < 50), "doc_id",
+            when_matched="delete", when_not_matched=None)
+        out = decode_checkpoint(
+            spark, ckpt, columns=["doc_id", "lang", "source", "n_chars"])
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_MERGE = (
+    "SELECT doc_id, lang, source, "
+    "CASE WHEN n_chars BETWEEN 200 AND 400 AND lang = 'en' "
+    "THEN n_chars + 100000 ELSE n_chars END AS n_chars "
+    "FROM documents WHERE n_chars >= 50 "
+    "UNION ALL "
+    "SELECT 20000000 + i, 'xx', 'merged', 500 + i FROM range(30) t(i)"
+)
+
+
 def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE to a snapshot (`restore_checkpoint`): mutations only
     ever append files, so rolling back = deleting the files later
@@ -2967,6 +3028,7 @@ REGISTRY: dict[str, tuple] = {
     "rename_column": (q_rename_column, DUCK_RENAME_COLUMN),
     "add_column": (q_add_column, DUCK_ADD_COLUMN),
     "alter_type": (q_alter_type, DUCK_ALTER_TYPE),
+    "merge_into": (q_merge, DUCK_MERGE),
     "restore_snapshot": (q_restore, DUCK_RESTORE),
     "clone_table": (q_clone, DUCK_CLONE),
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
