@@ -2598,6 +2598,9 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
     commit, so no time-travel snapshot ever sees the deleted-but-not-
     reinserted intermediate state. Returns the generation id."""
     _raise_if_pending(ckpt_dir, for_write=True)
+    # row-level constraint pre-check BEFORE the mask sidecars land
+    # (the staged hook alone would strand masked rows on violation)
+    _enforce_constraints_rows(ckpt_dir, new_df)
     rmap = _checkpoint_rename_map(ckpt_dir)
     if rmap:
         # renamed destination: move the batch into PHYSICAL name space
@@ -3374,6 +3377,13 @@ def merge_checkpoint(spark, ckpt_dir: str, source_df, key_col: str,
             "mutation with stale rows (lost update); retry"
         )
 
+    out = None
+    if append_parts:
+        out = append_parts[0]
+        for p in append_parts[1:]:
+            out = out.unionByName(p)
+        # row-level constraint pre-check BEFORE the mask sidecars land
+        _enforce_constraints_rows(ckpt_dir, out)
     rmap = _checkpoint_rename_map(ckpt_dir)
     key_phys = rmap.get(key_col, key_col)
     probe = list(dict.fromkeys(_canon_temporal_keys(mask_keys)))
@@ -3386,10 +3396,7 @@ def merge_checkpoint(spark, ckpt_dir: str, source_df, key_col: str,
         sidecars = _mark_sidecars(spark.read.parquet(ckpt_dir), probe,
                                   dgen, key_phys)
         added += _staged_append(sidecars, ckpt_dir)
-    if append_parts:
-        out = append_parts[0]
-        for p in append_parts[1:]:
-            out = out.unionByName(p)
+    if out is not None:
         if rmap:
             out = out.select(
                 *[F.col(c).alias(rmap.get(c, c)) for c in out.columns])
@@ -3675,6 +3682,13 @@ def drop_column_checkpoint(spark, ckpt_dir: str, col_name: str) -> int:
             f"drop_column: {col_name!r} is the LAST column — dropping "
             "it leaves no table; delete the checkpoint instead"
         )
+    for cname, rec in table_constraints(ckpt_dir).items():
+        target = rec["col"] if rec["kind"] == "not_null" else rec["spec"][0]
+        if target == col_name:
+            raise ValueError(
+                f"drop_column: {col_name!r} is the target of constraint "
+                f"{cname!r} — drop_constraint_checkpoint it first"
+            )
     phys = (schema.field(col_name).metadata or {}).get(_PHYSICAL_META)
     if phys is not None and phys.decode() != col_name:
         # the drop record and the metadata compact's strip list speak
@@ -3956,8 +3970,24 @@ def rename_column_checkpoint(ckpt_dir: str, old: str, new: str) -> int:
                 md.setdefault(_PHYSICAL_META, old.encode())
                 f = f.with_name(new).with_metadata(md)
             fields.append(f)
+        # constraints follow the column they target through the rename
+        import json as _json
+
+        smd = dict(schema.metadata or {})
+        for k, v in list(smd.items()):
+            if not k.startswith(_CONSTRAINT_META_PREFIX):
+                continue
+            rec = _json.loads(v)
+            ckey = "col" if rec["kind"] == "not_null" else None
+            if ckey and rec[ckey] == old:
+                rec[ckey] = new
+            elif rec.get("spec") and rec["spec"][0] == old:
+                rec["spec"][0] = new
+            else:
+                continue
+            smd[k] = _json.dumps(rec).encode()
         write_checkpoint_schema(
-            ckpt_dir, pa.schema(fields, metadata=schema.metadata))
+            ckpt_dir, pa.schema(fields, metadata=smd))
         seq = _append_commit(ckpt_dir, "rename_column", f"{old}:{new}", [])
     finally:
         fsys, p = _manifest_fs(ckpt_dir)
@@ -4231,6 +4261,319 @@ def alter_column_type_checkpoint(ckpt_dir: str, name: str, new_type) -> int:
 
 
 # ---------------------------------------------------------------------------
+# table constraints: NOT NULL and CHECK, validated metadata-first
+# ---------------------------------------------------------------------------
+
+_CONSTRAINT_META_PREFIX = b"constraint."
+
+
+def table_constraints(ckpt_dir: str) -> dict:
+    """Name -> record for every constraint on the checkpoint.
+    Records: ``{"kind": "not_null", "col": c}`` or
+    ``{"kind": "check", "spec": [c, lo, hi] | [c, [v, ...]]}``."""
+    import json
+
+    schema = read_checkpoint_schema(ckpt_dir)
+    out = {}
+    for k, v in (schema.metadata or {}).items() if schema is not None else []:
+        if k.startswith(_CONSTRAINT_META_PREFIX):
+            out[k[len(_CONSTRAINT_META_PREFIX):].decode()] = json.loads(v)
+    return out
+
+
+def _constraint_violation(spark, manifest_df, rec, side_schema,
+                          rmap: dict, added_defaults: dict):
+    """First violating value of constraint ``rec`` in ``manifest_df``
+    (None when compliant) — metadata-first: chunks whose VALUE zone
+    maps prove compliance are never decoded; only admit-failed chunks
+    pay an exact one-column decode (with the manifest's own deletion
+    masks applied, so deleted rows cannot raise false violations).
+    ``manifest_df`` may be a full checkpoint read (ADD CONSTRAINT
+    validation) or one staged append (write-time enforcement) — the
+    cost is zone metadata plus suspect chunks either way."""
+    from pyspark.sql import functions as F
+
+    col = rec["col"] if rec["kind"] == "not_null" else rec["spec"][0]
+    if col not in side_schema.names:
+        raise ValueError(
+            f"constraint names unknown column {col!r} "
+            f"(have {side_schema.names})"
+        )
+    field = side_schema.field(col)
+    t = field.type
+    if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_decimal(t) or pa.types.is_temporal(t)
+            or pa.types.is_boolean(t)):
+        raise ValueError(
+            f"constraints cover top-level scalar columns; {col!r} is "
+            f"{t}"
+        )
+    phys = rmap.get(col, col)
+    rows = manifest_df.filter(
+        (F.col("column") == phys) | F.col("column").startswith(phys + "#"))
+    has_rows = bool(rows.select("column").limit(1).take(1))
+    if not has_rows:
+        # column absent from this manifest: rows decode as the
+        # add_column default (checked below); a torn manifest is the
+        # decode path's problem, not the constraint's
+        if col in added_defaults:
+            v = added_defaults[col]
+            if rec["kind"] == "not_null":
+                return "NULL (add_column default)" if v is None else None
+            if v is None:
+                return None  # NULL passes CHECK (SQL UNKNOWN)
+            spec = rec["spec"]
+            ok = (v in spec[1]) if isinstance(spec[1], list) \
+                else (spec[1] <= v <= spec[2])
+            return None if ok else f"{v!r} (add_column default)"
+        return None
+
+    if rec["kind"] == "not_null":
+        # a #valid sub-column exists only when the encode saw nulls —
+        # its absence proves compliance blob-free. Presence is not yet
+        # a violation: the null rows may all be deletion-masked, so
+        # decode exactly those chunks with the masks applied.
+        vrows = rows.filter(F.col("column") == phys + "#valid") \
+                    .select("chunk_key")
+        if not vrows.limit(1).take(1):
+            return None
+        sub = rows.join(F.broadcast(vrows.distinct()), "chunk_key",
+                        "left_semi")
+        masks = manifest_df.filter(
+            F.col("column").startswith(DELETES_PREFIX)
+        ).join(F.broadcast(vrows.distinct()), "chunk_key", "left_semi")
+        dec = decode_table(
+            sub.unionByName(masks, allowMissingColumns=True),
+            pa.schema([pa.field(phys, t, nullable=True)]))
+        hit = dec.filter(F.col(phys).isNull()).limit(1).take(1)
+        return "NULL" if hit else None
+
+    spec = rec["spec"]
+    in_list = isinstance(spec[1], list)
+    # zone-map proof: a chunk whose [val_min, val_max] sits inside the
+    # CHECK range is compliant without a decode. IN-lists prove only
+    # via constant chunks (min == max == a listed value).
+    data = rows.filter(F.col("column") == phys)
+    is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+    mn_c, mx_c = ("val_min_str", "val_max_str") if is_str \
+        else ("val_min", "val_max")
+    if mn_c in manifest_df.columns and mx_c in manifest_df.columns:
+        mn, mx = F.col(mn_c), F.col(mx_c)
+        if in_list:
+            lits = [F.lit(v) for v in spec[1]]
+            proven = (mn.isNotNull() & mx.isNotNull() & (mn == mx)
+                      & mn.isin(lits))
+        else:
+            proven = (mn.isNotNull() & mx.isNotNull()
+                      & (mn >= F.lit(spec[1])) & (mx <= F.lit(spec[2])))
+    else:
+        proven = F.lit(False)  # legacy manifest: exact-check everything
+    suspect = data.filter(~proven).select("chunk_key")
+    if not suspect.limit(1).take(1):
+        return None
+    sub = rows.join(F.broadcast(suspect.distinct()), "chunk_key",
+                    "left_semi")
+    masks = manifest_df.filter(
+        F.col("column").startswith(DELETES_PREFIX)
+    ).join(F.broadcast(suspect.distinct()), "chunk_key", "left_semi")
+    dec_schema = pa.schema([pa.field(phys, t, nullable=True)])
+    dec = decode_table(sub.unionByName(masks, allowMissingColumns=True),
+                       dec_schema)
+    c = F.col(phys)
+    if in_list:
+        viol = ~c.isin([F.lit(v) for v in spec[1]]) & c.isNotNull()
+    else:
+        viol = ~c.between(F.lit(spec[1]), F.lit(spec[2])) & c.isNotNull()
+    hit = dec.filter(viol).limit(1).take(1)
+    return repr(hit[0][0]) if hit else None
+
+
+def _enforce_constraints(spark, ckpt_dir: str, staged_path: str) -> None:
+    """Raise if the staged append at ``staged_path`` violates any table
+    constraint. The constraint-less table pays one sidecar read and
+    nothing else — the universal fast path (the staged parquet is not
+    even schema-inferred)."""
+    cons = table_constraints(ckpt_dir)
+    if not cons:
+        return
+    manifest_df = spark.read.parquet(staged_path)
+    side = read_checkpoint_schema(ckpt_dir)
+    rmap = _checkpoint_rename_map(ckpt_dir)
+    defaults = _added_defaults(side)
+    for name, rec in cons.items():
+        bad = _constraint_violation(spark, manifest_df, rec, side, rmap,
+                                    defaults)
+        if bad is not None:
+            raise ValueError(
+                f"constraint {name!r} violated by this write: "
+                f"{rec.get('col') or rec['spec'][0]!r} = {bad} — "
+                "nothing was appended"
+            )
+
+
+def _enforce_constraints_rows(ckpt_dir: str, df) -> None:
+    """Row-level constraint pre-check of a LOGICAL-name batch BEFORE a
+    multi-append mutation (upsert / merge) lands anything: the staged
+    manifest hook alone would fire after the mask sidecars landed,
+    stranding masked rows without their replacements. Constraints on
+    columns absent from the batch are the staged hook's job."""
+    from pyspark.sql import functions as F
+
+    cons = table_constraints(ckpt_dir)
+    if not cons:
+        return
+    for name, rec in cons.items():
+        col = rec["col"] if rec["kind"] == "not_null" else rec["spec"][0]
+        if col not in df.columns:
+            continue
+        c = F.col(col)
+        if rec["kind"] == "not_null":
+            viol = c.isNull()
+        elif isinstance(rec["spec"][1], list):
+            viol = ~c.isin([F.lit(v) for v in rec["spec"][1]]) & c.isNotNull()
+        else:
+            viol = ~c.between(F.lit(rec["spec"][1]),
+                              F.lit(rec["spec"][2])) & c.isNotNull()
+        hit = df.filter(viol).select(col).limit(1).take(1)
+        if hit:
+            raise ValueError(
+                f"constraint {name!r} violated by this write: "
+                f"{col!r} = {hit[0][0]!r} — nothing was written"
+            )
+
+
+def add_constraint_checkpoint(spark, ckpt_dir: str, name: str,
+                              check=None, not_null: str | None = None) -> int:
+    """ADD CONSTRAINT (Delta's CHECK / NOT NULL) as a logged mutation:
+    the constraint record rides the ``_table_schema`` sidecar's
+    schema-level metadata, existing data is validated METADATA-FIRST
+    (chunks whose value zone maps prove compliance are never decoded;
+    only admit-failed chunks pay a one-column decode with deletion
+    masks applied), and every subsequent append — plain append, upsert,
+    merge, update, change-feed apply — re-validates its STAGED files
+    against the constraint before a single byte lands (zone-proof
+    first, decode of suspect chunks only: write-time enforcement whose
+    cost is the batch, not the corpus). Exactly one of:
+
+      ``not_null="col"`` — no live row may be NULL.
+      ``check=(col, lo, hi)`` — every live value in [lo, hi]
+      (numeric or string bounds, inclusive).
+      ``check=(col, [v, ...])`` — every live value in the list.
+
+    NULL values pass CHECK (SQL's UNKNOWN-passes semantics, Delta's
+    behavior) — combine with ``not_null`` to refuse both. Dropping the
+    constrained column is refused while the constraint lives; renaming
+    it renames the constraint's target. Returns the commit seq."""
+    import json
+
+    _raise_if_pending(ckpt_dir, for_write=True)
+    if (check is None) == (not_null is None):
+        raise ValueError(
+            "add_constraint: pass exactly one of check= / not_null=")
+    if not _has_commit_log(ckpt_dir):
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _commits log — "
+            "add_constraint is a logged mutation; persist via "
+            "write_checkpoint first"
+        )
+    schema = read_checkpoint_schema(ckpt_dir)
+    if schema is None:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _table_schema sidecar "
+            "— add_constraint rewrites it"
+        )
+    key = _CONSTRAINT_META_PREFIX + name.encode()
+    if key in (schema.metadata or {}):
+        raise ValueError(f"constraint {name!r} already exists")
+    if not_null is not None:
+        rec = {"kind": "not_null", "col": not_null}
+    else:
+        if not (isinstance(check, (tuple, list)) and len(check) in (2, 3)
+                and isinstance(check[0], str)):
+            raise ValueError(
+                "check= takes (col, lo, hi) or (col, [v, ...])")
+        if len(check) == 2 and not isinstance(check[1], list):
+            raise ValueError(
+                "check=(col, values) takes a LIST of allowed values; "
+                "ranges are (col, lo, hi)")
+        try:
+            json.dumps(list(check))
+        except TypeError:
+            raise ValueError(
+                "check= bounds must be JSON-representable (numbers, "
+                "strings); temporal bounds are not supported yet"
+            ) from None
+        rec = {"kind": "check", "spec": list(check)}
+    # validate EXISTING data before the constraint becomes law
+    rmap = _checkpoint_rename_map(ckpt_dir)
+    bad = _constraint_violation(
+        spark, spark.read.parquet(ckpt_dir), rec, schema, rmap,
+        _added_defaults(schema))
+    if bad is not None:
+        raise ValueError(
+            f"add_constraint {name!r}: existing data violates it "
+            f"({rec.get('col') or rec['spec'][0]!r} = {bad}) — nothing "
+            "was added"
+        )
+    md = dict(schema.metadata or {})
+    md[key] = json.dumps(rec).encode()
+    before = _list_data_files(ckpt_dir)
+    _begin_logged_mutation(ckpt_dir, "add_constraint", name, before)
+    seq = None
+    try:
+        write_checkpoint_schema(
+            ckpt_dir, pa.schema(list(schema), metadata=md))
+        seq = _append_commit(ckpt_dir, "add_constraint",
+                             f"{name}:{json.dumps(rec)}", [])
+    finally:
+        fsys, p = _manifest_fs(ckpt_dir)
+        try:
+            fsys.delete_file(f"{p.rstrip('/')}/{_MUTATION_PENDING}")
+        except (OSError, ValueError):
+            pass
+    if seq is None:
+        raise IOError(
+            f"add_constraint {name!r} rewrote the _table_schema sidecar "
+            f"of {ckpt_dir!r} but the commit record could not be "
+            "written — enforcement is live, history is degraded; fix "
+            "the storage and compact the checkpoint to re-baseline."
+        )
+    return seq
+
+
+def drop_constraint_checkpoint(ckpt_dir: str, name: str) -> int:
+    """DROP CONSTRAINT: removes the record from the sidecar metadata
+    under a logged ``drop_constraint`` commit."""
+    _raise_if_pending(ckpt_dir, for_write=True)
+    schema = read_checkpoint_schema(ckpt_dir)
+    key = _CONSTRAINT_META_PREFIX + name.encode()
+    if schema is None or key not in (schema.metadata or {}):
+        raise ValueError(f"constraint {name!r} does not exist")
+    md = {k: v for k, v in schema.metadata.items() if k != key}
+    before = _list_data_files(ckpt_dir)
+    _begin_logged_mutation(ckpt_dir, "drop_constraint", name, before)
+    seq = None
+    try:
+        write_checkpoint_schema(
+            ckpt_dir, pa.schema(list(schema), metadata=md))
+        seq = _append_commit(ckpt_dir, "drop_constraint", name, [])
+    finally:
+        fsys, p = _manifest_fs(ckpt_dir)
+        try:
+            fsys.delete_file(f"{p.rstrip('/')}/{_MUTATION_PENDING}")
+        except (OSError, ValueError):
+            pass
+    if seq is None:
+        raise IOError(
+            f"drop_constraint {name!r} rewrote the sidecar of "
+            f"{ckpt_dir!r} but the commit record could not be written — "
+            "fix the storage and compact to re-baseline."
+        )
+    return seq
+
+
+# ---------------------------------------------------------------------------
 # shuffle-free decode of checkpointed manifests
 # ---------------------------------------------------------------------------
 #
@@ -4427,6 +4770,19 @@ def _staged_append(manifest_df, ckpt_dir: str) -> list[str]:
     fsys, p = _manifest_fs(ckpt_dir)
     root = p.rstrip("/")
     sdir = f"{root}/{stage_name}"
+    try:
+        # write-time constraint enforcement over the STAGED files (one
+        # sidecar read when the table has no constraints): violations
+        # raise before a single file moves into the readable root
+        _enforce_constraints(
+            manifest_df.sparkSession, ckpt_dir,
+            f"{ckpt_dir.rstrip('/')}/{stage_name}")
+    except Exception:
+        try:
+            fsys.delete_dir(sdir)
+        except (OSError, ValueError):
+            pass
+        raise
     infos = fsys.get_file_info(pafs.FileSelector(sdir, recursive=False))
     added = []
     for i in infos:

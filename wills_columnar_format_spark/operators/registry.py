@@ -1193,6 +1193,77 @@ DUCK_MERGE = (
 )
 
 
+def q_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table constraints (`add_constraint_checkpoint`, Delta's CHECK /
+    NOT NULL): existing data validates metadata-first (value zone maps
+    prove compliant chunks blob-free), and every write path re-checks
+    before anything lands — a violating append and a violating upsert
+    both refuse leaving the table untouched, then a compliant upsert
+    lands. The oracle is the base table with only the compliant upsert
+    applied: the result proves the violating writes left no trace."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..engine import (
+        add_constraint_checkpoint,
+        decode_checkpoint,
+        encode_table,
+        upsert_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_cn_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=8),
+            ckpt, schema=df.schema)
+        add_constraint_checkpoint(spark, ckpt, "chars_pos",
+                                  check=("n_chars", 0, 1_000_000))
+        add_constraint_checkpoint(spark, ckpt, "lang_nn",
+                                  not_null="lang")
+        neg = spark.createDataFrame(
+            [(30_000_000, "t", "xx", "bad", -5)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        try:
+            write_checkpoint(
+                encode_table(neg, key_col="doc_id", num_partitions=1),
+                ckpt, mode="append")
+            raise AssertionError("violating append must refuse")
+        except ValueError:
+            pass
+        nul = spark.createDataFrame(
+            [(30_000_001, "t", None, "bad", 5)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        try:
+            upsert_checkpoint(spark, ckpt, nul, "doc_id")
+            raise AssertionError("violating upsert must refuse")
+        except ValueError:
+            pass
+        ok = df.filter(F.col("doc_id") < 50) \
+               .withColumn("n_chars", F.col("n_chars") + 1000)
+        upsert_checkpoint(spark, ckpt, ok, "doc_id")
+        out = decode_checkpoint(
+            spark, ckpt, columns=["doc_id", "lang", "n_chars"])
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_CONSTRAINTS = (
+    "SELECT doc_id, lang, "
+    "CASE WHEN doc_id < 50 THEN n_chars + 1000 ELSE n_chars END "
+    "AS n_chars FROM documents"
+)
+
+
 def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE to a snapshot (`restore_checkpoint`): mutations only
     ever append files, so rolling back = deleting the files later
@@ -3029,6 +3100,7 @@ REGISTRY: dict[str, tuple] = {
     "add_column": (q_add_column, DUCK_ADD_COLUMN),
     "alter_type": (q_alter_type, DUCK_ALTER_TYPE),
     "merge_into": (q_merge, DUCK_MERGE),
+    "constraints": (q_constraints, DUCK_CONSTRAINTS),
     "restore_snapshot": (q_restore, DUCK_RESTORE),
     "clone_table": (q_clone, DUCK_CLONE),
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
