@@ -101,7 +101,7 @@ def test_done_markers_and_partition_prefilter(spark, token_df, tmp_path_factory)
         token_df, ckpt, key_col="doc_id", num_partitions=4, chunk_rows=2048,
         fail_parts=frozenset({2}),
     )
-    assert done_partitions(spark, ckpt, "j0/of1-n4-doc_id-hash-ck2") == {0, 1, 3}
+    assert done_partitions(spark, ckpt, "j0/of1-n4-doc_id-hash-ck3") == {0, 1, 3}
 
     # the prefilter predicate must replicate Spark's HashPartitioning
     # placement: manifest part_id == pmod(hash(key), N) for every chunk
@@ -118,7 +118,7 @@ def test_done_markers_and_partition_prefilter(spark, token_df, tmp_path_factory)
     m2 = encode_table_resumable(
         token_df, ckpt, key_col="doc_id", num_partitions=4, chunk_rows=2048,
     )
-    assert done_partitions(spark, ckpt, "j0/of1-n4-doc_id-hash-ck2") == {0, 1, 2, 3}
+    assert done_partitions(spark, ckpt, "j0/of1-n4-doc_id-hash-ck3") == {0, 1, 2, 3}
     # decode equals input
     dec = decode_table(m2, token_df.schema)
     assert dec.count() == N_ROWS

@@ -606,6 +606,63 @@ def _iter_chunk_tables(batches: Iterator[pa.RecordBatch], chunk_rows: int) -> It
         yield pa.Table.from_batches(buf).combine_chunks()
 
 
+def _chunk_content_key(sub_csums) -> str:
+    """Chunk identity: a digest over EVERY sub-column's content checksum
+    (sorted by sub-column name, so field order can't perturb it).
+
+    Identity must cover the whole chunk content, not just the keys: two
+    chunks with identical KEY vectors but different payloads are
+    routine under a non-unique ``key_col`` (events keyed by
+    ``event_type``; any hot key spanning > chunk_rows rows), and a
+    keys-only hash would collide them — the decode-side
+    ``dropDuplicates(chunk_key, column)`` then silently drops or MIXES
+    whole chunks (measured: 116 of 500 rows survived a
+    ``key_col='lang'`` roundtrip before this fix). Content identity
+    keeps the properties the engine builds on: byte-identical resume
+    re-encodes collapse (same content → same key), replayed streaming
+    batches stay idempotent, and differing payloads always separate.
+    The per-sub-column checksums are computed for the manifest anyway,
+    so identity costs one extra tiny digest per chunk."""
+    h = hashlib.blake2b(digest_size=12)
+    for sub_name, csum in sorted(sub_csums):
+        h.update(sub_name.encode())
+        h.update(b"\x00")
+        h.update(csum.encode())
+        h.update(b"\x01")
+    return h.hexdigest()
+
+
+class _ChunkKeyTracker:
+    """Disambiguate chunks whose FULL content repeats within one encode
+    pass. Genuinely duplicate chunks (same keys AND same payloads — 128k
+    identical event rows) are legitimate table content a single job must
+    keep, so repeats get a partition-local ordinal suffix (``~1``,
+    ``~2``…). Deterministic: within-partition chunk order is fixed
+    (sortWithinPartitions / scan order), so planning and resume
+    re-encodes reproduce the same ordinals. Partitioned layouts
+    ('hash'/'range'/'weight'/'zorder') place equal keys in one partition
+    — a multiset of identical rows can never straddle partitions — so
+    the local ordinal is globally unique; the shuffle-free 'none' layout
+    has no such guarantee and salts the partition id in (its identity
+    was never placement-independent: chunk boundaries ARE the scan
+    splits). Across separate append/streaming jobs identical content
+    intentionally KEEPS one identity — that collapse is the idempotent-
+    replay contract (streaming.py)."""
+
+    def __init__(self, part_id: int, salt_part_id: bool):
+        self._suffix = f"~p{part_id}" if salt_part_id else ""
+        self._seen: dict[str, int] = {}
+
+    def assign(self, raw: str) -> str:
+        raw = raw + self._suffix
+        n = self._seen.get(raw)
+        if n is None:
+            self._seen[raw] = 1
+            return raw
+        self._seen[raw] = n + 1
+        return f"{raw}~{n}"
+
+
 def _done_marker_batch(part_id: int, tag: str, n_chunks: int, snapshot_id) -> pa.RecordBatch:
     """Partition-completion marker row (resume bookkeeping, filtered out of
     every data path). chunk_key is unique per (tag, part) so markers from
@@ -652,6 +709,7 @@ def make_encode_fn(
     done_marker_tag: str | None = None,
     todo: frozenset | None = None,
     ndv_sketches: bool = False,
+    salt_part_id: bool = False,
 ):
     """Build the mapInArrow encode function (pure closure, Spark-serializable).
 
@@ -671,7 +729,8 @@ def make_encode_fn(
             # test hook: simulate a crashed executor — emit nothing
             return
 
-        def encode_chunk(table: pa.Table, chunk_id: int) -> pa.RecordBatch:
+        def encode_chunk(table: pa.Table, chunk_id: int,
+                         tracker: _ChunkKeyTracker) -> pa.RecordBatch:
             rows = {name: [] for name, _ in MANIFEST_FIELDS}
             # normalize logical key types the same way value sub-columns
             # are (bool -> uint8, timestamps -> epoch ints): the chunk
@@ -697,58 +756,67 @@ def make_encode_fn(
                 # parquet-pushable predicate, so the decode-side
                 # conservative keep for these chunks rides PushedFilters
                 min_num = max_num = None
-            # content-based chunk identity: stable across runs even if the
-            # physical partitioning drifted (resume correctness)
-            chunk_key = _checksum(_arrow_to_columnvalues(keys))
+            # content-based chunk identity over ALL sub-column checksums
+            # (_chunk_content_key): stable across runs even if the
+            # physical partitioning drifted (resume correctness), and
+            # collision-free for non-unique keys (a keys-only hash would
+            # merge distinct chunks sharing a key vector)
+            subs = []
+            for field in table.schema:
+                arr = table.column(field.name).combine_chunks()
+                for sub_name, cv in _sub_columns(field.name, arr,
+                                                 allow_nulls=allow_nulls):
+                    subs.append((sub_name, cv, _checksum(cv)))
+            chunk_key = tracker.assign(
+                _chunk_content_key([(s, c) for s, _, c in subs]))
             if todo is not None and chunk_key not in todo:
                 # committed in a previous run (anti-join planning pass):
-                # skip the whole chunk without touching its values
+                # skip the whole chunk — its values were hashed for
+                # identity, but nothing is encoded
                 return pa.RecordBatch.from_pydict(rows, schema=_MANIFEST_PA)
             # one bloom per chunk, attached to the key sub-column's row
             # (a chunk property, not a per-column one — storing it once
             # keeps the manifest metadata ~1.25 B/key total)
             kbloom = _key_bloom(keys)
-            for field in table.schema:
-                arr = table.column(field.name).combine_chunks()
-                for sub_name, cv in _sub_columns(field.name, arr, allow_nulls=allow_nulls):
-                    csum = _checksum(cv)
-                    if committed and (chunk_key, sub_name, csum) in committed:
-                        continue  # idempotent resume: chunk already encoded
-                    blob, footer = _encode_one(cv, codec, target_page_size)
-                    vmin, vmax = _value_zone_map(cv)
-                    rows["part_id"].append(part_id)
-                    rows["chunk_id"].append(chunk_id)
-                    rows["chunk_key"].append(chunk_key)
-                    rows["column"].append(sub_name)
-                    rows["dtype_tag"].append(footer.data_type)
-                    rows["codec"].append(BY_ID[footer.codec].name)
-                    rows["n_values"].append(cv.n)
-                    rows["bytes_in"].append(cv.input_nbytes())
-                    rows["bytes_out"].append(len(blob))
-                    rows["checksum"].append(csum)
-                    rows["min_key"].append(min_key)
-                    rows["max_key"].append(max_key)
-                    rows["min_key_num"].append(min_num)
-                    rows["max_key_num"].append(max_num)
-                    rows["val_min"].append(vmin)
-                    rows["val_max"].append(vmax)
-                    smin, smax = _value_zone_map_str(cv)
-                    rows["val_min_str"].append(smin)
-                    rows["val_max_str"].append(smax)
-                    rows["val_sum"].append(_value_sum(cv))
-                    rows["val_ndv"].append(
-                        _ndv_sketch(cv)
-                        if ndv_sketches and _STATS_LEAF_CRE.match(sub_name)
-                        else None)  # internals are never reportable —
-                    # don't pay their hashing or ~1 KB/chunk metadata
-                    rows["key_bloom"].append(kbloom if sub_name == key_col else None)
-                    rows["snapshot_id"].append(snapshot_id)
-                    rows["blob"].append(blob)
+            for sub_name, cv, csum in subs:
+                if committed and (chunk_key, sub_name, csum) in committed:
+                    continue  # idempotent resume: chunk already encoded
+                blob, footer = _encode_one(cv, codec, target_page_size)
+                vmin, vmax = _value_zone_map(cv)
+                rows["part_id"].append(part_id)
+                rows["chunk_id"].append(chunk_id)
+                rows["chunk_key"].append(chunk_key)
+                rows["column"].append(sub_name)
+                rows["dtype_tag"].append(footer.data_type)
+                rows["codec"].append(BY_ID[footer.codec].name)
+                rows["n_values"].append(cv.n)
+                rows["bytes_in"].append(cv.input_nbytes())
+                rows["bytes_out"].append(len(blob))
+                rows["checksum"].append(csum)
+                rows["min_key"].append(min_key)
+                rows["max_key"].append(max_key)
+                rows["min_key_num"].append(min_num)
+                rows["max_key_num"].append(max_num)
+                rows["val_min"].append(vmin)
+                rows["val_max"].append(vmax)
+                smin, smax = _value_zone_map_str(cv)
+                rows["val_min_str"].append(smin)
+                rows["val_max_str"].append(smax)
+                rows["val_sum"].append(_value_sum(cv))
+                rows["val_ndv"].append(
+                    _ndv_sketch(cv)
+                    if ndv_sketches and _STATS_LEAF_CRE.match(sub_name)
+                    else None)  # internals are never reportable —
+                # don't pay their hashing or ~1 KB/chunk metadata
+                rows["key_bloom"].append(kbloom if sub_name == key_col else None)
+                rows["snapshot_id"].append(snapshot_id)
+                rows["blob"].append(blob)
             return pa.RecordBatch.from_pydict(rows, schema=_MANIFEST_PA)
 
         chunk_id = 0
+        tracker = _ChunkKeyTracker(part_id, salt_part_id)
         for tbl in _iter_chunk_tables(batches, chunk_rows):
-            rb = encode_chunk(tbl, chunk_id)
+            rb = encode_chunk(tbl, chunk_id, tracker)
             if rb.num_rows:
                 yield rb
             chunk_id += 1
@@ -1057,6 +1125,7 @@ def encode_table(
         done_marker_tag=done_marker_tag,
         todo=todo,
         ndv_sketches=ndv_sketches,
+        salt_part_id=(partitioner == "none"),
     )
     return df.mapInArrow(fn, schema=MANIFEST_DDL)
 
@@ -2530,8 +2599,8 @@ UPSERT_KEYS_MAX = 1_000_000
 
 def _salt_chunk_keys(manifest_df, gen: str):
     """Prefix a new generation's chunk keys. ``chunk_key`` is a content
-    hash of the chunk's KEYS alone (make_encode_fn), so a replacement
-    batch whose chunk key-set aligns with an existing (now masked) chunk
+    hash of the chunk (make_encode_fn/_chunk_content_key), so a
+    replacement batch byte-identical to an existing (now masked) chunk
     would COLLIDE with it — the group decode would interleave both
     generations' blobs under one key and corrupt the chunk. The prefix
     keeps the id opaque-unique; decode never recomputes it."""
@@ -7011,25 +7080,42 @@ def _committed_subset(spark, ckpt_dir: str, done: set[int]):
 
 def planned_chunk_keys(df, key_col: str, num_partitions: int,
                        chunk_rows: int = DEFAULT_CHUNK_ROWS,
-                       partitioner: str = "hash", sort_within: bool = True):
-    """Keys-only planning pass: the ``chunk_key`` every chunk of a full
+                       partitioner: str = "hash", sort_within: bool = True,
+                       allow_nulls: bool = False):
+    """Hash-only planning pass: the ``chunk_key`` every chunk of a full
     encode of ``df`` WOULD get, as a 1-column DataFrame.
 
-    Reads ONLY the key column (columnar projection — a fraction of the
-    table's bytes) through the exact same partition/sort/slice pipeline
-    as the encode pass; chunk boundaries sit at fixed row offsets and
-    the key sequence is deterministic under 'hash'/'none' layouts, so
-    the produced keys are bit-identical to the encode's. Used by resume
-    to anti-join planned keys against a too-big-to-collect manifest."""
+    Chunk identity covers ALL sub-column content (_chunk_content_key —
+    a keys-only identity collides under non-unique keys), so planning
+    reads the full row set through the exact same partition/sort/
+    slice/sub-column pipeline as the encode pass — but only HASHES it
+    (memory-bandwidth-bound blake2b, no codec work). Chunk boundaries
+    sit at fixed row offsets and the row sequence is deterministic
+    under 'hash'/'none' layouts, so the produced keys are bit-identical
+    to the encode's, including repeat ordinals and the 'none' layout's
+    partition salt. Used by resume to anti-join planned keys against a
+    too-big-to-collect manifest; the planning scan is the price of a
+    collision-free identity, and still ~an order cheaper than encoding."""
 
-    part = _partition_for_encode(df.select(key_col), key_col, num_partitions,
+    part = _partition_for_encode(df, key_col, num_partitions,
                                  None, partitioner, sort_within)
+    salt = partitioner == "none"
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+        tracker = _ChunkKeyTracker(part_id, salt)
         out: list[str] = []
         for tbl in _iter_chunk_tables(batches, chunk_rows):
-            keys = tbl.column(key_col).combine_chunks()
-            out.append(_checksum(_arrow_to_columnvalues(keys)))
+            csums = []
+            for field in tbl.schema:
+                arr = tbl.column(field.name).combine_chunks()
+                for sub_name, cv in _sub_columns(field.name, arr,
+                                                 allow_nulls=allow_nulls):
+                    csums.append((sub_name, _checksum(cv)))
+            out.append(tracker.assign(_chunk_content_key(csums)))
         if out:
             yield pa.RecordBatch.from_pydict(
                 {"chunk_key": out}, schema=pa.schema([("chunk_key", pa.string())])
@@ -7040,7 +7126,8 @@ def planned_chunk_keys(df, key_col: str, num_partitions: int,
 
 def _todo_from_anti_join(spark, ckpt_dir: str, sub, key_col: str, n: int,
                          chunk_rows: int, partitioner: str,
-                         sort_within: bool) -> frozenset | None:
+                         sort_within: bool, columns=None,
+                         allow_nulls: bool = False) -> frozenset | None:
     """Resume state for manifests too big to collect: anti-join the
     planned chunk keys of the remaining input against the manifest's
     committed keys; what survives is the (small) set still to encode.
@@ -7056,8 +7143,14 @@ def _todo_from_anti_join(spark, ckpt_dir: str, sub, key_col: str, n: int,
         return None
     from pyspark.sql import functions as F
 
+    if columns is not None:
+        # replicate encode_table's projection: identity covers exactly
+        # the encoded sub-columns, nothing more
+        sub = sub.select(*dict.fromkeys([key_col] + list(columns)))
     planned = planned_chunk_keys(sub, key_col, n, chunk_rows=chunk_rows,
-                                 partitioner=partitioner, sort_within=sort_within)
+                                 partitioner=partitioner,
+                                 sort_within=sort_within,
+                                 allow_nulls=allow_nulls)
     mkeys = (
         spark.read.parquet(ckpt_dir)
         .filter(F.col("column") != DONE_COLUMN)
@@ -7089,15 +7182,19 @@ def _layout_tag(j: int, sub_jobs: int, n: int, key_col: str, partitioner: str) -
     the marker is omitted there (but the ``ck2`` suffix below still
     invalidates ALL pre-round-3 checkpoints, single-job included).
 
-    The ``ck2`` suffix binds the CHECKSUM definition: chunk keys are
-    content hashes, and round 3 canonicalized the hash to class-widest
-    dtypes (so ``verify_checksums`` survives the decoder's width
-    coarsening). A checkpoint written under the old width-sensitive
-    hash has different chunk keys for every narrow-typed key column;
-    resuming it would re-encode chunks under NEW keys alongside the old
-    rows and silently duplicate on decode — refuse instead."""
+    The ``ck3`` suffix binds the CHUNK-IDENTITY definition: round 3's
+    ``ck2`` canonicalized the checksum to class-widest dtypes (so
+    ``verify_checksums`` survives the decoder's width coarsening);
+    round 4's ``ck3`` widened chunk identity from a keys-only hash to
+    the full sub-column content (_chunk_content_key — a keys-only
+    identity collides under non-unique keys and silently drops or
+    mixes chunks on decode), plus repeat ordinals and the 'none'
+    layout's partition salt. A checkpoint written under an older
+    definition has different chunk keys for the same rows; resuming it
+    would re-encode chunks under NEW keys alongside the old rows and
+    silently duplicate on decode — refuse instead."""
     sj = f"of{sub_jobs}xx" if sub_jobs > 1 else "of1"
-    return f"j{j}/{sj}-n{n}-{key_col}-{partitioner}-ck2"
+    return f"j{j}/{sj}-n{n}-{key_col}-{partitioner}-ck3"
 
 
 def _check_resume_layout(spark, ckpt_dir: str, sub_jobs: int, n: int,
@@ -7224,6 +7321,8 @@ def encode_table_resumable(df, ckpt_dir: str, sub_jobs: int = 1, **kwargs):
                 spark, ckpt_dir, sub, key_col, n,
                 kwargs.get("chunk_rows", DEFAULT_CHUNK_ROWS),
                 partitioner, kwargs.get("sort_within", True),
+                columns=kwargs.get("columns"),
+                allow_nulls=kwargs.get("allow_nulls", False),
             )
         manifest = encode_table(sub, committed=committed, todo=todo,
                                 done_marker_tag=tag, **kwargs)
@@ -7572,4 +7671,242 @@ def column_ndv(manifest_df):
         .join(F.broadcast(_deletion_affected_columns(manifest_df)),
               "column_name", "left_anti")
         .select("column_name", "ndv_estimate", "n_rows")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregate pushdown (hybrid metadata / decode)
+# ---------------------------------------------------------------------------
+#
+# column_stats/column_sums answer WHOLE-column aggregates from manifest
+# metadata alone. A GROUP BY needs per-group attribution, which metadata
+# can give only for chunks whose group column is CONSTANT within the
+# chunk (zone map min == max) — exactly the common case on a clustered
+# layout (range partitioning / z-order on the group column makes all but
+# the boundary chunks group-pure). The hybrid below answers pure chunks
+# from metadata (zero blob bytes) and decodes ONLY the mixed chunks,
+# then merges — the per-group analogue of the reference's
+# compute-on-compressed idea (org:1034-1048), and at 100 TB the
+# difference between scanning the corpus and scanning the group
+# boundaries.
+
+
+def _group_pure_cond(t: pa.DataType):
+    """(purity condition, group-value expression) over a group column's
+    manifest zone-map row, or ``(None, None)`` when the type has no
+    EXACT metadata reconstruction (every chunk then decodes):
+
+    * strings: ``val_min_str == val_max_str``, and strictly shorter
+      than the ``_STR_BOUND_MAX_CHARS`` truncation limit (a bound AT
+      the limit may be a truncated prefix, not the value);
+    * integers: ``val_min == val_max`` within ±2^53 (the manifest
+      stores doubles — two distinct wider ints could collide on one
+      double, so big values fall back to decode);
+    * booleans: ``val_min == val_max`` over the 0/1 encoding;
+    * floats and temporals are NOT reconstructed: a float chunk's zone
+      map excludes NaNs (a [5.0, NaN] chunk looks pure), and temporal
+      re-typing from the normalized epoch domain is decode's job.
+    """
+    from pyspark.sql import functions as F
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        cond = (
+            F.col("val_min_str").isNotNull()
+            & F.col("val_max_str").isNotNull()
+            & (F.col("val_min_str") == F.col("val_max_str"))
+            & (F.length("val_min_str") < F.lit(_STR_BOUND_MAX_CHARS))
+        )
+        return cond, F.col("val_min_str")
+    if pa.types.is_boolean(t):
+        cond = F.col("val_min").isNotNull() & (
+            F.col("val_min") == F.col("val_max"))
+        return cond, F.col("val_min") == F.lit(1.0)
+    if pa.types.is_integer(t):
+        cond = (
+            F.col("val_min").isNotNull()
+            & (F.col("val_min") == F.col("val_max"))
+            & (F.abs(F.col("val_min")) <= F.lit(float(2 ** 53)))
+        )
+        return cond, F.col("val_min").cast("long")
+    return None, None
+
+
+def _grouped_split(manifest_df, out_schema, group_col, value_col,
+                   value_cond, value_cols, nullable_value_ok=True):
+    """Shared scaffolding for the grouped pushdowns: classify every
+    chunk as PURE (group constant by zone map, value stats usable,
+    no nulls in the group, no deletion mask) or MIXED, and return
+
+    ``(pure, mixed_manifest, spark_g_type, out_schema)``
+
+    where ``pure`` carries one row per pure chunk with ``__grp_raw``
+    plus the requested ``value_cols`` (renamed ``__v_<name>``), and
+    ``mixed_manifest`` is the manifest restricted to chunks that must
+    decode. Physical column names (like ``column_sums``: a renamed
+    checkpoint's manifest speaks pre-rename names until compaction).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+    if not isinstance(out_schema, pa.Schema):
+        out_schema = to_arrow_schema(out_schema)
+    for c in (group_col, value_col):
+        if "#" in c:
+            raise ValueError(
+                f"grouped pushdown takes top-level column names, got {c!r}")
+    g_field = out_schema.field(group_col)
+    spark_g_type = from_arrow_schema(
+        pa.schema([g_field]), prefer_timestamp_ntz=True)[0].dataType
+
+    # older manifests may predate some stat columns: surface them as
+    # NULLs so every chunk simply classifies as mixed
+    for c, t in (("val_min", "double"), ("val_max", "double"),
+                 ("val_min_str", "string"), ("val_max_str", "string"),
+                 ("val_sum", "decimal(38,0)")):
+        if c not in manifest_df.columns:
+            manifest_df = manifest_df.withColumn(c, F.lit(None).cast(t))
+
+    # the classification + decode below re-evaluate the manifest: pin
+    # an in-flight encode lineage once (persisted manifests re-scan
+    # for pennies and skip this)
+    if not _cheap_rescan(manifest_df):
+        manifest_df = manifest_df.localCheckpoint(eager=True)
+
+    body = manifest_df.filter(
+        (F.col("column") != DONE_COLUMN)
+        & ~F.col("column").startswith(DELETES_PREFIX)
+    )
+    meta = body.dropDuplicates(["chunk_key", "column"]).drop("blob")
+    universe = body.select("chunk_key").distinct()
+    deleted = (
+        manifest_df.filter(F.col("column").startswith(DELETES_PREFIX))
+        .select("chunk_key").distinct()
+    )
+    gvalid = meta.filter(
+        F.col("column") == group_col + "#valid").select("chunk_key")
+
+    pure_cond, gval = _group_pure_cond(g_field.type)
+    pure = None
+    if pure_cond is not None:
+        gmeta = (
+            meta.filter(F.col("column") == group_col)
+            .filter(pure_cond)
+            .select("chunk_key", gval.alias("__grp_raw"))
+        )
+        vmeta = (
+            meta.filter(F.col("column") == value_col)
+            .filter(value_cond)
+            .select("chunk_key",
+                    *[F.col(c).alias(f"__v_{c}") for c in value_cols])
+        )
+        vvalid = (
+            meta.filter(F.col("column") == value_col + "#valid")
+            .select("chunk_key",
+                    F.col("val_sum").cast("long").alias("__mask_sum"),
+                    F.lit(True).alias("__has_mask"))
+        )
+        pure = (
+            gmeta.join(vmeta, "chunk_key")
+            .join(gvalid, "chunk_key", "left_anti")
+            .join(deleted, "chunk_key", "left_anti")
+            .join(vvalid, "chunk_key", "left")
+        )
+        if nullable_value_ok:
+            # a #valid mask row present but UNSUMMED (legacy mix) makes
+            # the chunk's non-null count unknowable from metadata
+            pure = pure.filter(
+                F.col("__has_mask").isNull()
+                | F.col("__mask_sum").isNotNull())
+        else:
+            # value-column nulls store filler values that pollute
+            # extremes: any masked chunk decodes
+            pure = pure.filter(F.col("__has_mask").isNull())
+
+    if pure is None:
+        mixed = universe
+    else:
+        mixed = universe.join(
+            pure.select("chunk_key"), "chunk_key", "left_anti")
+    mixed_manifest = manifest_df.join(mixed, "chunk_key", "left_semi")
+    return pure, mixed_manifest, spark_g_type, out_schema
+
+
+def group_sums(manifest_df, out_schema, group_col, value_col):
+    """GROUP BY pushdown: ``SELECT group_col, SUM(value_col), COUNT(*),
+    COUNT(value_col) GROUP BY group_col`` answered hybrid — group-pure
+    chunks (zone map min == max) straight from manifest metadata
+    (``val_sum`` / ``n_values``, zero blob bytes), mixed chunks via a
+    targeted decode of ONLY those chunks, merged exactly.
+
+    Returns ``(group_col, v_sum decimal(38,0), n_rows, n_nonnull)``.
+    AVG = v_sum / n_nonnull. Always exact: any chunk whose metadata
+    cannot answer exactly (float/temporal group types, group nulls,
+    string bounds at the truncation limit, integer bounds beyond 2^53,
+    legacy rows without ``val_sum``, deletion-masked chunks, chunks
+    predating an ADD COLUMN) silently routes to the decode side.
+
+    ``value_col`` must be an integer or boolean column — the same
+    order-independence rule as ``column_sums`` (a float SUM is
+    order-dependent rounding; no metadata sum can match it exactly).
+
+    On a layout clustered by ``group_col`` (range/z-order encode) all
+    but the partition-boundary chunks are pure: at 10^12 rows the
+    decode side is ~one chunk per partition while the metadata side is
+    a blob-free groupBy of the manifest."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(out_schema, pa.Schema):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = to_arrow_schema(out_schema)
+    v_field = out_schema.field(value_col)
+    if not (pa.types.is_integer(v_field.type)
+            or pa.types.is_boolean(v_field.type)):
+        raise TypeError(
+            f"group_sums value column must be integer/boolean, got "
+            f"{value_col!r}: {v_field.type} (float sums are order-"
+            "dependent — decode and aggregate instead)")
+
+    pure, mixed_manifest, g_type, out_schema = _grouped_split(
+        manifest_df, out_schema, group_col, value_col,
+        value_cond=F.col("val_sum").isNotNull(),
+        value_cols=["val_sum", "n_values"],
+    )
+
+    sides = []
+    if pure is not None:
+        meta_side = (
+            pure.withColumn(
+                "__nnn", F.coalesce("__mask_sum", F.col("__v_n_values")))
+            .groupBy("__grp_raw")
+            .agg(F.sum("__v_val_sum").alias("v_sum"),
+                 F.sum("__v_n_values").alias("n_rows"),
+                 F.sum("__nnn").alias("n_nonnull"))
+            .select(F.col("__grp_raw").cast(g_type).alias(group_col),
+                    F.col("v_sum").cast("decimal(38,0)").alias("v_sum"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("n_nonnull").cast("long").alias("n_nonnull"))
+        )
+        sides.append(meta_side)
+
+    v = F.col(value_col)
+    if pa.types.is_boolean(v_field.type):
+        v = v.cast("long")
+    dec = decode_table(mixed_manifest, out_schema,
+                       columns=[group_col, value_col])
+    sides.append(
+        dec.groupBy(group_col)
+        .agg(F.sum(v.cast("decimal(38,0)")).cast("decimal(38,0)")
+             .alias("v_sum"),
+             F.count(F.lit(1)).alias("n_rows"),
+             F.count(value_col).alias("n_nonnull"))
+    )
+    merged = sides[0]
+    for s in sides[1:]:
+        merged = merged.unionByName(s)
+    return (
+        merged.groupBy(group_col)
+        .agg(F.sum("v_sum").cast("decimal(38,0)").alias("v_sum"),
+             F.sum("n_rows").cast("long").alias("n_rows"),
+             F.sum("n_nonnull").cast("long").alias("n_nonnull"))
     )

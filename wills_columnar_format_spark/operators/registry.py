@@ -496,6 +496,36 @@ SELECT 'o_custkey', CAST(SUM(o_custkey) AS DOUBLE),
 """
 
 
+def q_group_by_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY pushdown (engine.group_sums): hybrid metadata/decode —
+    chunks whose group column is CONSTANT by zone map (min == max)
+    answer SUM/COUNT from per-chunk manifest metadata with zero blob
+    bytes, mixed chunks decode, the union is exact. The fixture range-
+    partitions on the group column with small chunks so BOTH paths
+    carry weight (partition-interior chunks pure, boundaries mixed);
+    the oracle runs the real GROUP BY over the raw rows. At 100 TB on
+    a lang/source-clustered corpus this is the difference between
+    scanning the corpus and scanning the cluster boundaries."""
+    from ..engine import encode_table, group_sums
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = encode_table(df, key_col="lang", codec="auto", num_partitions=4,
+                     chunk_rows=64)
+    return group_sums(m, df.schema, "lang", "n_chars").select(
+        "lang",
+        F.col("v_sum").cast("double").alias("v_sum_d"),
+        "n_rows",
+        "n_nonnull",
+    )
+
+
+DUCK_GROUP_BY_PUSHDOWN = """
+SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS v_sum_d,
+       COUNT(*) AS n_rows, COUNT(n_chars) AS n_nonnull
+FROM documents GROUP BY lang
+"""
+
+
 def q_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE COUNT DISTINCT pushdown (engine.column_ndv): opt-in
     per-chunk HyperLogLog registers (`val_ndv`, p=10, deterministic
@@ -3075,6 +3105,7 @@ REGISTRY: dict[str, tuple] = {
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
     "stats_pushdown": (q_stats_pushdown, DUCK_STATS_PUSHDOWN),
     "sum_pushdown": (q_sum_pushdown, DUCK_SUM_PUSHDOWN),
+    "group_by_pushdown": (q_group_by_pushdown, DUCK_GROUP_BY_PUSHDOWN),
     "ndv_estimate": (q_ndv_estimate, DUCK_NDV_ESTIMATE),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
