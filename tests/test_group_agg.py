@@ -142,3 +142,84 @@ def test_group_sums_long_string_group_not_trusted(spark):
     got = _got(m, df.schema, "g", "v")
     assert got == _expect(df, "g", "v")
     assert next(iter(got))[0] == long_g
+
+
+# ---------------------------------------------------------------------------
+# group_stats (per-group MIN/MAX/COUNT)
+# ---------------------------------------------------------------------------
+
+from wills_columnar_format_spark.engine import group_stats  # noqa: E402
+
+
+def _expect_stats(df, g, v, numeric=True):
+    vv = F.col(v).cast("double") if numeric else F.col(v)
+    return {
+        tuple(r)
+        for r in df.groupBy(g)
+        .agg(F.min(vv).alias("v_min"), F.max(vv).alias("v_max"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+
+
+def test_group_stats_clustered(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    m = encode_table(df, key_col="lang", num_partitions=4, chunk_rows=32)
+    got = {tuple(r) for r in group_stats(m, df.schema, "lang", "n_chars").collect()}
+    assert got == _expect_stats(df, "lang", "n_chars")
+
+
+def test_group_stats_zero_blob_for_pure_chunks(spark, sf_dir):
+    df = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    m = encode_table(df, key_col="lang", num_partitions=1, chunk_rows=32)
+    blobless = m.withColumn("blob", F.lit(None).cast("binary"))
+    got = {tuple(r) for r in
+           group_stats(blobless, df.schema, "lang", "n_chars").collect()}
+    assert got == _expect_stats(df, "lang", "n_chars")
+
+
+def test_group_stats_string_value(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    m = encode_table(df, key_col="lang", num_partitions=2, chunk_rows=32)
+    got = {tuple(r) for r in group_stats(m, df.schema, "lang", "source").collect()}
+    assert got == _expect_stats(df, "lang", "source", numeric=False)
+
+
+def test_group_stats_float_value_with_nans(spark):
+    df = spark.range(400).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.when(F.col("id") % 7 == 0, float("nan"))
+        .otherwise(F.col("id").cast("double")).alias("v"),
+        F.col("id").alias("doc_id"),
+    )
+    m = encode_table(df, key_col="g", num_partitions=2, chunk_rows=32)
+    got = {tuple(r) for r in group_stats(m, df.schema, "g", "v").collect()}
+    want = {
+        tuple(r)
+        for r in df.groupBy("g")
+        .agg(F.min(F.when(~F.isnan("v"), F.col("v"))).alias("v_min"),
+             F.max(F.when(~F.isnan("v"), F.col("v"))).alias("v_max"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_group_stats_nullable_value_routes_to_decode(spark):
+    df = spark.range(300).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.when(F.col("id") % 5 != 0, F.col("id")).alias("v"),
+        F.col("id").alias("doc_id"),
+    )
+    m = encode_table(df, key_col="g", num_partitions=2, chunk_rows=32,
+                     allow_nulls=True)
+    got = {tuple(r) for r in group_stats(m, df.schema, "g", "v").collect()}
+    assert got == _expect_stats(df, "g", "v")
+
+
+def test_group_stats_decimal_value_raises(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn(
+        "d", F.col("n_chars").cast("decimal(10,2)"))
+    m = encode_table(df, key_col="lang", num_partitions=2)
+    with pytest.raises(TypeError, match="numeric/boolean/string"):
+        group_stats(m, df.schema, "lang", "d")

@@ -7910,3 +7910,99 @@ def group_sums(manifest_df, out_schema, group_col, value_col):
              F.sum("n_rows").cast("long").alias("n_rows"),
              F.sum("n_nonnull").cast("long").alias("n_nonnull"))
     )
+
+
+def group_stats(manifest_df, out_schema, group_col, value_col):
+    """GROUP BY pushdown for extremes: ``SELECT group_col,
+    MIN(value_col), MAX(value_col), COUNT(*) GROUP BY group_col``
+    answered hybrid like ``group_sums`` — group-pure chunks from the
+    per-chunk value zone maps (zero blob bytes), mixed chunks via a
+    targeted decode, merged exactly.
+
+    Returns ``(group_col, v_min, v_max, n_rows)``. Numeric/boolean
+    value columns report double extremes in the zone maps' normalized
+    domain (bools as 0/1; float extremes are NaN-excluded, matching SQL
+    aggregate semantics); string value columns report string extremes.
+    Exact-or-decode per chunk: nullable-value chunks (filler values
+    pollute extremes), integer bounds beyond ±2^53 (the manifest stores
+    doubles), string bounds at the truncation limit, all-NaN float
+    chunks, deletion-masked chunks, and legacy rows all route to the
+    decode side. Temporal/decimal value columns raise (their zone maps
+    live in a normalized encoding a decode can't cheaply mirror —
+    decode and aggregate instead)."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(out_schema, pa.Schema):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = to_arrow_schema(out_schema)
+    v_field = out_schema.field(value_col)
+    t = v_field.type
+    is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+    is_float = pa.types.is_floating(t)
+    if is_str:
+        value_cond = (
+            F.col("val_min_str").isNotNull()
+            & F.col("val_max_str").isNotNull()
+            & (F.length("val_min_str") < F.lit(_STR_BOUND_MAX_CHARS))
+            & (F.length("val_max_str") < F.lit(_STR_BOUND_MAX_CHARS))
+        )
+        value_cols = ["val_min_str", "val_max_str", "n_values"]
+        lo, hi = "__v_val_min_str", "__v_val_max_str"
+    elif pa.types.is_integer(t):
+        value_cond = (
+            F.col("val_min").isNotNull()
+            & (F.abs(F.col("val_min")) <= F.lit(float(2 ** 53)))
+            & (F.abs(F.col("val_max")) <= F.lit(float(2 ** 53)))
+        )
+        value_cols = ["val_min", "val_max", "n_values"]
+        lo, hi = "__v_val_min", "__v_val_max"
+    elif is_float or pa.types.is_boolean(t):
+        value_cond = F.col("val_min").isNotNull()
+        value_cols = ["val_min", "val_max", "n_values"]
+        lo, hi = "__v_val_min", "__v_val_max"
+    else:
+        raise TypeError(
+            f"group_stats value column must be numeric/boolean/string, "
+            f"got {value_col!r}: {t} — decode and aggregate instead")
+
+    pure, mixed_manifest, g_type, out_schema = _grouped_split(
+        manifest_df, out_schema, group_col, value_col,
+        value_cond=value_cond, value_cols=value_cols,
+        nullable_value_ok=False,
+    )
+
+    sides = []
+    if pure is not None:
+        sides.append(
+            pure.groupBy("__grp_raw")
+            .agg(F.min(lo).alias("v_min"), F.max(hi).alias("v_max"),
+                 F.sum("__v_n_values").alias("n_rows"))
+            .select(F.col("__grp_raw").cast(g_type).alias(group_col),
+                    "v_min", "v_max", F.col("n_rows").cast("long"))
+        )
+
+    v = F.col(value_col)
+    if is_str:
+        pass  # string extremes compare as-is
+    elif is_float:
+        # zone maps exclude NaNs: mirror SQL's finite extremes, NOT
+        # Spark's greatest-value NaN ordering
+        v = F.when(~F.isnan(v), v).cast("double")
+    else:
+        v = v.cast("long").cast("double")
+    dec = decode_table(mixed_manifest, out_schema,
+                       columns=[group_col, value_col])
+    sides.append(
+        dec.groupBy(group_col)
+        .agg(F.min(v).alias("v_min"), F.max(v).alias("v_max"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+    merged = sides[0]
+    for s in sides[1:]:
+        merged = merged.unionByName(s)
+    return (
+        merged.groupBy(group_col)
+        .agg(F.min("v_min").alias("v_min"), F.max("v_max").alias("v_max"),
+             F.sum("n_rows").cast("long").alias("n_rows"))
+    )

@@ -526,6 +526,34 @@ FROM documents GROUP BY lang
 """
 
 
+def q_group_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MIN/MAX/COUNT pushdown (engine.group_stats): the
+    extremes sibling of group_by_pushdown — group-pure chunks answer
+    from per-chunk value zone maps (zero blob bytes), mixed chunks
+    decode NaN-exact, the union is exact. Also exercises the STRING
+    value path (source extremes per lang) alongside the numeric one."""
+    from ..engine import encode_table, group_stats
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = encode_table(df, key_col="lang", codec="auto", num_partitions=4,
+                     chunk_rows=64)
+    num = group_stats(m, df.schema, "lang", "n_chars").select(
+        "lang", F.col("v_min").alias("v_lo"), F.col("v_max").alias("v_hi"),
+        "n_rows")
+    s = group_stats(m, df.schema, "lang", "source").select(
+        "lang", F.col("v_min").alias("s_lo"), F.col("v_max").alias("s_hi"))
+    return num.join(s, "lang")
+
+
+DUCK_GROUP_STATS_PUSHDOWN = """
+SELECT d.lang, CAST(MIN(d.n_chars) AS DOUBLE) AS v_lo,
+       CAST(MAX(d.n_chars) AS DOUBLE) AS v_hi,
+       COUNT(*) AS n_rows,
+       MIN(d.source) AS s_lo, MAX(d.source) AS s_hi
+FROM documents d GROUP BY d.lang
+"""
+
+
 def q_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE COUNT DISTINCT pushdown (engine.column_ndv): opt-in
     per-chunk HyperLogLog registers (`val_ndv`, p=10, deterministic
@@ -3106,6 +3134,7 @@ REGISTRY: dict[str, tuple] = {
     "stats_pushdown": (q_stats_pushdown, DUCK_STATS_PUSHDOWN),
     "sum_pushdown": (q_sum_pushdown, DUCK_SUM_PUSHDOWN),
     "group_by_pushdown": (q_group_by_pushdown, DUCK_GROUP_BY_PUSHDOWN),
+    "group_stats_pushdown": (q_group_stats_pushdown, DUCK_GROUP_STATS_PUSHDOWN),
     "ndv_estimate": (q_ndv_estimate, DUCK_NDV_ESTIMATE),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
