@@ -8006,3 +8006,296 @@ def group_stats(manifest_df, out_schema, group_col, value_col):
         .agg(F.min("v_min").alias("v_min"), F.max("v_max").alias("v_max"),
              F.sum("n_rows").cast("long").alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# co-located checkpoint join (zero-shuffle)
+# ---------------------------------------------------------------------------
+#
+# Joins are THE shuffle at scale: Spark must exchange both sides on the
+# key unless it can prove co-partitioning. Two checkpoints encoded on
+# the same key ARE co-partitioned in the only sense that matters — every
+# chunk's key interval is in the manifest — so the join plans itself
+# from metadata: per-FILE key ranges (file-level zone maps) pair each
+# left manifest file with exactly the right files whose ranges overlap,
+# and one task per left file decodes both sides locally and joins in
+# Arrow. No Exchange, no sort, no broadcast of anything but the file
+# pairing. On range/z-order layouts the pairing is ~1:1 (the 100 TB
+# plan: |L| + |R| bytes read, perfectly parallel); on hash layouts every
+# pair overlaps and the plan degrades to |L| × |R| file reads — still
+# correct, but the caller should re-encode one side range-partitioned
+# (compact_checkpoint(partitioner='range')) first.
+
+
+def _file_key_ranges(fdf, numeric: bool):
+    """Per-manifest-file [lo, hi] key bounds from the chunk zone maps
+    (blob-free). ``None`` bounds (empty chunks, pre-zone-map rows) keep
+    the file conservatively — it pairs with everything."""
+    from pyspark.sql import functions as F
+
+    if numeric:
+        agg = fdf.groupBy("__file").agg(
+            F.min("min_key_num").alias("lo"),
+            F.max("max_key_num").alias("hi"))
+    else:
+        agg = fdf.groupBy("__file").agg(
+            F.min(F.when(F.col("min_key") != "", F.col("min_key")))
+            .alias("lo"),
+            F.max(F.when(F.col("max_key") != "", F.col("max_key")))
+            .alias("hi"))
+    return [(r["__file"], r["lo"], r["hi"]) for r in agg.collect()]
+
+
+def _collect_checkpoint_deletes(spark, ckpt_dir: str,
+                                verify_checksums: bool):
+    """Deletion-vector sidecars for a join side (same contract as
+    decode_checkpoint): dict chunk_key -> [blobs], or None past the
+    driver cap (caller falls back to the shuffling join)."""
+    from pyspark.sql import functions as F
+
+    dsel = (["chunk_key", "blob"]
+            + (["checksum"] if verify_checksums else []))
+    drows = (
+        spark.read.parquet(ckpt_dir)
+        .filter(F.col("column").startswith(DELETES_PREFIX))
+        .select(*dsel)
+        .limit(DELETES_COLLECT_MAX + 1)
+        .collect()
+    )
+    if len(drows) > DELETES_COLLECT_MAX:
+        return None, True
+    extra = {}
+    for r in drows:
+        blob = bytes(r["blob"])
+        if verify_checksums and r["checksum"]:
+            got = _deletes_blob_checksum(blob)
+            if got != r["checksum"]:
+                raise IOError(
+                    f"checksum mismatch on deletion vector of chunk "
+                    f"{r['chunk_key']!r}: manifest says {r['checksum']}, "
+                    f"blob hashes to {got}")
+        extra.setdefault(r["chunk_key"], []).append(blob)
+    return (extra or None), False
+
+
+def _make_join_files_fn(l_schema: pa.Schema, r_schema: pa.Schema,
+                        key_col: str, how: str, l_deletes, r_deletes,
+                        l_defaults, r_defaults, verify_checksums: bool):
+    """mapInArrow fn over (lpath, rpaths) rows: decode the left file and
+    its range-overlapping right files IN the task, join in Arrow.
+
+    Payload columns of any type (lists, binaries, structs) ride the
+    join through a surrogate trick: Acero joins only the key plus two
+    row-index columns, then ``take`` gathers the full rows — Acero
+    rejects nested payloads outright, and this also skips hashing
+    payload bytes. ``take`` with the left-outer join's null right
+    indices yields null rows, which IS the outer-join fill."""
+    r_payload = [f for f in r_schema if f.name != key_col]
+    out_fields = list(l_schema) + (
+        [f.with_nullable(True) for f in r_payload] if how == "left"
+        else r_payload)
+    out_arrow = pa.schema(out_fields)
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        fn_l = make_file_decode_fn(l_schema, None, None, False,
+                                   verify_checksums=verify_checksums,
+                                   extra_deletes=l_deletes,
+                                   defaults=l_defaults)
+        fn_r = make_file_decode_fn(r_schema, None, None, False,
+                                   verify_checksums=verify_checksums,
+                                   extra_deletes=r_deletes,
+                                   defaults=r_defaults)
+
+        def decode_one(dec_fn, path: str):
+            rb = pa.RecordBatch.from_pydict({"path": [path]})
+            return list(dec_fn(iter([rb])))
+
+        for b in batches:
+            rlists = b.column("rpaths").to_pylist()
+            for i, lpath in enumerate(b.column("lpath").to_pylist()):
+                lbs = decode_one(fn_l, lpath)
+                if not lbs:
+                    continue
+                lt = pa.Table.from_batches(lbs).combine_chunks()
+                if not lt.num_rows:
+                    continue
+                rts = []
+                for rp in rlists[i] or []:
+                    rbs = decode_one(fn_r, rp)
+                    if rbs:
+                        rts.append(pa.Table.from_batches(rbs))
+                rt = (pa.concat_tables(rts).combine_chunks()
+                      if rts else None)
+                if rt is None or not rt.num_rows:
+                    if join_type == "inner":
+                        continue
+                    took_l, took_r = lt, None
+                else:
+                    li = pa.table({
+                        "__jk": lt.column(key_col),
+                        "__li": pa.array(np.arange(lt.num_rows),
+                                         pa.int64())})
+                    ri = pa.table({
+                        "__jk": rt.column(key_col),
+                        "__ri": pa.array(np.arange(rt.num_rows),
+                                         pa.int64())})
+                    j = li.join(ri, keys="__jk", join_type=join_type)
+                    if not j.num_rows:
+                        continue
+                    took_l = lt.take(j.column("__li"))
+                    took_r = rt.drop_columns([key_col]).take(
+                        j.column("__ri"))
+                cols = [took_l.column(f.name) for f in l_schema]
+                if took_r is None:
+                    cols += [pa.nulls(took_l.num_rows, type=f.type)
+                             for f in r_payload]
+                else:
+                    cols += [took_r.column(f.name) for f in r_payload]
+                out = pa.table(cols, schema=out_arrow)
+                # small batches bound peak JVM-side memory (CLAUDE.md:
+                # big Arrow batches inflate JVM CPU at high concurrency)
+                yield from out.to_batches(max_chunksize=2048)
+
+    return fn, out_arrow
+
+
+def join_checkpoints(spark, left_dir: str, right_dir: str, key_col: str,
+                     left_schema=None, right_schema=None,
+                     how: str = "inner", verify_checksums: bool = False):
+    """Join two CHECKPOINTED tables on their (shared) key column without
+    shuffling a single row: per-file key ranges from both manifests'
+    zone maps pair each left file with the right files whose ranges
+    overlap; one task per left file decodes both sides locally and
+    joins in Arrow (see the section comment — the join-planning
+    analogue of a bucketed/sort-merge join, driven by manifest
+    metadata instead of table properties).
+
+    ``how`` is 'inner' or 'left'. Schemas default to each checkpoint's
+    ``_table_schema`` sidecar. Non-key column names must be disjoint
+    (rename at write time). Deletion-vector sidecars apply on both
+    sides; integrity rides ``verify_checksums`` like the decode paths.
+
+    Falls back transparently to ``decode_checkpoint`` + a regular
+    Spark join (correct, but with the Exchange this path exists to
+    avoid) when either side fails the clustered-layout gate or
+    overflows the sidecar cap. Renamed checkpoints are refused —
+    compact first to materialize current names.
+
+    Scale: with both sides range/z-order-encoded on the key the file
+    pairing is ~1:1 and the job reads |L| + |R| bytes with zero
+    Exchange. 1:N joins are fine (Acero hash-joins within the task);
+    the N side should be the RIGHT side when N is large. A hash-layout
+    side pairs every file with every file — correct but quadratic;
+    re-encode it range-partitioned first."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    _raise_if_pending(left_dir)
+    _raise_if_pending(right_dir)
+    for d in (left_dir, right_dir):
+        if _checkpoint_rename_map(d):
+            raise ValueError(
+                f"checkpoint {d!r} carries column renames — "
+                "compact_checkpoint it first to materialize current "
+                "names, then join")
+
+    def resolve(schema, d):
+        if schema is None:
+            schema = read_checkpoint_schema(d)
+            if schema is None:
+                raise ValueError(
+                    f"checkpoint {d!r} carries no _table_schema sidecar "
+                    "— pass the schema explicitly")
+        if not isinstance(schema, pa.Schema):
+            schema = to_arrow_schema(schema)
+        return schema
+
+    l_schema = resolve(left_schema, left_dir)
+    r_schema = resolve(right_schema, right_dir)
+    if key_col not in l_schema.names or key_col not in r_schema.names:
+        raise KeyError(f"key column {key_col!r} must exist in both sides")
+    lt, rt_ = l_schema.field(key_col).type, r_schema.field(key_col).type
+    if lt != rt_:
+        raise TypeError(
+            f"key column {key_col!r} types differ: left {lt}, right {rt_}")
+    overlap = (set(l_schema.names) & set(r_schema.names)) - {key_col}
+    if overlap:
+        raise ValueError(
+            f"non-key columns {sorted(overlap)} exist on both sides — "
+            "project or rename before joining")
+
+    def spark_schema(s):
+        return from_arrow_schema(s, prefer_timestamp_ntz=True)
+
+    def fallback():
+        dl = decode_checkpoint(spark, left_dir, spark_schema(l_schema),
+                               verify_checksums=verify_checksums)
+        dr = decode_checkpoint(spark, right_dir, spark_schema(r_schema),
+                               verify_checksums=verify_checksums)
+        return dl.join(dr, key_col, how)
+
+    sides = []
+    for d in (left_dir, right_dir):
+        extra, over = _collect_checkpoint_deletes(spark, d,
+                                                  verify_checksums)
+        if over:
+            return fallback()
+        fdf = _manifest_metadata(spark, d).filter(
+            ~F.col("column").startswith(DELETES_PREFIX))
+        if (_clustered_marker_rec(d) is None
+                and not _checkpoint_is_clustered(fdf)):
+            import warnings
+
+            warnings.warn(
+                f"checkpoint {d!r} is not chunk-clustered — "
+                "join_checkpoints falling back to the shuffling join; "
+                "compact_checkpoint restores the zero-shuffle path")
+            return fallback()
+        sides.append((fdf, extra))
+
+    numeric = not (pa.types.is_string(lt) or pa.types.is_large_string(lt))
+    lfiles = _file_key_ranges(sides[0][0], numeric)
+    rfiles = _file_key_ranges(sides[1][0], numeric)
+    if not lfiles:
+        fnobj, out_arrow = _make_join_files_fn(
+            l_schema, r_schema, key_col, how, sides[0][1], sides[1][1],
+            _added_defaults(l_schema) or None,
+            _added_defaults(r_schema) or None, verify_checksums)
+        return spark.createDataFrame([], spark_schema(out_arrow))
+
+    # vectorized interval pairing: None bounds -> (-inf, +inf)
+    if numeric:
+        ninf, pinf = -np.inf, np.inf
+        rlo = np.array([ninf if lo is None else lo for _, lo, _ in rfiles])
+        rhi = np.array([pinf if hi is None else hi for _, _, hi in rfiles])
+    rows_in = []
+    for lp, llo, lhi in lfiles:
+        if not rfiles:
+            hits = []
+        elif numeric:
+            llo_ = -np.inf if llo is None else llo
+            lhi_ = np.inf if lhi is None else lhi
+            mask = (rlo <= lhi_) & (rhi >= llo_)
+            hits = [rfiles[k][0] for k in np.nonzero(mask)[0]]
+        else:
+            hits = [
+                rp for rp, rlo_, rhi_ in rfiles
+                if (rlo_ is None or lhi is None or rlo_ <= lhi)
+                and (rhi_ is None or llo is None or rhi_ >= llo)
+            ]
+        if hits or how == "left":
+            rows_in.append((lp, hits))
+    fnobj, out_arrow = _make_join_files_fn(
+        l_schema, r_schema, key_col, how, sides[0][1], sides[1][1],
+        _added_defaults(l_schema) or None,
+        _added_defaults(r_schema) or None, verify_checksums)
+    if not rows_in:
+        return spark.createDataFrame([], spark_schema(out_arrow))
+    files_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows_in, len(rows_in)),
+        "lpath string, rpaths array<string>",
+    )
+    return files_df.mapInArrow(fnobj, schema=spark_schema(out_arrow))

@@ -554,6 +554,50 @@ FROM documents d GROUP BY d.lang
 """
 
 
+def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle co-located join (engine.join_checkpoints): two
+    checkpoints encoded on the same key join with NO Exchange — per-
+    file key ranges from the manifests' zone maps pair each left
+    manifest file with its overlapping right files, one task per left
+    file decodes both sides locally and joins in Arrow (surrogate-index
+    Acero join + take). The scale answer to the join-is-the-shuffle
+    problem: range-encoded sides pair ~1:1, so the job reads |L| + |R|
+    bytes with perfect parallelism. The zero-Exchange property is
+    asserted in tests/test_join_checkpoints.py; this query pins the
+    RESULT against the real SQL join."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (encode_table, join_checkpoints,
+                          write_checkpoint_schema)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars")
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumnRenamed("vec_id", "doc_id")
+           .select("doc_id", "label"))
+    work = tempfile.mkdtemp(prefix="wcfs_join_q_")
+    try:
+        lp, rp = os.path.join(work, "l"), os.path.join(work, "r")
+        encode_table(docs, key_col="doc_id", num_partitions=4,
+                     chunk_rows=64).write.parquet(lp)
+        write_checkpoint_schema(lp, docs.schema)
+        encode_table(emb, key_col="doc_id", num_partitions=6,
+                     chunk_rows=32).write.parquet(rp)
+        write_checkpoint_schema(rp, emb.schema)
+        out = join_checkpoints(spark, lp, rp, "doc_id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_COLOCATED_JOIN = """
+SELECT d.doc_id, d.lang, d.n_chars, e.label
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
 def q_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE COUNT DISTINCT pushdown (engine.column_ndv): opt-in
     per-chunk HyperLogLog registers (`val_ndv`, p=10, deterministic
@@ -3133,6 +3177,7 @@ REGISTRY: dict[str, tuple] = {
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
     "stats_pushdown": (q_stats_pushdown, DUCK_STATS_PUSHDOWN),
     "sum_pushdown": (q_sum_pushdown, DUCK_SUM_PUSHDOWN),
+    "colocated_join": (q_colocated_join, DUCK_COLOCATED_JOIN),
     "group_by_pushdown": (q_group_by_pushdown, DUCK_GROUP_BY_PUSHDOWN),
     "group_stats_pushdown": (q_group_stats_pushdown, DUCK_GROUP_STATS_PUSHDOWN),
     "ndv_estimate": (q_ndv_estimate, DUCK_NDV_ESTIMATE),
