@@ -144,3 +144,23 @@ def test_validation_errors(spark, sf_dir, tmp_path):
         str(tmp_path / "r2"), num_partitions=2)
     with pytest.raises(TypeError, match="types differ"):
         join_checkpoints(spark, lp, rp2, "doc_id")
+
+
+def test_left_side_streams_in_slices(spark, monkeypatch, tmp_path):
+    """The left side never materializes whole: force tiny join slices
+    and check the result is still exact across slice boundaries."""
+    import wills_columnar_format_spark.engine as eng
+
+    monkeypatch.setattr(eng, "JOIN_SLICE_ROWS", 50)
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("lv"))
+    right = spark.range(0, 1000, 3).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("rv"))
+    lp = _ckpt(left, str(tmp_path / "l"), key="k", num_partitions=2,
+               chunk_rows=64)
+    rp = _ckpt(right, str(tmp_path / "r"), key="k", num_partitions=2,
+               chunk_rows=64)
+    for how in ("inner", "left"):
+        j = join_checkpoints(spark, lp, rp, "k", how=how)
+        assert _rows(j) == _rows(
+            left.join(right, "k", how).select(*j.columns))

@@ -8078,6 +8078,9 @@ def _collect_checkpoint_deletes(spark, ckpt_dir: str,
     return (extra or None), False
 
 
+JOIN_SLICE_ROWS = 65_536
+
+
 def _make_join_files_fn(l_schema: pa.Schema, r_schema: pa.Schema,
                         key_col: str, how: str, l_deletes, r_deletes,
                         l_defaults, r_defaults, verify_checksums: bool):
@@ -8090,6 +8093,12 @@ def _make_join_files_fn(l_schema: pa.Schema, r_schema: pa.Schema,
     rejects nested payloads outright, and this also skips hashing
     payload bytes. ``take`` with the left-outer join's null right
     indices yields null rows, which IS the outer-join fill."""
+    # a left manifest file is one encode task's whole output — at the
+    # 100 TB target it does not fit task memory as one table. The decode
+    # generator yields in chunk-group order, so the LEFT side streams in
+    # JOIN_SLICE_ROWS slices and task memory holds only the (dimension-
+    # sized) RIGHT side plus one slice. Put the big fact table LEFT.
+    slice_rows = JOIN_SLICE_ROWS
     r_payload = [f for f in r_schema if f.name != key_col]
     out_fields = list(l_schema) + (
         [f.with_nullable(True) for f in r_payload] if how == "left"
@@ -8111,15 +8120,33 @@ def _make_join_files_fn(l_schema: pa.Schema, r_schema: pa.Schema,
             rb = pa.RecordBatch.from_pydict({"path": [path]})
             return list(dec_fn(iter([rb])))
 
+        def join_slice(lt: pa.Table, rt, ri):
+            """Join one left slice against the materialized right."""
+            if rt is None:
+                took_l, took_r = lt, None
+            else:
+                li = pa.table({
+                    "__jk": lt.column(key_col),
+                    "__li": pa.array(np.arange(lt.num_rows), pa.int64())})
+                j = li.join(ri, keys="__jk", join_type=join_type)
+                if not j.num_rows:
+                    return
+                took_l = lt.take(j.column("__li"))
+                took_r = rt.drop_columns([key_col]).take(j.column("__ri"))
+            cols = [took_l.column(f.name) for f in l_schema]
+            if took_r is None:
+                cols += [pa.nulls(took_l.num_rows, type=f.type)
+                         for f in r_payload]
+            else:
+                cols += [took_r.column(f.name) for f in r_payload]
+            out = pa.table(cols, schema=out_arrow)
+            # small batches bound peak JVM-side memory (CLAUDE.md:
+            # big Arrow batches inflate JVM CPU at high concurrency)
+            yield from out.to_batches(max_chunksize=2048)
+
         for b in batches:
             rlists = b.column("rpaths").to_pylist()
             for i, lpath in enumerate(b.column("lpath").to_pylist()):
-                lbs = decode_one(fn_l, lpath)
-                if not lbs:
-                    continue
-                lt = pa.Table.from_batches(lbs).combine_chunks()
-                if not lt.num_rows:
-                    continue
                 rts = []
                 for rp in rlists[i] or []:
                     rbs = decode_one(fn_r, rp)
@@ -8127,35 +8154,30 @@ def _make_join_files_fn(l_schema: pa.Schema, r_schema: pa.Schema,
                         rts.append(pa.Table.from_batches(rbs))
                 rt = (pa.concat_tables(rts).combine_chunks()
                       if rts else None)
-                if rt is None or not rt.num_rows:
-                    if join_type == "inner":
-                        continue
-                    took_l, took_r = lt, None
-                else:
-                    li = pa.table({
-                        "__jk": lt.column(key_col),
-                        "__li": pa.array(np.arange(lt.num_rows),
-                                         pa.int64())})
+                if rt is not None and not rt.num_rows:
+                    rt = None
+                if rt is None and join_type == "inner":
+                    continue  # left side never even decodes
+                ri = None
+                if rt is not None:
                     ri = pa.table({
                         "__jk": rt.column(key_col),
                         "__ri": pa.array(np.arange(rt.num_rows),
                                          pa.int64())})
-                    j = li.join(ri, keys="__jk", join_type=join_type)
-                    if not j.num_rows:
-                        continue
-                    took_l = lt.take(j.column("__li"))
-                    took_r = rt.drop_columns([key_col]).take(
-                        j.column("__ri"))
-                cols = [took_l.column(f.name) for f in l_schema]
-                if took_r is None:
-                    cols += [pa.nulls(took_l.num_rows, type=f.type)
-                             for f in r_payload]
-                else:
-                    cols += [took_r.column(f.name) for f in r_payload]
-                out = pa.table(cols, schema=out_arrow)
-                # small batches bound peak JVM-side memory (CLAUDE.md:
-                # big Arrow batches inflate JVM CPU at high concurrency)
-                yield from out.to_batches(max_chunksize=2048)
+                lrb = pa.RecordBatch.from_pydict({"path": [lpath]})
+                buf, nbuf = [], 0
+                for lb in fn_l(iter([lrb])):
+                    buf.append(lb)
+                    nbuf += lb.num_rows
+                    if nbuf >= slice_rows:
+                        yield from join_slice(
+                            pa.Table.from_batches(buf).combine_chunks(),
+                            rt, ri)
+                        buf, nbuf = [], 0
+                if nbuf:
+                    yield from join_slice(
+                        pa.Table.from_batches(buf).combine_chunks(),
+                        rt, ri)
 
     return fn, out_arrow
 
