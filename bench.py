@@ -270,6 +270,9 @@ def _registry_benches(spark, sf_dir: str):
         "tpch_q1",
         "nation_revenue",
         "events_top_type",
+        "group_by_pushdown",
+        "group_stats_pushdown",
+        "colocated_join",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

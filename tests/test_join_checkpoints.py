@@ -164,3 +164,16 @@ def test_left_side_streams_in_slices(spark, monkeypatch, tmp_path):
         j = join_checkpoints(spark, lp, rp, "k", how=how)
         assert _rows(j) == _rows(
             left.join(right, "k", how).select(*j.columns))
+
+
+def test_projection_pushdown(spark, sf_dir, tmp_path):
+    """left_columns/right_columns prune the decode on each side (the
+    key always rides); the joined output carries only those fields."""
+    docs, emb = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    lp = _ckpt(docs, str(tmp_path / "l"), num_partitions=2, chunk_rows=64)
+    rp = _ckpt(emb, str(tmp_path / "r"), num_partitions=2, chunk_rows=64)
+    j = join_checkpoints(spark, lp, rp, "doc_id",
+                         left_columns=["lang"], right_columns=["label"])
+    assert j.columns == ["doc_id", "lang", "label"]
+    assert _rows(j) == _rows(
+        docs.join(emb, "doc_id").select("doc_id", "lang", "label"))

@@ -8083,7 +8083,8 @@ JOIN_SLICE_ROWS = 65_536
 
 def _make_join_files_fn(l_schema: pa.Schema, r_schema: pa.Schema,
                         key_col: str, how: str, l_deletes, r_deletes,
-                        l_defaults, r_defaults, verify_checksums: bool):
+                        l_defaults, r_defaults, verify_checksums: bool,
+                        l_phys=None, r_phys=None):
     """mapInArrow fn over (lpath, rpaths) rows: decode the left file and
     its range-overlapping right files IN the task, join in Arrow.
 
@@ -8107,11 +8108,11 @@ def _make_join_files_fn(l_schema: pa.Schema, r_schema: pa.Schema,
     join_type = "inner" if how == "inner" else "left outer"
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        fn_l = make_file_decode_fn(l_schema, None, None, False,
+        fn_l = make_file_decode_fn(l_schema, l_phys, None, False,
                                    verify_checksums=verify_checksums,
                                    extra_deletes=l_deletes,
                                    defaults=l_defaults)
-        fn_r = make_file_decode_fn(r_schema, None, None, False,
+        fn_r = make_file_decode_fn(r_schema, r_phys, None, False,
                                    verify_checksums=verify_checksums,
                                    extra_deletes=r_deletes,
                                    defaults=r_defaults)
@@ -8184,7 +8185,8 @@ def _make_join_files_fn(l_schema: pa.Schema, r_schema: pa.Schema,
 
 def join_checkpoints(spark, left_dir: str, right_dir: str, key_col: str,
                      left_schema=None, right_schema=None,
-                     how: str = "inner", verify_checksums: bool = False):
+                     how: str = "inner", verify_checksums: bool = False,
+                     left_columns=None, right_columns=None):
     """Join two CHECKPOINTED tables on their (shared) key column without
     shuffling a single row: per-file key ranges from both manifests'
     zone maps pair each left file with the right files whose ranges
@@ -8237,6 +8239,14 @@ def join_checkpoints(spark, left_dir: str, right_dir: str, key_col: str,
 
     l_schema = resolve(left_schema, left_dir)
     r_schema = resolve(right_schema, right_dir)
+    # projection pushdown per side (the key always rides): only the
+    # named fields' blobs are read and decoded on each join task
+    if left_columns is not None and key_col not in left_columns:
+        left_columns = [key_col] + list(left_columns)
+    if right_columns is not None and key_col not in right_columns:
+        right_columns = [key_col] + list(right_columns)
+    l_schema, l_phys = _project_out_schema(l_schema, left_columns)
+    r_schema, r_phys = _project_out_schema(r_schema, right_columns)
     if key_col not in l_schema.names or key_col not in r_schema.names:
         raise KeyError(f"key column {key_col!r} must exist in both sides")
     lt, rt_ = l_schema.field(key_col).type, r_schema.field(key_col).type
@@ -8285,7 +8295,8 @@ def join_checkpoints(spark, left_dir: str, right_dir: str, key_col: str,
         fnobj, out_arrow = _make_join_files_fn(
             l_schema, r_schema, key_col, how, sides[0][1], sides[1][1],
             _added_defaults(l_schema) or None,
-            _added_defaults(r_schema) or None, verify_checksums)
+            _added_defaults(r_schema) or None, verify_checksums,
+            l_phys=l_phys, r_phys=r_phys)
         return spark.createDataFrame([], spark_schema(out_arrow))
 
     # vectorized interval pairing: None bounds -> (-inf, +inf)
@@ -8313,7 +8324,8 @@ def join_checkpoints(spark, left_dir: str, right_dir: str, key_col: str,
     fnobj, out_arrow = _make_join_files_fn(
         l_schema, r_schema, key_col, how, sides[0][1], sides[1][1],
         _added_defaults(l_schema) or None,
-        _added_defaults(r_schema) or None, verify_checksums)
+        _added_defaults(r_schema) or None, verify_checksums,
+        l_phys=l_phys, r_phys=r_phys)
     if not rows_in:
         return spark.createDataFrame([], spark_schema(out_arrow))
     files_df = spark.createDataFrame(
