@@ -71,6 +71,7 @@ MANIFEST_FIELDS = [
     ("val_sum", "decimal(38,0)"),
     ("val_ndv", "binary"),
     ("key_bloom", "binary"),
+    ("val_bloom", "binary"),
     ("snapshot_id", "string"),
     ("blob", "binary"),
 ]
@@ -99,6 +100,7 @@ _MANIFEST_PA = pa.schema(
         ("val_sum", pa.decimal128(38, 0)),
         ("val_ndv", pa.large_binary()),
         ("key_bloom", pa.large_binary()),
+        ("val_bloom", pa.large_binary()),
         ("snapshot_id", pa.string()),
         ("blob", pa.large_binary()),
     ]
@@ -362,8 +364,16 @@ def _key_bloom(keys: pa.Array) -> bytes | None:
             return None
     else:
         return None
+    return _bloom_build(vals, n)
+
+
+def _bloom_build(vals: np.ndarray, n_size: int) -> bytes:
+    """Set the bits: ``vals`` are pre-canonicalized members (float64
+    numerics / object strings), ``n_size`` the population the filter is
+    sized for (key blooms size by chunk rows — their historical,
+    byte-stable choice; value blooms by the DISTINCT count)."""
     h1, h2 = _bloom_hashes(vals)
-    m_bits = 1 << max(6, int(np.ceil(np.log2(BLOOM_BITS_PER_KEY * n))))
+    m_bits = 1 << max(6, int(np.ceil(np.log2(BLOOM_BITS_PER_KEY * n_size))))
     m_bits = min(m_bits, BLOOM_MAX_BYTES * 8)
     mask = np.uint64(m_bits - 1)
     bits = np.zeros(m_bits, dtype=bool)
@@ -371,6 +381,61 @@ def _key_bloom(keys: pa.Array) -> bytes | None:
         with np.errstate(over="ignore"):
             bits[((h1 + np.uint64(i) * h2) & mask).astype(np.int64)] = True
     return np.packbits(bits, bitorder="little").tobytes()
+
+
+def _value_bloom(cv: ColumnValues) -> bytes | None:
+    """Per-chunk Bloom filter over a sub-column's DISTINCT values — the
+    VALUE-membership analogue of the key bloom (opt-in:
+    ``encode_table(value_blooms=...)``). On a list column's ``#values``
+    leaf it answers "may this chunk's arrays contain token t?" — the
+    prune behind ``contains=`` decodes (canary-token / contamination
+    lookups over token arrays, where zone maps keep nearly everything:
+    a 64k-token chunk spans most of the vocab). Sized by the distinct
+    count, so low-cardinality chunks pay bytes ~ their dictionary, not
+    their rows. Canonicalization matches the key blooms (float64
+    numerics, object strings — ``_bloom_hashes``) so decode probes
+    agree bit-for-bit; deterministic, hence a pure function of chunk
+    values (the resume byte-identity contract). None (= conservative
+    keep on read) for empty chunks, binary payloads, and bool masks."""
+    if not cv.n:
+        return None
+    if cv.vals is not None:
+        v = cv.vals
+        if v.dtype == np.bool_ or not np.issubdtype(v.dtype, np.number):
+            return None
+        vals = np.unique(v.astype(np.float64, copy=False))
+        if vals.size and np.isnan(vals[-1]):
+            # NaN sorts last in np.unique; NaN probes are refused at
+            # prepare time, so members need not record it
+            vals = vals[: int(np.searchsorted(np.isnan(vals), True))]
+        if not vals.size:
+            return None
+    elif cv.tag == dtypes.STRING:
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_buffers(
+            pa.large_utf8(), cv.n,
+            [None, pa.py_buffer(np.ascontiguousarray(cv.offsets)),
+             pa.py_buffer(np.ascontiguousarray(cv.data))],
+        )
+        vals = pc.unique(arr).to_numpy(zero_copy_only=False)
+        vals = np.asarray(vals, dtype=object)
+    else:
+        return None
+    return _bloom_build(vals, vals.size)
+
+
+def _bloom_eligible(sub_name: str, spec, key_col: str) -> bool:
+    """Which sub-columns get value blooms. ``spec=True`` = every
+    reportable stats leaf plus list-element ``#values`` leaves (the
+    contains= targets), minus the key column (its key bloom already
+    answers membership); an iterable names exact sub-columns (e.g.
+    ``{"tokens#values"}``) and may include the key."""
+    if spec is True:
+        return sub_name != key_col and (
+            _STATS_LEAF_CRE.match(sub_name) is not None
+            or sub_name.endswith("#values"))
+    return sub_name in spec
 
 
 def _bloom_contains_any(blob: bytes, ph1: np.ndarray, ph2: np.ndarray) -> bool:
@@ -690,6 +755,7 @@ def _done_marker_batch(part_id: int, tag: str, n_chunks: int, snapshot_id) -> pa
             "val_sum": [None],
             "val_ndv": [None],
             "key_bloom": [None],
+            "val_bloom": [None],
             "snapshot_id": [snapshot_id],
             "blob": [b""],
         },
@@ -710,6 +776,7 @@ def make_encode_fn(
     todo: frozenset | None = None,
     ndv_sketches: bool = False,
     salt_part_id: bool = False,
+    value_blooms=False,
 ):
     """Build the mapInArrow encode function (pure closure, Spark-serializable).
 
@@ -718,7 +785,11 @@ def make_encode_fn(
     manifests — only chunk_keys in the set are encoded (produced by the
     resume planning pass anti-joining planned keys against the
     manifest, so the driver ships the small not-yet-done set instead of
-    the unbounded committed one)."""
+    the unbounded committed one). ``value_blooms`` opts into per-chunk
+    VALUE Bloom filters (``_value_bloom``): True for the default leaf
+    set, or an iterable of exact sub-column names."""
+    vb_spec = value_blooms if isinstance(value_blooms, bool) \
+        else frozenset(value_blooms)
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -809,6 +880,10 @@ def make_encode_fn(
                     else None)  # internals are never reportable —
                 # don't pay their hashing or ~1 KB/chunk metadata
                 rows["key_bloom"].append(kbloom if sub_name == key_col else None)
+                rows["val_bloom"].append(
+                    _value_bloom(cv)
+                    if vb_spec and _bloom_eligible(sub_name, vb_spec, key_col)
+                    else None)
                 rows["snapshot_id"].append(snapshot_id)
                 rows["blob"].append(blob)
             return pa.RecordBatch.from_pydict(rows, schema=_MANIFEST_PA)
@@ -1059,8 +1134,16 @@ def encode_table(
     todo: frozenset | None = None,
     zorder_cols: list[str] | None = None,
     ndv_sketches: bool = False,
+    value_blooms=False,
 ):
     """Encode ``df``'s columns into a blob+lineage manifest DataFrame.
+
+    ``value_blooms=True`` (or an iterable of sub-column names, e.g.
+    ``{"tokens#values"}``) records a per-chunk Bloom filter over each
+    eligible sub-column's DISTINCT values (``val_bloom`` manifest
+    metadata, never in bytes_out — compression-neutral). Powers the
+    ``contains=`` decode prune on list columns and costs one hash pass
+    per chunk at encode; off by default.
 
     Physical plan (explicit, per north rule): one shuffle chosen by
     ``partitioner`` —
@@ -1126,6 +1209,7 @@ def encode_table(
         todo=todo,
         ndv_sketches=ndv_sketches,
         salt_part_id=(partitioner == "none"),
+        value_blooms=value_blooms,
     )
     return df.mapInArrow(fn, schema=MANIFEST_DDL)
 
@@ -1947,6 +2031,145 @@ def _prepare_value_in(out_schema, value_in):
     return in_vrs, in_expr
 
 
+def _prepare_contains(out_schema: pa.Schema, contains):
+    """Validate + prepare ``contains=(column, [v1, v2, ...])`` — the
+    ARRAY-membership predicate: decode rows whose LIST column holds ANY
+    of the values (``array_contains`` OR-combined; the canary-token /
+    contamination-lookup shape over token arrays). Returns
+    ``(sub_name, probe, is_str, exact_expr)``: the ``#values`` manifest
+    sub-column the flattened elements' zone maps and value blooms live
+    on, the canonicalized probe array (float64 / object-of-str — the
+    bloom + zone comparison domain), and the exact row filter
+    (``arrays_overlap`` against a typed literal array — JVM-side).
+    Integer, float, and string element types; temporal/decimal/bool
+    lists are refused (filter after decode). NaN probes are refused:
+    NaN never equals anything, and the blooms don't record it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    ccol, values = contains
+    vals = list(values)
+    if not vals:
+        raise ValueError(
+            f"contains on {ccol!r}: empty value list — an empty ANY "
+            "decodes nothing; filter after decode if that is intended"
+        )
+    names = [f.name for f in out_schema]
+    if ccol not in names:
+        raise KeyError(
+            f"contains column {ccol!r} is not in the decoded output "
+            f"(schema has {names}) — include it in columns="
+        )
+    t = out_schema.field(ccol).type
+    if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+        raise TypeError(
+            f"contains= takes a LIST column (rows whose array holds any "
+            f"of the values); {ccol!r} is {t} — use value_in= for "
+            "scalar IN-list predicates"
+        )
+    et = t.value_type
+    if pa.types.is_integer(et) or pa.types.is_floating(et):
+        ok = all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                 for v in vals)
+        if not ok:
+            raise TypeError(
+                f"contains on numeric-element column {ccol!r} takes "
+                "int/float values"
+            )
+        probe = np.asarray([float(v) for v in vals], dtype=np.float64)
+        if np.isnan(probe).any():
+            raise TypeError(
+                f"contains on {ccol!r}: NaN probes never match "
+                "(NaN != NaN) — drop them from the value list"
+            )
+        is_str = False
+    elif pa.types.is_string(et) or pa.types.is_large_string(et):
+        if not all(isinstance(v, str) for v in vals):
+            raise TypeError(
+                f"contains on string-element column {ccol!r} takes str "
+                "values"
+            )
+        probe = np.asarray([str(v) for v in vals], dtype=object)
+        is_str = True
+    else:
+        raise TypeError(
+            f"contains= supports int/float/string list elements; "
+            f"{ccol!r} has element type {et} — filter after decode"
+        )
+    elem_spark = from_arrow_schema(
+        pa.schema([pa.field("x", et)]))[0].dataType
+    lit_arr = F.array(*[F.lit(v).cast(elem_spark) for v in vals])
+    exact = F.arrays_overlap(F.col(ccol), lit_arr)
+    return f"{ccol}#values", probe, is_str, exact
+
+
+def _contains_hit_keys(manifest_df, sub_name: str, probe: np.ndarray,
+                       is_str: bool, extra_cols=()):
+    """Chunk keys whose list column MAY contain any probe value — one
+    blob-free metadata pass over the ``#values`` manifest rows,
+    AND-combining two per-chunk tests: zone-map overlap (any probe in
+    [val_min, val_max]; NULL maps keep conservatively) and, when the
+    manifest carries value blooms, Bloom membership (missing bloom
+    keeps). Bloom false positives only ever KEEP extra chunks; the
+    exact ``arrays_overlap`` post-filter always applies. Same
+    broadcast-semi-join carrier as value_range/value_in pruning — the
+    blob side never moves."""
+    from pyspark.sql import functions as F
+
+    have_bloom = "val_bloom" in manifest_df.columns
+    zone_cols = ["val_min_str", "val_max_str"] if is_str \
+        else ["val_min", "val_max"]
+    sel = ["chunk_key"] + zone_cols \
+        + (["val_bloom"] if have_bloom else []) + list(extra_cols)
+    meta = manifest_df.filter(F.col("column") == F.lit(sub_name)).select(*sel)
+    ph1, ph2 = _bloom_hashes(probe)
+    out_ddl = "chunk_key string" + "".join(
+        f", {c} string" for c in extra_cols)
+    pv = probe
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if not b.num_rows:
+                continue
+            if is_str:
+                mns = b.column("val_min_str").to_pylist()
+                mxs = b.column("val_max_str").to_pylist()
+
+                def row_keep(mn, mx):
+                    # ∃ probe within [mn, mx]; a NULL bound is ±inf
+                    # (val_min_str is a prefix LOWER bound of the true
+                    # min — testing p >= mn stays conservative)
+                    sel = pv
+                    if mn is not None:
+                        sel = sel[sel >= mn]
+                    if mx is not None:
+                        sel = sel[sel <= mx]
+                    return sel.size > 0
+
+                keep = np.fromiter(
+                    (row_keep(mn, mx) for mn, mx in zip(mns, mxs)),
+                    count=b.num_rows, dtype=bool)
+            else:
+                mn = b.column("val_min").to_numpy(zero_copy_only=False)
+                mx = b.column("val_max").to_numpy(zero_copy_only=False)
+                inside = (pv[None, :] >= mn[:, None]) \
+                    & (pv[None, :] <= mx[:, None])
+                keep = inside.any(axis=1) | np.isnan(mn) | np.isnan(mx)
+            if have_bloom:
+                blobs = b.column("val_bloom").to_pylist()
+                for i in np.flatnonzero(keep):
+                    blob = blobs[i]
+                    if blob is not None and not _bloom_contains_any(
+                            blob, ph1, ph2):
+                        keep[i] = False
+            out = b.select(["chunk_key", *extra_cols]).filter(
+                pa.array(keep, pa.bool_()))
+            if out.num_rows:
+                yield out
+
+    return meta.mapInArrow(fn, out_ddl)
+
+
 def _keys_kind(keys) -> str:
     """'num' | 'str' | 'empty' — and a loud TypeError on a mixed set: a
     single stray string would flip numeric keys into LEXICOGRAPHIC
@@ -2140,7 +2363,7 @@ def _filter_by_key_set(out, key_col, keys):
 def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                  assume_unique=False, arranged=False, columns=None,
                  legacy_nan_zonemaps=False, value_range=None, keys=None,
-                 value_in=None, verify_checksums=False):
+                 value_in=None, contains=None, verify_checksums=False):
     """Decode a manifest back to the original rows (order not preserved
     globally; chunk-local order is exact — verify by joining on the key).
 
@@ -2181,6 +2404,17 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     decimals); AND-combines with any ``value_range`` / ``keys``
     pruning. The canonical use: ``value_in=("lang", ["en", "fr"])``
     over a lang-clustered corpus decodes only those languages' chunks.
+
+    ``contains=(column, [v1, v2, ...])`` is the ARRAY-membership
+    predicate: decode rows whose LIST column holds ANY of the values —
+    the canary-token / contamination-lookup shape over ``tokens``
+    arrays. Chunks prune by the flattened elements' value zone maps
+    AND, when the encode recorded them (``value_blooms=True``), by
+    per-chunk value Bloom filters — the prune that works where element
+    zone maps keep everything (a 64k-token chunk spans most of the
+    vocab); rows are then exact-filtered with ``arrays_overlap``
+    (JVM-side). Int/float/string element types; AND-combines with every
+    other pruning argument.
 
     ``keys=[k1, k2, ...]`` is the multi-point lookup: chunks whose
     [min_key, max_key] interval contains ANY of the keys are decoded
@@ -2254,7 +2488,7 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     # blob-materializing pin for nothing (both the value_range and the
     # bloom multi-use subqueries below consult it)
     cheap = True if (value_range is None and keys is None
-                     and value_in is None) \
+                     and value_in is None and contains is None) \
         else _cheap_rescan(manifest_df)
     pinned = False
     vrs = []
@@ -2330,6 +2564,30 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                 manifest_df = manifest_df.join(
                     F.broadcast(keys_df), "chunk_key", "left_semi"
                 )
+    ct_expr = None
+    if contains is not None:
+        # ARRAY-membership prune: zone + value-bloom tests on the
+        # `#values` rows in ONE metadata pass, same broadcast-semi-join
+        # carrier (and the same in-flight-manifest pin hazard) as the
+        # value_range/value_in blocks above.
+        ct_sub, ct_probe, ct_is_str, ct_expr = _prepare_contains(
+            out_schema, contains)
+        zcol = "val_min_str" if ct_is_str else "val_min"
+        if zcol in manifest_df.columns and contains[0] not in added:
+            if not cheap and not pinned:
+                manifest_df = manifest_df.localCheckpoint(eager=True)
+                pinned = True
+            hits = _contains_hit_keys(manifest_df, ct_sub, ct_probe,
+                                      ct_is_str)
+            rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
+            if len(rows) <= VALUE_PRUNE_MAX_KEYS:
+                spark = manifest_df.sparkSession
+                keys_df = spark.createDataFrame(
+                    [(r["chunk_key"],) for r in rows], "chunk_key string"
+                )
+                manifest_df = manifest_df.join(
+                    F.broadcast(keys_df), "chunk_key", "left_semi"
+                )
     if keys is not None:
         # multi-point lookup: chunk pruning via a broadcast non-equi
         # semi-join of the key set against the key zone maps (metadata
@@ -2358,6 +2616,8 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         # pruning is done with it — don't ship ~1.25 B/key of bloom
         # bytes through the dedup/grouping shuffles below
         manifest_df = manifest_df.drop("key_bloom")
+    if "val_bloom" in manifest_df.columns:
+        manifest_df = manifest_df.drop("val_bloom")  # same rule
     if not assume_unique:
         manifest_df = manifest_df.dropDuplicates(["chunk_key", "column"])
     if arranged and assume_unique:
@@ -2381,6 +2641,8 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         out = out.filter(v[6])
     if in_expr is not None:
         out = out.filter(in_expr)
+    if ct_expr is not None:
+        out = out.filter(ct_expr)
     return out
 
 
@@ -3561,6 +3823,7 @@ def make_backfill_encode_fn(col_name: str, codec: str,
             out["val_sum"].append(_value_sum(cv))
             out["val_ndv"].append(None)  # backfill: NDV is encode-opt-in
             out["key_bloom"].append(None)
+            out["val_bloom"].append(None)  # likewise value blooms
             out["snapshot_id"].append(chunk_meta["snapshot_id"])
             out["blob"].append(blob)
         return pa.RecordBatch.from_pydict(out, schema=_MANIFEST_PA)
@@ -5916,7 +6179,7 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
 def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                       key_col=None, columns=None, legacy_nan_zonemaps=False,
                       value_range=None, keys=None, value_in=None,
-                      verify_checksums=False, as_of=None):
+                      contains=None, verify_checksums=False, as_of=None):
     """Decode a CHECKPOINTED manifest directory without shuffling a single
     blob: one task per manifest file, sequential pyarrow read, group
     decode in place (see the section comment above for why the layout
@@ -5941,6 +6204,11 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     ``decode_table``): files/chunks whose zone maps admit ANY of the
     values, AND-intersected with the value_range and bloom prune maps,
     exact-filtered after decode.
+    ``contains=(column, [v1, ...])`` is the ARRAY-membership predicate
+    (see ``decode_table``): files/chunks whose flattened-element zone
+    maps — and value Blooms, when the encode recorded them — admit ANY
+    of the values, AND-intersected with every other prune map,
+    exact-filtered with ``arrays_overlap`` after decode.
     Checkpoints that fail the clustered-layout check (duplicates from
     resumed runs, chunks torn across files) fall back to
     ``decode_table``'s shuffling path transparently.
@@ -6010,7 +6278,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         if key_col is not None:
             _chk(key_col, "key_col")
         for spec, what in ((value_range, "value_range column"),
-                           (value_in, "value_in column")):
+                           (value_in, "value_in column"),
+                           (contains, "contains column")):
             if spec is not None:
                 for t in ([spec] if isinstance(spec, tuple) else spec):
                     _chk(t[0].partition(".")[0], what)
@@ -6024,6 +6293,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
             value_range=_translate_value_specs(value_range, rmap),
             keys=keys,
             value_in=_translate_value_specs(value_in, rmap),
+            contains=_translate_value_specs(contains, rmap),
             verify_checksums=verify_checksums, as_of=as_of)
         return dec.toDF(*[inv.get(c, c) for c in dec.columns])
     full_schema = out_schema
@@ -6094,7 +6364,7 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                 key_range=key_range, key_col=key_col, columns=columns,
                 legacy_nan_zonemaps=legacy_nan_zonemaps,
                 value_range=value_range, keys=keys, value_in=value_in,
-                verify_checksums=verify_checksums,
+                contains=contains, verify_checksums=verify_checksums,
             )
         extra_deletes = {}
         for r in drows:
@@ -6176,7 +6446,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
             else spark.read.parquet(ckpt_dir), full_schema,
             key_range=key_range, key_col=key_col, columns=columns,
             legacy_nan_zonemaps=legacy_nan_zonemaps, value_range=value_range,
-            keys=keys, value_in=value_in, verify_checksums=verify_checksums,
+            keys=keys, value_in=value_in, contains=contains,
+            verify_checksums=verify_checksums,
         )
     file_keys = None  # path -> qualifying chunk_key list (value_range only)
     vrs = []
@@ -6220,6 +6491,32 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                 return spark.createDataFrame(
                     [], from_arrow_schema(out_schema,
                                           prefer_timestamp_ntz=True))
+    ct_expr = None
+    if contains is not None:
+        # ARRAY-membership prune (zone + value blooms, see decode_table)
+        # — same per-file chunk-list carrier, AND-intersected with the
+        # value_range / value_in maps above
+        ct_sub, ct_probe, ct_is_str, ct_expr = _prepare_contains(
+            out_schema, contains)
+        zcol = "val_min_str" if ct_is_str else "val_min"
+        if zcol in fdf.columns and contains[0] not in added:
+            hits = _contains_hit_keys(fdf, ct_sub, ct_probe, ct_is_str,
+                                      extra_cols=("__file",))
+            rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
+            if len(rows) <= VALUE_PRUNE_MAX_KEYS:
+                ct_file_keys = {}
+                for r in rows:
+                    ct_file_keys.setdefault(r["__file"], []).append(
+                        r["chunk_key"])
+            else:
+                ct_file_keys = {
+                    r["__file"]: None
+                    for r in hits.select("__file").distinct().collect()}
+            file_keys = _intersect_file_keys(file_keys, ct_file_keys)
+            if not file_keys:
+                return spark.createDataFrame(
+                    [], from_arrow_schema(out_schema,
+                                          prefer_timestamp_ntz=True))
     if file_keys is None:
         # no value_range chunk lists — the bloom keep lists (if any)
         # drive the per-file chunk filter instead (already intersected:
@@ -6255,6 +6552,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         out = out.filter(v[6])
     if in_expr is not None:
         out = out.filter(in_expr)
+    if ct_expr is not None:
+        out = out.filter(ct_expr)
     return out
 
 

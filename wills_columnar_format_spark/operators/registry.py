@@ -1629,6 +1629,61 @@ ORACLE_VALUE_IN_SCAN = (
 )
 
 
+# canary token ids probed by contains_token — fixed, present at every sf
+_CANARY_TOKENS = [13, 500]
+
+
+def q_contains_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary-token scan: WHICH documents contain token 13 or 500 —
+    the contamination/canary-lookup shape over a ``tokens array<int>``
+    corpus, pushed through COMPRESSED data (engine ``contains=``).
+    Chunks prune by the flattened elements' zone maps AND the opt-in
+    per-chunk value Bloom filters (``encode_table(value_blooms=True)``
+    — the prune that works where element zone maps keep everything: a
+    wide-vocab chunk spans most of the token range), then rows
+    exact-filter with ``arrays_overlap`` (JVM-side). Encoded on the
+    HASH layout on purpose: key zone maps prune nothing there, so the
+    value blooms carry the whole prune. The corpus is constructed by
+    pure integer arithmetic from ``events`` (doc d has 1 + d%37
+    tokens; token[i] = (d*31 + i*17) % 997) so DuckDB builds the
+    byte-identical table for the oracle."""
+    from ..engine import decode_table, encode_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    df = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), (F.col("event_id") % 37).cast("int")),
+            lambda i: ((F.col("event_id") * 31 + i * 17) % 997).cast("int"),
+        ).alias("tokens"),
+    )
+    m = encode_table(df, key_col="doc_id", codec="auto", num_partitions=8,
+                     partitioner="hash", chunk_rows=512, value_blooms=True)
+    dec = decode_table(m, df.schema, contains=("tokens", _CANARY_TOKENS))
+    return dec.select(
+        "doc_id",
+        F.size("tokens").alias("n_tok"),
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("tok_sum"),
+    )
+
+
+ORACLE_CONTAINS_TOKEN = """
+WITH docs AS (
+    SELECT event_id AS doc_id,
+           list_transform(range(0, CAST(event_id % 37 AS INT) + 1),
+                          i -> CAST((event_id * 31 + i * 17) % 997 AS INT))
+               AS tokens
+    FROM events
+)
+SELECT doc_id,
+       CAST(len(tokens) AS INTEGER) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum
+FROM docs
+WHERE list_has_any(tokens, [13, 500])
+"""
+
+
 def q_value_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal filter pushdown through compressed data: event
     timestamps ride the integer codecs as epoch micros and carry value
@@ -3209,6 +3264,7 @@ REGISTRY: dict[str, tuple] = {
     "restore_snapshot": (q_restore, DUCK_RESTORE),
     "clone_table": (q_clone, DUCK_CLONE),
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
+    "contains_token": (q_contains_token, ORACLE_CONTAINS_TOKEN),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),

@@ -34,12 +34,17 @@ def encode_stream(
     chunk_rows: int = 16384,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    **encode_kwargs,
 ):
     """Start (and return) a streaming query that encodes newly arrived
     parquet files under ``input_path`` into the manifest at
     ``manifest_dir``. With ``available_now`` the query drains what exists
     and stops — call repeatedly as data lands (the cron/airflow pattern);
     otherwise it runs continuously per ``max_files_per_trigger``.
+    Extra keyword arguments pass through to ``encode_table`` (e.g.
+    ``value_blooms=True``, ``ndv_sketches=True``, ``allow_nulls=True``)
+    — all metadata-only options are pure functions of chunk values, so
+    replay idempotence is preserved.
     """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -64,6 +69,7 @@ def encode_stream(
             chunk_rows=chunk_rows,
             partitioner="hash",  # deterministic boundaries for replay idempotence
             snapshot_id=f"stream-batch-{batch_id}",
+            **encode_kwargs,
         )
         manifest.write.mode("append").parquet(manifest_dir)
 
