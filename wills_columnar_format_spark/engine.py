@@ -69,6 +69,7 @@ MANIFEST_FIELDS = [
     ("val_min_str", "string"),
     ("val_max_str", "string"),
     ("val_sum", "decimal(38,0)"),
+    ("val_sum2", "decimal(38,0)"),
     ("val_ndv", "binary"),
     ("key_bloom", "binary"),
     ("val_bloom", "binary"),
@@ -98,6 +99,7 @@ _MANIFEST_PA = pa.schema(
         ("val_min_str", pa.string()),
         ("val_max_str", pa.string()),
         ("val_sum", pa.decimal128(38, 0)),
+        ("val_sum2", pa.decimal128(38, 0)),
         ("val_ndv", pa.large_binary()),
         ("key_bloom", pa.large_binary()),
         ("val_bloom", pa.large_binary()),
@@ -174,6 +176,33 @@ def _value_sum(cv: ColumnValues):
         # magnitude*count could overflow int64: exact object-dtype sum
         return int(v.astype(object).sum())
     return int(v.sum(dtype=np.int64))
+
+
+_SUM2_MAX = 10 ** 38  # decimal(38,0) capacity
+
+
+def _value_sum2(cv: ColumnValues):
+    """Exact per-chunk sum of SQUARES of an INTEGER sub-column — the
+    second-moment side of VARIANCE/STDDEV pushdown (``column_moments``:
+    var = (n·Σx² − (Σx)²)/n², derived exactly from the decimal sums).
+    Same exactness contract as ``_value_sum``: integer-only (order-
+    independent addition), NULL for anything else, pure function of the
+    chunk values. None also when the exact sum of squares exceeds the
+    decimal(38,0) manifest slot — absent means 'decode to answer',
+    never approximate."""
+    v = cv.vals
+    if v is None or not v.size or not np.issubdtype(v.dtype, np.integer):
+        return None
+    mx = max(abs(int(v.min())), abs(int(v.max())))
+    if not mx:
+        return 0
+    if v.size <= (2 ** 62) // (mx * mx):
+        x = v.astype(np.int64)
+        s2 = int(np.dot(x, x))
+    else:
+        x = v.astype(object)
+        s2 = int((x * x).sum())
+    return s2 if s2 < _SUM2_MAX else None
 
 
 # HyperLogLog NDV sketches (opt-in: encode_table(ndv_sketches=True)).
@@ -753,6 +782,7 @@ def _done_marker_batch(part_id: int, tag: str, n_chunks: int, snapshot_id) -> pa
             "val_min_str": [None],
             "val_max_str": [None],
             "val_sum": [None],
+            "val_sum2": [None],
             "val_ndv": [None],
             "key_bloom": [None],
             "val_bloom": [None],
@@ -874,6 +904,7 @@ def make_encode_fn(
                 rows["val_min_str"].append(smin)
                 rows["val_max_str"].append(smax)
                 rows["val_sum"].append(_value_sum(cv))
+                rows["val_sum2"].append(_value_sum2(cv))
                 rows["val_ndv"].append(
                     _ndv_sketch(cv)
                     if ndv_sketches and _STATS_LEAF_CRE.match(sub_name)
@@ -3821,6 +3852,7 @@ def make_backfill_encode_fn(col_name: str, codec: str,
             out["val_min_str"].append(smin)
             out["val_max_str"].append(smax)
             out["val_sum"].append(_value_sum(cv))
+            out["val_sum2"].append(_value_sum2(cv))
             out["val_ndv"].append(None)  # backfill: NDV is encode-opt-in
             out["key_bloom"].append(None)
             out["val_bloom"].append(None)  # likewise value blooms
@@ -7904,6 +7936,58 @@ def column_sums(manifest_df):
               "column_name", "left_anti")
         .select("column_name", "v_sum", "n_rows", "n_nonnull")
     )
+
+
+def column_moments(manifest_df):
+    """VARIANCE/STDDEV pushdown to manifest metadata: per-column
+    ``(column_name, n_nonnull, v_sum, v_sum2, var_pop, stddev_pop)``
+    from the per-chunk first and second moments (``val_sum`` /
+    ``val_sum2``) — zero blob bytes read. The decimal sums aggregate
+    distributed; the final derivation runs driver-side on the ≤
+    #columns result rows in EXACT Python integers,
+    ``var_pop = (n·Σx² − (Σx)²) / n²`` (Cauchy–Schwarz keeps the
+    numerator ≥ 0), floated only at the end — so the doubles are the
+    correctly-rounded population moments, not a streaming
+    approximation. Same exact-or-absent contract as ``column_sums``
+    (integer-encoded columns only; temporals/decimals report their
+    normalized epoch/unscaled encoding; any chunk missing either sum —
+    legacy manifests, >10^38 squares — drops the column; deletion-
+    masked columns drop). At 100 TB this turns a full-column scan into
+    a blob-free metadata groupBy plus O(#columns) driver math."""
+    import decimal as _dec
+    import math
+
+    from pyspark.sql import functions as F
+
+    out_ddl = ("column_name string, n_nonnull bigint, "
+               "v_sum decimal(38,0), v_sum2 decimal(38,0), "
+               "var_pop double, stddev_pop double")
+    spark = manifest_df.sparkSession
+    if "val_sum2" not in manifest_df.columns:
+        return spark.createDataFrame([], out_ddl)
+    s2 = (
+        _stats_base(manifest_df)
+        .groupBy(F.col("column").alias("column_name"))
+        .agg(
+            F.sum("val_sum2").alias("v_sum2"),
+            F.count("*").alias("_c2"),
+            F.count("val_sum2").alias("_s2"),
+        )
+        .filter(F.col("_c2") == F.col("_s2"))
+        .select("column_name", "v_sum2")
+    )
+    rows = column_sums(manifest_df).join(s2, "column_name").collect()
+    data = []
+    for r in sorted(rows, key=lambda r: r["column_name"]):
+        n = int(r["n_nonnull"])
+        if n == 0:
+            continue  # no non-null rows: moments undefined
+        s, q = int(r["v_sum"]), int(r["v_sum2"])
+        num = n * q - s * s  # n² · var_pop, exact
+        var = num / (n * n)
+        data.append((r["column_name"], n, _dec.Decimal(s), _dec.Decimal(q),
+                     float(var), math.sqrt(var)))
+    return spark.createDataFrame(data, out_ddl)
 
 
 def column_ndv(manifest_df):

@@ -175,3 +175,223 @@ def minhash_lsh_pairs(
                 spark.catalog.dropTempView(v)
             except Exception:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a persisted signature index, probed per ingest batch
+# ---------------------------------------------------------------------------
+#
+# The batch operator above recomputes signatures for the WHOLE corpus on
+# every run — O(corpus) per ingest batch, which a continuously-fed
+# 100 TB pipeline cannot pay. The incremental shape: persist one
+# signature row per corpus doc (doc_id, exact-text fingerprint, the 32
+# minhash minima — ~300 B/doc, no text), then each new batch
+#
+#   1. computes ITS signatures only (O(batch));
+#   2. band-joins new against index + itself for candidates (the new
+#      side is small — Spark broadcasts it; index-side bands past
+#      band_cap are dropped from candidate generation, with
+#      identical-text coverage kept by an exact-fingerprint join —
+#      the same hot-band trade as the batch operator);
+#   3. fetches ONLY the candidate corpus docs' texts for exact-jaccard
+#      verification — from a docs DataFrame, or (the engine
+#      composition) from a columnar CHECKPOINT via the Bloom-pruned
+#      multi-point lookup (decode_checkpoint(keys=...)): verification
+#      cost ~ candidates, not corpus;
+#   4. appends the batch's signature rows to the index.
+#
+# Per-batch cost is O(batch + candidates); the corpus is touched only
+# through point lookups. doc_ids must be unique across corpus + batch
+# (re-ingesting an id is an upsert the caller handles upstream).
+
+_M_COLS = ", ".join(f"m{k}" for k in range(32))
+
+_INDEX_SQL = f"""
+WITH gh AS (SELECT doc_id, {_SPARK_HEX2INT_HI} AS h1, {_SPARK_HEX2INT_LO} AS h2 FROM {{grams}}),
+m AS (SELECT doc_id, {_MH_MINS} FROM gh GROUP BY doc_id)
+SELECT d.doc_id, md5(trim(d.text)) AS fp, {_M_COLS}
+FROM {{docs}} d LEFT JOIN m ON d.doc_id = m.doc_id
+"""
+# gramless docs (< 2 words) keep NULL minima: they never band-join and
+# never star — jaccard over empty shingle sets is undefined, matching
+# the batch operator and the exact oracle.
+
+
+def _signature_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, fp, m0..m31) signature rows for a (doc_id, text) frame."""
+    import uuid
+
+    s = uuid.uuid4().hex[:8]
+    docs_v, grams_v = f"mhi_docs_{s}", f"mhi_grams_{s}"
+    try:
+        docs.select("doc_id", "text").createOrReplaceTempView(docs_v)
+        spark.sql(GRAMS_SQL.format(docs=docs_v)).createOrReplaceTempView(grams_v)
+        out = spark.sql(_INDEX_SQL.format(docs=docs_v, grams=grams_v))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for v in (grams_v, docs_v):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+
+
+def build_dedup_index(spark: SparkSession, docs: DataFrame, index_dir: str,
+                      mode: str = "append") -> None:
+    """Persist signature rows for a corpus (batch) into the index dir."""
+    _signature_rows(spark, docs).write.mode(mode).parquet(index_dir)
+
+
+def _fetch_candidate_texts(spark, corpus, cand_old_ids: DataFrame,
+                           fetch_cap: int = 100_000) -> DataFrame:
+    """(doc_id, text) of the candidate CORPUS docs. ``corpus`` is a
+    (doc_id, text) DataFrame (semi-join — one pass) or a checkpoint
+    dir path (self-describing; Bloom/zone-pruned multi-point lookup —
+    the decode touches ~|candidates| chunks, not the corpus). Past
+    ``fetch_cap`` candidates the checkpoint path degrades to a full
+    decode rather than shipping a huge key list."""
+    if not isinstance(corpus, str):
+        return corpus.select("doc_id", "text").join(
+            cand_old_ids, "doc_id", "left_semi")
+    from ..engine import decode_checkpoint
+
+    ids = [r["doc_id"] for r in cand_old_ids.limit(fetch_cap + 1).collect()]
+    if len(ids) <= fetch_cap:
+        dec = decode_checkpoint(spark, corpus, None, keys=ids,
+                                key_col="doc_id")
+    else:
+        dec = decode_checkpoint(spark, corpus, None)
+    return dec.select("doc_id", "text")
+
+
+def _cand_prefix_sql(band_cap: int, new_mins: str, index_v: str) -> str:
+    """WITH-prefix through ``cand`` — the blob-free signature-metadata
+    half of the probe, shared by the candidate-id pre-pass (which
+    bounds the text fetch) and the full verify query."""
+    return f"""
+WITH allm AS (SELECT doc_id, {_M_COLS} FROM {new_mins}
+              UNION ALL SELECT doc_id, {_M_COLS} FROM {index_v}),
+nb AS (SELECT doc_id, concat(band, ':', sig) AS sig
+       FROM (SELECT * FROM {new_mins} WHERE m0 IS NOT NULL) x
+       LATERAL VIEW stack(16, {_MH_STACK}) s AS band, sig),
+ib AS (SELECT doc_id, concat(band, ':', sig) AS sig
+       FROM (SELECT * FROM {index_v} WHERE m0 IS NOT NULL) x
+       LATERAL VIEW stack(16, {_MH_STACK}) s AS band, sig),
+-- hot bands are capped on EACH side's own population: a band over the
+-- cap on one side is dropped there (fingerprint stars keep the
+-- identical-doc coverage; the other 15 bands keep near-dup coverage)
+ibsz AS (SELECT sig, COUNT(*) AS bn FROM ib GROUP BY sig),
+nbsz AS (SELECT sig, COUNT(*) AS bn FROM nb GROUP BY sig),
+coldi AS (SELECT b.doc_id, b.sig FROM ib b JOIN ibsz z ON b.sig = z.sig
+          WHERE z.bn <= {band_cap}),
+coldn AS (SELECT b.doc_id, b.sig FROM nb b JOIN nbsz z ON b.sig = z.sig
+          WHERE z.bn <= {band_cap}),
+cxi AS (SELECT LEAST(i.doc_id, n.doc_id) AS d1,
+               GREATEST(i.doc_id, n.doc_id) AS d2
+        FROM coldn n JOIN coldi i ON n.sig = i.sig),
+cxn AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM coldn a JOIN coldn b ON a.sig = b.sig AND a.doc_id < b.doc_id),
+cand0 AS (SELECT DISTINCT d1, d2 FROM
+          (SELECT * FROM cxi UNION ALL SELECT * FROM cxn) u),
+cand AS (SELECT c.d1, c.d2 FROM cand0 c
+         JOIN allm a ON a.doc_id = c.d1 JOIN allm b ON b.doc_id = c.d2
+         WHERE {_MH_EQ_SUM} >= {_MH_EQ_MIN})"""
+
+
+_CAND_IDS_TAIL = """
+SELECT DISTINCT doc_id FROM
+(SELECT d1 AS doc_id FROM cand UNION ALL SELECT d2 FROM cand) u
+"""
+
+
+def _verify_tail_sql(new_mins: str, index_v: str, grams_v: str) -> str:
+    return f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM {grams_v} GROUP BY doc_id),
+inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
+          FROM cand JOIN {grams_v} g1 ON g1.doc_id = cand.d1
+                    JOIN {grams_v} g2t ON g2t.doc_id = cand.d2 AND g2t.g2 = g1.g2
+          GROUP BY g1.doc_id, g2t.doc_id),
+verified AS (
+  SELECT d1, d2, CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE c * 1.0 / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
+),
+-- exact-fingerprint stars: identical trimmed text is jaccard 1.0
+-- REGARDLESS of band heat (requires grams on both sides — jaccard over
+-- empty shingle sets is undefined, matching the exact oracle)
+star AS (
+  SELECT DISTINCT LEAST(n.doc_id, o.doc_id) AS d1,
+                  GREATEST(n.doc_id, o.doc_id) AS d2,
+                  CAST(1.0 AS DOUBLE) AS jaccard
+  FROM (SELECT doc_id, fp FROM {new_mins} WHERE m0 IS NOT NULL) n
+  JOIN (SELECT doc_id, fp FROM {index_v} WHERE m0 IS NOT NULL
+        UNION ALL
+        SELECT doc_id, fp FROM {new_mins} WHERE m0 IS NOT NULL) o
+    ON n.fp = o.fp AND n.doc_id <> o.doc_id
+)
+SELECT d1, d2, jaccard FROM verified
+UNION
+SELECT d1, d2, jaccard FROM star
+"""
+
+
+def probe_dedup_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    corpus,
+    band_cap: int = DEFAULT_BAND_CAP,
+    update_index: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (d1 < d2, jaccard ≥ 0.5) TOUCHING a new ingest
+    batch: new-vs-indexed-corpus and new-vs-new, exact-jaccard-verified
+    — without recomputing a single corpus signature. ``corpus`` is the
+    indexed docs as a (doc_id, text) DataFrame or a columnar checkpoint
+    dir (candidate texts fetched by Bloom-pruned point lookup). With
+    ``update_index`` the batch's signatures append to the index, so
+    successive calls see a growing corpus."""
+    import uuid
+
+    s = uuid.uuid4().hex[:8]
+    new_v, idx_v, grams_v = f"mhi_new_{s}", f"mhi_idx_{s}", f"mhi_g_{s}"
+    cached = []
+    try:
+        new_sig = _signature_rows(spark, new_docs)
+        new_sig.createOrReplaceTempView(new_v)
+        spark.read.parquet(index_dir).createOrReplaceTempView(idx_v)
+
+        # candidate old ids come from a bands-only pre-pass so the gram
+        # fetch is bounded by the candidates, not the corpus: run the
+        # signature-metadata half once to enumerate candidate pairs,
+        # THEN fetch texts and verify. (The prefix CTEs re-run inside
+        # the main query — blob-free signature metadata, pennies next
+        # to the gram joins.)
+        pre = spark.sql(_cand_prefix_sql(band_cap, new_v, idx_v)
+                        + _CAND_IDS_TAIL)
+        new_ids = new_docs.select("doc_id")
+        cand_ids = pre.join(new_ids, "doc_id", "left_anti")
+        # fingerprint-star partners need no text fetch; stars are exact.
+        old_texts = _fetch_candidate_texts(spark, corpus, cand_ids)
+        both = new_docs.select("doc_id", "text").unionByName(
+            old_texts.select("doc_id", "text"))
+        both.createOrReplaceTempView(f"mhi_docs_{s}")
+        grams = spark.sql(GRAMS_SQL.format(docs=f"mhi_docs_{s}"))
+        grams.cache().createOrReplaceTempView(grams_v)
+        cached.append(grams_v)
+        out = spark.sql(_cand_prefix_sql(band_cap, new_v, idx_v)
+                        + _verify_tail_sql(new_v, idx_v, grams_v))
+        out = out.localCheckpoint(eager=True)
+        if update_index:
+            new_sig.write.mode("append").parquet(index_dir)
+        return out
+    finally:
+        for v in cached:
+            try:
+                spark.catalog.uncacheTable(v)
+            except Exception:
+                pass
+        for v in (new_v, idx_v, grams_v, f"mhi_docs_{s}"):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass

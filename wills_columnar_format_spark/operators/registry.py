@@ -496,6 +496,55 @@ SELECT 'o_custkey', CAST(SUM(o_custkey) AS DOUBLE),
 """
 
 
+def q_variance_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANCE/STDDEV pushdown to manifest METADATA
+    (engine.column_moments): per-chunk exact integer first AND second
+    moments (``val_sum``/``val_sum2``, decimal(38,0)) aggregate to
+    whole-column variance with zero blob bytes read (blob DROPPED
+    before the aggregate to prove it). The comparison pins the EXACT
+    integers — n, Σx, Σx², and the variance numerator
+    n·Σx² − (Σx)² = n²·var_pop — so the check is arithmetic identity,
+    not float-tolerance: both engines compute exact integers and
+    convert once to double. Integer columns only (float second moments
+    are order-dependent — exact-or-absent, like column_sums)."""
+    from ..engine import column_moments, encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    m = encode_table(df, key_col="event_id", codec="auto", num_partitions=4)
+    cm = column_moments(m.drop("blob"))
+    big = "decimal(38,0)"
+    return cm.select(
+        "column_name",
+        "n_nonnull",
+        F.col("v_sum").cast("double").alias("v_sum_d"),
+        F.col("v_sum2").cast("double").alias("v_sum2_d"),
+        (F.col("n_nonnull").cast(big) * F.col("v_sum2")
+         - F.col("v_sum") * F.col("v_sum")).cast("double").alias("var_num_d"),
+    )
+
+
+DUCK_VARIANCE_PUSHDOWN = """
+WITH m AS (
+    SELECT 'event_id' AS column_name, COUNT(event_id) AS n_nonnull,
+           SUM(CAST(event_id AS HUGEINT)) AS s,
+           SUM(CAST(event_id AS HUGEINT) * event_id) AS s2
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(user_id),
+           SUM(CAST(user_id AS HUGEINT)),
+           SUM(CAST(user_id AS HUGEINT) * user_id)
+    FROM events
+)
+SELECT column_name, n_nonnull,
+       CAST(s AS DOUBLE) AS v_sum_d,
+       CAST(s2 AS DOUBLE) AS v_sum2_d,
+       CAST(n_nonnull * s2 - s * s AS DOUBLE) AS var_num_d
+FROM m
+"""
+
+
 def q_group_by_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY pushdown (engine.group_sums): hybrid metadata/decode —
     chunks whose group column is CONSTANT by zone map (min == max)
@@ -2572,6 +2621,58 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the minhash oracle is the exact-jaccard query: LSH must have 100% recall
 ORACLE_MINHASH = DUCK_NGRAM_JACCARD
 
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection (operators/dedup.py
+    build_dedup_index / probe_dedup_index): the corpus is signature-
+    indexed ONCE (doc_id + exact-text fingerprint + 32 minhash minima,
+    ~300 B/doc, no text); each ingest batch then computes only ITS
+    signatures, band-joins against the index for candidates (hot bands
+    capped per side; fingerprint stars keep identical-doc coverage),
+    and fetches ONLY the candidate corpus docs' texts for exact-jaccard
+    verification — here from a columnar CHECKPOINT via the Bloom-pruned
+    multi-point lookup (decode_checkpoint(keys=...)), the engine
+    composition. Per-batch cost is O(batch + candidates), not
+    O(corpus) — the shape a continuously-fed 100 TB pipeline needs
+    where the batch operator re-signs the world every run. Scenario:
+    corpus = documents; batch = the %5==0 docs re-ingested at
+    +100000 ids. The oracle is the exact all-pairs jaccard restricted
+    to pairs touching the batch (d2 >= 100000)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import encode_table, write_checkpoint
+    from .dedup import build_dedup_index, probe_dedup_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    work = tempfile.mkdtemp(prefix="wcfs_incr_q_")
+    try:
+        idx = os.path.join(work, "idx")
+        ckpt = os.path.join(work, "ckpt")
+        build_dedup_index(spark, docs, idx)
+        m = encode_table(docs, key_col="doc_id", partitioner="hash",
+                         num_partitions=8, chunk_rows=64)
+        write_checkpoint(m, ckpt, schema=docs.schema)
+        # probe returns an eager localCheckpoint — safe to clean up
+        return probe_dedup_index(spark, batch, idx, ckpt,
+                                 update_index=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_INCR_DOCS2 = """
+docs2 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000 AS doc_id, text
+          FROM documents WHERE doc_id % 5 = 0)
+"""
+ORACLE_DEDUP_INCREMENTAL = (
+    f"WITH {_INCR_DOCS2}, {DUCK_GRAMS2}, {_JACCARD_TAIL} AND d2 >= 100000"
+)
+
 # SimHash: 60-bit signature from md5 word hashes, deterministic in both.
 
 
@@ -3265,6 +3366,7 @@ REGISTRY: dict[str, tuple] = {
     "clone_table": (q_clone, DUCK_CLONE),
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
     "contains_token": (q_contains_token, ORACLE_CONTAINS_TOKEN),
+    "variance_pushdown": (q_variance_pushdown, DUCK_VARIANCE_PUSHDOWN),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
@@ -3302,6 +3404,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (_sql_query(SPARK_DEDUP_EXACT, "documents"), DUCK_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DUCK_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_MINHASH),
+    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "dedup_simhash": (_sql_query(SPARK_SIMHASH, "documents"), DUCK_SIMHASH),
     # similarity
     "cosine_topk": (_sql_query(SPARK_COSINE_TOPK, "embeddings"), DUCK_COSINE_TOPK),
