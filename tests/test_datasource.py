@@ -1,0 +1,126 @@
+"""The `wcfs` Spark Python DataSource: SQL-native reads/writes over
+columnar checkpoints (datasource.py). Covers the write->read roundtrip,
+the default always-correct mode under mixed query sequences (the Spark
+4.1 readInfo-cache hazard), opt-in pushdown pruning, overwrite
+semantics, deletion vectors, and the clustered-layout refusal."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark import data
+from wills_columnar_format_spark.datasource import register
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    register(spark)
+    t = data.token_table_arrow(3000, seed=21)
+    return spark.createDataFrame(t.to_pandas()).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def table_dir(spark, token_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wcfs") / "tbl")
+    (token_df.repartition(4, "doc_id").sortWithinPartitions("doc_id")
+     .write.format("wcfs").mode("append").option("key_col", "doc_id")
+     .option("chunk_rows", "256").option("value_blooms", "true").save(d))
+    return d
+
+
+def test_write_read_roundtrip(spark, token_df, table_dir):
+    r = spark.read.format("wcfs").load(table_dir)
+    assert r.count() == token_df.count()
+    bad = (r.alias("a").join(token_df.alias("b"), "doc_id")
+           .filter((F.col("a.tokens") != F.col("b.tokens"))
+                   | (F.col("a.n_tok") != F.col("b.n_tok"))
+                   | (F.col("a.source") != F.col("b.source"))).count())
+    assert bad == 0
+    # self-describing: the writer left a _table_schema sidecar
+    assert r.schema == token_df.schema
+
+
+def test_default_mode_safe_under_mixed_queries(spark, token_df, table_dir):
+    # the Spark 4.1 hazard sequence: filtered plan, then filterless on
+    # the SAME DataFrame/view — default mode must not lose rows
+    r = spark.read.format("wcfs").load(table_dir)
+    n_flt = token_df.where("n_tok > 1500").count()
+    assert r.where("n_tok > 1500").count() == n_flt
+    assert r.count() == token_df.count()
+    r.createOrReplaceTempView("wcfs_tok")
+    a = spark.sql("SELECT source, COUNT(*) AS n, SUM(n_tok) AS s "
+                  "FROM wcfs_tok GROUP BY source ORDER BY source").collect()
+    b = (token_df.groupBy("source")
+         .agg(F.count("*").alias("n"), F.sum("n_tok").alias("s"))
+         .orderBy("source").collect())
+    assert [tuple(x) for x in a] == [tuple(x) for x in b]
+
+
+def test_pushdown_prunes_and_stays_exact(spark, token_df, table_dir):
+    key = token_df.select("doc_id").orderBy("doc_id").first()[0]
+    rp = spark.read.format("wcfs").option("pushdown", "true").load(table_dir)
+    q = rp.where(F.col("doc_id") == key)
+    rows = q.collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == key
+    # range-partitioned on doc_id + bloom: the point query touches
+    # fewer than the 4 written files
+    assert q.rdd.getNumPartitions() < 4
+    # fresh load per query shape (the documented pushdown contract)
+    rp2 = spark.read.format("wcfs").option("pushdown", "true").load(table_dir)
+    got = sorted(r["doc_id"] for r in
+                 rp2.where(F.col("source").isin("wiki", "code"))
+                 .select("doc_id").collect())
+    exp = sorted(r["doc_id"] for r in
+                 token_df.where(F.col("source").isin("wiki", "code"))
+                 .select("doc_id").collect())
+    assert got == exp
+    rp3 = spark.read.format("wcfs").option("pushdown", "true").load(table_dir)
+    assert rp3.where("n_tok >= 1000").count() == \
+        token_df.where("n_tok >= 1000").count()
+
+
+def test_overwrite_replaces_snapshot(spark, token_df, tmp_path):
+    d = str(tmp_path / "tbl")
+    (token_df.repartition(2).write.format("wcfs").mode("append")
+     .option("key_col", "doc_id").save(d))
+    (token_df.limit(100).repartition(1).write.format("wcfs")
+     .mode("overwrite").option("key_col", "doc_id").save(d))
+    assert spark.read.format("wcfs").load(d).count() == 100
+
+
+def test_deletion_vectors_apply(spark, token_df, tmp_path):
+    from wills_columnar_format_spark.engine import delete_keys_checkpoint
+
+    d = str(tmp_path / "tbl")
+    (token_df.repartition(2, "doc_id").sortWithinPartitions("doc_id")
+     .write.format("wcfs").mode("append").option("key_col", "doc_id")
+     .option("chunk_rows", "256").save(d))
+    victims = [r["doc_id"] for r in
+               token_df.select("doc_id").orderBy("doc_id").limit(7).collect()]
+    delete_keys_checkpoint(spark, d, victims, "doc_id")
+    r = spark.read.format("wcfs").load(d)
+    assert r.count() == token_df.count() - 7
+    assert r.filter(F.col("doc_id").isin(victims)).count() == 0
+
+
+def test_non_clustered_refused(spark, token_df, tmp_path, table_dir):
+    d = str(tmp_path / "tbl")
+    shutil.copytree(table_dir, d)
+    # duplicate a data file -> duplicated chunks -> torn layout
+    files = [f for f in os.listdir(d)
+             if f.endswith(".parquet") and not f.startswith("_")]
+    shutil.copy(os.path.join(d, files[0]), os.path.join(d, "part-dup.parquet"))
+    with pytest.raises(Exception, match="not chunk-clustered"):
+        spark.read.format("wcfs").load(d).count()
+
+
+def test_missing_sidecar_and_key_col_errors(spark, token_df, tmp_path):
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    with pytest.raises(Exception, match="_table_schema"):
+        spark.read.format("wcfs").load(d).count()
+    with pytest.raises(Exception, match="key_col"):
+        (token_df.write.format("wcfs").mode("append")
+         .option("key_col", "nope").save(str(tmp_path / "w")))

@@ -1,0 +1,527 @@
+"""Spark Python DataSource (Spark 4.x) over columnar checkpoints: the
+SQL-native doorway to the format.
+
+    spark.dataSource.register(WcfsDataSource)
+    df.write.format("wcfs").option("key_col", "doc_id").save(dir)
+    spark.read.format("wcfs").load(dir).where("n_tok > 100").show()
+    spark.sql(f"SELECT ... FROM wcfs.`{dir}`")  -- via a registered view
+
+Read side — one InputPartition per manifest file (the shuffle-free
+clustered layout decode_checkpoint proves and this reader requires), a
+``pushFilters`` hook that prunes FILES and CHUNKS by the per-chunk value
+zone maps and (when the encode recorded them) value Bloom filters, and
+an Arrow-batch ``read`` that reuses the engine's per-file streaming
+decode (``make_file_decode_fn`` — pushed pyarrow predicates, 32-row
+blob batches). Pruning is conservative: every pushed filter is also
+RETURNED to Spark, which re-applies it exactly, so a zone/bloom false
+positive only costs bytes, never correctness. Planning (file listing,
+clustered gate, deletion-vector collection, zone pruning) is a
+planning-time pyarrow pass over blob-free METADATA columns — the
+Delta/Iceberg planning shape: O(chunks) metadata, zero blob bytes.
+
+Filter pushdown is OPT-IN per load — ``.option("pushdown", "true")`` —
+because Spark 4.1 caches ONE readInfo per relation and the pushdown
+planner overwrites it (PythonDataSourceV2.setReadInfo): on a shared
+DataFrame a filterless query planned after a filtered one would reuse
+the filtered prune and lose rows. Default reads always emit the full
+partition list (correct under any query sequence, Spark applies every
+filter exactly); pushdown loads accept a one-filter-shape-per-load()
+contract for the prune.
+
+Write side — ``DataSourceArrowWriter``: each task encodes ITS Arrow
+batches through the engine's encode closure (``make_encode_fn``, the
+'none' layout: chunk boundaries are the task's batch stream, identity
+salted by partition id) and writes ONE manifest parquet file, so the
+result is chunk-clustered BY CONSTRUCTION and reads back zero-Exchange.
+Layout is the caller's: ``df.repartition(...).sortWithinPartitions(...)``
+before the write chooses the clustering — the idiomatic Spark contract.
+Commit writes the ``_table_schema`` sidecar (self-describing); abort
+removes the written files. Task retries can leave duplicate files only
+if speculative execution is enabled — ``compact_checkpoint`` heals that
+(and the reader's clustered gate refuses, never mis-decodes).
+
+Reference anchor: the reference is a single-process library with no
+query-engine integration (wills-columnar-format.org) — this module is
+the engine-extension that makes the format a first-class Spark table
+provider.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, List
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "wcfs"
+
+# planning caps, mirroring decode_checkpoint's driver-safety rules
+_PLAN_KEYS_MAX = 100_000  # per-file chunk lists past this -> file-level only
+_PLAN_DELETES_MAX = 200_000
+
+
+def _engine():
+    from . import engine
+
+    return engine
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+    keys: list | None  # qualifying chunk_keys, None = all
+    # deletion-vector blobs ride IN the partition: Spark pickles the
+    # read function (which captures the reader) BEFORE partitions()
+    # runs (plan_data_source_read.py), so planning-time reader state
+    # never reaches executors — only the partition objects do.
+    deletes: dict | None = None
+
+
+@dataclass
+class _WcfsCommit(WriterCommitMessage):
+    files: List[str] = field(default_factory=list)
+
+
+class WcfsDataSource(DataSource):
+    """``spark.read.format("wcfs")`` / ``df.write.format("wcfs")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        eng = _engine()
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("wcfs reads take a checkpoint dir: .load(dir)")
+        sch = eng.read_checkpoint_schema(path)
+        if sch is None:
+            raise ValueError(
+                f"checkpoint {path!r} carries no _table_schema sidecar — "
+                "write with df.write.format('wcfs') / write_checkpoint("
+                "..., schema=...), or pass .schema(...) explicitly"
+            )
+        return from_arrow_schema(sch, prefer_timestamp_ntz=True)
+
+    def reader(self, schema: StructType) -> "WcfsReader":
+        return WcfsReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> "WcfsWriter":
+        return WcfsWriter(schema, dict(self.options), overwrite)
+
+
+# ---------------------------------------------------------------------------
+# read path
+# ---------------------------------------------------------------------------
+
+
+def _zone_admit_rows(rows, lo, hi, is_str):
+    """Vectorized conservative zone test over collected metadata rows:
+    True where [lo, hi] intersects the chunk's value interval; NULL
+    bounds keep (legacy manifests / non-numeric / all-NaN — the same
+    rules as engine._zone_admit_expr). ``rows`` is a dict of numpy
+    arrays (vmin, vmax)."""
+    if is_str:
+        mn, mx = rows["val_min_str"], rows["val_max_str"]
+        keep = np.ones(len(mn), dtype=bool)
+        for i in range(len(mn)):
+            if mn[i] is not None and hi is not None and mn[i] > hi:
+                keep[i] = False
+            elif mx[i] is not None and lo is not None and mx[i] < lo:
+                keep[i] = False
+        return keep
+    mn, mx = rows["val_min"], rows["val_max"]
+    keep = np.ones(len(mn), dtype=bool)
+    nn = ~np.isnan(mn)
+    if lo is not None:
+        keep &= np.where(nn, ~(mx < lo), True)
+    if hi is not None:
+        keep &= np.where(nn, ~(mn > hi), True)
+    return keep
+
+
+class WcfsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._path = options["path"]
+        self._verify = str(options.get("verify_checksums",
+                                       "false")).lower() == "true"
+        # zone/bloom pruning is OPT-IN PER LOAD: Spark 4.1 caches one
+        # readInfo (partitions + read function) per relation
+        # (PythonDataSourceV2.getOrCreateReadInfo) and the pushdown
+        # planner OVERWRITES it (setReadInfo) — a filterless query
+        # planned after a filtered one on the SAME DataFrame would
+        # silently reuse the filtered prune and lose rows (measured:
+        # 4823 of 5000). With pruning off, every planning emits the
+        # full file list, so the cache is always a superset — correct
+        # under any query sequence. option("pushdown", "true") accepts
+        # the one-filter-shape-per-load() contract in exchange for
+        # file+chunk pruning.
+        self._prune = str(options.get("pushdown",
+                                      "false")).lower() == "true"
+        self._schema_arrow_ser = to_arrow_schema(schema).serialize().to_pybytes()
+        # (col sub-name, lo, hi, probe values, is_str) specs harvested
+        # by pushFilters; planning consumes them in partitions()
+        self._pushed: list = []
+
+    # -- filter pushdown ----------------------------------------------------
+
+    def pushFilters(self, filters: List[Filter]):
+        """Harvest zone/bloom-prunable predicates. EVERY filter is also
+        returned (Spark re-applies it exactly) — the pruning below is
+        conservative chunk elimination, never the final filter.
+        No-op without ``option("pushdown", "true")`` — see __init__ for
+        the Spark 4.1 readInfo-cache hazard that makes plan-time
+        pruning a per-load opt-in."""
+        self._pushed = []
+        if not self._prune:
+            return filters
+        sch = pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser))
+        for f in filters:
+            spec = self._classify(sch, f)
+            if spec is not None:
+                self._pushed.append(spec)
+        return filters
+
+    @staticmethod
+    def _classify(sch: pa.Schema, f: Filter):
+        """(sub_name, lo, hi, probe_values|None, is_str) for a prunable
+        filter, else None. Top-level scalars and struct leaves
+        (ColumnPath ('s','a') -> manifest sub-column 's#f:a'); int,
+        float, and string values only — temporals/decimals keep every
+        chunk (Spark still applies the exact filter)."""
+        if not isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                              LessThan, LessThanOrEqual, In)):
+            return None
+        sub = "#f:".join(f.attribute)
+        root = f.attribute[0]
+        if root not in sch.names:
+            return None
+        vals = list(f.value) if isinstance(f, In) else [f.value]
+        if not vals or any(isinstance(v, bool) for v in vals):
+            return None
+        if all(isinstance(v, (int, float)) for v in vals):
+            is_str = False
+            if any(isinstance(v, float) and np.isnan(v) for v in vals):
+                return None
+        elif all(isinstance(v, str) for v in vals):
+            is_str = True
+        else:
+            return None
+        if isinstance(f, EqualTo):
+            return (sub, f.value, f.value, vals, is_str)
+        if isinstance(f, In):
+            lo = min(vals)
+            hi = max(vals)
+            return (sub, lo, hi, vals, is_str)
+        if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            # open vs closed collapses at zone granularity (conservative)
+            return (sub, f.value, None, None, is_str)
+        return (sub, None, f.value, None, is_str)
+
+    # -- planning -----------------------------------------------------------
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        # consume this planning's pushed filters (see pushFilters): a
+        # later planning without pushFilters must see a clean slate
+        pushed, self._pushed = self._pushed, []
+
+        eng = _engine()
+        path = self._path
+        if eng._checkpoint_rename_map(path):
+            raise ValueError(
+                f"checkpoint {path!r} carries column renames — the wcfs "
+                "DataSource reads physical layouts only; use "
+                "decode_checkpoint (rename-aware) or compact_checkpoint "
+                "to materialize the renames first"
+            )
+        fsys, p = eng._manifest_fs(path)
+        files = eng._list_data_files(path)
+        if not files:
+            return []
+        marker = eng._clustered_marker_rec(path)
+        need_gate = marker is None
+        need_deletes = not (marker is not None
+                            and marker.get("has_deletes") is False)
+
+        file_keys: dict[str, list | None] = {f: None for f in files}
+        deletes: dict[str, list] = {}
+        gate_pairs: set = set()
+        gate_files: dict[str, str] = {}  # chunk_key -> file
+        gate_ok = True
+        prune_cols = {s[0] for s in pushed}
+        total_keys = 0
+
+        for base in files:
+            fp = f"{p.rstrip('/')}/{base}"
+            meta_cols = ["chunk_key", "column"]
+            zone_needed = bool(prune_cols)
+            if zone_needed:
+                meta_cols += ["val_min", "val_max", "val_min_str",
+                              "val_max_str"]
+            t = pq.read_table(fp, columns=meta_cols, filesystem=fsys)
+            cols = t.column("column").to_pylist()
+            ckeys = t.column("chunk_key").to_pylist()
+            has_bloom = "val_bloom" in pq.read_schema(fp, filesystem=fsys).names
+
+            if need_gate:
+                prev = None
+                seen_here = set()
+                for ck, c in zip(ckeys, cols):
+                    if c == eng.DONE_COLUMN or c.startswith(eng.DELETES_PREFIX):
+                        continue
+                    if (ck, c) in gate_pairs:
+                        gate_ok = False
+                        break
+                    gate_pairs.add((ck, c))
+                    owner = gate_files.get(ck)
+                    if owner is not None and owner != base:
+                        gate_ok = False  # chunk torn across files
+                        break
+                    gate_files[ck] = base
+                    if ck != prev and ck in seen_here:
+                        gate_ok = False  # non-adjacent reappearance
+                        break
+                    seen_here.add(ck)
+                    prev = ck
+                if not gate_ok:
+                    break
+
+            if need_deletes:
+                didx = [i for i, c in enumerate(cols)
+                        if c.startswith(eng.DELETES_PREFIX)]
+                if didx:
+                    dt = pq.read_table(fp, columns=["chunk_key", "blob"],
+                                       filesystem=fsys,
+                                       filters=[("column", "in",
+                                                 [cols[i] for i in didx])])
+                    for ck, blob in zip(dt.column("chunk_key").to_pylist(),
+                                        dt.column("blob").to_pylist()):
+                        deletes.setdefault(ck, []).append(bytes(blob))
+                    if sum(len(v) for v in deletes.values()) > _PLAN_DELETES_MAX:
+                        raise ValueError(
+                            f"checkpoint {path!r} carries more than "
+                            f"{_PLAN_DELETES_MAX} deletion-vector sidecars "
+                            "— compact_checkpoint to materialize them, or "
+                            "read via decode_checkpoint"
+                        )
+
+            if zone_needed:
+                arr = {
+                    "val_min": t.column("val_min").to_numpy(
+                        zero_copy_only=False).astype(np.float64),
+                    "val_max": t.column("val_max").to_numpy(
+                        zero_copy_only=False).astype(np.float64),
+                    "val_min_str": np.asarray(
+                        t.column("val_min_str").to_pylist(), dtype=object),
+                    "val_max_str": np.asarray(
+                        t.column("val_max_str").to_pylist(), dtype=object),
+                }
+                colarr = np.asarray(cols, dtype=object)
+                ckarr = np.asarray(ckeys, dtype=object)
+                keep_chunks = None  # None = all chunks qualify so far
+                blobs_cache = None
+                for (sub, lo, hi, probes, is_str) in pushed:
+                    m = colarr == sub
+                    if not m.any():
+                        continue  # added-default / absent column: keep all
+                    rows = {k: v[m] for k, v in arr.items()}
+                    keep = _zone_admit_rows(rows, lo, hi, is_str)
+                    if probes is not None and has_bloom and keep.any():
+                        if blobs_cache is None:
+                            bt = pq.read_table(
+                                fp, columns=["chunk_key", "column",
+                                             "val_bloom"],
+                                filesystem=fsys)
+                            blobs_cache = {
+                                (ck, c): b for ck, c, b in zip(
+                                    bt.column("chunk_key").to_pylist(),
+                                    bt.column("column").to_pylist(),
+                                    bt.column("val_bloom").to_pylist())
+                                if b is not None
+                            }
+                        pv = (np.asarray([str(v) for v in probes],
+                                         dtype=object) if is_str else
+                              np.asarray([float(v) for v in probes],
+                                         np.float64))
+                        ph1, ph2 = eng._bloom_hashes(pv)
+                        sub_keys = ckarr[m]
+                        for i in np.flatnonzero(keep):
+                            blob = blobs_cache.get((sub_keys[i], sub))
+                            if blob is not None and not \
+                                    eng._bloom_contains_any(
+                                        bytes(blob), ph1, ph2):
+                                keep[i] = False
+                    qual = set(ckarr[m][keep])
+                    keep_chunks = qual if keep_chunks is None \
+                        else keep_chunks & qual
+                if keep_chunks is not None:
+                    if not keep_chunks:
+                        del file_keys[base]
+                        continue
+                    total_keys += len(keep_chunks)
+                    file_keys[base] = sorted(keep_chunks) \
+                        if total_keys <= _PLAN_KEYS_MAX else None
+
+        if need_gate and not gate_ok:
+            raise ValueError(
+                f"checkpoint {path!r} is not chunk-clustered (duplicate or "
+                "torn chunks — resumed/merged manifests): the wcfs "
+                "DataSource maps one task per file and would mis-group; "
+                "compact_checkpoint(src, dst) restores the layout, or "
+                "read via decode_checkpoint (shuffling fallback)"
+            )
+        return [
+            _FilePartition(path=f"{p.rstrip('/')}/{b}", keys=file_keys[b],
+                           deletes=deletes or None)
+            for b in sorted(file_keys)
+        ]
+
+    # -- execution ----------------------------------------------------------
+
+    def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
+        eng = _engine()
+        sch = pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser))
+        added = eng._added_defaults(sch)
+        fn = eng.make_file_decode_fn(
+            sch, None, None, False,
+            verify_checksums=self._verify,
+            extra_deletes=partition.deletes,
+            defaults=added or None,
+        )
+        rb = pa.RecordBatch.from_pydict(
+            {
+                "path": pa.array([partition.path], pa.string()),
+                "keys": pa.array([partition.keys],
+                                 pa.list_(pa.string())),
+            }
+        )
+        yield from fn(iter([rb]))
+
+
+# ---------------------------------------------------------------------------
+# write path
+# ---------------------------------------------------------------------------
+
+
+class WcfsWriter(DataSourceArrowWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        eng = _engine()
+        self._path = options["path"]
+        self._key_col = options.get("key_col", "doc_id")
+        self._codec = options.get("codec", "auto")
+        self._chunk_rows = int(options.get("chunk_rows",
+                                           eng.DEFAULT_CHUNK_ROWS))
+        self._allow_nulls = str(options.get("allow_nulls",
+                                            "false")).lower() == "true"
+        self._value_blooms = str(options.get("value_blooms",
+                                             "false")).lower() == "true"
+        self._ndv = str(options.get("ndv_sketches",
+                                    "false")).lower() == "true"
+        self._overwrite = overwrite
+        # overwrite = replace the PRIOR snapshot: record it now (driver),
+        # delete it in commit — readers racing the commit see either the
+        # old files or the new, never a torn mix of half-deleted old
+        self._prior = eng._list_data_files(self._path) if overwrite else []
+        self._schema_arrow_ser = to_arrow_schema(schema).serialize().to_pybytes()
+
+    def write(self, it: Iterator["pa.RecordBatch"]) -> _WcfsCommit:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        eng = _engine()
+        key_sch = pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser))
+        if self._key_col not in key_sch.names:
+            raise ValueError(
+                f"key_col {self._key_col!r} is not a column of the written "
+                f"frame ({key_sch.names}) — pass .option('key_col', ...)"
+            )
+        fn = eng.make_encode_fn(
+            key_col=self._key_col,
+            codec=self._codec,
+            allow_nulls=self._allow_nulls,
+            chunk_rows=self._chunk_rows,
+            ndv_sketches=self._ndv,
+            value_blooms=self._value_blooms,
+            salt_part_id=True,  # the 'none' layout: scan order IS the
+            # chunking, so identity must carry the partition id
+        )
+        fsys, p = eng._manifest_fs(self._path)
+        fsys.create_dir(p, recursive=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        fp = f"{p.rstrip('/')}/{fname}"
+        writer = None
+        try:
+            for rb in fn(it):
+                if writer is None:
+                    writer = pq.ParquetWriter(fp, rb.schema, filesystem=fsys)
+                writer.write_batch(rb)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _WcfsCommit(files=[fname] if writer is not None else [])
+
+    def commit(self, messages) -> None:
+        eng = _engine()
+        eng.write_checkpoint_schema(
+            self._path,
+            pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser)))
+        if self._overwrite and self._prior:
+            fsys, p = eng._manifest_fs(self._path)
+            written = {f for m in messages if m for f in m.files}
+            for base in self._prior:
+                if base not in written:
+                    try:
+                        fsys.delete_file(f"{p.rstrip('/')}/{base}")
+                    except OSError:
+                        pass
+
+    def abort(self, messages) -> None:
+        eng = _engine()
+        fsys, p = eng._manifest_fs(self._path)
+        for m in messages:
+            if not m:
+                continue
+            for base in m.files:
+                try:
+                    fsys.delete_file(f"{p.rstrip('/')}/{base}")
+                except OSError:
+                    pass
+
+
+def register(spark) -> None:
+    """Register the ``wcfs`` format on a session:
+    ``register(spark); spark.read.format('wcfs').load(dir)``.
+    Also enables Python data source filter pushdown (off by default in
+    Spark 4.1) — without it Spark refuses readers that implement
+    ``pushFilters``."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # older Spark: no such conf, reader still registers
+    spark.dataSource.register(WcfsDataSource)

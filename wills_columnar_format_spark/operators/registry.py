@@ -1717,6 +1717,48 @@ def q_contains_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-NATIVE access through the `wcfs` Spark Python DataSource
+    (datasource.py): documents are written with
+    ``df.write.format('wcfs')`` (each task encodes its Arrow batches
+    through the engine's encode closure and emits ONE chunk-clustered
+    manifest file) and read back with ``spark.read.format('wcfs')`` +
+    a plain SQL WHERE — one scan partition per manifest file (zero
+    Exchange below the filter), pushdown enabled on this single-shape
+    load so lang/n_chars prune files and chunks via zone maps + value
+    Blooms before any blob is read. The interface a Spark-SQL user
+    needs to adopt the format without learning the engine API."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..datasource import register
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_sql_q_")
+    try:
+        d = os.path.join(work, "tbl")
+        (docs.repartition(4, "doc_id").sortWithinPartitions("doc_id")
+         .write.format("wcfs").mode("append").option("key_col", "doc_id")
+         .option("chunk_rows", "64").option("value_blooms", "true").save(d))
+        r = spark.read.format("wcfs").option("pushdown", "true").load(d)
+        r.createOrReplaceTempView("wcfs_docs")
+        out = spark.sql(
+            "SELECT doc_id, text, lang, source, n_chars FROM wcfs_docs "
+            "WHERE lang IN ('en', 'fr') AND n_chars >= 100"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+ORACLE_SQL_SCAN = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "WHERE lang IN ('en', 'fr') AND n_chars >= 100"
+)
+
+
 ORACLE_CONTAINS_TOKEN = """
 WITH docs AS (
     SELECT event_id AS doc_id,
@@ -3367,6 +3409,7 @@ REGISTRY: dict[str, tuple] = {
     "value_in_scan": (q_value_in_scan, ORACLE_VALUE_IN_SCAN),
     "contains_token": (q_contains_token, ORACLE_CONTAINS_TOKEN),
     "variance_pushdown": (q_variance_pushdown, DUCK_VARIANCE_PUSHDOWN),
+    "sql_scan": (q_sql_scan, ORACLE_SQL_SCAN),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
