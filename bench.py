@@ -273,6 +273,10 @@ def _registry_benches(spark, sf_dir: str):
         "group_by_pushdown",
         "group_stats_pushdown",
         "colocated_join",
+        "contains_token",
+        "variance_pushdown",
+        "dedup_incremental",
+        "sql_scan",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

@@ -1997,6 +1997,38 @@ def _conjunctive_hit_keys(manifest_df, vrs, extra_cols=()):
     )
 
 
+def _bloom_probe_values(values):
+    """Canonical Bloom probe array for a ``value_in`` value set — or
+    None when probing would be unsound. The encode side hashed the
+    NORMALIZED chunk values (float64 numerics — temporals as epoch
+    ints, ``_normalize_temporal``; object strings), so only probes that
+    canonicalize to exactly those forms may consult the filters:
+    decimals are excluded (their zone bounds are nextafter-WIDENED, and
+    a widened float hashes differently — a bloom miss would wrongly
+    prune), as are bools and mixed sets. Returns (probe, is_str)."""
+    from datetime import date, datetime, timedelta
+
+    vals = list(values)
+    if not vals or any(isinstance(v, bool) for v in vals):
+        return None
+    if all(isinstance(v, str) for v in vals):
+        return np.asarray(vals, dtype=object), True
+    if all(isinstance(v, (int, float)) for v in vals):
+        p = np.asarray([float(v) for v in vals], np.float64)
+        return (None if np.isnan(p).any() else (p, False))
+    if all(isinstance(v, datetime) and v.tzinfo is None for v in vals):
+        epoch = datetime(1970, 1, 1)
+        return np.asarray(
+            [float((v - epoch) // timedelta(microseconds=1)) for v in vals],
+            np.float64), False
+    if all(isinstance(v, date) and not isinstance(v, datetime)
+           for v in vals):
+        d0 = date(1970, 1, 1)
+        return np.asarray([float((v - d0).days) for v in vals],
+                          np.float64), False
+    return None
+
+
 def _disjunctive_hit_keys(manifest_df, in_vrs, extra_cols=()):
     """Chunk keys whose value zone maps admit ANY of the prepared
     single-value ranges (OR semantics — the IN-list prune behind
@@ -2585,7 +2617,16 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
             if not cheap and not pinned:
                 manifest_df = manifest_df.localCheckpoint(eager=True)
                 pinned = True
-            hits = _disjunctive_hit_keys(manifest_df, in_vrs)
+            pb = (_bloom_probe_values(value_in[1])
+                  if "val_bloom" in manifest_df.columns else None)
+            if pb is not None:
+                # bloom-refined IN-list prune: zone AND membership in
+                # one metadata pass — the prune that works on hash
+                # layouts where every chunk's zone spans the value set
+                hits = _contains_hit_keys(manifest_df, in_vrs[0][0],
+                                          pb[0], pb[1])
+            else:
+                hits = _disjunctive_hit_keys(manifest_df, in_vrs)
             rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
             if len(rows) <= VALUE_PRUNE_MAX_KEYS:
                 spark = manifest_df.sparkSession
@@ -6510,7 +6551,14 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         in_vrs, in_expr = _prepare_value_in(out_schema, value_in)
         if (_value_maps_col(in_vrs[0][:3]) in fdf.columns
                 and in_vrs[0][0].split("#")[0] not in added):
-            hits = _disjunctive_hit_keys(fdf, in_vrs, extra_cols=("__file",))
+            pb = (_bloom_probe_values(value_in[1])
+                  if "val_bloom" in fdf.columns else None)
+            if pb is not None:
+                hits = _contains_hit_keys(fdf, in_vrs[0][0], pb[0], pb[1],
+                                          extra_cols=("__file",))
+            else:
+                hits = _disjunctive_hit_keys(fdf, in_vrs,
+                                             extra_cols=("__file",))
             rows = hits.limit(VALUE_PRUNE_MAX_KEYS + 1).collect()
             if len(rows) <= VALUE_PRUNE_MAX_KEYS:
                 in_file_keys = {}
