@@ -124,3 +124,56 @@ def test_missing_sidecar_and_key_col_errors(spark, token_df, tmp_path):
     with pytest.raises(Exception, match="key_col"):
         (token_df.write.format("wcfs").mode("append")
          .option("key_col", "nope").save(str(tmp_path / "w")))
+
+
+def test_stream_sink_writes_and_replays_idempotent(spark, token_df, tmp_path):
+    # end-to-end: writeStream.format("wcfs") drains a file source into a
+    # readable checkpoint; a second drain appends the new arrivals
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "stream_ckpt")
+    os.makedirs(src)
+    token_df.limit(500).write.parquet(os.path.join(src, "p1"))
+    def drain():
+        q = (spark.readStream.schema(token_df.schema).parquet(src + "/*")
+             .writeStream.format("wcfs").outputMode("append")
+             .option("key_col", "doc_id").option("chunk_rows", "128")
+             .option("path", dst).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+    drain()
+    r1 = spark.read.format("wcfs").load(dst)
+    assert r1.count() == 500
+    # new file lands; second drain appends exactly the new rows
+    (token_df.orderBy("doc_id").limit(800).subtract(token_df.limit(500))
+     .write.parquet(os.path.join(src, "p2")))
+    n2 = spark.read.parquet(os.path.join(src, "p2")).count()
+    drain()
+    assert spark.read.format("wcfs").load(dst).count() == 500 + n2
+    # every committed batch left its marker
+    marks = os.listdir(os.path.join(dst, "_stream_commits"))
+    assert len(marks) >= 2
+
+
+def test_stream_sink_replayed_batch_drops_duplicates(spark, token_df,
+                                                     tmp_path):
+    # unit-level replay: commit the SAME batchId twice — the second
+    # attempt's files must be deleted, not duplicated
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from wills_columnar_format_spark.datasource import WcfsStreamWriter
+
+    d = str(tmp_path / "tbl")
+    batches = token_df.limit(200).toArrow().to_batches()
+    w1 = WcfsStreamWriter(token_df.schema, {"path": d,
+                                            "key_col": "doc_id"}, False)
+    m1 = w1.write(iter(batches))
+    w1.commit([m1], 7)
+    files_after_first = sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet"))
+    w2 = WcfsStreamWriter(token_df.schema, {"path": d,
+                                            "key_col": "doc_id"}, False)
+    m2 = w2.write(iter(batches))
+    w2.commit([m2], 7)  # replay of batch 7
+    assert sorted(f for f in os.listdir(d)
+                  if f.endswith(".parquet")) == files_after_first
+    assert spark.read.format("wcfs").load(d).count() == 200

@@ -58,6 +58,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -128,6 +129,14 @@ class WcfsDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "WcfsWriter":
         return WcfsWriter(schema, dict(self.options), overwrite)
 
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> "WcfsStreamWriter":
+        if overwrite:
+            raise ValueError(
+                "wcfs streaming sink supports append output mode only"
+            )
+        return WcfsStreamWriter(schema, dict(self.options), False)
+
 
 # ---------------------------------------------------------------------------
 # read path
@@ -163,7 +172,10 @@ class WcfsReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        self._path = options["path"]
+        # tolerate a missing path at CONSTRUCTION: Spark instantiates a
+        # reader to validate `CREATE TABLE ... USING wcfs` before the
+        # table's options flow in; partitions() raises the clear error
+        self._path = options.get("path")
         self._verify = str(options.get("verify_checksums",
                                        "false")).lower() == "true"
         # zone/bloom pruning is OPT-IN PER LOAD: Spark 4.1 caches one
@@ -250,6 +262,19 @@ class WcfsReader(DataSourceReader):
 
         eng = _engine()
         path = self._path
+        if not path:
+            # also hit by `CREATE TABLE ... USING wcfs`: Spark 4.1 does
+            # not deliver a catalog table's OPTIONS to a Python data
+            # source (probed: the reader plans with EMPTY options), so
+            # SQL-catalog tables cannot work — register a temp view over
+            # spark.read.format("wcfs").load(dir) instead
+            raise ValueError(
+                "wcfs reads need a checkpoint dir via "
+                "spark.read.format('wcfs').load(dir) — catalog tables "
+                "(CREATE TABLE ... USING wcfs) are not supported: Spark "
+                "4.1 does not pass table OPTIONS to Python data sources; "
+                "use a temp view over load(dir)"
+            )
         if eng._checkpoint_rename_map(path):
             raise ValueError(
                 f"checkpoint {path!r} carries column renames — the wcfs "
@@ -512,6 +537,60 @@ class WcfsWriter(DataSourceArrowWriter):
                     fsys.delete_file(f"{p.rstrip('/')}/{base}")
                 except OSError:
                     pass
+
+
+class WcfsStreamWriter(WcfsWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("wcfs")`` — the native streaming sink:
+    each micro-batch task encodes its Arrow batches through the same
+    engine closure as the batch writer and lands one manifest file;
+    the per-batch ``commit`` records the batch's files in a
+    ``_stream_commits/{batchId}.json`` marker, making replays (driver
+    restart between sink commit and the engine's own WAL commit — the
+    standard at-least-once window) IDEMPOTENT: a batchId whose marker
+    already exists deletes its re-written files instead of committing
+    duplicates. Byte-identical content arriving in two DIFFERENT
+    batches collapses to one copy on engine decodes (content-based
+    chunk identity — the replay-idempotence contract shared with
+    streaming.encode_stream); the wcfs reader's clustered gate refuses
+    such duplicates instead, and ``compact_checkpoint`` materializes
+    the collapse. Append output mode only."""
+
+    def write(self, it):  # Arrow batches, same as the batch writer
+        return WcfsWriter.write(self, it)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import json
+
+        eng = _engine()
+        fsys, p = eng._manifest_fs(self._path)
+        p = p.rstrip("/")
+        files = [f for m in messages if m for f in m.files]
+        mdir = f"{p}/_stream_commits"
+        try:
+            fsys.create_dir(mdir, recursive=True)
+        except (OSError, ValueError):
+            pass
+        marker = f"{mdir}/{batchId:010d}.json"
+        from pyarrow import fs as pafs
+
+        if fsys.get_file_info(marker).type != pafs.FileType.NotFound:
+            # replayed micro-batch: the first application committed —
+            # its files are the batch; drop this attempt's duplicates
+            for base in files:
+                try:
+                    fsys.delete_file(f"{p}/{base}")
+                except OSError:
+                    pass
+            return
+        with fsys.open_output_stream(marker) as f:
+            f.write(json.dumps({"batch_id": batchId,
+                                "files": sorted(files)}).encode())
+        eng.write_checkpoint_schema(
+            self._path,
+            pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser)))
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        WcfsWriter.abort(self, messages)
 
 
 def register(spark) -> None:
