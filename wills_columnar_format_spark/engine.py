@@ -70,6 +70,7 @@ MANIFEST_FIELDS = [
     ("val_max_str", "string"),
     ("val_sum", "decimal(38,0)"),
     ("val_sum2", "decimal(38,0)"),
+    ("val_hist", "binary"),
     ("val_ndv", "binary"),
     ("key_bloom", "binary"),
     ("val_bloom", "binary"),
@@ -100,6 +101,7 @@ _MANIFEST_PA = pa.schema(
         ("val_max_str", pa.string()),
         ("val_sum", pa.decimal128(38, 0)),
         ("val_sum2", pa.decimal128(38, 0)),
+        ("val_hist", pa.large_binary()),
         ("val_ndv", pa.large_binary()),
         ("key_bloom", pa.large_binary()),
         ("val_bloom", pa.large_binary()),
@@ -179,6 +181,40 @@ def _value_sum(cv: ColumnValues):
 
 
 _SUM2_MAX = 10 ** 38  # decimal(38,0) capacity
+
+# per-chunk equi-width histograms (opt-in: encode_table(histograms=True))
+# — 64 uint32 buckets over the chunk's [val_min, val_max], 256 B of
+# manifest metadata per eligible sub-column. The quantile-pushdown side:
+# merged chunk histograms bound any quantile to one bucket width per
+# chunk (column_quantiles returns a CERTIFIED [lo, hi] interval — never
+# a point estimate pretending to be exact).
+_HIST_BUCKETS = 64
+
+
+def _value_hist(cv: ColumnValues, vmin, vmax) -> bytes | None:
+    """uint32[64] little-endian bucket counts of a numeric sub-column
+    over its zone-map interval, or None (= absent, conservative) for
+    non-numeric/empty/NaN-bearing chunks. Deterministic numpy — a pure
+    function of chunk values (resume byte-identity). The CALLER must
+    withhold histograms for nullable columns: null slots store zero
+    fillers that would poison bucket 0."""
+    if cv.vals is None or not cv.n or vmin is None:
+        return None
+    v = cv.vals
+    if v.dtype == np.bool_ or not np.issubdtype(v.dtype, np.number):
+        return None
+    x = v.astype(np.float64, copy=False)
+    if np.isnan(x).any():
+        return None
+    if vmax <= vmin:
+        counts = np.zeros(_HIST_BUCKETS, np.uint32)
+        counts[0] = cv.n
+    else:
+        idx = np.clip(
+            ((x - vmin) * (_HIST_BUCKETS / (vmax - vmin))).astype(np.int64),
+            0, _HIST_BUCKETS - 1)
+        counts = np.bincount(idx, minlength=_HIST_BUCKETS).astype(np.uint32)
+    return counts.tobytes()
 
 
 def _value_sum2(cv: ColumnValues):
@@ -783,6 +819,7 @@ def _done_marker_batch(part_id: int, tag: str, n_chunks: int, snapshot_id) -> pa
             "val_max_str": [None],
             "val_sum": [None],
             "val_sum2": [None],
+            "val_hist": [None],
             "val_ndv": [None],
             "key_bloom": [None],
             "val_bloom": [None],
@@ -807,6 +844,7 @@ def make_encode_fn(
     ndv_sketches: bool = False,
     salt_part_id: bool = False,
     value_blooms=False,
+    histograms: bool = False,
 ):
     """Build the mapInArrow encode function (pure closure, Spark-serializable).
 
@@ -879,6 +917,7 @@ def make_encode_fn(
             # (a chunk property, not a per-column one — storing it once
             # keeps the manifest metadata ~1.25 B/key total)
             kbloom = _key_bloom(keys)
+            sub_names = {s for s, _, _ in subs} if histograms else ()
             for sub_name, cv, csum in subs:
                 if committed and (chunk_key, sub_name, csum) in committed:
                     continue  # idempotent resume: chunk already encoded
@@ -905,6 +944,14 @@ def make_encode_fn(
                 rows["val_max_str"].append(smax)
                 rows["val_sum"].append(_value_sum(cv))
                 rows["val_sum2"].append(_value_sum2(cv))
+                rows["val_hist"].append(
+                    _value_hist(cv, vmin, vmax)
+                    if histograms
+                    and _STATS_LEAF_CRE.match(sub_name)
+                    and f"{sub_name}#valid" not in sub_names
+                    # nullable columns: zero fillers would poison the
+                    # buckets — quantiles stay approximate-or-absent
+                    else None)
                 rows["val_ndv"].append(
                     _ndv_sketch(cv)
                     if ndv_sketches and _STATS_LEAF_CRE.match(sub_name)
@@ -1166,6 +1213,7 @@ def encode_table(
     zorder_cols: list[str] | None = None,
     ndv_sketches: bool = False,
     value_blooms=False,
+    histograms: bool = False,
 ):
     """Encode ``df``'s columns into a blob+lineage manifest DataFrame.
 
@@ -1241,6 +1289,7 @@ def encode_table(
         ndv_sketches=ndv_sketches,
         salt_part_id=(partitioner == "none"),
         value_blooms=value_blooms,
+        histograms=histograms,
     )
     return df.mapInArrow(fn, schema=MANIFEST_DDL)
 
@@ -3894,6 +3943,7 @@ def make_backfill_encode_fn(col_name: str, codec: str,
             out["val_max_str"].append(smax)
             out["val_sum"].append(_value_sum(cv))
             out["val_sum2"].append(_value_sum2(cv))
+            out["val_hist"].append(None)  # backfill: opt-in stats stay off
             out["val_ndv"].append(None)  # backfill: NDV is encode-opt-in
             out["key_bloom"].append(None)
             out["val_bloom"].append(None)  # likewise value blooms
@@ -8036,6 +8086,115 @@ def column_moments(manifest_df):
         data.append((r["column_name"], n, _dec.Decimal(s), _dec.Decimal(q),
                      float(var), math.sqrt(var)))
     return spark.createDataFrame(data, out_ddl)
+
+
+def column_quantiles(manifest_df, column: str, qs=(0.5, 0.9, 0.99)):
+    """QUANTILE pushdown to manifest metadata: for each requested
+    fraction q, a CERTIFIED interval ``[lo, hi]`` guaranteed to contain
+    the true q-quantile (the ceil(q·n)-th smallest value), computed
+    entirely from the opt-in per-chunk histograms
+    (``encode_table(histograms=True)``, ``val_hist``) — zero blob bytes
+    read. Never a point estimate pretending to be exact: the interval
+    IS the honest answer, one merged-bucket wide.
+
+    Bound construction (rank sandwich): a bucket's values lie within
+    its edge interval, so ``hi`` = the smallest bucket upper edge whose
+    cumulative certainly-≤ mass reaches rank k, and ``lo`` = the
+    largest bucket lower edge whose cumulative possibly-≤ mass still
+    falls short of k. Edges are reconstructed from each chunk's zone
+    map and widened a few ulp outward, so float rounding can only
+    WIDEN the interval. Returns (q, lo, hi, n_rows); EMPTY when the
+    column is not fully histogrammed (legacy chunks, nullable columns
+    — zero fillers would poison buckets — NaN-bearing or non-numeric
+    chunks) or carries deletion masks: approximate-or-absent, the
+    quantile sibling of column_sums' exact-or-absent. The merge is a
+    blob-free metadata aggregate (≤64 buckets/chunk) plus two
+    metadata-scale ordered cumulative sums."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out_ddl = "q double, lo double, hi double, n_rows bigint"
+    spark = manifest_df.sparkSession
+    qs = sorted(set(float(q) for q in qs))
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantile fractions must be in (0, 1]: {qs}")
+    if "val_hist" not in manifest_df.columns:
+        return spark.createDataFrame([], out_ddl)
+    base = (
+        _stats_base(manifest_df)
+        .filter(F.col("column") == column)
+        .select("n_values", "val_min", "val_max", "val_hist")
+    )
+    gate = base.agg(
+        F.count("*").alias("c"),
+        F.count("val_hist").alias("h"),
+        F.sum("n_values").alias("n"),
+        F.min("val_min").alias("gmin"),
+    ).collect()[0]
+    if (gate["c"] == 0 or gate["c"] != gate["h"] or not gate["n"]
+            or _deletion_affected_columns(manifest_df)
+            .filter(F.col("column_name") == column).count()):
+        return spark.createDataFrame([], out_ddl)
+    n = int(gate["n"])
+
+    def explode_hist(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            vmins = b.column("val_min").to_numpy(zero_copy_only=False)
+            vmaxs = b.column("val_max").to_numpy(zero_copy_only=False)
+            lo_o: list = []
+            hi_o: list = []
+            ct_o: list = []
+            for i, blob in enumerate(b.column("val_hist").to_pylist()):
+                counts = np.frombuffer(blob, np.uint32)
+                nz = np.flatnonzero(counts)
+                vmin, vmax = float(vmins[i]), float(vmaxs[i])
+                if vmax <= vmin:
+                    lo_o.append(vmin)
+                    hi_o.append(vmin)
+                    ct_o.append(int(counts.sum()))
+                    continue
+                w = (vmax - vmin) / _HIST_BUCKETS
+                lo = vmin + nz * w
+                hi = vmin + (nz + 1) * w
+                # widen outward: float rounding in edge reconstruction
+                # must only ever WIDEN the certified interval
+                for _ in range(4):
+                    lo = np.nextafter(lo, -np.inf)
+                    hi = np.nextafter(hi, np.inf)
+                lo = np.maximum(lo, vmin)
+                hi[nz == _HIST_BUCKETS - 1] = vmax
+                lo_o.extend(lo.tolist())
+                hi_o.extend(hi.tolist())
+                ct_o.extend(counts[nz].astype(np.int64).tolist())
+            yield pa.RecordBatch.from_pydict(
+                {"lo": pa.array(lo_o, pa.float64()),
+                 "hi": pa.array(hi_o, pa.float64()),
+                 "cnt": pa.array(ct_o, pa.int64())})
+
+    exploded = base.mapInArrow(
+        explode_hist, "lo double, hi double, cnt long"
+    ).localCheckpoint(eager=True)
+    cum_hi = (
+        exploded.groupBy("hi").agg(F.sum("cnt").alias("c"))
+        .withColumn("cum", F.sum("c").over(
+            Window.orderBy("hi").rowsBetween(Window.unboundedPreceding, 0)))
+    ).localCheckpoint(eager=True)
+    cum_lo = (
+        exploded.groupBy("lo").agg(F.sum("cnt").alias("c"))
+        .withColumn("cum", F.sum("c").over(
+            Window.orderBy("lo").rowsBetween(Window.unboundedPreceding, 0)))
+    ).localCheckpoint(eager=True)
+    import math
+
+    rows = []
+    gmin = float(gate["gmin"])
+    for q in qs:
+        k = max(1, math.ceil(q * n))
+        hi_b = cum_hi.filter(F.col("cum") >= k).agg(F.min("hi")).collect()[0][0]
+        lo_b = cum_lo.filter(F.col("cum") < k).agg(F.max("lo")).collect()[0][0]
+        rows.append((q, gmin if lo_b is None else float(lo_b),
+                     float(hi_b), n))
+    return spark.createDataFrame(rows, out_ddl)
 
 
 def column_ndv(manifest_df):

@@ -1717,6 +1717,49 @@ def q_contains_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTILE_QS = [0.1, 0.5, 0.9, 0.99]
+
+
+def q_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE pushdown (engine.column_quantiles): opt-in per-chunk
+    histograms (``encode_table(histograms=True)``, 64 uint32 buckets
+    over each chunk's zone interval, 256 B metadata) merge into a
+    CERTIFIED interval [lo, hi] per requested fraction — zero blob
+    bytes read, approximate-or-absent. Like ``ann_ivf_recall``, the
+    cross-engine pin is the GUARANTEE, deterministic booleans: the
+    exact quantile (computed from the raw rows) must lie inside the
+    interval, and the interval must be well-formed. Completes the
+    stats-pushdown family: MIN/MAX/COUNT/SUM/AVG/VAR/NDV/QUANTILE."""
+    import math
+
+    from ..engine import column_quantiles, encode_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value")
+    m = encode_table(ev, key_col="event_id", codec="auto",
+                     num_partitions=8, chunk_rows=1024, histograms=True)
+    m = m.localCheckpoint(eager=True).drop("blob")  # metadata-only proof
+    n = ev.count()
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    out = []
+    got = {r["q"]: r for r in
+           column_quantiles(m, "value", qs=_QUANTILE_QS).collect()}
+    for q in _QUANTILE_QS:
+        exact = vals[max(1, math.ceil(q * n)) - 1]
+        r = got[q]
+        out.append((q, bool(r["lo"] <= exact <= r["hi"]),
+                    bool(r["lo"] <= r["hi"]), int(r["n_rows"] == n)))
+    return spark.createDataFrame(
+        out, "q double, contained boolean, well_formed boolean, n_ok int")
+
+
+ORACLE_QUANTILE_BOUNDS = " UNION ALL ".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, TRUE AS contained, "
+    "TRUE AS well_formed, 1 AS n_ok"
+    for q in _QUANTILE_QS
+)
+
+
 def q_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-NATIVE access through the `wcfs` Spark Python DataSource
     (datasource.py): documents are written with
@@ -3410,6 +3453,7 @@ REGISTRY: dict[str, tuple] = {
     "contains_token": (q_contains_token, ORACLE_CONTAINS_TOKEN),
     "variance_pushdown": (q_variance_pushdown, DUCK_VARIANCE_PUSHDOWN),
     "sql_scan": (q_sql_scan, ORACLE_SQL_SCAN),
+    "quantile_bounds": (q_quantile_bounds, ORACLE_QUANTILE_BOUNDS),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
