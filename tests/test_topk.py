@@ -1,0 +1,158 @@
+"""TOP-K pushdown (``topk_table``): ORDER BY ... LIMIT k over compressed
+chunks, decoding only chunks the certified zone-map threshold (tau)
+cannot exclude. Pins: exact equality with a full decode + sort on both
+directions; the prune actually prunes on value-clustered layouts; every
+degrade rule (legacy manifest, nullable, deletion-masked, floats without
+histograms, k >= n) falls back to the same exact answer; NaN rows never
+rank; int64 values past 2^53 survive the float64 zone metadata (the
+non-tau side of the synthesized range is open by design)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark.engine import (
+    _topk_threshold,
+    _value_range_keys,
+    delete_keys,
+    encode_table,
+    topk_table,
+)
+
+
+def _exact_topk(df, col, k, descending=True, tie="id"):
+    rows = [r for r in df.select(col, tie).collect()
+            if r[col] is not None and not (
+                isinstance(r[col], float) and math.isnan(r[col]))]
+    rows.sort(key=lambda r: (r[col], r[tie]), reverse=False)
+    if descending:
+        rows.sort(key=lambda r: (-r[col], r[tie]))
+    return [(r[col], r[tie]) for r in rows[:k]]
+
+
+def _got_topk(m, schema, col, k, descending=True, tie="id"):
+    out = topk_table(m, schema, col, k, descending=descending,
+                     extra_order=(tie,))
+    return [(r[col], r[tie]) for r in out.select(col, tie).collect()]
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    # value rides monotone with the range-partitioned key: tight
+    # per-chunk zones, the shape the prune is built for
+    df = spark.createDataFrame(
+        [(i, i * 3 + (i % 7), float((i * 13) % 2000) / 4.0)
+         for i in range(2000)],
+        "id long, v long, f double")
+    m = encode_table(df, key_col="id", num_partitions=4, chunk_rows=128,
+                     histograms=True).localCheckpoint(eager=True)
+    return df, m
+
+
+def test_desc_and_asc_exact(spark, clustered):
+    df, m = clustered
+    for col in ("v", "f"):
+        for desc in (True, False):
+            for k in (1, 10, 257):
+                assert _got_topk(m, df.schema, col, k, desc) == \
+                    _exact_topk(df, col, k, desc), (col, desc, k)
+
+
+def test_prune_engages_on_clustered_layout(spark, clustered):
+    df, m = clustered
+    vr = _topk_threshold(m, "v", 25, descending=True, need_hist=False)
+    assert vr is not None and vr[0] == "v" and vr[2] == float("inf")
+    hit = _value_range_keys(m, vr).count()
+    total = m.filter("column = 'v'").select("chunk_key").distinct().count()
+    assert 0 < hit <= max(1, total // 4), (hit, total)
+    # ascending prunes from the other end
+    vr2 = _topk_threshold(m, "v", 25, descending=False, need_hist=False)
+    assert vr2 is not None and vr2[1] == float("-inf")
+    assert 0 < _value_range_keys(m, vr2).count() <= max(1, total // 4)
+
+
+def test_float_requires_histograms(spark, clustered):
+    df, m = clustered
+    # histograms present -> certified
+    assert _topk_threshold(m, "f", 10, True, need_hist=True) is not None
+    m2 = encode_table(df, key_col="id", num_partitions=4,
+                      chunk_rows=128).localCheckpoint(eager=True)
+    # no histograms -> floats degrade, ints still certify
+    assert _topk_threshold(m2, "f", 10, True, need_hist=True) is None
+    assert _topk_threshold(m2, "v", 10, True, need_hist=False) is not None
+    # and the degraded path is still exact
+    assert _got_topk(m2, df.schema, "f", 15) == _exact_topk(df, "f", 15)
+
+
+def test_nan_rows_never_rank(spark):
+    df = spark.createDataFrame(
+        [(i, float("nan") if i % 5 == 0 else float(i))
+         for i in range(300)],
+        "id long, f double")
+    m = encode_table(df, key_col="id", num_partitions=2, chunk_rows=64,
+                     histograms=True).localCheckpoint(eager=True)
+    # NaN-bearing chunks carry no histogram -> not certified
+    assert _topk_threshold(m, "f", 5, True, need_hist=True) is None
+    got = _got_topk(m, df.schema, "f", 5)
+    assert got == [(299.0, 299), (298.0, 298), (297.0, 297),
+                   (296.0, 296), (294.0, 294)]  # 295 is NaN
+
+
+def test_nullable_and_deleted_fall_back_exact(spark):
+    df = spark.createDataFrame(
+        [(i, None if i % 9 == 0 else i * 2) for i in range(400)],
+        "id long, v long")
+    m = encode_table(df, key_col="id", num_partitions=2, chunk_rows=64,
+                     allow_nulls=True).localCheckpoint(eager=True)
+    assert _topk_threshold(m, "v", 5, True, need_hist=False) is None
+    assert _got_topk(m, df.schema, "v", 5) == _exact_topk(df, "v", 5)
+
+    clean = df.filter(F.col("v").isNotNull())
+    m2 = encode_table(clean, key_col="id", num_partitions=2,
+                      chunk_rows=64).localCheckpoint(eager=True)
+    deleted = delete_keys(m2, [398, 399], "id").localCheckpoint(eager=True)
+    assert _topk_threshold(deleted, "v", 5, True, need_hist=False) is None
+    want = _exact_topk(clean.filter(~F.col("id").isin(398, 399)), "v", 5)
+    assert _got_topk(deleted, clean.schema, "v", 5) == want
+
+
+def test_k_at_least_n_returns_everything_sorted(spark):
+    df = spark.createDataFrame([(i, i) for i in range(50)],
+                               "id long, v long")
+    m = encode_table(df, key_col="id", num_partitions=1, chunk_rows=16)
+    assert _topk_threshold(m, "v", 50, True, need_hist=False) is None
+    assert _got_topk(m, df.schema, "v", 60) == _exact_topk(df, "v", 60)
+
+
+def test_uncorrelated_layout_still_exact(spark):
+    # value decorrelated from the key: zones admit everything, the
+    # prune degrades to a full decode — same rows out
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 10_000) for i in range(3000)],
+        "id long, v long")
+    m = encode_table(df, key_col="id", num_partitions=4, chunk_rows=256,
+                     partitioner="hash").localCheckpoint(eager=True)
+    assert _got_topk(m, df.schema, "v", 20) == _exact_topk(df, "v", 20)
+
+
+def test_int64_past_2_53_exact(spark):
+    # zone metadata is float64; the open non-tau side must not clip
+    # true maxima that double-round below themselves
+    base = 1 << 62
+    df = spark.createDataFrame(
+        [(i, base + i * 4096 + (i % 3)) for i in range(1000)],
+        "id long, v long")
+    m = encode_table(df, key_col="id", num_partitions=2,
+                     chunk_rows=128).localCheckpoint(eager=True)
+    assert _got_topk(m, df.schema, "v", 7) == _exact_topk(df, "v", 7)
+    assert _topk_threshold(m, "v", 7, True, need_hist=False) is not None
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    m = encode_table(df, key_col="id", num_partitions=1)
+    with pytest.raises(ValueError, match="k >= 1"):
+        topk_table(m, df.schema, "id", 0)
+    with pytest.raises(TypeError, match="int/float"):
+        topk_table(m, df.schema, "s", 1)

@@ -1760,6 +1760,40 @@ ORACLE_QUANTILE_BOUNDS = " UNION ALL ".join(
 )
 
 
+def q_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K pushdown (engine.topk_table): the 50 highest-``value``
+    events via a certified zone-map threshold — chunks are ranked by
+    their ``val_min``, per-chunk row counts accumulate to a tau with
+    "at least k values are certainly >= tau", and only chunks whose
+    ``val_max`` reaches tau decode (the existing value_range
+    broadcast-semi-join prune); an exact ORDER BY ... LIMIT finishes
+    as TakeOrderedAndProject. The table arrives value-clustered
+    (repartitionByRange + sortWithinPartitions on the ranked column,
+    encoded with partitioner='none' — the no-shuffle path for
+    already-clustered sources), the 100 TB leaderboard shape:
+    O(k / chunk_rows) chunks decoded regardless of table size.
+    FLOAT certification rides full histogram coverage (NaN-bearing
+    chunks carry none, and a NaN must never count toward tau)."""
+    from ..engine import encode_table, topk_table
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clustered = (df.repartitionByRange(8, "value")
+                 .sortWithinPartitions("value"))
+    m = encode_table(clustered, key_col="event_id", codec="auto",
+                     partitioner="none", chunk_rows=1024,
+                     histograms=True)
+    out = topk_table(m, df.schema, "value", 50, descending=True,
+                     columns=["event_id", "user_id", "event_type", "value"],
+                     extra_order=("event_id",))
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+ORACLE_TOPK_SCAN = (
+    "SELECT event_id, user_id, event_type, value FROM events "
+    "ORDER BY value DESC, event_id LIMIT 50"
+)
+
+
 def q_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-NATIVE access through the `wcfs` Spark Python DataSource
     (datasource.py): documents are written with
@@ -3454,6 +3488,7 @@ REGISTRY: dict[str, tuple] = {
     "variance_pushdown": (q_variance_pushdown, DUCK_VARIANCE_PUSHDOWN),
     "sql_scan": (q_sql_scan, ORACLE_SQL_SCAN),
     "quantile_bounds": (q_quantile_bounds, ORACLE_QUANTILE_BOUNDS),
+    "topk_scan": (q_topk_scan, ORACLE_TOPK_SCAN),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
