@@ -15,9 +15,13 @@ from pyspark.sql import functions as F
 from wills_columnar_format_spark.engine import (
     _topk_threshold,
     _value_range_keys,
+    checkpoint_history,
     delete_keys,
+    delete_keys_checkpoint,
     encode_table,
+    topk_checkpoint,
     topk_table,
+    write_checkpoint,
 )
 
 
@@ -147,6 +151,47 @@ def test_int64_past_2_53_exact(spark):
                      chunk_rows=128).localCheckpoint(eager=True)
     assert _got_topk(m, df.schema, "v", 7) == _exact_topk(df, "v", 7)
     assert _topk_threshold(m, "v", 7, True, need_hist=False) is not None
+
+
+def test_checkpoint_exact_pruned_and_shuffle_free(spark, clustered,
+                                                  tmp_path):
+    df, m = clustered
+    d = str(tmp_path / "ck")
+    write_checkpoint(m, d, schema=df.schema)
+    # sidecar-resolved schema (out_schema=None), both directions exact
+    for desc in (True, False):
+        out = topk_checkpoint(spark, d, "v", 30, descending=desc,
+                              extra_order=("id",))
+        got = [(r["v"], r["id"]) for r in out.select("v", "id").collect()]
+        assert got == _exact_topk(df, "v", 30, desc)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "TakeOrderedAndProject" in plan
+    # float path with histograms certifies through the checkpoint read
+    out = topk_checkpoint(spark, d, "f", 12, extra_order=("id",))
+    assert [(r["f"], r["id"]) for r in out.select("f", "id").collect()] \
+        == _exact_topk(df, "f", 12)
+
+
+def test_checkpoint_as_of_and_deletion_degrade(spark, clustered, tmp_path):
+    df, m = clustered
+    d = str(tmp_path / "ck2")
+    write_checkpoint(m, d, schema=df.schema)
+    top_id = max(range(2000), key=lambda i: (i * 3 + (i % 7), i))
+    delete_keys_checkpoint(spark, d, [top_id], "id")
+    # current snapshot: sidecars flip 'v' to degraded; masks still apply
+    got = [(r["v"], r["id"]) for r in
+           topk_checkpoint(spark, d, "v", 5, extra_order=("id",))
+           .select("v", "id").collect()]
+    want = _exact_topk(df.filter(F.col("id") != top_id), "v", 5)
+    assert got == want
+    # as_of the pre-delete commit: the deleted row ranks again
+    seqs = [r["seq"] for r in checkpoint_history(spark, d).collect()]
+    got0 = [(r["v"], r["id"]) for r in
+            topk_checkpoint(spark, d, "v", 5, as_of=min(seqs),
+                            extra_order=("id",)).select("v", "id").collect()]
+    assert got0 == _exact_topk(df, "v", 5)
+    assert got0 != got
 
 
 def test_validation(spark):

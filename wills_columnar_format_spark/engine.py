@@ -8375,29 +8375,96 @@ def topk_table(manifest_df, out_schema, value_col: str, k: int,
     tau literal re-enters ``value_range`` as a plain number, which the
     temporal/decimal specs reject by design.
     """
-    from pyspark.sql import functions as F
+    t, expr = _topk_check_args("topk_table", out_schema, value_col, k)
+    vr = _topk_threshold(manifest_df, value_col, k, descending,
+                         need_hist=pa.types.is_floating(t))
+    out = decode_table(manifest_df, out_schema, columns=columns,
+                       value_range=vr)
+    return _topk_exact_tail(out, expr, pa.types.is_floating(t),
+                            descending, extra_order, k)
+
+
+def _topk_check_args(fn: str, out_schema, value_col: str, k: int):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     if k < 1:
-        raise ValueError(f"topk_table needs k >= 1, got {k}")
+        raise ValueError(f"{fn} needs k >= 1, got {k}")
     t, expr = _resolve_value_field(
         out_schema if isinstance(out_schema, pa.Schema)
         else to_arrow_schema(out_schema), value_col)
     if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
         raise TypeError(
-            f"topk_table ranks int/float columns; {value_col!r} is {t} "
+            f"{fn} ranks int/float columns; {value_col!r} is {t} "
             "— decode and sort other types explicitly")
+    return t, expr
 
-    vr = _topk_threshold(manifest_df, value_col, k, descending,
-                         need_hist=pa.types.is_floating(t))
-    out = decode_table(manifest_df, out_schema, columns=columns,
-                       value_range=vr)
+
+def _topk_exact_tail(out, expr, floating: bool, descending: bool,
+                     extra_order, k: int):
+    """The exact finish every top-k path shares: drop unrankable rows
+    (NULL always; NaN for floats — engines disagree on NaN order), then
+    ORDER BY ... LIMIT k, which Spark plans as TakeOrderedAndProject
+    (per-partition k-row heaps; no Exchange, only k rows per partition
+    reach the driver)."""
+    from pyspark.sql import functions as F
+
     out = out.filter(expr.isNotNull())
-    if pa.types.is_floating(t):
+    if floating:
         out = out.filter(~F.isnan(expr))
     order = [expr.desc() if descending else expr.asc()]
     order += [F.col(c) for c in extra_order]
     return out.orderBy(*order).limit(k)
+
+
+def topk_checkpoint(spark, ckpt_dir: str, value_col: str, k: int,
+                    out_schema=None, descending: bool = True,
+                    columns=None, extra_order=(), as_of=None):
+    """``topk_table`` over a PERSISTED checkpoint: the leaderboard query
+    on a table that lives on disk, reading only the manifest files the
+    certified zone-map threshold cannot exclude. The threshold is
+    computed from the checkpoint's own metadata columns (a parquet
+    projection of ``val_min``/``val_max``/``n_values`` — the blob column
+    is never materialized), and the decode rides
+    ``decode_checkpoint(value_range=...)``'s two-level prune: whole
+    FILES via the driver-side metadata pass, chunks inside each file via
+    the per-file qualifying-key list. The read side stays zero-Exchange
+    — the only post-decode plan node is TakeOrderedAndProject.
+
+    At 100 TB on a layout clustered by ``value_col`` this opens
+    O(k / chunk_rows) chunks' worth of files; certification degrades
+    exactly as ``topk_table`` documents (nullable / deletion-masked /
+    histogram-less float / legacy / k >= n → full decode + exact sort,
+    same rows). ``out_schema=None`` resolves the ``_table_schema``
+    sidecar like ``decode_checkpoint``; ``as_of`` restricts BOTH the
+    threshold metadata and the decode to the files visible at that
+    commit (deletion sidecars in the window flip the column to
+    degraded — the masks are applied by the decode, so the fallback is
+    still exact)."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity import)
+
+    if out_schema is None:
+        out_schema = read_checkpoint_schema(ckpt_dir)
+        if out_schema is None:
+            raise ValueError(
+                f"checkpoint {ckpt_dir!r} carries no _table_schema "
+                "sidecar — pass out_schema=, or persist with "
+                "write_checkpoint(manifest, dir, schema=...)")
+    t, expr = _topk_check_args("topk_checkpoint", out_schema, value_col, k)
+
+    if as_of is not None:
+        allowed = _files_as_of(ckpt_dir, as_of)
+        mdf = (spark.read.parquet(
+                   *[f"{ckpt_dir.rstrip('/')}/{b}" for b in allowed])
+               if allowed else None)
+    else:
+        mdf = spark.read.parquet(ckpt_dir)
+    vr = (None if mdf is None else
+          _topk_threshold(mdf, value_col, k, descending,
+                          need_hist=pa.types.is_floating(t)))
+    out = decode_checkpoint(spark, ckpt_dir, out_schema, columns=columns,
+                            value_range=vr, as_of=as_of)
+    return _topk_exact_tail(out, expr, pa.types.is_floating(t),
+                            descending, extra_order, k)
 
 
 # ---------------------------------------------------------------------------

@@ -1794,6 +1794,49 @@ ORACLE_TOPK_SCAN = (
 )
 
 
+def q_topk_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K over a PERSISTED checkpoint (engine.topk_checkpoint): the
+    leaderboard query on a table living on disk. The certified tau comes
+    from a blob-free parquet projection of the checkpoint's own metadata
+    columns; the decode rides decode_checkpoint(value_range=...)'s
+    two-level prune (whole files via the driver-side metadata pass,
+    chunks inside each file via the per-file qualifying-key list) and
+    stays zero-Exchange — the only post-decode node is
+    TakeOrderedAndProject. Ascending this time (the k SMALLEST values):
+    the tau flips to an upper bound and the prune walks the other end
+    of the value-clustered layout."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import encode_table, topk_checkpoint, write_checkpoint
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clustered = (df.repartitionByRange(8, "value")
+                 .sortWithinPartitions("value"))
+    work = tempfile.mkdtemp(prefix="wcfs_topk_ckpt_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        m = encode_table(clustered, key_col="event_id", codec="auto",
+                         partitioner="none", chunk_rows=1024,
+                         histograms=True)
+        write_checkpoint(m, ckpt, schema=df.schema)
+        out = topk_checkpoint(spark, ckpt, "value", 40, descending=False,
+                              columns=["event_id", "event_type", "value"],
+                              extra_order=("event_id",))
+        return (out.select("event_id", "event_type", "value")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+ORACLE_TOPK_CHECKPOINT = (
+    "SELECT event_id, event_type, value FROM events "
+    "WHERE value IS NOT NULL AND NOT isnan(value) "
+    "ORDER BY value ASC, event_id LIMIT 40"
+)
+
+
 def q_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-NATIVE access through the `wcfs` Spark Python DataSource
     (datasource.py): documents are written with
@@ -3489,6 +3532,7 @@ REGISTRY: dict[str, tuple] = {
     "sql_scan": (q_sql_scan, ORACLE_SQL_SCAN),
     "quantile_bounds": (q_quantile_bounds, ORACLE_QUANTILE_BOUNDS),
     "topk_scan": (q_topk_scan, ORACLE_TOPK_SCAN),
+    "topk_checkpoint": (q_topk_checkpoint, ORACLE_TOPK_CHECKPOINT),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
