@@ -277,6 +277,10 @@ def _registry_benches(spark, sf_dir: str):
         "variance_pushdown",
         "dedup_incremental",
         "sql_scan",
+        "quantile_bounds",
+        "topk_scan",
+        "topk_checkpoint",
+        "count_pushdown",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

@@ -8467,6 +8467,198 @@ def topk_checkpoint(spark, ckpt_dir: str, value_col: str, k: int,
                             descending, extra_order, k)
 
 
+def _f_le(x):
+    """Greatest float64 <= x (directional cast for zone comparisons —
+    int↔float comparison in Python is exact, so the guard never
+    misfires)."""
+    import math
+
+    f = float(x)
+    return math.nextafter(f, -math.inf) if f > x else f
+
+
+def _f_ge(x):
+    """Least float64 >= x."""
+    import math
+
+    f = float(x)
+    return math.nextafter(f, math.inf) if f < x else f
+
+
+def _count_where_classify(manifest_df, out_schema, specs):
+    """Per-chunk three-way classification for ``count_where``: a chunk
+    frame ``(chunk_key, __cls, __n)`` with ``__cls`` in {'out', 'in',
+    'dec'} and ``__n`` the chunk row count. Soundness splits by
+    direction:
+
+    * 'out' (contributes 0, never decoded) only needs the zone maps to
+      be value SUPERSETS: nullable fillers and deletion masks only
+      WIDEN/stale-supersize the interval, and NaN — excluded from the
+      maps — fails every finite BETWEEN anyway. Integer chunks whose
+      |bounds| exceed 2^53 are NOT excluded this way (the manifest
+      stores doubles; a max rounded down could fake a miss).
+    * 'in' (counted from metadata, never decoded) needs n_values to
+      equal the number of rows SATISFYING the predicate: blocked for
+      nullable columns (null rows don't satisfy, fillers ride the
+      maps), deletion-masked chunks (stale counts), float chunks
+      without a full histogram (a NaN row never satisfies, and the
+      encoder withholds histograms exactly when NaNs/nulls exist),
+      and past-2^53 integer bounds (rounded bounds could fake
+      containment).
+    * everything else decodes ('dec') and is counted exactly.
+
+    Bound literals round DIRECTIONALLY into float64 (``_f_le``/
+    ``_f_ge``): the 'out' test widens the range, the 'in' test narrows
+    it — an integer bound that float64 cannot represent (|b| > 2^53)
+    can therefore never fake a miss or a containment.
+    """
+    from pyspark.sql import functions as F
+
+    lim = float(2 ** 53)
+    base = _stats_base(manifest_df)
+    has_zone = "val_min" in manifest_df.columns
+    has_hist = "val_hist" in manifest_df.columns
+    nullable = {
+        r["column_name"]
+        for r in _nullable_columns(manifest_df).collect()
+    }
+    deleted = (
+        manifest_df.filter(F.col("column").startswith(DELETES_PREFIX))
+        .select("chunk_key").distinct()
+        .withColumn("__del", F.lit(True))
+    )
+    joined = (
+        base.select("chunk_key").distinct()
+        .join(F.broadcast(deleted), "chunk_key", "left")
+    )
+    schema = out_schema
+    ncols = []
+    for i, (c, lo, hi) in enumerate(specs):
+        t, _ = _resolve_value_field(schema, c)
+        cols = ["chunk_key", "n_values"]
+        if has_zone:
+            cols += ["val_min", "val_max"]
+        if has_hist:
+            cols += ["val_hist"]
+        b = base.filter(F.col("column") == c).select(*cols)
+        if not has_zone:  # pre-zone-map manifest: everything decodes
+            cls = F.lit(1)
+        else:
+            vmin, vmax = F.col("val_min"), F.col("val_max")
+            exact_dbl = (F.abs(vmin) <= lim) & (F.abs(vmax) <= lim)
+            zone_ok = vmin.isNotNull() & (
+                exact_dbl if pa.types.is_integer(t) else F.lit(True))
+            out_c = zone_ok & ((vmax < F.lit(_f_le(lo)))
+                               | (vmin > F.lit(_f_ge(hi))))
+            in_c = zone_ok & (vmin >= F.lit(_f_ge(lo))) \
+                & (vmax <= F.lit(_f_le(hi)))
+            if pa.types.is_floating(t):
+                in_c = in_c & (F.col("val_hist").isNotNull()
+                               if has_hist else F.lit(False))
+            if c in nullable:
+                in_c = F.lit(False)
+            cls = F.when(out_c, F.lit(0)).when(in_c, F.lit(2)) \
+                .otherwise(F.lit(1))
+        joined = joined.join(
+            b.select("chunk_key", cls.alias(f"__c{i}"),
+                     F.col("n_values").alias(f"__n{i}")),
+            "chunk_key", "left")
+        ncols.append(f"__n{i}")
+    any_out = None
+    all_in = None
+    for i in range(len(specs)):
+        # a chunk missing this column's row (schema evolution) decodes
+        ci = F.coalesce(F.col(f"__c{i}"), F.lit(1))
+        any_out = (ci == 0) if any_out is None else (any_out | (ci == 0))
+        all_in = (ci == 2) if all_in is None else (all_in & (ci == 2))
+    all_in = all_in & ~F.coalesce(F.col("__del"), F.lit(False))
+    return joined.select(
+        "chunk_key",
+        F.when(any_out, F.lit("out")).when(all_in, F.lit("in"))
+        .otherwise(F.lit("dec")).alias("__cls"),
+        F.coalesce(*[F.col(c) for c in ncols]).alias("__n"),
+    )
+
+
+def count_where(manifest_df, out_schema, where):
+    """COUNT pushdown: ``SELECT count(*) WHERE <numeric ranges>`` as a
+    1-row DataFrame ``(n_rows long)``, answered hybrid — chunks the
+    zone maps prove entirely INSIDE every range contribute their
+    metadata row count (zero blob bytes), chunks provably OUTSIDE any
+    range contribute nothing, and only the BOUNDARY chunks decode (the
+    decode rides ``decode_table(value_range=...)``'s exact filter).
+    On a layout clustered by the predicate column, a 100 TB count
+    decodes O(#bucket-boundary) chunks instead of the table; on an
+    uncorrelated layout every chunk lands in 'dec' and it degrades to
+    the plain filtered count — same number, no lie.
+
+    ``where`` is one ``(column, lo, hi)`` numeric range or a list of
+    them (AND-combined), int/float columns (top-level or struct
+    leaves). SQL semantics throughout: NULL and NaN rows never count —
+    the classification routes any chunk where metadata cannot prove
+    that to the decode side (see ``_count_where_classify``), and the
+    decoded boundary chunks apply a plain exact BETWEEN (integer
+    bounds are ceil/floor-snapped so an int column never compares
+    through a lossy double cast). The decode side deliberately skips
+    ``decode_table(value_range=...)``: the classifier already names
+    the exact chunk set, so the zone-prune's eager hit-key collection
+    jobs would be pure overhead."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = (out_schema if isinstance(out_schema, pa.Schema)
+              else to_arrow_schema(out_schema))
+    specs = list(where) if isinstance(where, list) else [where]
+    if not specs:
+        raise ValueError("count_where needs at least one range spec")
+    i64 = (-(2 ** 63), 2 ** 63 - 1)
+    exact, satisfiable = [], True
+    for s in specs:
+        if not (isinstance(s, tuple) and len(s) == 3):
+            raise TypeError(
+                f"count_where takes (column, lo, hi) specs, got {s!r}")
+        c, lo, hi = s
+        t, expr = _resolve_value_field(schema, c)
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+            raise TypeError(
+                f"count_where ranges int/float columns; {c!r} is {t} — "
+                "decode and count other types explicitly")
+        for b in (lo, hi):
+            if not isinstance(b, (int, float)) or isinstance(b, bool) \
+                    or (isinstance(b, float) and
+                        (b != b or b in (float("inf"), float("-inf")))):
+                raise TypeError(
+                    f"count_where bounds must be finite numbers, got "
+                    f"{b!r} for {c!r}")
+        if pa.types.is_integer(t):
+            lo, hi = math.ceil(lo), math.floor(hi)
+            if lo > hi:
+                satisfiable = False
+            lo, hi = max(lo, i64[0]), min(hi, i64[1])
+        else:
+            lo, hi = float(lo), float(hi)
+        exact.append((expr >= F.lit(lo)) & (expr <= F.lit(hi)))
+    if not satisfiable or any(s[1] > s[2] for s in specs):
+        return (manifest_df.sparkSession.range(1)
+                .select(F.lit(0).cast("long").alias("n_rows")))
+
+    cls = _count_where_classify(manifest_df, schema, specs)
+    meta = (cls.filter(F.col("__cls") == "in")
+            .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows")))
+    dec_keys = cls.filter(F.col("__cls") == "dec").select("chunk_key")
+    dec_manifest = manifest_df.join(dec_keys, "chunk_key", "left_semi")
+    proj = sorted({s[0].split("#", 1)[0] for s in specs})
+    cond = exact[0]
+    for e in exact[1:]:
+        cond = cond & e
+    dec = (decode_table(dec_manifest, schema, columns=proj)
+           .filter(cond).agg(F.count(F.lit(1)).alias("n_rows")))
+    return (meta.unionByName(dec)
+            .agg(F.sum("n_rows").cast("long").alias("n_rows")))
+
+
 # ---------------------------------------------------------------------------
 # grouped aggregate pushdown (hybrid metadata / decode)
 # ---------------------------------------------------------------------------

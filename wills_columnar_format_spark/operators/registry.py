@@ -1837,6 +1837,52 @@ ORACLE_TOPK_CHECKPOINT = (
 )
 
 
+_COUNT_WHERE_SPECS = [
+    ("interior", [("value", 50.0, 400.0)]),
+    ("point_int", [("user_id", 100, 100)]),
+    ("conj", [("value", 10.0, 600.0), ("user_id", 0, 400)]),
+    ("empty", [("value", 1e12, 2e12)]),
+    ("full", [("value", -1e12, 1e12)]),
+]
+
+
+def q_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) pushdown (engine.count_where): range-predicate counts
+    answered HYBRID from the manifest — chunks whose value zone maps
+    prove full containment contribute their metadata row counts (zero
+    blob bytes), provable misses contribute nothing, only boundary
+    chunks decode (riding the value_range broadcast-semi-join prune +
+    exact filter). On the value-clustered layout built here a count
+    touches O(#boundary) chunks — at 100 TB the difference between a
+    metadata aggregate and a table scan. Soundness degrades route to
+    the decode side: nullable columns, NaN-bearing floats (histogram
+    presence is the NaN-free certificate), deletion-masked chunks,
+    past-2^53 integer bounds. Five shapes: interior float range, int
+    point range, AND-conjunction, provably-empty, full-table."""
+    from ..engine import count_where, encode_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value")
+    clustered = (ev.repartitionByRange(8, "value")
+                 .sortWithinPartitions("value"))
+    m = encode_table(clustered, key_col="event_id", codec="auto",
+                     partitioner="none", chunk_rows=1024,
+                     histograms=True).localCheckpoint(eager=True)
+    out = None
+    for name, specs in _COUNT_WHERE_SPECS:
+        one = count_where(m, ev.schema, specs).select(
+            F.lit(name).alias("probe"), "n_rows")
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+ORACLE_COUNT_PUSHDOWN = " UNION ALL ".join(
+    f"SELECT '{name}' AS probe, count(*) AS n_rows FROM events WHERE "
+    + " AND ".join(f"{c} BETWEEN {lo} AND {hi}" for c, lo, hi in specs)
+    for name, specs in _COUNT_WHERE_SPECS
+)
+
+
 def q_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-NATIVE access through the `wcfs` Spark Python DataSource
     (datasource.py): documents are written with
@@ -3533,6 +3579,7 @@ REGISTRY: dict[str, tuple] = {
     "quantile_bounds": (q_quantile_bounds, ORACLE_QUANTILE_BOUNDS),
     "topk_scan": (q_topk_scan, ORACLE_TOPK_SCAN),
     "topk_checkpoint": (q_topk_checkpoint, ORACLE_TOPK_CHECKPOINT),
+    "count_pushdown": (q_count_pushdown, ORACLE_COUNT_PUSHDOWN),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
