@@ -281,6 +281,7 @@ def _registry_benches(spark, sf_dir: str):
         "topk_scan",
         "topk_checkpoint",
         "count_pushdown",
+        "sum_where_pushdown",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

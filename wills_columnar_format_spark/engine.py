@@ -8603,44 +8603,13 @@ def count_where(manifest_df, out_schema, where):
     ``decode_table(value_range=...)``: the classifier already names
     the exact chunk set, so the zone-prune's eager hit-key collection
     jobs would be pure overhead."""
-    import math
-
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import to_arrow_schema
 
     schema = (out_schema if isinstance(out_schema, pa.Schema)
               else to_arrow_schema(out_schema))
-    specs = list(where) if isinstance(where, list) else [where]
-    if not specs:
-        raise ValueError("count_where needs at least one range spec")
-    i64 = (-(2 ** 63), 2 ** 63 - 1)
-    exact, satisfiable = [], True
-    for s in specs:
-        if not (isinstance(s, tuple) and len(s) == 3):
-            raise TypeError(
-                f"count_where takes (column, lo, hi) specs, got {s!r}")
-        c, lo, hi = s
-        t, expr = _resolve_value_field(schema, c)
-        if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
-            raise TypeError(
-                f"count_where ranges int/float columns; {c!r} is {t} — "
-                "decode and count other types explicitly")
-        for b in (lo, hi):
-            if not isinstance(b, (int, float)) or isinstance(b, bool) \
-                    or (isinstance(b, float) and
-                        (b != b or b in (float("inf"), float("-inf")))):
-                raise TypeError(
-                    f"count_where bounds must be finite numbers, got "
-                    f"{b!r} for {c!r}")
-        if pa.types.is_integer(t):
-            lo, hi = math.ceil(lo), math.floor(hi)
-            if lo > hi:
-                satisfiable = False
-            lo, hi = max(lo, i64[0]), min(hi, i64[1])
-        else:
-            lo, hi = float(lo), float(hi)
-        exact.append((expr >= F.lit(lo)) & (expr <= F.lit(hi)))
-    if not satisfiable or any(s[1] > s[2] for s in specs):
+    specs, cond, satisfiable = _where_specs(schema, where)
+    if not satisfiable:
         return (manifest_df.sparkSession.range(1)
                 .select(F.lit(0).cast("long").alias("n_rows")))
 
@@ -8650,13 +8619,152 @@ def count_where(manifest_df, out_schema, where):
     dec_keys = cls.filter(F.col("__cls") == "dec").select("chunk_key")
     dec_manifest = manifest_df.join(dec_keys, "chunk_key", "left_semi")
     proj = sorted({s[0].split("#", 1)[0] for s in specs})
-    cond = exact[0]
-    for e in exact[1:]:
-        cond = cond & e
     dec = (decode_table(dec_manifest, schema, columns=proj)
            .filter(cond).agg(F.count(F.lit(1)).alias("n_rows")))
     return (meta.unionByName(dec)
             .agg(F.sum("n_rows").cast("long").alias("n_rows")))
+
+
+def _where_specs(schema, where):
+    """Validate/normalize ``count_where``/``sum_where`` range specs.
+    Returns ``(specs, cond, satisfiable)``: the spec list as given (the
+    classifier rounds bounds directionally itself), the AND-combined
+    exact Spark filter, and False when some snapped range is empty.
+    Integer columns get ceil/floor-snapped bounds clamped to int64 so
+    the exact filter never compares through a lossy double cast."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    specs = list(where) if isinstance(where, list) else [where]
+    if not specs:
+        raise ValueError("need at least one (column, lo, hi) range spec")
+    i64 = (-(2 ** 63), 2 ** 63 - 1)
+    cond, satisfiable = None, True
+    for s in specs:
+        if not (isinstance(s, tuple) and len(s) == 3):
+            raise TypeError(
+                f"range specs are (column, lo, hi) tuples, got {s!r}")
+        c, lo, hi = s
+        t, expr = _resolve_value_field(schema, c)
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+            raise TypeError(
+                f"range predicates take int/float columns; {c!r} is {t}"
+                " — decode and filter other types explicitly")
+        for b in (lo, hi):
+            if not isinstance(b, (int, float)) or isinstance(b, bool) \
+                    or (isinstance(b, float) and
+                        (b != b or b in (float("inf"), float("-inf")))):
+                raise TypeError(
+                    f"range bounds must be finite numbers, got {b!r} "
+                    f"for {c!r}")
+        if lo > hi:
+            satisfiable = False
+        if pa.types.is_integer(t):
+            lo, hi = math.ceil(lo), math.floor(hi)
+            if lo > hi:
+                satisfiable = False
+            lo, hi = max(lo, i64[0]), min(hi, i64[1])
+        else:
+            lo, hi = float(lo), float(hi)
+        e = (expr >= F.lit(lo)) & (expr <= F.lit(hi))
+        cond = e if cond is None else cond & e
+    return specs, cond, satisfiable
+
+
+def sum_where(manifest_df, out_schema, sum_col, where):
+    """SUM/AVG pushdown under a range predicate: ``SELECT count(*),
+    count(x), sum(x), avg(x) WHERE <numeric ranges>`` as a 1-row
+    DataFrame ``(n_rows long, n_nonnull long, sum_val decimal(38,0),
+    avg_val double)``. Hybrid like ``count_where``: chunks the zone
+    maps prove fully inside every range AND that carry an exact
+    per-chunk integer sum (``val_sum``) answer from metadata — zero
+    blob bytes — while boundary chunks, metadata-refused chunks
+    (nullable predicate columns, NaN floats, deletion masks, past-2^53
+    bounds), and 'in' chunks whose ``val_sum`` is absent (overflow,
+    legacy manifest) decode and aggregate exactly. On a layout
+    clustered by the predicate column a 100 TB revenue-style probe is
+    a metadata aggregate plus O(#boundary) chunk decodes.
+
+    ``sum_col`` must be an INTEGER column (top-level or struct leaf) —
+    the same exactness contract as ``column_sums``: integer addition
+    is order-independent, so the metadata and decode sides agree to
+    the last digit; float sums are order-dependent and belong to an
+    explicit decode. SQL semantics: SUM ignores NULLs (nullable chunks
+    contribute their ``#valid``-masked sum — zero fillers are additive
+    identity) and returns NULL when no non-null value qualifies;
+    ``avg_val = sum_val / n_nonnull``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = (out_schema if isinstance(out_schema, pa.Schema)
+              else to_arrow_schema(out_schema))
+    st, sexpr = _resolve_value_field(schema, sum_col)
+    if not pa.types.is_integer(st):
+        raise TypeError(
+            f"sum_where sums INTEGER columns (exact, order-independent);"
+            f" {sum_col!r} is {st} — decode and sum explicitly")
+    specs, cond, satisfiable = _where_specs(schema, where)
+    empty = (F.lit(0).cast("long").alias("n_rows"),
+             F.lit(0).cast("long").alias("n_nonnull"),
+             F.lit(None).cast("decimal(38,0)").alias("sum_val"),
+             F.lit(None).cast("double").alias("avg_val"))
+    if not satisfiable:
+        return manifest_df.sparkSession.range(1).select(*empty)
+
+    cls = _count_where_classify(manifest_df, schema, specs)
+    has_sum = "val_sum" in manifest_df.columns
+    if has_sum:
+        sm = (manifest_df.filter(F.col("column") == sum_col)
+              .dropDuplicates(["chunk_key", "column"])
+              .select("chunk_key", F.col("val_sum").alias("__vs"),
+                      F.col("n_values").alias("__nv")))
+        vm = (manifest_df.filter(F.col("column") == sum_col + "#valid")
+              .dropDuplicates(["chunk_key", "column"])
+              .select("chunk_key", F.col("val_sum").alias("__nnv"),
+                      F.lit(True).alias("__has_valid")))
+        d = (cls.join(sm, "chunk_key", "left")
+             .join(vm, "chunk_key", "left"))
+        # metadata answers only when the sum is recorded AND, for
+        # nullable chunks, the #valid sum (= non-null count) is too
+        meta_ok = ((F.col("__cls") == "in") & F.col("__vs").isNotNull()
+                   & (~F.coalesce(F.col("__has_valid"), F.lit(False))
+                      | F.col("__nnv").isNotNull()))
+    else:  # pre-val_sum manifest: metadata side off entirely
+        d = cls.select("*", F.lit(None).cast("decimal(38,0)").alias("__vs"),
+                       F.lit(None).cast("long").alias("__nv"),
+                       F.lit(None).cast("decimal(38,0)").alias("__nnv"))
+        meta_ok = F.lit(False)
+    meta = (d.filter(meta_ok).agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum(F.coalesce(F.col("__nnv"), F.col("__nv").cast("decimal(38,0)")))
+        .cast("long").alias("n_nonnull"),
+        F.sum("__vs").cast("decimal(38,0)").alias("sum_val")))
+    dec_keys = (d.filter(~meta_ok & (F.col("__cls") != "out"))
+                .select("chunk_key"))
+    dec_manifest = manifest_df.join(dec_keys, "chunk_key", "left_semi")
+    proj = sorted({s[0].split("#", 1)[0] for s in specs}
+                  | {sum_col.split("#", 1)[0]})
+    dec = (decode_table(dec_manifest, schema, columns=proj)
+           .filter(cond).agg(
+               F.count(F.lit(1)).cast("long").alias("n_rows"),
+               F.count(sexpr).cast("long").alias("n_nonnull"),
+               F.sum(sexpr.cast("decimal(38,0)")).cast("decimal(38,0)")
+               .alias("sum_val")))
+    return (meta.unionByName(dec).agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum("n_nonnull"), F.lit(0)).cast("long")
+        .alias("n_nonnull"),
+        F.sum("sum_val").cast("decimal(38,0)").alias("sum_val"))
+        .select(
+            "n_rows", "n_nonnull",
+            # SQL SUM is NULL when no non-null value qualifies — an
+            # all-null metadata chunk's zero-filler sum must not leak 0
+            F.when(F.col("n_nonnull") > 0, F.col("sum_val"))
+            .alias("sum_val"),
+            F.when(F.col("n_nonnull") > 0,
+                   F.col("sum_val").cast("double") / F.col("n_nonnull"))
+            .alias("avg_val")))
 
 
 # ---------------------------------------------------------------------------

@@ -1883,6 +1883,46 @@ ORACLE_COUNT_PUSHDOWN = " UNION ALL ".join(
 )
 
 
+def q_sum_where_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered SUM/AVG pushdown (engine.sum_where): ``SELECT count(*),
+    count(x), sum(x), avg(x) WHERE value BETWEEN …`` answered hybrid —
+    'in' chunks contribute their exact per-chunk integer sums
+    (``val_sum``, decimal(38,0)) and ``#valid`` non-null counts from
+    metadata, 'out' chunks skip, boundary chunks decode. The canonical
+    revenue-under-predicate OLAP probe: on the value-clustered layout
+    a 100 TB filtered SUM is a metadata aggregate plus O(#boundary)
+    chunk decodes. AVG is pinned as sum/count on BOTH engines (same
+    IEEE division, not an incremental mean), so the float compare is
+    exact."""
+    from ..engine import encode_table, sum_where
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value")
+    clustered = (ev.repartitionByRange(8, "value")
+                 .sortWithinPartitions("value"))
+    m = encode_table(clustered, key_col="event_id", codec="auto",
+                     partitioner="none", chunk_rows=1024,
+                     histograms=True).localCheckpoint(eager=True)
+    out = None
+    for name, specs in _COUNT_WHERE_SPECS:
+        one = sum_where(m, ev.schema, "user_id", specs).select(
+            F.lit(name).alias("probe"), "n_rows", "n_nonnull",
+            F.col("sum_val").cast("double").alias("sum_d"), "avg_val")
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+ORACLE_SUM_WHERE_PUSHDOWN = " UNION ALL ".join(
+    f"SELECT '{name}' AS probe, count(*) AS n_rows, "
+    "count(user_id) AS n_nonnull, "
+    "CAST(SUM(user_id) AS DOUBLE) AS sum_d, "
+    "CAST(SUM(user_id) AS DOUBLE) / count(user_id) AS avg_val "
+    "FROM events WHERE "
+    + " AND ".join(f"{c} BETWEEN {lo} AND {hi}" for c, lo, hi in specs)
+    for name, specs in _COUNT_WHERE_SPECS
+)
+
+
 def q_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-NATIVE access through the `wcfs` Spark Python DataSource
     (datasource.py): documents are written with
@@ -3580,6 +3620,7 @@ REGISTRY: dict[str, tuple] = {
     "topk_scan": (q_topk_scan, ORACLE_TOPK_SCAN),
     "topk_checkpoint": (q_topk_checkpoint, ORACLE_TOPK_CHECKPOINT),
     "count_pushdown": (q_count_pushdown, ORACLE_COUNT_PUSHDOWN),
+    "sum_where_pushdown": (q_sum_where_pushdown, ORACLE_SUM_WHERE_PUSHDOWN),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
