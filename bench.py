@@ -282,6 +282,7 @@ def _registry_benches(spark, sf_dir: str):
         "topk_checkpoint",
         "count_pushdown",
         "sum_where_pushdown",
+        "where_pushdown_checkpoint",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

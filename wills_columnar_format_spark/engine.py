@@ -5055,6 +5055,21 @@ def drop_constraint_checkpoint(ckpt_dir: str, name: str) -> int:
 # chunks.
 
 
+def _apply_restrict_chunks(mdf, restrict):
+    """Apply a ``{file: [chunk_key, ...]}`` restriction map to a raw
+    manifest frame as a broadcast semi-join on the chunk keys — the
+    fallback-path carrier for ``decode_checkpoint(_restrict_chunks=…)``
+    when the per-file list can't ride the clustered reader."""
+    from pyspark.sql import functions as F
+
+    if restrict is None:
+        return mdf
+    keys = sorted({k for ks in restrict.values() for k in (ks or [])})
+    kdf = mdf.sparkSession.createDataFrame(
+        [(k,) for k in keys], "chunk_key string")
+    return mdf.join(F.broadcast(kdf), "chunk_key", "left_semi")
+
+
 def _manifest_metadata(spark, ckpt_dir: str):
     from pyspark.sql import functions as F
 
@@ -6302,7 +6317,8 @@ def make_file_decode_fn(out_schema: pa.Schema, phys_columns, key_range,
 def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                       key_col=None, columns=None, legacy_nan_zonemaps=False,
                       value_range=None, keys=None, value_in=None,
-                      contains=None, verify_checksums=False, as_of=None):
+                      contains=None, verify_checksums=False, as_of=None,
+                      _restrict_chunks=None):
     """Decode a CHECKPOINTED manifest directory without shuffling a single
     blob: one task per manifest file, sequential pyarrow read, group
     decode in place (see the section comment above for why the layout
@@ -6343,6 +6359,13 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     commits added — later delete sidecars and upsert generations are
     simply not read. Composes with every pruning/projection argument;
     ``checkpoint_history(spark, dir)`` lists the commits.
+
+    ``_restrict_chunks`` (PRIVATE — the hybrid count/sum pushdowns):
+    a ``{file_path: [chunk_key, ...]}`` map naming exactly the chunks
+    to decode (explicit lists only). AND-intersects with every other
+    prune; fallback paths (torn layout, over-cap deletes) apply it as
+    a broadcast semi-join so the restricted read set survives the
+    shuffling decode too.
     """
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
@@ -6417,7 +6440,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
             keys=keys,
             value_in=_translate_value_specs(value_in, rmap),
             contains=_translate_value_specs(contains, rmap),
-            verify_checksums=verify_checksums, as_of=as_of)
+            verify_checksums=verify_checksums, as_of=as_of,
+            _restrict_chunks=_restrict_chunks)
         return dec.toDF(*[inv.get(c, c) for c in dec.columns])
     full_schema = out_schema
     out_schema, phys = _project_out_schema(out_schema, columns)
@@ -6482,8 +6506,10 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
     if drows:
         if len(drows) > DELETES_COLLECT_MAX:
             return decode_table(
-                snap_src if snap_src is not None
-                else spark.read.parquet(ckpt_dir), full_schema,
+                _apply_restrict_chunks(
+                    snap_src if snap_src is not None
+                    else spark.read.parquet(ckpt_dir), _restrict_chunks),
+                full_schema,
                 key_range=key_range, key_col=key_col, columns=columns,
                 legacy_nan_zonemaps=legacy_nan_zonemaps,
                 value_range=value_range, keys=keys, value_in=value_in,
@@ -6565,8 +6591,10 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
             "(one shuffle) and makes every later decode shuffle-free"
         )
         return decode_table(
-            snap_src if snap_src is not None
-            else spark.read.parquet(ckpt_dir), full_schema,
+            _apply_restrict_chunks(
+                snap_src if snap_src is not None
+                else spark.read.parquet(ckpt_dir), _restrict_chunks),
+            full_schema,
             key_range=key_range, key_col=key_col, columns=columns,
             legacy_nan_zonemaps=legacy_nan_zonemaps, value_range=value_range,
             keys=keys, value_in=value_in, contains=contains,
@@ -6652,6 +6680,11 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         # drive the per-file chunk filter instead (already intersected:
         # a value_range pass above ran on the bloom-pruned fdf)
         file_keys = bloom_file_keys
+    if _restrict_chunks is not None:
+        file_keys = _intersect_file_keys(file_keys, _restrict_chunks)
+        if not file_keys:
+            return spark.createDataFrame(
+                [], from_arrow_schema(out_schema, prefer_timestamp_ntz=True))
     if file_keys is not None:
         files = sorted(file_keys)
     else:
@@ -8627,11 +8660,11 @@ def count_where(manifest_df, out_schema, where):
 
 def _where_specs(schema, where):
     """Validate/normalize ``count_where``/``sum_where`` range specs.
-    Returns ``(specs, cond, satisfiable)``: the spec list as given (the
-    classifier rounds bounds directionally itself), the AND-combined
-    exact Spark filter, and False when some snapped range is empty.
-    Integer columns get ceil/floor-snapped bounds clamped to int64 so
-    the exact filter never compares through a lossy double cast."""
+    Returns ``(specs, cond, satisfiable)``: the NORMALIZED spec list
+    (integer columns get ceil/floor-snapped bounds clamped to int64 —
+    the exact filter never compares through a lossy double cast, and
+    every downstream consumer sees the same bounds), the AND-combined
+    exact Spark filter, and False when some range is empty."""
     import math
 
     from pyspark.sql import functions as F
@@ -8640,7 +8673,7 @@ def _where_specs(schema, where):
     if not specs:
         raise ValueError("need at least one (column, lo, hi) range spec")
     i64 = (-(2 ** 63), 2 ** 63 - 1)
-    cond, satisfiable = None, True
+    norm, cond, satisfiable = [], None, True
     for s in specs:
         if not (isinstance(s, tuple) and len(s) == 3):
             raise TypeError(
@@ -8667,9 +8700,10 @@ def _where_specs(schema, where):
             lo, hi = max(lo, i64[0]), min(hi, i64[1])
         else:
             lo, hi = float(lo), float(hi)
+        norm.append((c, lo, hi))
         e = (expr >= F.lit(lo)) & (expr <= F.lit(hi))
         cond = e if cond is None else cond & e
-    return specs, cond, satisfiable
+    return norm, cond, satisfiable
 
 
 def sum_where(manifest_df, out_schema, sum_col, where):
@@ -8713,8 +8747,28 @@ def sum_where(manifest_df, out_schema, sum_col, where):
         return manifest_df.sparkSession.range(1).select(*empty)
 
     cls = _count_where_classify(manifest_df, schema, specs)
-    has_sum = "val_sum" in manifest_df.columns
-    if has_sum:
+    d, meta_ok = _sum_meta_frame(manifest_df, cls, sum_col)
+    meta = _sum_meta_agg(d, meta_ok)
+    dec_keys = (d.filter(~meta_ok & (F.col("__cls") != "out"))
+                .select("chunk_key"))
+    dec_manifest = manifest_df.join(dec_keys, "chunk_key", "left_semi")
+    proj = sorted({s[0].split("#", 1)[0] for s in specs}
+                  | {sum_col.split("#", 1)[0]})
+    dec = _sum_dec_agg(
+        decode_table(dec_manifest, schema, columns=proj), cond, sexpr)
+    return _sum_finish(meta.unionByName(dec))
+
+
+def _sum_meta_frame(manifest_df, cls, sum_col):
+    """Join the count_where classification with the sum column's
+    metadata: per-chunk ``val_sum`` (``__vs``), row count (``__nv``),
+    and — for nullable chunks — the ``#valid`` mask's sum (``__nnv``,
+    the non-null count). ``meta_ok`` marks chunks the metadata side
+    may answer: classified 'in' AND sum recorded AND non-null count
+    known."""
+    from pyspark.sql import functions as F
+
+    if "val_sum" in manifest_df.columns:
         sm = (manifest_df.filter(F.col("column") == sum_col)
               .dropDuplicates(["chunk_key", "column"])
               .select("chunk_key", F.col("val_sum").alias("__vs"),
@@ -8725,8 +8779,6 @@ def sum_where(manifest_df, out_schema, sum_col, where):
                       F.lit(True).alias("__has_valid")))
         d = (cls.join(sm, "chunk_key", "left")
              .join(vm, "chunk_key", "left"))
-        # metadata answers only when the sum is recorded AND, for
-        # nullable chunks, the #valid sum (= non-null count) is too
         meta_ok = ((F.col("__cls") == "in") & F.col("__vs").isNotNull()
                    & (~F.coalesce(F.col("__has_valid"), F.lit(False))
                       | F.col("__nnv").isNotNull()))
@@ -8735,23 +8787,33 @@ def sum_where(manifest_df, out_schema, sum_col, where):
                        F.lit(None).cast("long").alias("__nv"),
                        F.lit(None).cast("decimal(38,0)").alias("__nnv"))
         meta_ok = F.lit(False)
-    meta = (d.filter(meta_ok).agg(
+    return d, meta_ok
+
+
+def _sum_meta_agg(d, meta_ok):
+    from pyspark.sql import functions as F
+
+    return (d.filter(meta_ok).agg(
         F.sum("__n").cast("long").alias("n_rows"),
         F.sum(F.coalesce(F.col("__nnv"), F.col("__nv").cast("decimal(38,0)")))
         .cast("long").alias("n_nonnull"),
         F.sum("__vs").cast("decimal(38,0)").alias("sum_val")))
-    dec_keys = (d.filter(~meta_ok & (F.col("__cls") != "out"))
-                .select("chunk_key"))
-    dec_manifest = manifest_df.join(dec_keys, "chunk_key", "left_semi")
-    proj = sorted({s[0].split("#", 1)[0] for s in specs}
-                  | {sum_col.split("#", 1)[0]})
-    dec = (decode_table(dec_manifest, schema, columns=proj)
-           .filter(cond).agg(
-               F.count(F.lit(1)).cast("long").alias("n_rows"),
-               F.count(sexpr).cast("long").alias("n_nonnull"),
-               F.sum(sexpr.cast("decimal(38,0)")).cast("decimal(38,0)")
-               .alias("sum_val")))
-    return (meta.unionByName(dec).agg(
+
+
+def _sum_dec_agg(decoded, cond, sexpr):
+    from pyspark.sql import functions as F
+
+    return decoded.filter(cond).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(sexpr).cast("long").alias("n_nonnull"),
+        F.sum(sexpr.cast("decimal(38,0)")).cast("decimal(38,0)")
+        .alias("sum_val"))
+
+
+def _sum_finish(frames):
+    from pyspark.sql import functions as F
+
+    return (frames.agg(
         F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
         F.coalesce(F.sum("n_nonnull"), F.lit(0)).cast("long")
         .alias("n_nonnull"),
@@ -8765,6 +8827,150 @@ def sum_where(manifest_df, out_schema, sum_col, where):
             F.when(F.col("n_nonnull") > 0,
                    F.col("sum_val").cast("double") / F.col("n_nonnull"))
             .alias("avg_val")))
+
+
+def _where_ckpt_schema(ckpt_dir: str, out_schema):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if out_schema is None:
+        out_schema = read_checkpoint_schema(ckpt_dir)
+        if out_schema is None:
+            raise ValueError(
+                f"checkpoint {ckpt_dir!r} carries no _table_schema "
+                "sidecar — pass out_schema=, or persist with "
+                "write_checkpoint(manifest, dir, schema=...)")
+    return (out_schema if isinstance(out_schema, pa.Schema)
+            else to_arrow_schema(out_schema))
+
+
+def _ckpt_manifest_frame(spark, ckpt_dir: str, as_of):
+    """The checkpoint's manifest frame, as_of-restricted; None for an
+    empty snapshot. Callers select metadata columns only — parquet
+    column pruning keeps the blob bytes unread."""
+    if as_of is not None:
+        allowed = _files_as_of(ckpt_dir, as_of)
+        if not allowed:
+            return None
+        return spark.read.parquet(
+            *[f"{ckpt_dir.rstrip('/')}/{b}" for b in allowed])
+    return spark.read.parquet(ckpt_dir)
+
+
+def _collect_chunk_files(mdf, keys_df, cap=None):
+    """``{file: [chunk_key, ...]}`` for the chunks named by ``keys_df``,
+    or None past ``cap`` (default VALUE_PRUNE_MAX_KEYS, read at call
+    time; driver-bounded: the key list is collected through a limit,
+    never unbounded)."""
+    from pyspark.sql import functions as F
+
+    if cap is None:
+        cap = VALUE_PRUNE_MAX_KEYS
+    krows = (keys_df.select("chunk_key").distinct()
+             .limit(cap + 1).collect())
+    if len(krows) > cap:
+        return None
+    if not krows:
+        return {}
+    kdf = mdf.sparkSession.createDataFrame(
+        [(r["chunk_key"],) for r in krows], "chunk_key string")
+    rows = (mdf.select("chunk_key", F.input_file_name().alias("__file"))
+            .join(F.broadcast(kdf), "chunk_key", "left_semi")
+            .distinct().collect())
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["__file"], []).append(r["chunk_key"])
+    return out
+
+
+def count_where_checkpoint(spark, ckpt_dir: str, where, out_schema=None,
+                           as_of=None):
+    """``count_where`` over a PERSISTED checkpoint: the metadata side
+    reads a blob-free parquet projection of the checkpoint's own
+    manifest columns, and only the boundary chunks' files are opened —
+    through ``decode_checkpoint``'s zero-Exchange per-file reader with
+    an explicit chunk restriction, so a 100 TB clustered count touches
+    O(#boundary) chunks of disk. Past VALUE_PRUNE_MAX_KEYS boundary
+    chunks the hybrid split is dropped and one exact
+    ``value_range``-pruned decode answers (same number, no driver
+    blow-up). ``as_of`` restricts both sides to the files visible at
+    that commit. ``out_schema=None`` resolves the ``_table_schema``
+    sidecar."""
+    from pyspark.sql import functions as F
+
+    _raise_if_pending(ckpt_dir)
+    schema = _where_ckpt_schema(ckpt_dir, out_schema)
+    specs, cond, satisfiable = _where_specs(schema, where)
+    zero = spark.range(1).select(F.lit(0).cast("long").alias("n_rows"))
+    if not satisfiable:
+        return zero
+    mdf = _ckpt_manifest_frame(spark, ckpt_dir, as_of)
+    if mdf is None:
+        return zero
+    cls = _count_where_classify(mdf, schema, specs)
+    proj = sorted({s[0].split("#", 1)[0] for s in specs})
+    restrict = _collect_chunk_files(
+        mdf, cls.filter(F.col("__cls") == "dec"))
+    if restrict is None:  # over cap: one exact pruned pass, no split
+        return (decode_checkpoint(
+                    spark, ckpt_dir, schema, columns=proj, as_of=as_of,
+                    value_range=specs if len(specs) > 1 else specs[0])
+                .filter(cond)
+                .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    meta = (cls.filter(F.col("__cls") == "in")
+            .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows")))
+    dec = (decode_checkpoint(spark, ckpt_dir, schema, columns=proj,
+                             as_of=as_of, _restrict_chunks=restrict)
+           .filter(cond).agg(F.count(F.lit(1)).alias("n_rows")))
+    return (meta.unionByName(dec)
+            .agg(F.sum("n_rows").cast("long").alias("n_rows")))
+
+
+def sum_where_checkpoint(spark, ckpt_dir: str, sum_col: str, where,
+                         out_schema=None, as_of=None):
+    """``sum_where`` over a PERSISTED checkpoint: exact per-chunk
+    integer sums and ``#valid`` counts come from the blob-free
+    manifest projection; boundary and metadata-refused chunks decode
+    through the zero-Exchange per-file reader restricted to exactly
+    those chunks. Same output shape and SQL semantics as ``sum_where``;
+    same over-cap degrade as ``count_where_checkpoint`` (one exact
+    pruned decode)."""
+    from pyspark.sql import functions as F
+
+    _raise_if_pending(ckpt_dir)
+    schema = _where_ckpt_schema(ckpt_dir, out_schema)
+    st, sexpr = _resolve_value_field(schema, sum_col)
+    if not pa.types.is_integer(st):
+        raise TypeError(
+            f"sum_where_checkpoint sums INTEGER columns (exact, order-"
+            f"independent); {sum_col!r} is {st} — decode and sum "
+            "explicitly")
+    specs, cond, satisfiable = _where_specs(schema, where)
+    empty = (F.lit(0).cast("long").alias("n_rows"),
+             F.lit(0).cast("long").alias("n_nonnull"),
+             F.lit(None).cast("decimal(38,0)").alias("sum_val"),
+             F.lit(None).cast("double").alias("avg_val"))
+    mdf = (_ckpt_manifest_frame(spark, ckpt_dir, as_of)
+           if satisfiable else None)
+    if mdf is None:
+        return spark.range(1).select(*empty)
+    cls = _count_where_classify(mdf, schema, specs)
+    d, meta_ok = _sum_meta_frame(mdf, cls, sum_col)
+    proj = sorted({s[0].split("#", 1)[0] for s in specs}
+                  | {sum_col.split("#", 1)[0]})
+    restrict = _collect_chunk_files(
+        mdf, d.filter(~meta_ok & (F.col("__cls") != "out")))
+    if restrict is None:  # over cap: one exact pruned pass, no split
+        return _sum_finish(_sum_dec_agg(
+            decode_checkpoint(
+                spark, ckpt_dir, schema, columns=proj, as_of=as_of,
+                value_range=specs if len(specs) > 1 else specs[0]),
+            cond, sexpr))
+    meta = _sum_meta_agg(d, meta_ok)
+    dec = _sum_dec_agg(
+        decode_checkpoint(spark, ckpt_dir, schema, columns=proj,
+                          as_of=as_of, _restrict_chunks=restrict),
+        cond, sexpr)
+    return _sum_finish(meta.unionByName(dec))
 
 
 # ---------------------------------------------------------------------------

@@ -1923,6 +1923,71 @@ ORACLE_SUM_WHERE_PUSHDOWN = " UNION ALL ".join(
 )
 
 
+def q_where_pushdown_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_where / sum_where over a PERSISTED checkpoint
+    (engine.count_where_checkpoint / sum_where_checkpoint): the
+    metadata side is a blob-free parquet projection of the
+    checkpoint's own manifest columns; only boundary chunks' FILES
+    open, through decode_checkpoint's zero-Exchange per-file reader
+    with an explicit chunk restriction — the disk-native shape of the
+    hybrid count/sum. The query also deletes a key band
+    (delete_keys_checkpoint sidecars, zero blob rewrites) and probes
+    both the live table and the ``as_of=0`` pre-delete snapshot —
+    four rows pinning count+sum against DuckDB's filtered aggregates
+    over the same arithmetic."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (count_where_checkpoint, delete_keys_checkpoint,
+                          encode_table, sum_where_checkpoint,
+                          write_checkpoint)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value")
+    clustered = (ev.repartitionByRange(8, "value")
+                 .sortWithinPartitions("value"))
+    work = tempfile.mkdtemp(prefix="wcfs_where_ckpt_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        m = encode_table(clustered, key_col="event_id", codec="auto",
+                         partitioner="none", chunk_rows=1024,
+                         histograms=True)
+        write_checkpoint(m, ckpt, schema=ev.schema)
+        delete_keys_checkpoint(spark, ckpt, list(range(100, 200)),
+                               key_col="event_id")
+
+        def probe(label, as_of):
+            c = count_where_checkpoint(
+                spark, ckpt, ("value", 50.0, 400.0), as_of=as_of).select(
+                F.lit(label).alias("probe"), "n_rows")
+            s = sum_where_checkpoint(
+                spark, ckpt, "user_id", ("value", 50.0, 400.0),
+                as_of=as_of).select(
+                F.lit(label).alias("probe"),
+                F.col("n_rows"), F.col("n_nonnull"),
+                F.col("sum_val").cast("double").alias("sum_d"))
+            return c.join(s, ["probe", "n_rows"])
+
+        out = (probe("live", None).unionByName(probe("as_of_0", 0))
+               .localCheckpoint(eager=True))
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+ORACLE_WHERE_PUSHDOWN_CHECKPOINT = (
+    "SELECT 'live' AS probe, count(*) AS n_rows, "
+    "count(user_id) AS n_nonnull, CAST(SUM(user_id) AS DOUBLE) AS sum_d "
+    "FROM events WHERE value BETWEEN 50.0 AND 400.0 "
+    "AND event_id NOT BETWEEN 100 AND 199 "
+    "UNION ALL "
+    "SELECT 'as_of_0', count(*), count(user_id), "
+    "CAST(SUM(user_id) AS DOUBLE) "
+    "FROM events WHERE value BETWEEN 50.0 AND 400.0"
+)
+
+
 def q_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-NATIVE access through the `wcfs` Spark Python DataSource
     (datasource.py): documents are written with
@@ -3621,6 +3686,8 @@ REGISTRY: dict[str, tuple] = {
     "topk_checkpoint": (q_topk_checkpoint, ORACLE_TOPK_CHECKPOINT),
     "count_pushdown": (q_count_pushdown, ORACLE_COUNT_PUSHDOWN),
     "sum_where_pushdown": (q_sum_where_pushdown, ORACLE_SUM_WHERE_PUSHDOWN),
+    "where_pushdown_checkpoint": (q_where_pushdown_checkpoint,
+                                  ORACLE_WHERE_PUSHDOWN_CHECKPOINT),
     "value_range_zorder": (q_value_range_zorder, ORACLE_VALUE_RANGE_ZORDER),
     "value_range_struct": (q_value_range_struct, ORACLE_VALUE_RANGE_STRUCT),
     "point_lookup_time": (q_point_lookup_time, ORACLE_POINT_LOOKUP_TIME),
