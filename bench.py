@@ -283,6 +283,7 @@ def _registry_benches(spark, sf_dir: str):
         "count_pushdown",
         "sum_where_pushdown",
         "where_pushdown_checkpoint",
+        "group_where_pushdown",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

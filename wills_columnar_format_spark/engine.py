@@ -9307,6 +9307,211 @@ def group_stats(manifest_df, out_schema, group_col, value_col):
     )
 
 
+def _grouped_where_split(manifest_df, out_schema, group_col, value_col,
+                         where, value_cond, value_cols,
+                         nullable_value_ok):
+    """Scaffolding for the PREDICATE-filtered grouped pushdowns:
+    compose the group-purity split with the ``count_where``
+    classification. Returns ``(specs, cond, satisfiable, pure_in,
+    dec_manifest, g_type, out_schema)`` where ``pure_in`` is the pure
+    frame restricted to chunks the classifier proves fully INSIDE
+    every range (their metadata rows answer for ALL their rows), and
+    ``dec_manifest`` holds every chunk that is neither certified
+    metadata-answerable nor provably outside — the exact decode set.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if not isinstance(out_schema, pa.Schema):
+        out_schema = to_arrow_schema(out_schema)
+    specs, cond, satisfiable = _where_specs(out_schema, where)
+    if not satisfiable:
+        return specs, cond, False, None, None, None, out_schema
+    # pin an in-flight encode lineage ONCE: the purity split, the
+    # classifier, and the decode below each re-evaluate the manifest
+    if not _cheap_rescan(manifest_df):
+        manifest_df = manifest_df.localCheckpoint(eager=True)
+    pure, _, g_type, out_schema = _grouped_split(
+        manifest_df, out_schema, group_col, value_col,
+        value_cond=value_cond, value_cols=value_cols,
+        nullable_value_ok=nullable_value_ok)
+    cls = _count_where_classify(manifest_df, out_schema, specs)
+    in_keys = cls.filter(F.col("__cls") == "in").select("chunk_key")
+    out_keys = cls.filter(F.col("__cls") == "out").select("chunk_key")
+    pure_in = (None if pure is None
+               else pure.join(in_keys, "chunk_key", "left_semi"))
+    # decode = everything not metadata-certified and not provably out
+    dec_manifest = manifest_df
+    if pure_in is not None:
+        dec_manifest = dec_manifest.join(
+            pure_in.select("chunk_key"), "chunk_key", "left_anti")
+    dec_manifest = dec_manifest.join(out_keys, "chunk_key", "left_anti")
+    return specs, cond, True, pure_in, dec_manifest, g_type, out_schema
+
+
+def group_sums_where(manifest_df, out_schema, group_col, value_col,
+                     where):
+    """``group_sums`` under a range predicate: ``SELECT group_col,
+    SUM(value_col), COUNT(*), COUNT(value_col) WHERE <numeric ranges>
+    GROUP BY group_col`` — the canonical sliced-rollup OLAP probe
+    (revenue per source inside a time/value band). Hybrid twice over:
+    a chunk answers from metadata only when it is GROUP-PURE (zone map
+    min == max) AND the ``count_where`` classifier proves every one of
+    its rows inside every range ('in'); chunks provably outside any
+    range contribute nothing; everything else decodes with the exact
+    filter and groupBy. Same output shape, exactness contract, and
+    integer/boolean value rule as ``group_sums``; same predicate rules
+    as ``count_where`` (int/float columns, NULL/NaN rows never count,
+    soundness degrades route to the decode side). On a layout
+    clustered by (group_col, predicate col) — e.g. z-order over both —
+    a 100 TB sliced rollup is a blob-free metadata groupBy plus
+    boundary-chunk decodes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+    if not isinstance(out_schema, pa.Schema):
+        out_schema = to_arrow_schema(out_schema)
+    v_field = out_schema.field(value_col)
+    if not (pa.types.is_integer(v_field.type)
+            or pa.types.is_boolean(v_field.type)):
+        raise TypeError(
+            f"group_sums_where value column must be integer/boolean, "
+            f"got {value_col!r}: {v_field.type}")
+    specs, cond, satisfiable, pure_in, dec_manifest, g_type, out_schema = \
+        _grouped_where_split(
+            manifest_df, out_schema, group_col, value_col, where,
+            value_cond=F.col("val_sum").isNotNull(),
+            value_cols=["val_sum", "n_values"], nullable_value_ok=True)
+    if not satisfiable:
+        g_spark = from_arrow_schema(
+            pa.schema([out_schema.field(group_col)]),
+            prefer_timestamp_ntz=True)
+        return manifest_df.sparkSession.createDataFrame([], schema=(
+            g_spark.add("v_sum", "decimal(38,0)").add("n_rows", "long")
+            .add("n_nonnull", "long")))
+
+    sides = []
+    if pure_in is not None:
+        sides.append(
+            pure_in.withColumn(
+                "__nnn", F.coalesce("__mask_sum", F.col("__v_n_values")))
+            .groupBy("__grp_raw")
+            .agg(F.sum("__v_val_sum").alias("v_sum"),
+                 F.sum("__v_n_values").alias("n_rows"),
+                 F.sum("__nnn").alias("n_nonnull"))
+            .select(F.col("__grp_raw").cast(g_type).alias(group_col),
+                    F.col("v_sum").cast("decimal(38,0)").alias("v_sum"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("n_nonnull").cast("long").alias("n_nonnull")))
+    v = F.col(value_col)
+    if pa.types.is_boolean(v_field.type):
+        v = v.cast("long")
+    proj = sorted({group_col, value_col}
+                  | {s[0].split("#", 1)[0] for s in specs})
+    dec = decode_table(dec_manifest, out_schema, columns=proj).filter(cond)
+    sides.append(
+        dec.groupBy(group_col)
+        .agg(F.sum(v.cast("decimal(38,0)")).cast("decimal(38,0)")
+             .alias("v_sum"),
+             F.count(F.lit(1)).alias("n_rows"),
+             F.count(value_col).alias("n_nonnull")))
+    merged = sides[0]
+    for s in sides[1:]:
+        merged = merged.unionByName(s)
+    return (
+        merged.groupBy(group_col)
+        .agg(F.sum("v_sum").cast("decimal(38,0)").alias("v_sum"),
+             F.sum("n_rows").cast("long").alias("n_rows"),
+             F.sum("n_nonnull").cast("long").alias("n_nonnull")))
+
+
+def group_stats_where(manifest_df, out_schema, group_col, value_col,
+                      where):
+    """``group_stats`` under a range predicate: per-group MIN/MAX/COUNT
+    of the rows satisfying <numeric ranges>. Metadata answers for
+    chunks that are group-pure AND classified 'in' (every row
+    satisfies, so the chunk extremes ARE the satisfying rows'
+    extremes); 'out' chunks vanish; the rest decode with the exact
+    filter. Same typing/degrade rules as ``group_stats`` (nullable
+    value chunks always decode — filler values pollute extremes) and
+    ``count_where``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+    if not isinstance(out_schema, pa.Schema):
+        out_schema = to_arrow_schema(out_schema)
+    v_field = out_schema.field(value_col)
+    t = v_field.type
+    is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+    is_float = pa.types.is_floating(t)
+    if is_str:
+        value_cond = (
+            F.col("val_min_str").isNotNull()
+            & F.col("val_max_str").isNotNull()
+            & (F.length("val_min_str") < F.lit(_STR_BOUND_MAX_CHARS))
+            & (F.length("val_max_str") < F.lit(_STR_BOUND_MAX_CHARS)))
+        value_cols = ["val_min_str", "val_max_str", "n_values"]
+        lo, hi = "__v_val_min_str", "__v_val_max_str"
+    elif pa.types.is_integer(t):
+        value_cond = (
+            F.col("val_min").isNotNull()
+            & (F.abs(F.col("val_min")) <= F.lit(float(2 ** 53)))
+            & (F.abs(F.col("val_max")) <= F.lit(float(2 ** 53))))
+        value_cols = ["val_min", "val_max", "n_values"]
+        lo, hi = "__v_val_min", "__v_val_max"
+    elif is_float or pa.types.is_boolean(t):
+        value_cond = F.col("val_min").isNotNull()
+        value_cols = ["val_min", "val_max", "n_values"]
+        lo, hi = "__v_val_min", "__v_val_max"
+    else:
+        raise TypeError(
+            f"group_stats_where value column must be numeric/boolean/"
+            f"string, got {value_col!r}: {t}")
+    specs, cond, satisfiable, pure_in, dec_manifest, g_type, out_schema = \
+        _grouped_where_split(
+            manifest_df, out_schema, group_col, value_col, where,
+            value_cond=value_cond, value_cols=value_cols,
+            nullable_value_ok=False)
+    if not satisfiable:
+        g_spark = from_arrow_schema(
+            pa.schema([out_schema.field(group_col)]),
+            prefer_timestamp_ntz=True)
+        vt = "string" if is_str else "double"
+        return manifest_df.sparkSession.createDataFrame([], schema=(
+            g_spark.add("v_min", vt).add("v_max", vt)
+            .add("n_rows", "long")))
+
+    sides = []
+    if pure_in is not None:
+        sides.append(
+            pure_in.groupBy("__grp_raw")
+            .agg(F.min(lo).alias("v_min"), F.max(hi).alias("v_max"),
+                 F.sum("__v_n_values").alias("n_rows"))
+            .select(F.col("__grp_raw").cast(g_type).alias(group_col),
+                    "v_min", "v_max", F.col("n_rows").cast("long")))
+    v = F.col(value_col)
+    if is_str:
+        pass
+    elif is_float:
+        v = F.when(~F.isnan(v), v).cast("double")
+    else:
+        v = v.cast("long").cast("double")
+    proj = sorted({group_col, value_col}
+                  | {s[0].split("#", 1)[0] for s in specs})
+    dec = decode_table(dec_manifest, out_schema, columns=proj).filter(cond)
+    sides.append(
+        dec.groupBy(group_col)
+        .agg(F.min(v).alias("v_min"), F.max(v).alias("v_max"),
+             F.count(F.lit(1)).alias("n_rows")))
+    merged = sides[0]
+    for s in sides[1:]:
+        merged = merged.unionByName(s)
+    return (
+        merged.groupBy(group_col)
+        .agg(F.min("v_min").alias("v_min"), F.max("v_max").alias("v_max"),
+             F.sum("n_rows").cast("long").alias("n_rows")))
+
+
 # ---------------------------------------------------------------------------
 # co-located checkpoint join (zero-shuffle)
 # ---------------------------------------------------------------------------

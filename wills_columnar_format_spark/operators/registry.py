@@ -575,6 +575,43 @@ FROM documents GROUP BY lang
 """
 
 
+def q_group_where_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced-rollup pushdown (engine.group_sums_where /
+    group_stats_where): ``GROUP BY lang`` with a ``WHERE n_chars
+    BETWEEN`` band — the canonical filtered-rollup OLAP probe. A chunk
+    answers from metadata only when it is group-pure AND the
+    count_where classifier proves every row inside the band; provable
+    misses vanish; boundary/mixed chunks decode with the exact filter.
+    The fixture clusters on (lang, n_chars) so both certification
+    dimensions engage; the oracle runs the real filtered GROUP BY. At
+    100 TB this is a blob-free metadata groupBy plus cluster-boundary
+    decodes instead of a corpus scan."""
+    from ..engine import encode_table, group_stats_where, group_sums_where
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cl = (df.repartitionByRange(4, "lang", "n_chars")
+          .sortWithinPartitions("lang", "n_chars"))
+    m = (encode_table(cl, key_col="doc_id", codec="auto",
+                      partitioner="none", chunk_rows=64)
+         .localCheckpoint(eager=True))
+    band = ("n_chars", 100, 900)
+    sums = group_sums_where(m, df.schema, "lang", "n_chars", band).select(
+        "lang", F.col("v_sum").cast("double").alias("v_sum_d"),
+        "n_rows", "n_nonnull")
+    stats = group_stats_where(m, df.schema, "lang", "n_chars", band).select(
+        "lang", "v_min", "v_max")
+    return sums.join(stats, "lang")
+
+
+DUCK_GROUP_WHERE_PUSHDOWN = """
+SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS v_sum_d,
+       COUNT(*) AS n_rows, COUNT(n_chars) AS n_nonnull,
+       CAST(MIN(n_chars) AS DOUBLE) AS v_min,
+       CAST(MAX(n_chars) AS DOUBLE) AS v_max
+FROM documents WHERE n_chars BETWEEN 100 AND 900 GROUP BY lang
+"""
+
+
 def q_group_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group MIN/MAX/COUNT pushdown (engine.group_stats): the
     extremes sibling of group_by_pushdown — group-pure chunks answer
@@ -3649,6 +3686,7 @@ REGISTRY: dict[str, tuple] = {
     "colocated_join": (q_colocated_join, DUCK_COLOCATED_JOIN),
     "group_by_pushdown": (q_group_by_pushdown, DUCK_GROUP_BY_PUSHDOWN),
     "group_stats_pushdown": (q_group_stats_pushdown, DUCK_GROUP_STATS_PUSHDOWN),
+    "group_where_pushdown": (q_group_where_pushdown, DUCK_GROUP_WHERE_PUSHDOWN),
     "ndv_estimate": (q_ndv_estimate, DUCK_NDV_ESTIMATE),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
