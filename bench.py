@@ -284,6 +284,7 @@ def _registry_benches(spark, sf_dir: str):
         "sum_where_pushdown",
         "where_pushdown_checkpoint",
         "group_where_pushdown",
+        "lang_slice_pushdown",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

@@ -168,3 +168,54 @@ def test_empty_and_validation(spark, clustered):
         count_where(m, df.schema, ("v", True, 10))
     with pytest.raises(KeyError):
         count_where(m, df.schema, ("nope", 0, 1))
+
+
+def test_where_in_string_and_numeric(spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "fr", "de", "es"][i % 4], i * 3) for i in range(2000)],
+        "id long, lang string, v long")
+    cl = (df.repartitionByRange(4, "lang", "id")
+          .sortWithinPartitions("lang", "id"))
+    m = encode_table(cl, key_col="id", partitioner="none", chunk_rows=128
+                     ).localCheckpoint(eager=True)
+    got = count_where(m, df.schema,
+                      where_in=("lang", ["en", "fr"])).collect()[0]["n_rows"]
+    assert got == df.filter(F.col("lang").isin("en", "fr")).count()
+    # the lang-pure chunks certify from metadata on this layout
+    from pyspark.sql.pandas.types import to_arrow_schema
+    cls = _count_where_classify(m, to_arrow_schema(df.schema), [],
+                                [("lang", ["en", "fr"])])
+    dist = {r["__cls"]: r["n"] for r in
+            cls.groupBy("__cls").agg(F.count("*").alias("n")).collect()}
+    assert dist.get("in", 0) > 0 and dist.get("out", 0) > 0
+    # combined range + IN; numeric IN; validation
+    got2 = count_where(m, df.schema, ("v", 600, 4000),
+                       ("lang", ["en"])).collect()[0]["n_rows"]
+    assert got2 == df.filter(F.col("v").between(600, 4000)
+                             & (F.col("lang") == "en")).count()
+    got3 = count_where(m, df.schema,
+                       where_in=("v", [300, 600, 5])).collect()[0]["n_rows"]
+    assert got3 == df.filter(F.col("v").isin(300, 600, 5)).count()
+    got4 = count_where(m, df.schema,
+                       where_in=("lang", ["zz"])).collect()[0]["n_rows"]
+    assert got4 == 0
+    with pytest.raises(ValueError):
+        count_where(m, df.schema)
+    with pytest.raises(ValueError):
+        count_where(m, df.schema, where_in=("lang", []))
+    with pytest.raises(TypeError):
+        count_where(m, df.schema, where_in=("lang", [1]))
+    with pytest.raises(TypeError):
+        count_where(m, df.schema, where_in=("v", [float("nan")]))
+
+
+def test_where_in_nullable_lang_exact(spark):
+    df = spark.createDataFrame(
+        [(i, None if i % 7 == 0 else ["en", "fr"][i % 2], i)
+         for i in range(1000)],
+        "id long, lang string, v long")
+    m = encode_table(df, key_col="id", num_partitions=2, chunk_rows=128,
+                     allow_nulls=True).localCheckpoint(eager=True)
+    got = count_where(m, df.schema,
+                      where_in=("lang", ["en"])).collect()[0]["n_rows"]
+    assert got == df.filter(F.col("lang") == "en").count()

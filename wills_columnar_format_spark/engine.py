@@ -8518,18 +8518,23 @@ def _f_ge(x):
     return math.nextafter(f, math.inf) if f < x else f
 
 
-def _count_where_classify(manifest_df, out_schema, specs):
-    """Per-chunk three-way classification for ``count_where``: a chunk
-    frame ``(chunk_key, __cls, __n)`` with ``__cls`` in {'out', 'in',
-    'dec'} and ``__n`` the chunk row count. Soundness splits by
-    direction:
+def _count_where_classify(manifest_df, out_schema, specs, in_specs=()):
+    """Per-chunk three-way classification for the hybrid predicate
+    pushdowns: a chunk frame ``(chunk_key, __cls, __n)`` with
+    ``__cls`` in {'out', 'in', 'dec'} and ``__n`` the chunk row count.
+    ``specs`` are ``(column, lo, hi)`` ranges; ``in_specs`` are
+    ``(column, [values])`` IN-lists (string or numeric). Soundness
+    splits by direction:
 
     * 'out' (contributes 0, never decoded) only needs the zone maps to
       be value SUPERSETS: nullable fillers and deletion masks only
       WIDEN/stale-supersize the interval, and NaN — excluded from the
-      maps — fails every finite BETWEEN anyway. Integer chunks whose
-      |bounds| exceed 2^53 are NOT excluded this way (the manifest
-      stores doubles; a max rounded down could fake a miss).
+      maps — fails every finite BETWEEN/IN anyway. Integer chunks
+      whose |bounds| exceed 2^53 are NOT excluded this way (the
+      manifest stores doubles; a max rounded down could fake a miss).
+      String bounds are conservative by construction: a truncated min
+      is still a lower bound and a truncated max is stored NULL
+      (= +inf).
     * 'in' (counted from metadata, never decoded) needs n_values to
       equal the number of rows SATISFYING the predicate: blocked for
       nullable columns (null rows don't satisfy, fillers ride the
@@ -8537,19 +8542,23 @@ def _count_where_classify(manifest_df, out_schema, specs):
       without a full histogram (a NaN row never satisfies, and the
       encoder withholds histograms exactly when NaNs/nulls exist),
       and past-2^53 integer bounds (rounded bounds could fake
-      containment).
+      containment). An IN-list certifies 'in' only for CONSTANT
+      chunks (zone min == max) whose value is a probe — the
+      lang-sliced-corpus case; string bounds must additionally sit
+      below the truncation limit.
     * everything else decodes ('dec') and is counted exactly.
 
-    Bound literals round DIRECTIONALLY into float64 (``_f_le``/
-    ``_f_ge``): the 'out' test widens the range, the 'in' test narrows
-    it — an integer bound that float64 cannot represent (|b| > 2^53)
-    can therefore never fake a miss or a containment.
+    Numeric bound literals round DIRECTIONALLY into float64
+    (``_f_le``/``_f_ge``): the 'out' test widens the range, the 'in'
+    test narrows it — an integer bound that float64 cannot represent
+    (|b| > 2^53) can therefore never fake a miss or a containment.
     """
     from pyspark.sql import functions as F
 
     lim = float(2 ** 53)
     base = _stats_base(manifest_df)
     has_zone = "val_min" in manifest_df.columns
+    has_zstr = "val_min_str" in manifest_df.columns
     has_hist = "val_hist" in manifest_df.columns
     nullable = {
         r["column_name"]
@@ -8565,26 +8574,68 @@ def _count_where_classify(manifest_df, out_schema, specs):
         .join(F.broadcast(deleted), "chunk_key", "left")
     )
     schema = out_schema
+    preds = [(c, ("range", lo, hi)) for c, lo, hi in specs]
+    preds += [(c, ("in", values)) for c, values in in_specs]
     ncols = []
-    for i, (c, lo, hi) in enumerate(specs):
+    for i, (c, pred) in enumerate(preds):
         t, _ = _resolve_value_field(schema, c)
+        is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
         cols = ["chunk_key", "n_values"]
         if has_zone:
             cols += ["val_min", "val_max"]
+        if has_zstr:
+            cols += ["val_min_str", "val_max_str"]
         if has_hist:
             cols += ["val_hist"]
         b = base.filter(F.col("column") == c).select(*cols)
-        if not has_zone:  # pre-zone-map manifest: everything decodes
+        if is_str:
+            if not has_zstr:  # pre-string-zone manifest: decode
+                cls = F.lit(1)
+            else:
+                smin, smax = F.col("val_min_str"), F.col("val_max_str")
+                values = pred[1]
+                out_c = None
+                for v in values:
+                    # smax NULL means "truncated / unbounded above" —
+                    # never an upper-bound witness
+                    o = ((smax.isNotNull() & (smax < F.lit(v)))
+                         | (smin.isNotNull() & (smin > F.lit(v))))
+                    out_c = o if out_c is None else (out_c & o)
+                in_c = (smin.isNotNull() & smax.isNotNull()
+                        & (smin == smax)
+                        & (F.length(smin) < F.lit(_STR_BOUND_MAX_CHARS))
+                        & smin.isin(list(values)))
+                if c in nullable:
+                    in_c = F.lit(False)
+                cls = F.when(out_c, F.lit(0)).when(in_c, F.lit(2)) \
+                    .otherwise(F.lit(1))
+        elif not has_zone:  # pre-zone-map manifest: everything decodes
             cls = F.lit(1)
         else:
             vmin, vmax = F.col("val_min"), F.col("val_max")
             exact_dbl = (F.abs(vmin) <= lim) & (F.abs(vmax) <= lim)
             zone_ok = vmin.isNotNull() & (
                 exact_dbl if pa.types.is_integer(t) else F.lit(True))
-            out_c = zone_ok & ((vmax < F.lit(_f_le(lo)))
-                               | (vmin > F.lit(_f_ge(hi))))
-            in_c = zone_ok & (vmin >= F.lit(_f_ge(lo))) \
-                & (vmax <= F.lit(_f_le(hi)))
+            if pred[0] == "range":
+                _, lo, hi = pred
+                out_c = zone_ok & ((vmax < F.lit(_f_le(lo)))
+                                   | (vmin > F.lit(_f_ge(hi))))
+                in_c = zone_ok & (vmin >= F.lit(_f_ge(lo))) \
+                    & (vmax <= F.lit(_f_le(hi)))
+            else:
+                values = pred[1]
+                out_c = None
+                for v in values:
+                    o = (vmax < F.lit(_f_le(v))) | (vmin > F.lit(_f_ge(v)))
+                    out_c = o if out_c is None else (out_c & o)
+                out_c = zone_ok & out_c
+                # constant chunk whose value IS a probe; only probes
+                # float64 represents exactly can witness equality
+                exact_probes = [float(v) for v in values
+                                if float(v) == v]
+                in_c = (zone_ok & (vmin == vmax)
+                        & (vmin.isin(exact_probes) if exact_probes
+                           else F.lit(False)))
             if pa.types.is_floating(t):
                 in_c = in_c & (F.col("val_hist").isNotNull()
                                if has_hist else F.lit(False))
@@ -8599,7 +8650,7 @@ def _count_where_classify(manifest_df, out_schema, specs):
         ncols.append(f"__n{i}")
     any_out = None
     all_in = None
-    for i in range(len(specs)):
+    for i in range(len(preds)):
         # a chunk missing this column's row (schema evolution) decodes
         ci = F.coalesce(F.col(f"__c{i}"), F.lit(1))
         any_out = (ci == 0) if any_out is None else (any_out | (ci == 0))
@@ -8613,13 +8664,12 @@ def _count_where_classify(manifest_df, out_schema, specs):
     )
 
 
-def count_where(manifest_df, out_schema, where):
-    """COUNT pushdown: ``SELECT count(*) WHERE <numeric ranges>`` as a
+def count_where(manifest_df, out_schema, where=None, where_in=None):
+    """COUNT pushdown: ``SELECT count(*) WHERE <predicates>`` as a
     1-row DataFrame ``(n_rows long)``, answered hybrid — chunks the
-    zone maps prove entirely INSIDE every range contribute their
+    zone maps prove entirely INSIDE every predicate contribute their
     metadata row count (zero blob bytes), chunks provably OUTSIDE any
-    range contribute nothing, and only the BOUNDARY chunks decode (the
-    decode rides ``decode_table(value_range=...)``'s exact filter).
+    predicate contribute nothing, and only the BOUNDARY chunks decode.
     On a layout clustered by the predicate column, a 100 TB count
     decodes O(#bucket-boundary) chunks instead of the table; on an
     uncorrelated layout every chunk lands in 'dec' and it degrades to
@@ -8627,31 +8677,42 @@ def count_where(manifest_df, out_schema, where):
 
     ``where`` is one ``(column, lo, hi)`` numeric range or a list of
     them (AND-combined), int/float columns (top-level or struct
-    leaves). SQL semantics throughout: NULL and NaN rows never count —
-    the classification routes any chunk where metadata cannot prove
-    that to the decode side (see ``_count_where_classify``), and the
-    decoded boundary chunks apply a plain exact BETWEEN (integer
-    bounds are ceil/floor-snapped so an int column never compares
-    through a lossy double cast). The decode side deliberately skips
-    ``decode_table(value_range=...)``: the classifier already names
-    the exact chunk set, so the zone-prune's eager hit-key collection
-    jobs would be pure overhead."""
+    leaves). ``where_in`` is one ``(column, [values])`` IN-list or a
+    list of them (AND-combined with everything): string columns prune
+    through the string zone maps (a lang-sliced corpus counts a
+    language from metadata alone — constant chunks whose value is a
+    probe certify 'in'), int/float columns through the numeric maps.
+    SQL semantics throughout: NULL and NaN rows never count — the
+    classification routes any chunk where metadata cannot prove that
+    to the decode side (see ``_count_where_classify``), and the
+    decoded boundary chunks apply plain exact BETWEEN/IN filters
+    (integer range bounds are ceil/floor-snapped so an int column
+    never compares through a lossy double cast). The decode side
+    deliberately skips ``decode_table(value_range=...)``: the
+    classifier already names the exact chunk set, so the zone-prune's
+    eager hit-key collection jobs would be pure overhead."""
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import to_arrow_schema
 
     schema = (out_schema if isinstance(out_schema, pa.Schema)
               else to_arrow_schema(out_schema))
     specs, cond, satisfiable = _where_specs(schema, where)
+    in_specs, in_cond = _where_in_specs(schema, where_in)
+    if not specs and not in_specs:
+        raise ValueError("count_where needs where= and/or where_in=")
+    cond = (cond & in_cond if cond is not None and in_cond is not None
+            else (in_cond if cond is None else cond))
     if not satisfiable:
         return (manifest_df.sparkSession.range(1)
                 .select(F.lit(0).cast("long").alias("n_rows")))
 
-    cls = _count_where_classify(manifest_df, schema, specs)
+    cls = _count_where_classify(manifest_df, schema, specs, in_specs)
     meta = (cls.filter(F.col("__cls") == "in")
             .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows")))
     dec_keys = cls.filter(F.col("__cls") == "dec").select("chunk_key")
     dec_manifest = manifest_df.join(dec_keys, "chunk_key", "left_semi")
-    proj = sorted({s[0].split("#", 1)[0] for s in specs})
+    proj = sorted({s[0].split("#", 1)[0] for s in specs}
+                  | {s[0].split("#", 1)[0] for s in in_specs})
     dec = (decode_table(dec_manifest, schema, columns=proj)
            .filter(cond).agg(F.count(F.lit(1)).alias("n_rows")))
     return (meta.unionByName(dec)
@@ -8669,6 +8730,8 @@ def _where_specs(schema, where):
 
     from pyspark.sql import functions as F
 
+    if where is None:
+        return [], None, True
     specs = list(where) if isinstance(where, list) else [where]
     if not specs:
         raise ValueError("need at least one (column, lo, hi) range spec")
@@ -8706,12 +8769,60 @@ def _where_specs(schema, where):
     return norm, cond, satisfiable
 
 
-def sum_where(manifest_df, out_schema, sum_col, where):
-    """SUM/AVG pushdown under a range predicate: ``SELECT count(*),
-    count(x), sum(x), avg(x) WHERE <numeric ranges>`` as a 1-row
+def _where_in_specs(schema, where_in):
+    """Validate ``where_in`` IN-list specs for the hybrid pushdowns.
+    Returns ``(in_specs, cond)``: normalized ``(column, [values])``
+    pairs and the AND-combined exact ``isin`` filter. String columns
+    take string probes; int/float columns take finite numeric probes
+    (NaN/inf/bool rejected — SQL IN never matches NaN anyway)."""
+    from pyspark.sql import functions as F
+
+    if where_in is None:
+        return [], None
+    specs = list(where_in) if isinstance(where_in, list) else [where_in]
+    if not specs:
+        raise ValueError("need at least one (column, [values]) IN spec")
+    out, cond = [], None
+    for s in specs:
+        if not (isinstance(s, tuple) and len(s) == 2):
+            raise TypeError(
+                f"IN specs are (column, [values]) tuples, got {s!r}")
+        c, values = s
+        values = list(values)
+        if not values:
+            raise ValueError(f"IN spec for {c!r} needs >= 1 value")
+        t, expr = _resolve_value_field(schema, c)
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            if not all(isinstance(v, str) for v in values):
+                raise TypeError(
+                    f"IN values for STRING column {c!r} must be str")
+        elif pa.types.is_integer(t) or pa.types.is_floating(t):
+            for v in values:
+                if not isinstance(v, (int, float)) \
+                        or isinstance(v, bool) \
+                        or (isinstance(v, float) and
+                            (v != v or v in (float("inf"),
+                                             float("-inf")))):
+                    raise TypeError(
+                        f"IN values for {c!r} must be finite numbers, "
+                        f"got {v!r}")
+        else:
+            raise TypeError(
+                f"IN predicates take string/int/float columns; {c!r} "
+                f"is {t} — decode and filter other types explicitly")
+        out.append((c, values))
+        e = expr.isin(values)
+        cond = e if cond is None else cond & e
+    return out, cond
+
+
+def sum_where(manifest_df, out_schema, sum_col, where=None,
+              where_in=None):
+    """SUM/AVG pushdown under a predicate: ``SELECT count(*),
+    count(x), sum(x), avg(x) WHERE <predicates>`` as a 1-row
     DataFrame ``(n_rows long, n_nonnull long, sum_val decimal(38,0),
     avg_val double)``. Hybrid like ``count_where``: chunks the zone
-    maps prove fully inside every range AND that carry an exact
+    maps prove fully inside every predicate AND that carry an exact
     per-chunk integer sum (``val_sum``) answer from metadata — zero
     blob bytes — while boundary chunks, metadata-refused chunks
     (nullable predicate columns, NaN floats, deletion masks, past-2^53
@@ -8720,10 +8831,14 @@ def sum_where(manifest_df, out_schema, sum_col, where):
     clustered by the predicate column a 100 TB revenue-style probe is
     a metadata aggregate plus O(#boundary) chunk decodes.
 
-    ``sum_col`` must be an INTEGER column (top-level or struct leaf) —
-    the same exactness contract as ``column_sums``: integer addition
-    is order-independent, so the metadata and decode sides agree to
-    the last digit; float sums are order-dependent and belong to an
+    ``where`` takes ``(column, lo, hi)`` numeric ranges; ``where_in``
+    takes ``(column, [values])`` IN-lists (string or numeric; a
+    lang-sliced corpus sums a language's tokens from metadata alone) —
+    one or lists of either, all AND-combined. ``sum_col`` must be an
+    INTEGER column (top-level or struct leaf) — the same exactness
+    contract as ``column_sums``: integer addition is
+    order-independent, so the metadata and decode sides agree to the
+    last digit; float sums are order-dependent and belong to an
     explicit decode. SQL semantics: SUM ignores NULLs (nullable chunks
     contribute their ``#valid``-masked sum — zero fillers are additive
     identity) and returns NULL when no non-null value qualifies;
@@ -8739,6 +8854,11 @@ def sum_where(manifest_df, out_schema, sum_col, where):
             f"sum_where sums INTEGER columns (exact, order-independent);"
             f" {sum_col!r} is {st} — decode and sum explicitly")
     specs, cond, satisfiable = _where_specs(schema, where)
+    in_specs, in_cond = _where_in_specs(schema, where_in)
+    if not specs and not in_specs:
+        raise ValueError("sum_where needs where= and/or where_in=")
+    cond = (cond & in_cond if cond is not None and in_cond is not None
+            else (in_cond if cond is None else cond))
     empty = (F.lit(0).cast("long").alias("n_rows"),
              F.lit(0).cast("long").alias("n_nonnull"),
              F.lit(None).cast("decimal(38,0)").alias("sum_val"),
@@ -8746,13 +8866,14 @@ def sum_where(manifest_df, out_schema, sum_col, where):
     if not satisfiable:
         return manifest_df.sparkSession.range(1).select(*empty)
 
-    cls = _count_where_classify(manifest_df, schema, specs)
+    cls = _count_where_classify(manifest_df, schema, specs, in_specs)
     d, meta_ok = _sum_meta_frame(manifest_df, cls, sum_col)
     meta = _sum_meta_agg(d, meta_ok)
     dec_keys = (d.filter(~meta_ok & (F.col("__cls") != "out"))
                 .select("chunk_key"))
     dec_manifest = manifest_df.join(dec_keys, "chunk_key", "left_semi")
     proj = sorted({s[0].split("#", 1)[0] for s in specs}
+                  | {s[0].split("#", 1)[0] for s in in_specs}
                   | {sum_col.split("#", 1)[0]})
     dec = _sum_dec_agg(
         decode_table(dec_manifest, schema, columns=proj), cond, sexpr)
@@ -8882,8 +9003,8 @@ def _collect_chunk_files(mdf, keys_df, cap=None):
     return out
 
 
-def count_where_checkpoint(spark, ckpt_dir: str, where, out_schema=None,
-                           as_of=None):
+def count_where_checkpoint(spark, ckpt_dir: str, where=None,
+                           out_schema=None, as_of=None, where_in=None):
     """``count_where`` over a PERSISTED checkpoint: the metadata side
     reads a blob-free parquet projection of the checkpoint's own
     manifest columns, and only the boundary chunks' files are opened —
@@ -8900,20 +9021,28 @@ def count_where_checkpoint(spark, ckpt_dir: str, where, out_schema=None,
     _raise_if_pending(ckpt_dir)
     schema = _where_ckpt_schema(ckpt_dir, out_schema)
     specs, cond, satisfiable = _where_specs(schema, where)
+    in_specs, in_cond = _where_in_specs(schema, where_in)
+    if not specs and not in_specs:
+        raise ValueError(
+            "count_where_checkpoint needs where= and/or where_in=")
+    cond = (cond & in_cond if cond is not None and in_cond is not None
+            else (in_cond if cond is None else cond))
     zero = spark.range(1).select(F.lit(0).cast("long").alias("n_rows"))
     if not satisfiable:
         return zero
     mdf = _ckpt_manifest_frame(spark, ckpt_dir, as_of)
     if mdf is None:
         return zero
-    cls = _count_where_classify(mdf, schema, specs)
-    proj = sorted({s[0].split("#", 1)[0] for s in specs})
+    cls = _count_where_classify(mdf, schema, specs, in_specs)
+    proj = sorted({s[0].split("#", 1)[0] for s in specs}
+                  | {s[0].split("#", 1)[0] for s in in_specs})
     restrict = _collect_chunk_files(
         mdf, cls.filter(F.col("__cls") == "dec"))
     if restrict is None:  # over cap: one exact pruned pass, no split
         return (decode_checkpoint(
                     spark, ckpt_dir, schema, columns=proj, as_of=as_of,
-                    value_range=specs if len(specs) > 1 else specs[0])
+                    value_range=_vr_arg(specs),
+                    value_in=_vi_arg(in_specs))
                 .filter(cond)
                 .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
     meta = (cls.filter(F.col("__cls") == "in")
@@ -8925,8 +9054,25 @@ def count_where_checkpoint(spark, ckpt_dir: str, where, out_schema=None,
             .agg(F.sum("n_rows").cast("long").alias("n_rows")))
 
 
-def sum_where_checkpoint(spark, ckpt_dir: str, sum_col: str, where,
-                         out_schema=None, as_of=None):
+def _vr_arg(specs):
+    """Range specs as a decode ``value_range=`` argument (None/one/
+    list)."""
+    if not specs:
+        return None
+    return specs if len(specs) > 1 else specs[0]
+
+
+def _vi_arg(in_specs):
+    """IN specs as a decode ``value_in=`` argument: the decode paths
+    take at most ONE IN spec — any further lists ride the exact
+    post-filter only (correct, just less pruned)."""
+    if not in_specs:
+        return None
+    return (in_specs[0][0], in_specs[0][1])
+
+
+def sum_where_checkpoint(spark, ckpt_dir: str, sum_col: str, where=None,
+                         out_schema=None, as_of=None, where_in=None):
     """``sum_where`` over a PERSISTED checkpoint: exact per-chunk
     integer sums and ``#valid`` counts come from the blob-free
     manifest projection; boundary and metadata-refused chunks decode
@@ -8945,6 +9091,12 @@ def sum_where_checkpoint(spark, ckpt_dir: str, sum_col: str, where,
             f"independent); {sum_col!r} is {st} — decode and sum "
             "explicitly")
     specs, cond, satisfiable = _where_specs(schema, where)
+    in_specs, in_cond = _where_in_specs(schema, where_in)
+    if not specs and not in_specs:
+        raise ValueError(
+            "sum_where_checkpoint needs where= and/or where_in=")
+    cond = (cond & in_cond if cond is not None and in_cond is not None
+            else (in_cond if cond is None else cond))
     empty = (F.lit(0).cast("long").alias("n_rows"),
              F.lit(0).cast("long").alias("n_nonnull"),
              F.lit(None).cast("decimal(38,0)").alias("sum_val"),
@@ -8953,9 +9105,10 @@ def sum_where_checkpoint(spark, ckpt_dir: str, sum_col: str, where,
            if satisfiable else None)
     if mdf is None:
         return spark.range(1).select(*empty)
-    cls = _count_where_classify(mdf, schema, specs)
+    cls = _count_where_classify(mdf, schema, specs, in_specs)
     d, meta_ok = _sum_meta_frame(mdf, cls, sum_col)
     proj = sorted({s[0].split("#", 1)[0] for s in specs}
+                  | {s[0].split("#", 1)[0] for s in in_specs}
                   | {sum_col.split("#", 1)[0]})
     restrict = _collect_chunk_files(
         mdf, d.filter(~meta_ok & (F.col("__cls") != "out")))
@@ -8963,7 +9116,7 @@ def sum_where_checkpoint(spark, ckpt_dir: str, sum_col: str, where,
         return _sum_finish(_sum_dec_agg(
             decode_checkpoint(
                 spark, ckpt_dir, schema, columns=proj, as_of=as_of,
-                value_range=specs if len(specs) > 1 else specs[0]),
+                value_range=_vr_arg(specs), value_in=_vi_arg(in_specs)),
             cond, sexpr))
     meta = _sum_meta_agg(d, meta_ok)
     dec = _sum_dec_agg(
@@ -9309,24 +9462,33 @@ def group_stats(manifest_df, out_schema, group_col, value_col):
 
 def _grouped_where_split(manifest_df, out_schema, group_col, value_col,
                          where, value_cond, value_cols,
-                         nullable_value_ok):
+                         nullable_value_ok, where_in=None):
     """Scaffolding for the PREDICATE-filtered grouped pushdowns:
     compose the group-purity split with the ``count_where``
-    classification. Returns ``(specs, cond, satisfiable, pure_in,
-    dec_manifest, g_type, out_schema)`` where ``pure_in`` is the pure
-    frame restricted to chunks the classifier proves fully INSIDE
-    every range (their metadata rows answer for ALL their rows), and
-    ``dec_manifest`` holds every chunk that is neither certified
-    metadata-answerable nor provably outside — the exact decode set.
-    """
+    classification. Returns ``(pred_cols, cond, satisfiable, pure_in,
+    dec_manifest, g_type, out_schema)`` where ``pred_cols`` are the
+    top-level columns every predicate touches (for the decode
+    projection), ``pure_in`` is the pure frame restricted to chunks
+    the classifier proves fully INSIDE every predicate (their
+    metadata rows answer for ALL their rows), and ``dec_manifest``
+    holds every chunk that is neither certified metadata-answerable
+    nor provably outside — the exact decode set."""
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import to_arrow_schema
 
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
     specs, cond, satisfiable = _where_specs(out_schema, where)
+    in_specs, in_cond = _where_in_specs(out_schema, where_in)
+    if not specs and not in_specs:
+        raise ValueError(
+            "grouped where pushdown needs where= and/or where_in=")
+    cond = (cond & in_cond if cond is not None and in_cond is not None
+            else (in_cond if cond is None else cond))
+    pred_cols = sorted({s[0].split("#", 1)[0] for s in specs}
+                       | {s[0].split("#", 1)[0] for s in in_specs})
     if not satisfiable:
-        return specs, cond, False, None, None, None, out_schema
+        return pred_cols, cond, False, None, None, None, out_schema
     # pin an in-flight encode lineage ONCE: the purity split, the
     # classifier, and the decode below each re-evaluate the manifest
     if not _cheap_rescan(manifest_df):
@@ -9335,7 +9497,7 @@ def _grouped_where_split(manifest_df, out_schema, group_col, value_col,
         manifest_df, out_schema, group_col, value_col,
         value_cond=value_cond, value_cols=value_cols,
         nullable_value_ok=nullable_value_ok)
-    cls = _count_where_classify(manifest_df, out_schema, specs)
+    cls = _count_where_classify(manifest_df, out_schema, specs, in_specs)
     in_keys = cls.filter(F.col("__cls") == "in").select("chunk_key")
     out_keys = cls.filter(F.col("__cls") == "out").select("chunk_key")
     pure_in = (None if pure is None
@@ -9346,11 +9508,11 @@ def _grouped_where_split(manifest_df, out_schema, group_col, value_col,
         dec_manifest = dec_manifest.join(
             pure_in.select("chunk_key"), "chunk_key", "left_anti")
     dec_manifest = dec_manifest.join(out_keys, "chunk_key", "left_anti")
-    return specs, cond, True, pure_in, dec_manifest, g_type, out_schema
+    return pred_cols, cond, True, pure_in, dec_manifest, g_type, out_schema
 
 
 def group_sums_where(manifest_df, out_schema, group_col, value_col,
-                     where):
+                     where=None, where_in=None):
     """``group_sums`` under a range predicate: ``SELECT group_col,
     SUM(value_col), COUNT(*), COUNT(value_col) WHERE <numeric ranges>
     GROUP BY group_col`` — the canonical sliced-rollup OLAP probe
@@ -9377,11 +9539,12 @@ def group_sums_where(manifest_df, out_schema, group_col, value_col,
         raise TypeError(
             f"group_sums_where value column must be integer/boolean, "
             f"got {value_col!r}: {v_field.type}")
-    specs, cond, satisfiable, pure_in, dec_manifest, g_type, out_schema = \
+    pred_cols, cond, satisfiable, pure_in, dec_manifest, g_type, out_schema = \
         _grouped_where_split(
             manifest_df, out_schema, group_col, value_col, where,
             value_cond=F.col("val_sum").isNotNull(),
-            value_cols=["val_sum", "n_values"], nullable_value_ok=True)
+            value_cols=["val_sum", "n_values"], nullable_value_ok=True,
+            where_in=where_in)
     if not satisfiable:
         g_spark = from_arrow_schema(
             pa.schema([out_schema.field(group_col)]),
@@ -9406,8 +9569,7 @@ def group_sums_where(manifest_df, out_schema, group_col, value_col,
     v = F.col(value_col)
     if pa.types.is_boolean(v_field.type):
         v = v.cast("long")
-    proj = sorted({group_col, value_col}
-                  | {s[0].split("#", 1)[0] for s in specs})
+    proj = sorted({group_col, value_col} | set(pred_cols))
     dec = decode_table(dec_manifest, out_schema, columns=proj).filter(cond)
     sides.append(
         dec.groupBy(group_col)
@@ -9426,7 +9588,7 @@ def group_sums_where(manifest_df, out_schema, group_col, value_col,
 
 
 def group_stats_where(manifest_df, out_schema, group_col, value_col,
-                      where):
+                      where=None, where_in=None):
     """``group_stats`` under a range predicate: per-group MIN/MAX/COUNT
     of the rows satisfying <numeric ranges>. Metadata answers for
     chunks that are group-pure AND classified 'in' (every row
@@ -9467,11 +9629,11 @@ def group_stats_where(manifest_df, out_schema, group_col, value_col,
         raise TypeError(
             f"group_stats_where value column must be numeric/boolean/"
             f"string, got {value_col!r}: {t}")
-    specs, cond, satisfiable, pure_in, dec_manifest, g_type, out_schema = \
+    pred_cols, cond, satisfiable, pure_in, dec_manifest, g_type, out_schema = \
         _grouped_where_split(
             manifest_df, out_schema, group_col, value_col, where,
             value_cond=value_cond, value_cols=value_cols,
-            nullable_value_ok=False)
+            nullable_value_ok=False, where_in=where_in)
     if not satisfiable:
         g_spark = from_arrow_schema(
             pa.schema([out_schema.field(group_col)]),
@@ -9496,8 +9658,7 @@ def group_stats_where(manifest_df, out_schema, group_col, value_col,
         v = F.when(~F.isnan(v), v).cast("double")
     else:
         v = v.cast("long").cast("double")
-    proj = sorted({group_col, value_col}
-                  | {s[0].split("#", 1)[0] for s in specs})
+    proj = sorted({group_col, value_col} | set(pred_cols))
     dec = decode_table(dec_manifest, out_schema, columns=proj).filter(cond)
     sides.append(
         dec.groupBy(group_col)

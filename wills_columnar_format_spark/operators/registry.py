@@ -612,6 +612,49 @@ FROM documents WHERE n_chars BETWEEN 100 AND 900 GROUP BY lang
 """
 
 
+def q_lang_slice_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate pushdown (count_where/sum_where where_in=):
+    the lang-sliced-corpus probe — ``count(*) / sum(n_chars) WHERE
+    lang IN (…)`` answered from STRING zone maps: on a lang-clustered
+    layout, lang-constant chunks whose value is a probe certify 'in'
+    (their counts and integer sums come from metadata, zero blob
+    bytes), chunks whose string bounds exclude every probe vanish,
+    boundary chunks decode with the exact ``isin``. Truncation-safe by
+    construction (a truncated min is still a lower bound; a truncated
+    max is stored NULL = +inf). Three probes: two-language slice, a
+    single language, and a missing language (provably-zero count)."""
+    from ..engine import count_where, encode_table, sum_where
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cl = (docs.repartitionByRange(4, "lang", "doc_id")
+          .sortWithinPartitions("lang", "doc_id"))
+    m = (encode_table(cl, key_col="doc_id", codec="auto",
+                      partitioner="none", chunk_rows=64)
+         .localCheckpoint(eager=True))
+    probes = [("pair", ["en", "fr"]), ("one", ["de"]), ("miss", ["zz"])]
+    out = None
+    for name, langs in probes:
+        c = count_where(m, docs.schema,
+                        where_in=("lang", langs)).select(
+            F.lit(name).alias("probe"), "n_rows")
+        s = sum_where(m, docs.schema, "n_chars",
+                      where_in=("lang", langs)).select(
+            F.lit(name).alias("probe"), F.col("n_rows"),
+            F.col("sum_val").cast("double").alias("sum_d"))
+        one = c.join(s, ["probe", "n_rows"])
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+ORACLE_LANG_SLICE_PUSHDOWN = " UNION ALL ".join(
+    f"SELECT '{name}' AS probe, count(*) AS n_rows, "
+    "CAST(SUM(n_chars) AS DOUBLE) AS sum_d FROM documents "
+    f"WHERE lang IN ({', '.join(repr(v) for v in langs)})"
+    for name, langs in [("pair", ["en", "fr"]), ("one", ["de"]),
+                        ("miss", ["zz"])]
+)
+
+
 def q_group_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group MIN/MAX/COUNT pushdown (engine.group_stats): the
     extremes sibling of group_by_pushdown — group-pure chunks answer
@@ -3687,6 +3730,7 @@ REGISTRY: dict[str, tuple] = {
     "group_by_pushdown": (q_group_by_pushdown, DUCK_GROUP_BY_PUSHDOWN),
     "group_stats_pushdown": (q_group_stats_pushdown, DUCK_GROUP_STATS_PUSHDOWN),
     "group_where_pushdown": (q_group_where_pushdown, DUCK_GROUP_WHERE_PUSHDOWN),
+    "lang_slice_pushdown": (q_lang_slice_pushdown, ORACLE_LANG_SLICE_PUSHDOWN),
     "ndv_estimate": (q_ndv_estimate, DUCK_NDV_ESTIMATE),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
