@@ -285,6 +285,7 @@ def _registry_benches(spark, sf_dir: str):
         "where_pushdown_checkpoint",
         "group_where_pushdown",
         "lang_slice_pushdown",
+        "topk_where_scan",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

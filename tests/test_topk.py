@@ -201,3 +201,94 @@ def test_validation(spark):
         topk_table(m, df.schema, "id", 0)
     with pytest.raises(TypeError, match="int/float"):
         topk_table(m, df.schema, "s", 1)
+
+
+# ---------------------------------------------------------------------------
+# topk_where: the filtered leaderboard
+# ---------------------------------------------------------------------------
+
+
+def _exact_topk_where(df, cond, col, k, descending=True, tie="id"):
+    rows = [r for r in df.filter(cond).select(col, tie).collect()
+            if r[col] is not None and not (
+                isinstance(r[col], float) and math.isnan(r[col]))]
+    rows.sort(key=lambda r: (r[col], r[tie]))
+    if descending:
+        rows.sort(key=lambda r: (-r[col], r[tie]))
+    return [(r[col], r[tie]) for r in rows[:k]]
+
+
+@pytest.fixture(scope="module")
+def sliced(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], i * 3 + (i % 7),
+          float((i * 13) % 2000) / 4.0)
+         for i in range(2000)],
+        "id long, lang string, v long, f double")
+    cl = df.repartitionByRange(4, "lang", "v").sortWithinPartitions(
+        "lang", "v")
+    m = encode_table(cl, key_col="id", partitioner="none", chunk_rows=128,
+                     histograms=True).localCheckpoint(eager=True)
+    return df, m
+
+
+def test_topk_where_exact_all_shapes(spark, sliced):
+    from wills_columnar_format_spark.engine import topk_where
+
+    df, m = sliced
+    cases = [
+        (dict(where=("f", 50.0, 400.0)), F.col("f").between(50.0, 400.0),
+         "v", True),
+        (dict(where_in=("lang", ["en"])), F.col("lang") == "en", "v", True),
+        (dict(where=("v", 600, 4000)), F.col("v").between(600, 4000),
+         "f", False),
+        (dict(where=[("v", 600, 4000)], where_in=("lang", ["fr"])),
+         F.col("v").between(600, 4000) & (F.col("lang") == "fr"),
+         "v", True),
+    ]
+    for kw, cond, col, desc in cases:
+        got = [(r[col], r["id"]) for r in
+               topk_where(m, df.schema, col, 25, descending=desc,
+                          extra_order=("id",), **kw)
+               .select(col, "id").collect()]
+        assert got == _exact_topk_where(df, cond, col, 25, desc)
+
+
+def test_topk_where_prunes_and_degrades(spark, sliced):
+    from wills_columnar_format_spark.engine import (
+        _count_where_classify, _topk_threshold_where, topk_where)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    df, m = sliced
+    schema = to_arrow_schema(df.schema)
+    # tau certifies on the clustered layout (the 'in' chunks carry it)
+    cls = _count_where_classify(m, schema, [], [("lang", ["en"])])
+    vr = _topk_threshold_where(m, cls, "v", 25, True, need_hist=False)
+    assert vr is not None and vr[1] > 0
+    # nullable ranked column -> no tau, still exact
+    df2 = spark.createDataFrame(
+        [(i, "en", None if i % 9 == 0 else i) for i in range(600)],
+        "id long, lang string, v long")
+    m2 = encode_table(df2, key_col="id", num_partitions=2, chunk_rows=128,
+                      allow_nulls=True).localCheckpoint(eager=True)
+    got = [(r["v"], r["id"]) for r in
+           topk_where(m2, df2.schema, "v", 10,
+                      where_in=("lang", ["en"]), extra_order=("id",))
+           .select("v", "id").collect()]
+    assert got == _exact_topk_where(df2, F.col("lang") == "en", "v", 10)
+
+
+def test_topk_where_empty_and_validation(spark, sliced):
+    from wills_columnar_format_spark.engine import topk_where
+
+    df, m = sliced
+    assert topk_where(m, df.schema, "v", 5,
+                      where=("v", 10, 5)).collect() == []
+    assert topk_where(m, df.schema, "v", 5,
+                      where=("v", 10**8, 10**9)).collect() == []
+    with pytest.raises(ValueError):
+        topk_where(m, df.schema, "v", 5)
+    with pytest.raises(TypeError):
+        topk_where(m, df.schema, "lang", 5, where=("v", 0, 1))

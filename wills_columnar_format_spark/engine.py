@@ -8449,6 +8449,102 @@ def _topk_exact_tail(out, expr, floating: bool, descending: bool,
     return out.orderBy(*order).limit(k)
 
 
+def _topk_threshold_where(manifest_df, cls, value_col, k: int,
+                          descending: bool, need_hist: bool):
+    """Certified tau for ``topk_where``: only chunks the predicate
+    classifier marks 'in' can count toward "at least k predicate-
+    satisfying values are certainly >= tau" (a 'dec' chunk's rows may
+    fail the predicate, so its n_values certifies nothing). The ranked
+    column's own soundness rules still apply: nullable → no tau
+    (fillers ride the maps); float chunks without a full histogram
+    drop from the accumulation (NaN rows never rank) — every drop only
+    LOWERS the certified tau, i.e. decodes more. Returns a
+    ``value_range`` spec or None (no certification — caller decodes
+    every non-'out' chunk)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if "val_min" not in manifest_df.columns:
+        return None
+    if _nullable_columns(manifest_df).filter(
+            F.col("column_name") == value_col).count():
+        return None
+    base = (
+        _stats_base(manifest_df)
+        .filter(F.col("column") == value_col)
+        .join(cls.filter(F.col("__cls") == "in").select("chunk_key"),
+              "chunk_key", "left_semi")
+        .filter(F.col("val_min").isNotNull())
+    )
+    if need_hist:
+        if "val_hist" not in manifest_df.columns:
+            return None
+        base = base.filter(F.col("val_hist").isNotNull())
+    bound = F.col("val_min") if descending else F.col("val_max")
+    cum = (
+        base.groupBy(bound.alias("b"))
+        .agg(F.sum("n_values").alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(
+            Window.orderBy(
+                F.col("b").desc() if descending else F.col("b").asc()
+            ).rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    agg = (F.max("b") if descending else F.min("b"))
+    tau = cum.filter(F.col("cum") >= k).agg(agg).collect()[0][0]
+    if tau is None:
+        return None
+    return ((value_col, float(tau), float("inf")) if descending
+            else (value_col, float("-inf"), float(tau)))
+
+
+def topk_where(manifest_df, out_schema, value_col: str, k: int,
+               where=None, where_in=None, descending: bool = True,
+               columns=None, extra_order=()):
+    """TOP-K within a slice: the ``k`` rows with the largest (or
+    smallest) non-null ``value_col`` AMONG the rows satisfying
+    ``where``/``where_in`` — ``SELECT ... WHERE ... ORDER BY v LIMIT
+    k``, the filtered-leaderboard shape. Composes the two prunes:
+    chunks the predicate classifier proves 'out' never open; the
+    certified tau accumulates over 'in' chunks only (only their rows
+    certainly satisfy the predicate, see ``_topk_threshold_where``)
+    and the value zone maps then exclude every remaining chunk whose
+    extreme cannot reach tau. The decode applies the exact predicate
+    filters and an exact ORDER BY ... LIMIT k finishes
+    (TakeOrderedAndProject). On a layout clustered by (predicate,
+    value) a 100 TB sliced leaderboard opens O(k / chunk_rows + #
+    boundary) chunks; certification degrades to decoding every
+    non-'out' chunk, never lies. ``columns=`` must include the
+    predicate columns, ``value_col``'s top-level field, and the
+    tie-breaks (same contract as ``topk_table``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+    schema = (out_schema if isinstance(out_schema, pa.Schema)
+              else to_arrow_schema(out_schema))
+    t, expr = _topk_check_args("topk_where", schema, value_col, k)
+    specs, cond, satisfiable = _where_specs(schema, where)
+    in_specs, in_cond = _where_in_specs(schema, where_in)
+    if not specs and not in_specs:
+        raise ValueError("topk_where needs where= and/or where_in= — "
+                         "for the unfiltered leaderboard use topk_table")
+    cond = (cond & in_cond if cond is not None and in_cond is not None
+            else (in_cond if cond is None else cond))
+    if not satisfiable:
+        proj_schema, _ = _project_out_schema(schema, columns)
+        return manifest_df.sparkSession.createDataFrame(
+            [], from_arrow_schema(proj_schema, prefer_timestamp_ntz=True))
+    cls = _count_where_classify(manifest_df, schema, specs, in_specs)
+    out_keys = cls.filter(F.col("__cls") == "out").select("chunk_key")
+    m2 = manifest_df.join(out_keys, "chunk_key", "left_anti")
+    vr = _topk_threshold_where(manifest_df, cls, value_col, k,
+                               descending,
+                               need_hist=pa.types.is_floating(t))
+    dec = decode_table(m2, schema, columns=columns, value_range=vr)
+    dec = dec.filter(cond)
+    return _topk_exact_tail(dec, expr, pa.types.is_floating(t),
+                            descending, extra_order, k)
+
+
 def topk_checkpoint(spark, ckpt_dir: str, value_col: str, k: int,
                     out_schema=None, descending: bool = True,
                     columns=None, extra_order=(), as_of=None):

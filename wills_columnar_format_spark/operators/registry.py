@@ -2068,6 +2068,37 @@ ORACLE_WHERE_PUSHDOWN_CHECKPOINT = (
 )
 
 
+def q_topk_where_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered leaderboard (engine.topk_where): the 30 highest-value
+    events OF ONE TYPE — ``WHERE event_type = … ORDER BY value DESC
+    LIMIT 30`` composing both prunes: predicate-'out' chunks never
+    open (string zone maps on the type-clustered layout), the
+    certified tau accumulates over predicate-'in' chunks only, and
+    the value zone maps then drop every chunk whose max can't reach
+    tau. Exact ORDER BY ... LIMIT finishes as TakeOrderedAndProject."""
+    from ..engine import encode_table, topk_where
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cl = (df.repartitionByRange(8, "event_type", "value")
+          .sortWithinPartitions("event_type", "value"))
+    m = (encode_table(cl, key_col="event_id", codec="auto",
+                      partitioner="none", chunk_rows=1024,
+                      histograms=True).localCheckpoint(eager=True))
+    out = topk_where(m, df.schema, "value", 30,
+                     where_in=("event_type", ["click"]),
+                     descending=True,
+                     columns=["event_id", "event_type", "value"],
+                     extra_order=("event_id",))
+    return out.select("event_id", "event_type", "value")
+
+
+ORACLE_TOPK_WHERE_SCAN = (
+    "SELECT event_id, event_type, value FROM events "
+    "WHERE event_type = 'click' AND value IS NOT NULL "
+    "AND NOT isnan(value) ORDER BY value DESC, event_id LIMIT 30"
+)
+
+
 def q_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-NATIVE access through the `wcfs` Spark Python DataSource
     (datasource.py): documents are written with
@@ -3731,6 +3762,7 @@ REGISTRY: dict[str, tuple] = {
     "group_stats_pushdown": (q_group_stats_pushdown, DUCK_GROUP_STATS_PUSHDOWN),
     "group_where_pushdown": (q_group_where_pushdown, DUCK_GROUP_WHERE_PUSHDOWN),
     "lang_slice_pushdown": (q_lang_slice_pushdown, ORACLE_LANG_SLICE_PUSHDOWN),
+    "topk_where_scan": (q_topk_where_scan, ORACLE_TOPK_WHERE_SCAN),
     "ndv_estimate": (q_ndv_estimate, DUCK_NDV_ESTIMATE),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
