@@ -286,6 +286,7 @@ def _registry_benches(spark, sf_dir: str):
         "group_where_pushdown",
         "lang_slice_pushdown",
         "topk_where_scan",
+        "topk_where_checkpoint",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

@@ -292,3 +292,59 @@ def test_topk_where_empty_and_validation(spark, sliced):
         topk_where(m, df.schema, "v", 5)
     with pytest.raises(TypeError):
         topk_where(m, df.schema, "lang", 5, where=("v", 0, 1))
+
+
+def test_topk_where_checkpoint_exact(spark, sliced, tmp_path):
+    from wills_columnar_format_spark.engine import (
+        delete_keys_checkpoint, topk_where_checkpoint, write_checkpoint)
+
+    df, m = sliced
+    d = str(tmp_path / "twc")
+    write_checkpoint(m, d, schema=df.schema)
+    got = [(r["v"], r["id"]) for r in
+           topk_where_checkpoint(spark, d, "v", 25,
+                                 where_in=("lang", ["en"]),
+                                 extra_order=("id",))
+           .select("v", "id").collect()]
+    assert got == _exact_topk_where(df, F.col("lang") == "en", "v", 25)
+    # ascending + range predicate on the float column
+    got = [(r["f"], r["id"]) for r in
+           topk_where_checkpoint(spark, d, "f", 25,
+                                 where=("v", 600, 4000),
+                                 descending=False, extra_order=("id",))
+           .select("f", "id").collect()]
+    assert got == _exact_topk_where(df, F.col("v").between(600, 4000),
+                                    "f", 25, descending=False)
+    # deletes apply; as_of=0 restores the pre-delete leaderboard
+    delete_keys_checkpoint(spark, d, list(range(100, 200)), key_col="id")
+    live = df.filter(~F.col("id").between(100, 199))
+    got = [(r["v"], r["id"]) for r in
+           topk_where_checkpoint(spark, d, "v", 25,
+                                 where_in=("lang", ["fr"]),
+                                 extra_order=("id",))
+           .select("v", "id").collect()]
+    assert got == _exact_topk_where(live, F.col("lang") == "fr", "v", 25)
+    got0 = [(r["v"], r["id"]) for r in
+            topk_where_checkpoint(spark, d, "v", 25,
+                                  where_in=("lang", ["fr"]),
+                                  extra_order=("id",), as_of=0)
+            .select("v", "id").collect()]
+    assert got0 == _exact_topk_where(df, F.col("lang") == "fr", "v", 25)
+
+
+def test_topk_where_checkpoint_over_cap(spark, sliced, tmp_path,
+                                        monkeypatch):
+    from wills_columnar_format_spark import engine
+    from wills_columnar_format_spark.engine import (
+        topk_where_checkpoint, write_checkpoint)
+
+    df, m = sliced
+    d = str(tmp_path / "twc_cap")
+    write_checkpoint(m, d, schema=df.schema)
+    monkeypatch.setattr(engine, "VALUE_PRUNE_MAX_KEYS", 1)
+    got = [(r["v"], r["id"]) for r in
+           topk_where_checkpoint(spark, d, "v", 10,
+                                 where_in=("lang", ["en"]),
+                                 extra_order=("id",))
+           .select("v", "id").collect()]
+    assert got == _exact_topk_where(df, F.col("lang") == "en", "v", 10)

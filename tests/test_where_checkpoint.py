@@ -163,3 +163,23 @@ def test_pending_marker_refused(spark, ckpt, tmp_path):
                             "before": []}))
     with pytest.raises(IOError, match="_mutation_pending"):
         count_where_checkpoint(spark, pend, ("v", 0, 1))
+
+
+def test_restriction_map_excludes_sidecar_files(spark, ckpt):
+    # deletion sidecars share the chunk_key of their target chunk; the
+    # restriction map must never route a sidecar FILE into the per-file
+    # data reader (sidecars are delivered out-of-band)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    df, d = ckpt  # the module fixture already has deletes appended
+    mdf = spark.read.parquet(d)
+    schema = to_arrow_schema(df.schema)
+    cls = _count_where_classify(mdf, schema, [("v", 0, 10**9)])
+    rc = _collect_chunk_files(mdf, cls.filter(F.col("__cls") != "out"))
+    assert rc
+    sidecar_files = {
+        r["f"] for r in
+        mdf.filter(F.col("column").startswith("__deletes__"))
+        .select(F.input_file_name().alias("f")).distinct().collect()}
+    assert sidecar_files  # fixture really has sidecars
+    assert not (set(rc) & sidecar_files)

@@ -8596,6 +8596,73 @@ def topk_checkpoint(spark, ckpt_dir: str, value_col: str, k: int,
                             descending, extra_order, k)
 
 
+def topk_where_checkpoint(spark, ckpt_dir: str, value_col: str, k: int,
+                          where=None, where_in=None, out_schema=None,
+                          descending: bool = True, columns=None,
+                          extra_order=(), as_of=None):
+    """``topk_where`` over a PERSISTED checkpoint: the filtered
+    leaderboard on disk. Both prune dimensions come from a blob-free
+    metadata projection — the predicate classifier names the chunks
+    that can hold satisfying rows, the 'in'-accumulated tau names the
+    chunks whose values can reach the answer — and their intersection
+    rides ``decode_checkpoint(_restrict_chunks=…)``'s zero-Exchange
+    per-file reader: only those chunks' files open. Past
+    VALUE_PRUNE_MAX_KEYS surviving chunks the restriction drops and
+    one tau-pruned decode answers (same rows). Degrades exactly as
+    ``topk_where`` documents; ``as_of`` composes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    _raise_if_pending(ckpt_dir)
+    schema = _where_ckpt_schema(ckpt_dir, out_schema)
+    t, expr = _topk_check_args("topk_where_checkpoint", schema,
+                               value_col, k)
+    specs, cond, satisfiable = _where_specs(schema, where)
+    in_specs, in_cond = _where_in_specs(schema, where_in)
+    if not specs and not in_specs:
+        raise ValueError(
+            "topk_where_checkpoint needs where= and/or where_in= — for "
+            "the unfiltered leaderboard use topk_checkpoint")
+    cond = (cond & in_cond if cond is not None and in_cond is not None
+            else (in_cond if cond is None else cond))
+    mdf = (_ckpt_manifest_frame(spark, ckpt_dir, as_of)
+           if satisfiable else None)
+    if mdf is None:
+        proj_schema, _ = _project_out_schema(schema, columns)
+        return spark.createDataFrame(
+            [], from_arrow_schema(proj_schema, prefer_timestamp_ntz=True))
+    cls = _count_where_classify(mdf, schema, specs, in_specs)
+    vr = _topk_threshold_where(mdf, cls, value_col, k, descending,
+                               need_hist=pa.types.is_floating(t))
+    keep = cls.filter(F.col("__cls") != "out").select("chunk_key")
+    if vr is not None:
+        # zone-reach on the ranked column: chunks whose widened extreme
+        # cannot reach tau drop; NULL maps and chunks missing the
+        # column's row keep conservatively (left join + coalesce)
+        _, lo, hi = vr
+        vb = (_stats_base(mdf).filter(F.col("column") == value_col)
+              .select("chunk_key",
+                      F.col("val_min").alias("__zlo"),
+                      F.col("val_max").alias("__zhi")))
+        reach = (F.col("__zhi").isNull() | (F.col("__zhi") >= F.lit(lo))
+                 if descending else
+                 F.col("__zlo").isNull() | (F.col("__zlo") <= F.lit(hi)))
+        keep = (keep.join(vb, "chunk_key", "left")
+                .filter(F.coalesce(reach, F.lit(True)))
+                .select("chunk_key"))
+    restrict = _collect_chunk_files(mdf, keep)
+    if restrict is None:  # over cap: tau-pruned full pass, same rows
+        dec = decode_checkpoint(spark, ckpt_dir, schema, columns=columns,
+                                value_range=vr,
+                                value_in=_vi_arg(in_specs), as_of=as_of)
+    else:
+        dec = decode_checkpoint(spark, ckpt_dir, schema, columns=columns,
+                                as_of=as_of, _restrict_chunks=restrict)
+    dec = dec.filter(cond)
+    return _topk_exact_tail(dec, expr, pa.types.is_floating(t),
+                            descending, extra_order, k)
+
+
 def _f_le(x):
     """Greatest float64 <= x (directional cast for zone comparisons —
     int↔float comparison in Python is exact, so the guard never
@@ -9090,7 +9157,12 @@ def _collect_chunk_files(mdf, keys_df, cap=None):
         return {}
     kdf = mdf.sparkSession.createDataFrame(
         [(r["chunk_key"],) for r in krows], "chunk_key string")
-    rows = (mdf.select("chunk_key", F.input_file_name().alias("__file"))
+    # data-file rows only: deletion sidecars and done markers share the
+    # chunk_key but live in files the per-file reader must NOT open as
+    # data (decode_checkpoint delivers sidecars out-of-band)
+    rows = (mdf.filter((F.col("column") != DONE_COLUMN)
+                       & ~F.col("column").startswith(DELETES_PREFIX))
+            .select("chunk_key", F.input_file_name().alias("__file"))
             .join(F.broadcast(kdf), "chunk_key", "left_semi")
             .distinct().collect())
     out: dict = {}

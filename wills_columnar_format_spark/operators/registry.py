@@ -2099,6 +2099,49 @@ ORACLE_TOPK_WHERE_SCAN = (
 )
 
 
+def q_topk_where_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered leaderboard over a PERSISTED checkpoint
+    (engine.topk_where_checkpoint): both prune dimensions — the
+    predicate classifier's non-'out' set and the 'in'-accumulated tau's
+    zone-reach set — intersect into an explicit chunk restriction that
+    rides decode_checkpoint's zero-Exchange per-file reader; only those
+    chunks' files open. Ascending (the 30 SMALLEST purchase values):
+    the tau flips to an upper bound and the prune walks the other end
+    of the (type, value)-clustered layout."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import encode_table, topk_where_checkpoint, write_checkpoint
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cl = (df.repartitionByRange(8, "event_type", "value")
+          .sortWithinPartitions("event_type", "value"))
+    work = tempfile.mkdtemp(prefix="wcfs_topk_where_ckpt_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        m = encode_table(cl, key_col="event_id", codec="auto",
+                         partitioner="none", chunk_rows=1024,
+                         histograms=True)
+        write_checkpoint(m, ckpt, schema=df.schema)
+        out = topk_where_checkpoint(
+            spark, ckpt, "value", 30, where_in=("event_type", ["purchase"]),
+            descending=False,
+            columns=["event_id", "event_type", "value"],
+            extra_order=("event_id",))
+        return (out.select("event_id", "event_type", "value")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+ORACLE_TOPK_WHERE_CHECKPOINT = (
+    "SELECT event_id, event_type, value FROM events "
+    "WHERE event_type = 'purchase' AND value IS NOT NULL "
+    "AND NOT isnan(value) ORDER BY value ASC, event_id LIMIT 30"
+)
+
+
 def q_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-NATIVE access through the `wcfs` Spark Python DataSource
     (datasource.py): documents are written with
@@ -3763,6 +3806,8 @@ REGISTRY: dict[str, tuple] = {
     "group_where_pushdown": (q_group_where_pushdown, DUCK_GROUP_WHERE_PUSHDOWN),
     "lang_slice_pushdown": (q_lang_slice_pushdown, ORACLE_LANG_SLICE_PUSHDOWN),
     "topk_where_scan": (q_topk_where_scan, ORACLE_TOPK_WHERE_SCAN),
+    "topk_where_checkpoint": (q_topk_where_checkpoint,
+                              ORACLE_TOPK_WHERE_CHECKPOINT),
     "ndv_estimate": (q_ndv_estimate, DUCK_NDV_ESTIMATE),
     "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "roundtrip_checkpoint": (q_roundtrip_checkpoint, ORACLE_ROUNDTRIP_DOCUMENTS),
