@@ -219,3 +219,32 @@ def test_where_in_nullable_lang_exact(spark):
     got = count_where(m, df.schema,
                       where_in=("lang", ["en"])).collect()[0]["n_rows"]
     assert got == df.filter(F.col("lang") == "en").count()
+
+
+def test_unpinned_inflight_manifest_is_exact(spark):
+    # the classifier and the decode semi-join on content-derived
+    # chunk_keys: an in-flight encode with the nondeterministic range
+    # sampler MUST be pinned internally (review finding, round 4) —
+    # no caller-side localCheckpoint here on purpose
+    df = spark.createDataFrame(
+        [(i, i * 3) for i in range(3000)], "id long, v long")
+    m = encode_table(df, key_col="id", num_partitions=4, chunk_rows=128)
+    exp = df.filter(F.col("v").between(1000, 5000)).count()
+    assert _n(count_where(m, df.schema, ("v", 1000, 5000))) == exp
+
+
+def test_out_of_int64_bounds_never_crash(spark, clustered):
+    df, m = clustered
+    # a range entirely past int64: provably empty, and the literal
+    # must never be built (F.lit(2^63) raises NumberFormatException)
+    assert _n(count_where(m, df.schema, ("v", 2**63, 2**64))) == 0
+    assert _n(count_where(m, df.schema, ("v", -(2**64), -(2**63) - 1))) == 0
+    # one bound out of range, range still satisfiable: clamps, exact
+    assert _n(count_where(m, df.schema, ("v", -(2**70), 2**70))) \
+        == df.count()
+    # IN probes outside int64 drop (can't match); all-dropped -> 0
+    assert _n(count_where(m, df.schema,
+                          where_in=("v", [2**63 + 5]))) == 0
+    assert _n(count_where(m, df.schema,
+                          where_in=("v", [2**63 + 5, 300]))) \
+        == df.filter(F.col("v") == 300).count()

@@ -183,3 +183,23 @@ def test_restriction_map_excludes_sidecar_files(spark, ckpt):
         .select(F.input_file_name().alias("f")).distinct().collect()}
     assert sidecar_files  # fixture really has sidecars
     assert not (set(rc) & sidecar_files)
+
+
+def test_added_default_column_predicate_counts(spark, ckpt, tmp_path):
+    from wills_columnar_format_spark.engine import (
+        add_column_checkpoint, checkpoint_history)
+
+    df, d = ckpt
+    dst = str(tmp_path / "added")
+    write_checkpoint(spark.read.parquet(d).filter(
+        ~F.col("column").startswith("__deletes__")), dst,
+        schema=df.schema)
+    add_column_checkpoint(dst, "flag", "long", default=5)
+    # predicate purely on the metadata-only added column: every chunk
+    # decodes (no manifest rows), the projection must self-anchor with
+    # a stored column instead of tripping the all-added guard
+    n = df.count()
+    assert _count(spark, dst, ("flag", 0, 10)) == n
+    assert _count(spark, dst, ("flag", 6, 10)) == 0
+    s = _sum(spark, dst, "flag", ("flag", 0, 10))
+    assert s[:3] == (n, n, 5 * n)

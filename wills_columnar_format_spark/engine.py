@@ -8409,6 +8409,11 @@ def topk_table(manifest_df, out_schema, value_col: str, k: int,
     temporal/decimal specs reject by design.
     """
     t, expr = _topk_check_args("topk_table", out_schema, value_col, k)
+    # pin an in-flight encode lineage ONCE: threshold gate + cum +
+    # decode otherwise re-run the encode, and a nondeterministic range
+    # sampler would desync the tau metadata from the decoded chunks
+    if not _cheap_rescan(manifest_df):
+        manifest_df = manifest_df.localCheckpoint(eager=True)
     vr = _topk_threshold(manifest_df, value_col, k, descending,
                          need_hist=pa.types.is_floating(t))
     out = decode_table(manifest_df, out_schema, columns=columns,
@@ -8523,7 +8528,8 @@ def topk_where(manifest_df, out_schema, value_col: str, k: int,
               else to_arrow_schema(out_schema))
     t, expr = _topk_check_args("topk_where", schema, value_col, k)
     specs, cond, satisfiable = _where_specs(schema, where)
-    in_specs, in_cond = _where_in_specs(schema, where_in)
+    in_specs, in_cond, in_sat = _where_in_specs(schema, where_in)
+    satisfiable = satisfiable and in_sat
     if not specs and not in_specs:
         raise ValueError("topk_where needs where= and/or where_in= — "
                          "for the unfiltered leaderboard use topk_table")
@@ -8533,6 +8539,10 @@ def topk_where(manifest_df, out_schema, value_col: str, k: int,
         proj_schema, _ = _project_out_schema(schema, columns)
         return manifest_df.sparkSession.createDataFrame(
             [], from_arrow_schema(proj_schema, prefer_timestamp_ntz=True))
+    # pin an in-flight encode lineage ONCE (see count_where); also
+    # saves the 3-4 re-evaluations the classifier + tau + decode cost
+    if not _cheap_rescan(manifest_df):
+        manifest_df = manifest_df.localCheckpoint(eager=True)
     cls = _count_where_classify(manifest_df, schema, specs, in_specs)
     out_keys = cls.filter(F.col("__cls") == "out").select("chunk_key")
     m2 = manifest_df.join(out_keys, "chunk_key", "left_anti")
@@ -8618,7 +8628,8 @@ def topk_where_checkpoint(spark, ckpt_dir: str, value_col: str, k: int,
     t, expr = _topk_check_args("topk_where_checkpoint", schema,
                                value_col, k)
     specs, cond, satisfiable = _where_specs(schema, where)
-    in_specs, in_cond = _where_in_specs(schema, where_in)
+    in_specs, in_cond, in_sat = _where_in_specs(schema, where_in)
+    satisfiable = satisfiable and in_sat
     if not specs and not in_specs:
         raise ValueError(
             "topk_where_checkpoint needs where= and/or where_in= — for "
@@ -8827,6 +8838,23 @@ def _count_where_classify(manifest_df, out_schema, specs, in_specs=()):
     )
 
 
+def _anchor_proj(schema, proj):
+    """Ensure a decode projection carries at least one STORED column:
+    metadata-only ADDED columns (add_column_checkpoint) have no
+    manifest rows to anchor row counts, and both decode paths refuse
+    an all-added projection — a predicate purely on an added column
+    must still count. Appends the first stored top-level field when
+    every projected column is added (no stored column at all: let the
+    decode raise its own clear error)."""
+    added = _added_defaults(schema)
+    if not added or any(c not in added for c in proj):
+        return proj
+    for f in schema:
+        if f.name not in added:
+            return sorted(set(proj) | {f.name})
+    return proj
+
+
 def count_where(manifest_df, out_schema, where=None, where_in=None):
     """COUNT pushdown: ``SELECT count(*) WHERE <predicates>`` as a
     1-row DataFrame ``(n_rows long)``, answered hybrid — chunks the
@@ -8860,7 +8888,8 @@ def count_where(manifest_df, out_schema, where=None, where_in=None):
     schema = (out_schema if isinstance(out_schema, pa.Schema)
               else to_arrow_schema(out_schema))
     specs, cond, satisfiable = _where_specs(schema, where)
-    in_specs, in_cond = _where_in_specs(schema, where_in)
+    in_specs, in_cond, in_sat = _where_in_specs(schema, where_in)
+    satisfiable = satisfiable and in_sat
     if not specs and not in_specs:
         raise ValueError("count_where needs where= and/or where_in=")
     cond = (cond & in_cond if cond is not None and in_cond is not None
@@ -8869,13 +8898,20 @@ def count_where(manifest_df, out_schema, where=None, where_in=None):
         return (manifest_df.sparkSession.range(1)
                 .select(F.lit(0).cast("long").alias("n_rows")))
 
+    # pin an in-flight encode lineage ONCE: the classifier and the
+    # decode below re-evaluate the manifest, and the default range
+    # partitioner's sampler is nondeterministic — drifted chunk
+    # boundaries would silently desync the semi-joined chunk_keys
+    if not _cheap_rescan(manifest_df):
+        manifest_df = manifest_df.localCheckpoint(eager=True)
     cls = _count_where_classify(manifest_df, schema, specs, in_specs)
     meta = (cls.filter(F.col("__cls") == "in")
             .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows")))
     dec_keys = cls.filter(F.col("__cls") == "dec").select("chunk_key")
     dec_manifest = manifest_df.join(dec_keys, "chunk_key", "left_semi")
-    proj = sorted({s[0].split("#", 1)[0] for s in specs}
-                  | {s[0].split("#", 1)[0] for s in in_specs})
+    proj = _anchor_proj(schema, sorted(
+        {s[0].split("#", 1)[0] for s in specs}
+        | {s[0].split("#", 1)[0] for s in in_specs}))
     dec = (decode_table(dec_manifest, schema, columns=proj)
            .filter(cond).agg(F.count(F.lit(1)).alias("n_rows")))
     return (meta.unionByName(dec)
@@ -8921,9 +8957,13 @@ def _where_specs(schema, where):
             satisfiable = False
         if pa.types.is_integer(t):
             lo, hi = math.ceil(lo), math.floor(hi)
-            if lo > hi:
+            # a range entirely outside int64 is EMPTY, and an
+            # out-of-int64 literal would crash F.lit — detect
+            # emptiness BEFORE clamping both bounds into range
+            if lo > hi or lo > i64[1] or hi < i64[0]:
                 satisfiable = False
-            lo, hi = max(lo, i64[0]), min(hi, i64[1])
+            lo = min(max(lo, i64[0]), i64[1])
+            hi = min(max(hi, i64[0]), i64[1])
         else:
             lo, hi = float(lo), float(hi)
         norm.append((c, lo, hi))
@@ -8934,18 +8974,23 @@ def _where_specs(schema, where):
 
 def _where_in_specs(schema, where_in):
     """Validate ``where_in`` IN-list specs for the hybrid pushdowns.
-    Returns ``(in_specs, cond)``: normalized ``(column, [values])``
-    pairs and the AND-combined exact ``isin`` filter. String columns
-    take string probes; int/float columns take finite numeric probes
-    (NaN/inf/bool rejected — SQL IN never matches NaN anyway)."""
+    Returns ``(in_specs, cond, satisfiable)``: normalized
+    ``(column, [values])`` pairs, the AND-combined exact ``isin``
+    filter, and False when a spec provably matches nothing. String
+    columns take string probes; int/float columns take finite numeric
+    probes (NaN/inf/bool rejected — SQL IN never matches NaN anyway).
+    Probes outside int64 are DROPPED for integer columns (they cannot
+    match, and their literals would not even build); a spec emptied
+    this way makes the whole conjunction unsatisfiable."""
     from pyspark.sql import functions as F
 
     if where_in is None:
-        return [], None
+        return [], None, True
     specs = list(where_in) if isinstance(where_in, list) else [where_in]
     if not specs:
         raise ValueError("need at least one (column, [values]) IN spec")
-    out, cond = [], None
+    i64 = (-(2 ** 63), 2 ** 63 - 1)
+    out, cond, satisfiable = [], None, True
     for s in specs:
         if not (isinstance(s, tuple) and len(s) == 2):
             raise TypeError(
@@ -8969,6 +9014,13 @@ def _where_in_specs(schema, where_in):
                     raise TypeError(
                         f"IN values for {c!r} must be finite numbers, "
                         f"got {v!r}")
+            if pa.types.is_integer(t):
+                values = [v for v in values
+                          if not (isinstance(v, int)
+                                  and not i64[0] <= v <= i64[1])]
+                if not values:
+                    satisfiable = False
+                    values = [0]  # placeholder literal, never evaluated
         else:
             raise TypeError(
                 f"IN predicates take string/int/float columns; {c!r} "
@@ -8976,7 +9028,7 @@ def _where_in_specs(schema, where_in):
         out.append((c, values))
         e = expr.isin(values)
         cond = e if cond is None else cond & e
-    return out, cond
+    return out, cond, satisfiable
 
 
 def sum_where(manifest_df, out_schema, sum_col, where=None,
@@ -9017,7 +9069,8 @@ def sum_where(manifest_df, out_schema, sum_col, where=None,
             f"sum_where sums INTEGER columns (exact, order-independent);"
             f" {sum_col!r} is {st} — decode and sum explicitly")
     specs, cond, satisfiable = _where_specs(schema, where)
-    in_specs, in_cond = _where_in_specs(schema, where_in)
+    in_specs, in_cond, in_sat = _where_in_specs(schema, where_in)
+    satisfiable = satisfiable and in_sat
     if not specs and not in_specs:
         raise ValueError("sum_where needs where= and/or where_in=")
     cond = (cond & in_cond if cond is not None and in_cond is not None
@@ -9029,15 +9082,19 @@ def sum_where(manifest_df, out_schema, sum_col, where=None,
     if not satisfiable:
         return manifest_df.sparkSession.range(1).select(*empty)
 
+    # pin an in-flight encode lineage ONCE (see count_where)
+    if not _cheap_rescan(manifest_df):
+        manifest_df = manifest_df.localCheckpoint(eager=True)
     cls = _count_where_classify(manifest_df, schema, specs, in_specs)
     d, meta_ok = _sum_meta_frame(manifest_df, cls, sum_col)
     meta = _sum_meta_agg(d, meta_ok)
     dec_keys = (d.filter(~meta_ok & (F.col("__cls") != "out"))
                 .select("chunk_key"))
     dec_manifest = manifest_df.join(dec_keys, "chunk_key", "left_semi")
-    proj = sorted({s[0].split("#", 1)[0] for s in specs}
-                  | {s[0].split("#", 1)[0] for s in in_specs}
-                  | {sum_col.split("#", 1)[0]})
+    proj = _anchor_proj(schema, sorted(
+        {s[0].split("#", 1)[0] for s in specs}
+        | {s[0].split("#", 1)[0] for s in in_specs}
+        | {sum_col.split("#", 1)[0]}))
     dec = _sum_dec_agg(
         decode_table(dec_manifest, schema, columns=proj), cond, sexpr)
     return _sum_finish(meta.unionByName(dec))
@@ -9189,7 +9246,8 @@ def count_where_checkpoint(spark, ckpt_dir: str, where=None,
     _raise_if_pending(ckpt_dir)
     schema = _where_ckpt_schema(ckpt_dir, out_schema)
     specs, cond, satisfiable = _where_specs(schema, where)
-    in_specs, in_cond = _where_in_specs(schema, where_in)
+    in_specs, in_cond, in_sat = _where_in_specs(schema, where_in)
+    satisfiable = satisfiable and in_sat
     if not specs and not in_specs:
         raise ValueError(
             "count_where_checkpoint needs where= and/or where_in=")
@@ -9202,8 +9260,9 @@ def count_where_checkpoint(spark, ckpt_dir: str, where=None,
     if mdf is None:
         return zero
     cls = _count_where_classify(mdf, schema, specs, in_specs)
-    proj = sorted({s[0].split("#", 1)[0] for s in specs}
-                  | {s[0].split("#", 1)[0] for s in in_specs})
+    proj = _anchor_proj(schema, sorted(
+        {s[0].split("#", 1)[0] for s in specs}
+        | {s[0].split("#", 1)[0] for s in in_specs}))
     restrict = _collect_chunk_files(
         mdf, cls.filter(F.col("__cls") == "dec"))
     if restrict is None:  # over cap: one exact pruned pass, no split
@@ -9259,7 +9318,8 @@ def sum_where_checkpoint(spark, ckpt_dir: str, sum_col: str, where=None,
             f"independent); {sum_col!r} is {st} — decode and sum "
             "explicitly")
     specs, cond, satisfiable = _where_specs(schema, where)
-    in_specs, in_cond = _where_in_specs(schema, where_in)
+    in_specs, in_cond, in_sat = _where_in_specs(schema, where_in)
+    satisfiable = satisfiable and in_sat
     if not specs and not in_specs:
         raise ValueError(
             "sum_where_checkpoint needs where= and/or where_in=")
@@ -9275,9 +9335,10 @@ def sum_where_checkpoint(spark, ckpt_dir: str, sum_col: str, where=None,
         return spark.range(1).select(*empty)
     cls = _count_where_classify(mdf, schema, specs, in_specs)
     d, meta_ok = _sum_meta_frame(mdf, cls, sum_col)
-    proj = sorted({s[0].split("#", 1)[0] for s in specs}
-                  | {s[0].split("#", 1)[0] for s in in_specs}
-                  | {sum_col.split("#", 1)[0]})
+    proj = _anchor_proj(schema, sorted(
+        {s[0].split("#", 1)[0] for s in specs}
+        | {s[0].split("#", 1)[0] for s in in_specs}
+        | {sum_col.split("#", 1)[0]}))
     restrict = _collect_chunk_files(
         mdf, d.filter(~meta_ok & (F.col("__cls") != "out")))
     if restrict is None:  # over cap: one exact pruned pass, no split
@@ -9352,7 +9413,8 @@ def _group_pure_cond(t: pa.DataType):
 
 
 def _grouped_split(manifest_df, out_schema, group_col, value_col,
-                   value_cond, value_cols, nullable_value_ok=True):
+                   value_cond, value_cols, nullable_value_ok=True,
+                   pin=True):
     """Shared scaffolding for the grouped pushdowns: classify every
     chunk as PURE (group constant by zone map, value stats usable,
     no nulls in the group, no deletion mask) or MIXED, and return
@@ -9388,8 +9450,11 @@ def _grouped_split(manifest_df, out_schema, group_col, value_col,
 
     # the classification + decode below re-evaluate the manifest: pin
     # an in-flight encode lineage once (persisted manifests re-scan
-    # for pennies and skip this)
-    if not _cheap_rescan(manifest_df):
+    # for pennies and skip this; pin=False when the caller already
+    # pinned — a localCheckpoint plan reads as LogicalRDD, which
+    # _cheap_rescan can't certify, and double-pinning would copy every
+    # blob into executor storage twice)
+    if pin and not _cheap_rescan(manifest_df):
         manifest_df = manifest_df.localCheckpoint(eager=True)
 
     body = manifest_df.filter(
@@ -9647,7 +9712,8 @@ def _grouped_where_split(manifest_df, out_schema, group_col, value_col,
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
     specs, cond, satisfiable = _where_specs(out_schema, where)
-    in_specs, in_cond = _where_in_specs(out_schema, where_in)
+    in_specs, in_cond, in_sat = _where_in_specs(out_schema, where_in)
+    satisfiable = satisfiable and in_sat
     if not specs and not in_specs:
         raise ValueError(
             "grouped where pushdown needs where= and/or where_in=")
@@ -9664,7 +9730,7 @@ def _grouped_where_split(manifest_df, out_schema, group_col, value_col,
     pure, _, g_type, out_schema = _grouped_split(
         manifest_df, out_schema, group_col, value_col,
         value_cond=value_cond, value_cols=value_cols,
-        nullable_value_ok=nullable_value_ok)
+        nullable_value_ok=nullable_value_ok, pin=False)
     cls = _count_where_classify(manifest_df, out_schema, specs, in_specs)
     in_keys = cls.filter(F.col("__cls") == "in").select("chunk_key")
     out_keys = cls.filter(F.col("__cls") == "out").select("chunk_key")
