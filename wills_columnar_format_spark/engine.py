@@ -1576,8 +1576,24 @@ def _apply_deletes(rb: pa.RecordBatch, delete_blobs) -> pa.RecordBatch:
     return rb.filter(pa.array(keep))
 
 
+ROW_CHUNK_COL = "__row_chunk"
+ROW_POS_COL = "__row_pos"
+
+
+def _rowmeta_schema(out_schema: pa.Schema) -> pa.Schema:
+    """``out_schema`` plus the per-row physical address columns
+    ``emit_rowmeta`` decodes append: the owning chunk_key and the row's
+    PRE-MASK position within that chunk (the coordinate system deletion
+    -vector sidecars speak)."""
+    return pa.schema(list(out_schema) + [
+        pa.field(ROW_CHUNK_COL, pa.string()),
+        pa.field(ROW_POS_COL, pa.int64()),
+    ])
+
+
 def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False,
-                   extra_deletes=None, defaults=None):
+                   extra_deletes=None, defaults=None,
+                   emit_rowmeta: bool = False):
     """mapInArrow decode over manifest rows, grouped by chunk_key.
 
     Requires rows of one chunk_key group to be contiguous in the stream —
@@ -1601,6 +1617,13 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False,
     for such a field rebuilds it as a constant/null array of the
     chunk's row count (``pa.repeat`` — vectorized, no I/O). Fields
     outside ``defaults`` keep the hard missing-sub-column diagnostics.
+
+    ``emit_rowmeta`` appends two address columns to every decoded row —
+    ``__row_chunk`` (owning chunk_key) and ``__row_pos`` (position
+    within the chunk BEFORE mask application, the coordinate deletion
+    -vector sidecars use). Masks still apply, so the emitted rows are
+    the ALIVE rows labeled with their physical address — the carrier
+    the change feed's one-decode mask diff joins against.
     """
 
     # only the sub-columns the output schema references are decoded —
@@ -1719,6 +1742,13 @@ def make_decode_fn(out_schema: pa.Schema, verify_checksums: bool = False,
                     "dst) restores the clustered layout)"
                 ) from e
             rb = pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+            if emit_rowmeta:
+                rb = pa.RecordBatch.from_arrays(
+                    arrays + [
+                        pa.array([pending_key] * rb.num_rows, pa.string()),
+                        pa.array(np.arange(rb.num_rows, dtype=np.int64)),
+                    ],
+                    schema=_rowmeta_schema(out_schema))
             if dels:
                 rb = _apply_deletes(rb, dels)
             # stream cache-sized batches back to the JVM: one 16k-row chunk
@@ -2475,7 +2505,8 @@ def _filter_by_key_set(out, key_col, keys):
 def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                  assume_unique=False, arranged=False, columns=None,
                  legacy_nan_zonemaps=False, value_range=None, keys=None,
-                 value_in=None, contains=None, verify_checksums=False):
+                 value_in=None, contains=None, verify_checksums=False,
+                 _emit_rowmeta=False):
     """Decode a manifest back to the original rows (order not preserved
     globally; chunk-local order is exact — verify by joining on the key).
 
@@ -2748,10 +2779,11 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     else:
         n = max(1, manifest_df.select("part_id").rdd.getNumPartitions())
         grouped = manifest_df.repartition(n, "chunk_key").sortWithinPartitions("chunk_key", "column")
+    dec_schema = _rowmeta_schema(out_schema) if _emit_rowmeta else out_schema
     out = grouped.mapInArrow(
         make_decode_fn(out_schema, verify_checksums=verify_checksums,
-                       defaults=added or None),
-        schema=from_arrow_schema(out_schema, prefer_timestamp_ntz=True),
+                       defaults=added or None, emit_rowmeta=_emit_rowmeta),
+        schema=from_arrow_schema(dec_schema, prefer_timestamp_ntz=True),
     )
     if key_range is not None and key_col is not None:
         lo, hi = key_range
@@ -5726,6 +5758,63 @@ def _files_as_of(ckpt_dir: str, as_of: int) -> list[str]:
     return sorted(out)
 
 
+def _commit_has_rows(ckpt_dir: str, files: list[str], df,
+                     want_data: bool, _max_files: int = 64) -> bool:
+    """Does one commit's file set carry data rows (``want_data``) or
+    deletion-vector sidecar rows (``not want_data``)? Answered DRIVER-
+    SIDE from the files' ``column`` name column alone (blobs never
+    load, early exit on first hit) — a change-feed read over a window
+    of K commits previously paid 2K ``limit(1).count()`` Spark jobs
+    for these presence probes, pure fixed overhead at any scale. Falls
+    back to the distributed probe (``df.limit(1).count()``) past
+    ``_max_files`` files, where a serial driver loop would be the
+    slower path."""
+    if len(files) > _max_files:
+        return bool(df.limit(1).count())
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    fsys, p = _manifest_fs(ckpt_dir)
+    root = p.rstrip("/")
+    for b in files:
+        try:
+            col = pq.read_table(f"{root}/{b}", columns=["column"],
+                                filesystem=fsys).column("column")
+        except (OSError, ValueError, KeyError):
+            return bool(df.limit(1).count())
+        is_side = pc.starts_with(col, DELETES_PREFIX)
+        if want_data:
+            hit = pc.any(pc.and_(pc.invert(is_side),
+                                 pc.not_equal(col, DONE_COLUMN)))
+        else:
+            hit = pc.any(is_side)
+        if hit.as_py() or False:
+            return True
+    return False
+
+
+def _sidecar_positions(side_df):
+    """Explode deletion-vector sidecar manifest rows into
+    ``(chunk_key, pos)`` — one row per masked position, decoded from
+    the varint blobs executor-side (mapInArrow; volume is bounded by
+    the mutation that wrote the sidecars, never the table)."""
+
+    def fn(batches):
+        sch = pa.schema([("chunk_key", pa.string()), ("pos", pa.int64())])
+        for b in batches:
+            cks = b.column("chunk_key").to_pylist()
+            blobs = b.column("blob")
+            for i in range(b.num_rows):
+                pos = _decode_positions(blobs[i].as_py())
+                if len(pos):
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([cks[i]] * len(pos), pa.string()),
+                         pa.array(pos, pa.int64())], schema=sch)
+
+    return side_df.select("chunk_key", "blob").mapInArrow(
+        fn, schema="chunk_key string, pos long")
+
+
 def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
                  key_col: str | None = None, out_schema=None):
     """Change data feed over a logged checkpoint: every row the commits
@@ -5740,12 +5829,15 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
     key (Delta-CDF's update pre/post-image collapsed to the format's
     physical model: mask sidecars + one appended generation).
 
-    Deleted keys come from a PER-COMMIT SNAPSHOT DIFF of only the
-    masked chunks (decode each masked chunk's key sub-column with the
-    masks as of the previous commit vs as of this commit and subtract)
-    — re-deleting an already-dead key emits nothing, exactly like
-    Delta, and the work is O(masked chunks), not O(table). ``key_col``
-    is required only when the range contains delete/upsert commits.
+    Deleted keys come from a PER-COMMIT MASK DIFF of only the masked
+    chunks: ONE decode of their key sub-column under the previous
+    commit's masks, labeled with physical row addresses, joined
+    against the commit's own (mutation-sized) sidecar positions — a
+    key died here iff every alive address is newly masked. Re-deleting
+    an already-dead key emits nothing, exactly like Delta, and the
+    work is O(masked chunks) decode + O(mutation) join, not O(table).
+    ``key_col`` is required only when the range contains delete/upsert
+    commits.
 
     A ``replace`` commit (in-place ``optimize_checkpoint``) rewrites
     the current snapshot content-identically, so it contributes ZERO
@@ -5887,13 +5979,13 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
             own_side = side.join(
                 data.select("chunk_key").distinct(), "chunk_key",
                 "left_semi")
-            if data.limit(1).count():
+            if _commit_has_rows(ckpt_dir, r["files"], data, want_data=True):
                 pieces.append(tag(
                     decode_table(data.unionByName(own_side), out_schema),
                     "insert", r["seq"]))
-        hit = side.select("chunk_key").distinct()
-        if not hit.limit(1).count():
+        if not _commit_has_rows(ckpt_dir, r["files"], side, want_data=False):
             continue
+        hit = side.select("chunk_key").distinct()
         prevs = [s for s in seqs if s < r["seq"]]
         if not prevs:
             # first commit: its masks can only cover its own rows
@@ -5905,24 +5997,40 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
                 f"commit {r['seq']} deletes rows — pass key_col= so the "
                 "feed can name the deleted keys"
             )
-        # snapshot diff of ONLY the masked chunks: keys alive under the
-        # masks of the previous commit minus alive under this commit's.
-        # The chunk restriction is a broadcast semi-join on the masked
-        # chunk keys (count bounded by the mutation, never collected to
-        # an expression literal).
+        # one-decode mask diff over ONLY the masked chunks: decode the
+        # key rows as of the PREVIOUS commit (its masks applied) labeled
+        # with physical row addresses (__row_chunk, __row_pos), then a
+        # key died here iff EVERY alive address is named by this
+        # commit's OWN sidecars (mutation-sized). Equivalent to the
+        # two-snapshot key diff — within the hit chunks, this commit
+        # changes nothing but its sidecars (upsert generations land
+        # under fresh chunk_keys) — at half the decode volume and one
+        # fewer manifest shuffle. The chunk restriction stays a
+        # broadcast semi-join (bounded by the mutation, never an
+        # expression literal); re-deleting a dead key emits nothing
+        # (already masked before => not in the alive decode).
         prev_seq = max(prevs)
         before = _files_as_of(ckpt_dir, prev_seq)
-        now = _files_as_of(ckpt_dir, r["seq"])
-
-        def masked_keys(files, _hit=hit):
-            m = spark.read.parquet(*[f"{base}/{b}" for b in files])
-            m = m.filter(
-                (F.col("column") == key_col)
-                | F.col("column").startswith(DELETES_PREFIX)
-            ).join(F.broadcast(_hit), "chunk_key", "left_semi")
-            return decode_table(m, key_schema)
-
-        gone = masked_keys(before).subtract(masked_keys(now))
+        bm = spark.read.parquet(*[f"{base}/{b}" for b in before])
+        phys = _phys_sub_names(key_col, out_schema.field(key_col).type)
+        bm = bm.filter(
+            F.col("column").isin(phys)
+            | F.col("column").startswith(DELETES_PREFIX)
+        ).join(F.broadcast(hit), "chunk_key", "left_semi")
+        alive_before = decode_table(bm, key_schema, _emit_rowmeta=True)
+        newm = (_sidecar_positions(side)
+                .withColumnsRenamed({"chunk_key": ROW_CHUNK_COL,
+                                     "pos": ROW_POS_COL})
+                .dropDuplicates([ROW_CHUNK_COL, ROW_POS_COL])
+                .withColumn("__newly_masked", F.lit(True)))
+        gone = (alive_before
+                .join(newm, [ROW_CHUNK_COL, ROW_POS_COL], "left")
+                .groupBy(key_col)
+                .agg(F.max(F.when(F.col("__newly_masked").isNull(),
+                                  F.lit(1)).otherwise(F.lit(0)))
+                     .alias("__alive"))
+                .filter(F.col("__alive") == 0)
+                .select(key_col))
         null_payload = [
             F.col(key_col) if f.name == key_col
             else F.lit(None).cast(spark_schema[f.name].dataType).alias(f.name)
