@@ -1,0 +1,230 @@
+"""The wcfs STREAMING source (datasource.WcfsStreamReader): tail a
+logged checkpoint's commit ledger as a micro-batch stream — offsets are
+commit seqs, a batch is a commit window planned from the immutable log,
+partitions are per-file zero-shuffle decodes. Also covers the streaming
+SINK's ledger integration (sink batches land as `append` commits on
+fresh dirs, making sink output time-travelable / CDF-readable /
+source-tailable) and the append-only refusal of mutating commits.
+
+Engine extension — the reference is a single-process batch library
+(wills-columnar-format.org); incremental consumption is this repo's
+Structured-Streaming-native addition.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wills_columnar_format_spark import data
+from wills_columnar_format_spark.datasource import register
+from wills_columnar_format_spark.engine import (
+    decode_checkpoint,
+    delete_keys_checkpoint,
+    encode_table,
+    read_changes,
+    read_commit_log,
+    write_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    register(spark)
+    t = data.token_table_arrow(2000, seed=31)
+    return spark.createDataFrame(t.to_pandas()).localCheckpoint(eager=True)
+
+
+def _drain(spark, src_dir, out, wal, **opts):
+    reader = spark.readStream.format("wcfs")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (reader.load(src_dir)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", wal)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return q
+
+
+def test_tail_two_commits_with_attribution(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "t")
+    a = docs.filter(F.crc32("doc_id") % 3 != 2)
+    b = docs.filter(F.crc32("doc_id") % 3 == 2)
+    write_checkpoint(encode_table(a, key_col="doc_id", codec="auto",
+                                  num_partitions=4), ckpt, schema=docs.schema)
+    write_checkpoint(encode_table(b, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema,
+                     mode="append")
+    q = (spark.readStream.format("wcfs").option("with_seq", "true")
+         .load(ckpt).writeStream.format("memory").queryName("wcfs_tail_a")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM wcfs_tail_a")
+    assert out.count() == docs.count()
+    per_seq = {r["_commit_seq"]: r["n"] for r in
+               out.groupBy("_commit_seq").agg(F.count("*").alias("n"))
+               .collect()}
+    assert per_seq == {0: a.count(), 1: b.count()}
+    # payload exactness, not just counts
+    assert out.select(docs.columns).exceptAll(docs).count() == 0
+    assert docs.exceptAll(out.select(docs.columns)).count() == 0
+
+
+def test_cursor_resumes_across_restarts(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    wal = str(tmp_path / "wal")
+    a = docs.filter(F.crc32("doc_id") % 2 == 0)
+    b = docs.filter(F.crc32("doc_id") % 2 == 1)
+    write_checkpoint(encode_table(a, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema)
+    _drain(spark, ckpt, out, wal)
+    assert spark.read.parquet(out).count() == a.count()
+    # second run resumes from Spark's offset log: ONLY the new commit
+    write_checkpoint(encode_table(b, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema,
+                     mode="append")
+    _drain(spark, ckpt, out, wal)
+    got = spark.read.parquet(out)
+    assert got.count() == docs.count()
+    assert got.exceptAll(docs).count() == 0
+
+
+def test_starting_seq_skips_history(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "t")
+    a = docs.filter(F.crc32("doc_id") % 2 == 0)
+    b = docs.filter(F.crc32("doc_id") % 2 == 1)
+    write_checkpoint(encode_table(a, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema)
+    write_checkpoint(encode_table(b, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema,
+                     mode="append")
+    q = (spark.readStream.format("wcfs").option("starting_seq", "0")
+         .load(ckpt).writeStream.format("memory").queryName("wcfs_tail_s")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM wcfs_tail_s")
+    assert out.count() == b.count()
+    assert out.exceptAll(b).count() == 0
+
+
+def test_mutating_commit_refused(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    wal = str(tmp_path / "wal")
+    write_checkpoint(encode_table(docs, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema)
+    _drain(spark, ckpt, out, wal)
+    dead = [r["doc_id"] for r in docs.select("doc_id").limit(3).collect()]
+    delete_keys_checkpoint(spark, ckpt, dead, "doc_id")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises((StreamingQueryException, Py4JJavaError),
+                       match="APPEND-ONLY"):
+        _drain(spark, ckpt, out, wal)
+
+
+def test_max_commits_per_batch_paces(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "t")
+    parts = [docs.filter(F.crc32("doc_id") % 3 == i) for i in range(3)]
+    write_checkpoint(encode_table(parts[0], key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema)
+    for p in parts[1:]:
+        write_checkpoint(encode_table(p, key_col="doc_id", codec="auto",
+                                      num_partitions=2), ckpt,
+                         schema=docs.schema, mode="append")
+    # pacing needs a RUNNING trigger: availableNow snapshots ONE end
+    # offset, so a capped drain would stop after the first window (the
+    # documented Kafka-maxOffsetsPerTrigger contract)
+    q = (spark.readStream.format("wcfs").option("with_seq", "true")
+         .option("max_commits_per_batch", "1")
+         .load(ckpt).writeStream.format("memory").queryName("wcfs_tail_p")
+         .start())
+    try:
+        import time
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM wcfs_tail_p") \
+                    .collect()[0]["c"] == docs.count():
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM wcfs_tail_p")
+    assert out.count() == docs.count()
+    assert out.select("_commit_seq").distinct().count() == 3
+    # pacing: the three commits arrived across MULTIPLE micro-batches
+    prog = [p if isinstance(p, dict) else json.loads(p)
+            for p in q.recentProgress]
+    batches = {p["batchId"] for p in prog if p["numInputRows"] > 0}
+    assert len(batches) == 3
+
+
+def test_with_seq_is_streaming_only(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "t")
+    write_checkpoint(encode_table(docs, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema)
+    with pytest.raises(Exception, match="STREAMING option"):
+        spark.read.format("wcfs").option("with_seq", "true") \
+            .load(ckpt).count()
+
+
+def test_unlogged_dir_refused(spark, docs, tmp_path):
+    # batch-writer output carries no _commits ledger: the source must
+    # name the problem instead of streaming an unattributable dir
+    d = str(tmp_path / "plain")
+    (docs.repartition(2).write.format("wcfs").mode("append")
+     .option("key_col", "doc_id").save(d))
+    out = str(tmp_path / "out")
+    wal = str(tmp_path / "wal")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises((StreamingQueryException, Py4JJavaError),
+                       match="_commits"):
+        _drain(spark, d, out, wal)
+
+
+def test_sink_writes_ledger_and_composes(spark, docs, tmp_path):
+    # streaming SINK -> logged table -> CDF read AND source tail: the
+    # full incremental pipeline over one format
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "sunk")
+    docs.limit(400).write.parquet(src)
+    q = (spark.readStream.schema(docs.schema).parquet(src)
+         .writeStream.format("wcfs").option("path", sink)
+         .option("key_col", "doc_id")
+         .option("checkpointLocation", str(tmp_path / "wal2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    log = read_commit_log(sink)
+    assert log is not None and [r["action"] for r in log] == ["append"]
+    assert read_changes(spark, sink, since=-1,
+                        key_col="doc_id").count() == 400
+    q2 = (spark.readStream.format("wcfs").load(sink)
+          .writeStream.format("memory").queryName("wcfs_tail_k")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    assert spark.sql("SELECT count(*) c FROM wcfs_tail_k") \
+        .collect()[0]["c"] == 400
+
+
+def test_sink_stays_unlogged_on_legacy_dir(spark, docs, tmp_path):
+    # a dir with pre-existing UNLOGGED data files: logging later sink
+    # batches would mis-attribute history (old files in no commit) —
+    # the sink must leave such dirs unlogged
+    d = str(tmp_path / "legacy")
+    (docs.limit(100).repartition(1).write.format("wcfs").mode("append")
+     .option("key_col", "doc_id").save(d))
+    assert read_commit_log(d) is None
+    src = str(tmp_path / "in")
+    docs.limit(50).write.parquet(src)
+    q = (spark.readStream.schema(docs.schema).parquet(src)
+         .writeStream.format("wcfs").option("path", d)
+         .option("key_col", "doc_id")
+         .option("checkpointLocation", str(tmp_path / "wal3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert read_commit_log(d) is None
+    assert spark.read.format("wcfs").load(d).count() == 150

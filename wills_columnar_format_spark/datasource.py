@@ -59,6 +59,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -109,6 +110,7 @@ class WcfsDataSource(DataSource):
 
     def schema(self) -> StructType:
         from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import LongType, StructField
 
         eng = _engine()
         path = self.options.get("path")
@@ -121,10 +123,19 @@ class WcfsDataSource(DataSource):
                 "write with df.write.format('wcfs') / write_checkpoint("
                 "..., schema=...), or pass .schema(...) explicitly"
             )
-        return from_arrow_schema(sch, prefer_timestamp_ntz=True)
+        out = from_arrow_schema(sch, prefer_timestamp_ntz=True)
+        if str(self.options.get("with_seq", "false")).lower() == "true":
+            # streaming tail attribution column (see WcfsStreamReader);
+            # the batch reader refuses this option in partitions()
+            out = StructType(out.fields + [
+                StructField("_commit_seq", LongType(), False)])
+        return out
 
     def reader(self, schema: StructType) -> "WcfsReader":
         return WcfsReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> "WcfsStreamReader":
+        return WcfsStreamReader(schema, dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool) -> "WcfsWriter":
         return WcfsWriter(schema, dict(self.options), overwrite)
@@ -191,6 +202,8 @@ class WcfsReader(DataSourceReader):
         # file+chunk pruning.
         self._prune = str(options.get("pushdown",
                                       "false")).lower() == "true"
+        self._with_seq = str(options.get("with_seq",
+                                         "false")).lower() == "true"
         self._schema_arrow_ser = to_arrow_schema(schema).serialize().to_pybytes()
         # (col sub-name, lo, hi, probe values, is_str) specs harvested
         # by pushFilters; planning consumes them in partitions()
@@ -262,6 +275,12 @@ class WcfsReader(DataSourceReader):
 
         eng = _engine()
         path = self._path
+        if self._with_seq:
+            raise ValueError(
+                "option('with_seq') is a STREAMING option — the batch "
+                "reader emits no _commit_seq column; use spark.readStream"
+                ".format('wcfs'), or read_changes for batch attribution"
+            )
         if not path:
             # also hit by `CREATE TABLE ... USING wcfs`: Spark 4.1 does
             # not deliver a catalog table's OPTIONS to a Python data
@@ -558,13 +577,48 @@ class WcfsStreamWriter(WcfsWriter, DataSourceStreamArrowWriter):
     def write(self, it):  # Arrow batches, same as the batch writer
         return WcfsWriter.write(self, it)
 
+    def _log_ok(self, eng, batch_files: list[str], batch_id: int) -> bool:
+        """Log sink batches into the ``_commits`` ledger so the table is
+        first-class for time travel / read_changes / the streaming
+        SOURCE — but only when that cannot mis-attribute history: the
+        dir is already logged, or this is the FIRST batch of a fresh
+        dir (no other data files, no earlier batch markers). An
+        unlogged dir with pre-existing data (legacy batch-writer
+        output, or a stream started before ledger support) stays
+        unlogged — its old files belong to no commit, and log-based
+        readers would silently skip them. Evaluated at COMMIT time
+        because the sink runner re-instantiates this writer per phase:
+        at commit the batch's own files already exist on disk."""
+        if eng.read_commit_log(self._path) is not None:
+            return True
+        others = set(eng._list_data_files(self._path)) - set(batch_files)
+        if others:
+            return False
+        from pyarrow import fs as pafs
+
+        fsys, p = eng._manifest_fs(self._path)
+        mdir = f"{p.rstrip('/')}/_stream_commits"
+        try:
+            infos = fsys.get_file_info(pafs.FileSelector(mdir,
+                                                         recursive=False))
+        except (OSError, ValueError):
+            return True  # no marker dir yet: fresh table
+        me = f"{batch_id:010d}.json"
+        return not any(i.base_name != me for i in infos
+                       if i.type == pafs.FileType.File)
+
+    def _batch_logged(self, eng, files: list[str]) -> bool:
+        log = eng.read_commit_log(self._path) or []
+        fset = set(files)
+        return any(fset == set(r["files"]) for r in log)
+
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
         import json
 
         eng = _engine()
         fsys, p = eng._manifest_fs(self._path)
         p = p.rstrip("/")
-        files = [f for m in messages if m for f in m.files]
+        files = sorted(f for m in messages if m for f in m.files)
         mdir = f"{p}/_stream_commits"
         try:
             fsys.create_dir(mdir, recursive=True)
@@ -575,22 +629,256 @@ class WcfsStreamWriter(WcfsWriter, DataSourceStreamArrowWriter):
 
         if fsys.get_file_info(marker).type != pafs.FileType.NotFound:
             # replayed micro-batch: the first application committed —
-            # its files are the batch; drop this attempt's duplicates
+            # its files are the batch; drop this attempt's duplicates,
+            # and HEAL a crash that landed between the marker write and
+            # the ledger append (the first application's files would
+            # otherwise stay unattributed forever)
             for base in files:
                 try:
                     fsys.delete_file(f"{p}/{base}")
                 except OSError:
                     pass
+            with fsys.open_input_stream(marker) as f:
+                first = sorted(json.loads(f.read().decode())["files"])
+            if (first and self._log_ok(eng, first, batchId)
+                    and not self._batch_logged(eng, first)):
+                eng._append_commit(self._path, "append", "", first)
             return
         with fsys.open_output_stream(marker) as f:
             f.write(json.dumps({"batch_id": batchId,
-                                "files": sorted(files)}).encode())
+                                "files": files}).encode())
         eng.write_checkpoint_schema(
             self._path,
             pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser)))
+        if files and self._log_ok(eng, files, batchId):
+            eng._append_commit(self._path, "append", "", files)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         WcfsWriter.abort(self, messages)
+
+
+# ---------------------------------------------------------------------------
+# streaming source: tail a logged checkpoint's commit ledger
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StreamPartition(InputPartition):
+    path: str       # one manifest parquet file of one commit
+    seq: int        # the commit it belongs to (offset attribution)
+    deletes: dict | None = None  # the commit's OWN-chunk mask blobs
+
+
+class WcfsStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("wcfs").load(dir)`` — tail a LOGGED
+    checkpoint as a micro-batch stream. Offsets are commit-ledger
+    sequence numbers (``{"seq": N}``), so a batch is a half-open
+    commit window ``(start, end]`` planned entirely from the immutable
+    ``_commits`` records: replanning any window yields the same rows
+    (content-identical files), which is what makes Spark's
+    offset-log-based recovery exactly-once downstream.
+
+    APPEND-ONLY commits are streamable (create / append / the
+    ``compact`` fresh-history seed; ``replace`` optimizes are skipped
+    when no prior window mutation is stranded — same rule as
+    ``read_changes``). A delete/upsert/merge/restore/clone commit in
+    the window raises: tailing a mutating table as inserts would
+    silently misrepresent it — consume those via ``read_changes`` /
+    ``sync_checkpoint`` instead. Each partition is ONE manifest file
+    of ONE commit decoded executor-side with the engine's per-file
+    streaming decode (zero shuffle, the clustered-by-construction
+    layout every single-commit encode writes); the commit's own-chunk
+    deletion sidecars ride inside the partition objects (planning-time
+    reader state never reaches executors — Spark pickles the read
+    function before ``partitions()`` runs).
+
+    Options: ``starting_seq`` (exclusive; default -1 = full history
+    bootstrap, Kafka's `earliest`), ``with_seq`` (append a
+    ``_commit_seq`` long column for attribution), ``verify_checksums``,
+    ``max_commits_per_batch`` (admission control: cap how many commits
+    one micro-batch admits — Kafka's ``maxOffsetsPerTrigger`` shape.
+    Pacing only, correctness never depends on it; use it with a RUNNING
+    trigger — ``Trigger.AvailableNow`` snapshots one end offset and
+    stops there, so a capped availableNow drain ends after the first
+    window).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _ST
+
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(
+                "wcfs streaming reads take a checkpoint dir: "
+                "spark.readStream.format('wcfs').load(dir)"
+            )
+        self._verify = str(options.get("verify_checksums",
+                                       "false")).lower() == "true"
+        self._with_seq = str(options.get("with_seq",
+                                         "false")).lower() == "true"
+        self._max_commits = int(options.get("max_commits_per_batch", 0))
+        start = int(options.get("starting_seq", -1))
+        self._start = start
+        # decode under the TABLE schema; _commit_seq is appended by
+        # read() after decode, not rebuilt from manifest sub-columns
+        fields = [f for f in schema.fields if f.name != "_commit_seq"]
+        self._schema_arrow_ser = to_arrow_schema(
+            _ST(fields)).serialize().to_pybytes()
+        self._cursor: int | None = None  # pacing memory, not correctness
+
+    # -- offsets ------------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"seq": self._start}
+
+    def latestOffset(self) -> dict:
+        eng = _engine()
+        log = eng.read_commit_log(self._path)
+        if log is None:
+            raise ValueError(
+                f"checkpoint {self._path!r} carries no _commits log — "
+                "the streaming source tails the commit ledger; write "
+                "via write_checkpoint / the wcfs streaming sink"
+            )
+        last = log[-1]["seq"] if log else self._start
+        if self._max_commits > 0:
+            base = self._cursor if self._cursor is not None else self._start
+            admitted = [r["seq"] for r in log if r["seq"] > base]
+            if admitted:
+                last = min(last, admitted[
+                    min(self._max_commits, len(admitted)) - 1])
+        self._cursor = max(last, self._cursor or self._start)
+        return {"seq": last}
+
+    def commit(self, end: dict) -> None:
+        pass  # the ledger is append-only; nothing to release upstream
+
+    def stop(self) -> None:
+        pass
+
+    # -- planning -----------------------------------------------------------
+
+    def partitions(self, start: dict, end: dict):
+        import pyarrow.parquet as pq
+
+        eng = _engine()
+        s, e = int(start["seq"]), int(end["seq"])
+        log = eng.read_commit_log(self._path) or []
+        window = [r for r in log if s < r["seq"] <= e]
+        bad = [r for r in window if r["action"] not in
+               ("create", "append", "compact", "replace")]
+        if bad:
+            acts = {r["seq"]: r["action"] for r in bad}
+            raise ValueError(
+                f"commit(s) {acts} of {self._path!r} mutate or rewrite "
+                "history — the wcfs streaming source tails APPEND-ONLY "
+                "commits; consume mutations via read_changes/"
+                "sync_checkpoint, or restart the stream from a snapshot"
+            )
+        replaces = [r["seq"] for r in window if r["action"] == "replace"]
+        if replaces:
+            # an in-place optimize vacuumed every pre-optimize file:
+            # append commits before it in the window are gone
+            barrier = max(replaces)
+            lost = [r["seq"] for r in window
+                    if r["seq"] < barrier and r["action"] != "replace"]
+            if lost:
+                raise ValueError(
+                    f"commits {lost} of {self._path!r} precede the "
+                    f"in-place optimize at commit {barrier} (their files "
+                    "were vacuumed) — restart the stream with "
+                    f"starting_seq={barrier}"
+                )
+            window = [r for r in window if r["action"] != "replace"]
+        if eng._checkpoint_rename_map(self._path):
+            raise ValueError(
+                f"checkpoint {self._path!r} carries column renames — "
+                "the wcfs source reads physical layouts only; "
+                "compact_checkpoint to materialize the renames first"
+            )
+        fsys, p = eng._manifest_fs(self._path)
+        root = p.rstrip("/")
+        out = []
+        for r in window:
+            # planning-time pyarrow pass over blob-free metadata: which
+            # files carry data rows, and the commit's own-chunk mask
+            # sidecars (a logged write_checkpoint of a delete_keys
+            # result carries deletion vectors for its OWN chunks —
+            # those rows must not stream as inserts)
+            deletes: dict = {}
+            data_files = []
+            gate_pairs: set = set()
+            for base in sorted(r["files"]):
+                fp = f"{root}/{base}"
+                t = pq.read_table(fp, columns=["chunk_key", "column"],
+                                  filesystem=fsys)
+                cols = t.column("column").to_pylist()
+                ckeys = t.column("chunk_key").to_pylist()
+                has_data = False
+                for ck, c in zip(ckeys, cols):
+                    if c == eng.DONE_COLUMN:
+                        continue
+                    if c.startswith(eng.DELETES_PREFIX):
+                        continue
+                    has_data = True
+                    if (ck, c) in gate_pairs:
+                        raise ValueError(
+                            f"commit {r['seq']} of {self._path!r} carries "
+                            f"duplicate chunk ({ck!r}, {c!r}) across its "
+                            "files (a resumed encode manifest?) — the "
+                            "per-file streaming decode would emit the "
+                            "rows twice; compact_checkpoint the source "
+                            "and restart from its snapshot"
+                        )
+                    gate_pairs.add((ck, c))
+                didx = sorted({c for c in cols
+                               if c.startswith(eng.DELETES_PREFIX)})
+                if didx:
+                    dt = pq.read_table(
+                        fp, columns=["chunk_key", "blob"], filesystem=fsys,
+                        filters=[("column", "in", didx)])
+                    for ck, blob in zip(dt.column("chunk_key").to_pylist(),
+                                        dt.column("blob").to_pylist()):
+                        deletes.setdefault(ck, []).append(bytes(blob))
+                    if sum(len(v) for v in deletes.values()) \
+                            > _PLAN_DELETES_MAX:
+                        raise ValueError(
+                            f"commit {r['seq']} of {self._path!r} carries "
+                            f"more than {_PLAN_DELETES_MAX} deletion-"
+                            "vector sidecars — compact_checkpoint and "
+                            "restart from its snapshot"
+                        )
+                if has_data:
+                    data_files.append(fp)
+            out.extend(
+                _StreamPartition(path=fp, seq=r["seq"],
+                                 deletes=deletes or None)
+                for fp in data_files)
+        return out
+
+    # -- execution ----------------------------------------------------------
+
+    def read(self, partition: _StreamPartition) -> Iterator["pa.RecordBatch"]:
+        eng = _engine()
+        sch = pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser))
+        added = eng._added_defaults(sch)
+        fn = eng.make_file_decode_fn(
+            sch, None, None, False,
+            verify_checksums=self._verify,
+            extra_deletes=partition.deletes,
+            defaults=added or None,
+        )
+        rb_in = pa.RecordBatch.from_pydict({
+            "path": pa.array([partition.path], pa.string()),
+            "keys": pa.array([None], pa.list_(pa.string())),
+        })
+        for rb in fn(iter([rb_in])):
+            if self._with_seq:
+                rb = rb.append_column(
+                    "_commit_seq",
+                    pa.array([partition.seq] * rb.num_rows, pa.int64()))
+            yield rb
 
 
 def register(spark) -> None:

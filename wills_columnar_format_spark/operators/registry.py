@@ -400,6 +400,60 @@ GROUP BY 1
 """
 
 
+def q_stream_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wcfs STREAMING SOURCE (datasource.WcfsStreamReader): tail a
+    logged checkpoint's commit ledger as a micro-batch stream —
+    offsets are commit seqs, each partition one manifest file decoded
+    zero-shuffle executor-side. Two append commits land the documents
+    table in halves; the availableNow drain must return every row
+    exactly once with correct per-commit attribution (_commit_seq).
+    Scale shape: a 100 TB ingest pipeline tails the table it also
+    writes — planning is O(window's files) blob-free metadata, reading
+    is per-file streaming decode, and Spark's offset log makes
+    recovery exactly-once downstream."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..datasource import register
+    from ..engine import encode_table, write_checkpoint
+
+    register(spark)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_tail_q_")
+    try:
+        ckpt = os.path.join(work, "t")
+        a = df.filter(F.col("doc_id") % 3 != 2)
+        b = df.filter(F.col("doc_id") % 3 == 2)
+        write_checkpoint(
+            encode_table(a, key_col="doc_id", codec="auto",
+                         num_partitions=4), ckpt, schema=df.schema)
+        write_checkpoint(
+            encode_table(b, key_col="doc_id", codec="auto",
+                         num_partitions=2), ckpt, schema=df.schema,
+            mode="append")
+        name = f"wcfs_tail_{uuid.uuid4().hex[:8]}"
+        q = (spark.readStream.format("wcfs").option("with_seq", "true")
+             .load(ckpt)
+             .writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_STREAM_TABLE_TAIL = """
+SELECT doc_id, text, lang, source, n_chars,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT)
+           AS _commit_seq
+FROM documents
+"""
+
+
 def q_rle_run_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-on-compressed: value counts aggregated on RLE runs without
     expansion (reference src/test_rle.rs:8-17 generalized)."""
@@ -3796,6 +3850,7 @@ REGISTRY: dict[str, tuple] = {
     "roundtrip_streaming": (q_roundtrip_streaming, ORACLE_ROUNDTRIP_DOCUMENTS),
     "stream_window_counts": (q_stream_window_counts, DUCK_STREAM_WINDOW_COUNTS),
     "stream_window_append": (q_stream_window_append, DUCK_STREAM_WINDOW_APPEND),
+    "stream_table_tail": (q_stream_table_tail, DUCK_STREAM_TABLE_TAIL),
     "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
     "stats_pushdown": (q_stats_pushdown, DUCK_STATS_PUSHDOWN),

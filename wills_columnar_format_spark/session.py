@@ -68,18 +68,34 @@ def get_spark(
             use_tmpfs = "0"
     if use_tmpfs == "1" and os.path.isdir("/dev/shm"):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    # the package zip must be in spark.submit.pyFiles BEFORE the context
+    # starts: driver-side Python PLANNER processes (the Python DataSource
+    # streaming-source runner, Spark 4.1) receive only the files known at
+    # launch — a later addPyFile reaches executors but not them, and the
+    # stream reader unpickles there (measured: ModuleNotFoundError from
+    # python_streaming_source_runner without this)
+    zip_path = build_package_zip()
+    builder = builder.config("spark.submit.pyFiles", zip_path)
+    # …and on PYTHONPATH before the JVM launches: driver-side Python
+    # PLANNER runners (spawned by the JVM) inherit this environment,
+    # which is the only channel that reliably reaches them in local
+    # mode. On a real cluster spark-submit --py-files does both.
+    if zip_path not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = (
+            zip_path + os.pathsep + os.environ["PYTHONPATH"]
+            if os.environ.get("PYTHONPATH") else zip_path)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)
     return spark
 
 
-def ship_package(spark: SparkSession) -> str:
-    """Ship this package to executors as a zip (the ``spark-submit
-    --py-files`` deployment path, per the north rule). Required whenever
-    the driver's cwd is not the repo root — Python workers unpickle the
-    encode/decode closures and must import this package.
-    """
+def build_package_zip() -> str:
+    """Build (once) and return the package zip path — the artifact
+    ``spark-submit --py-files`` would ship. Pure filesystem work so it
+    can run BEFORE the SparkContext exists (``spark.submit.pyFiles``
+    must be set at launch for driver-side Python planner processes to
+    see it)."""
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
@@ -95,5 +111,15 @@ def ship_package(spark: SparkSession) -> str:
                         rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
                         zf.write(full, rel)
         os.replace(tmp, zip_path)
+    return zip_path
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship this package to executors as a zip (the ``spark-submit
+    --py-files`` deployment path, per the north rule). Required whenever
+    the driver's cwd is not the repo root — Python workers unpickle the
+    encode/decode closures and must import this package.
+    """
+    zip_path = build_package_zip()
     spark.sparkContext.addPyFile(zip_path)
     return zip_path
