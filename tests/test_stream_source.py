@@ -162,6 +162,82 @@ def test_max_commits_per_batch_paces(spark, docs, tmp_path):
     assert len(batches) == 3
 
 
+def test_cdf_stream_equals_batch_feed(spark, docs, tmp_path):
+    # option('cdf') turns the tail into a full change feed: the drain
+    # must equal read_changes row-for-row (inserts, delete rows with
+    # NULL payload, upsert delete+insert pairs, seq attribution)
+    from wills_columnar_format_spark.engine import upsert_checkpoint
+
+    ckpt = str(tmp_path / "t")
+    write_checkpoint(encode_table(docs, key_col="doc_id", codec="auto",
+                                  num_partitions=4, chunk_rows=256),
+                     ckpt, schema=docs.schema)
+    dead = [r["doc_id"] for r in
+            docs.filter(F.crc32("doc_id") % 10 == 3)
+            .select("doc_id").collect()]
+    delete_keys_checkpoint(spark, ckpt, dead, "doc_id")
+    upsert_checkpoint(
+        spark, ckpt,
+        docs.filter(F.crc32("doc_id") % 10 == 4)
+        .withColumn("n_tok", F.lit(-1)), "doc_id", num_partitions=2)
+    batch = read_changes(spark, ckpt, since=-1, key_col="doc_id")
+    q = (spark.readStream.format("wcfs").option("cdf", "true")
+         .option("key_col", "doc_id").load(ckpt)
+         .writeStream.format("memory").queryName("wcfs_cdf_a")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    stream = spark.sql("SELECT * FROM wcfs_cdf_a")
+    assert stream.count() == batch.count()
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+
+
+def test_cdf_resumes_past_mutations(spark, docs, tmp_path):
+    # the cursor rides Spark's offset log across restarts THROUGH a
+    # mutation commit: the second drain sees only the delete rows
+    ckpt = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    wal = str(tmp_path / "wal")
+    write_checkpoint(encode_table(docs, key_col="doc_id", codec="auto",
+                                  num_partitions=2, chunk_rows=256),
+                     ckpt, schema=docs.schema)
+
+    def drain():
+        q = (spark.readStream.format("wcfs").option("cdf", "true")
+             .option("key_col", "doc_id").load(ckpt)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", wal)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+
+    drain()
+    assert spark.read.parquet(out).count() == docs.count()
+    dead = [r["doc_id"] for r in
+            docs.select("doc_id").limit(7).collect()]
+    delete_keys_checkpoint(spark, ckpt, dead, "doc_id")
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == docs.count() + 7
+    dels = got.filter("_change_type = 'delete'")
+    assert dels.count() == 7
+    assert {r["doc_id"] for r in dels.select("doc_id").collect()} \
+        == set(dead)
+    # delete rows carry NULL payload columns
+    assert dels.filter(F.col("n_tok").isNotNull()).count() == 0
+
+
+def test_cdf_requires_key_col(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "t")
+    write_checkpoint(encode_table(docs, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt,
+                     schema=docs.schema)
+    with pytest.raises(Exception, match="key_col"):
+        (spark.readStream.format("wcfs").option("cdf", "true")
+         .load(ckpt).writeStream.format("memory")
+         .queryName("wcfs_cdf_nk").trigger(availableNow=True)
+         .start().awaitTermination(120))
+
+
 def test_with_seq_is_streaming_only(spark, docs, tmp_path):
     ckpt = str(tmp_path / "t")
     write_checkpoint(encode_table(docs, key_col="doc_id", codec="auto",

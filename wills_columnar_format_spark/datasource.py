@@ -77,6 +77,10 @@ FORMAT_NAME = "wcfs"
 # planning caps, mirroring decode_checkpoint's driver-safety rules
 _PLAN_KEYS_MAX = 100_000  # per-file chunk lists past this -> file-level only
 _PLAN_DELETES_MAX = 200_000
+# CDF stream planning reads the as-of-previous files' chunk index
+# driver-side to locate hit-chunk owners; past this many files the
+# distributed planner (read_changes) is the right tool
+_PLAN_CDF_FILES_MAX = 4096
 
 
 def _engine():
@@ -124,7 +128,17 @@ class WcfsDataSource(DataSource):
                 "..., schema=...), or pass .schema(...) explicitly"
             )
         out = from_arrow_schema(sch, prefer_timestamp_ntz=True)
-        if str(self.options.get("with_seq", "false")).lower() == "true":
+        if str(self.options.get("cdf", "false")).lower() == "true":
+            # change-data-feed stream (see WcfsStreamReader): rows plus
+            # Delta-CDF-shaped attribution; batch reader refuses.
+            # Table fields relax to nullable — delete rows carry the
+            # key plus NULL payload columns
+            from pyspark.sql.types import StringType
+            out = StructType(
+                [StructField(f.name, f.dataType, True) for f in out.fields]
+                + [StructField("_change_type", StringType(), False),
+                   StructField("_commit_seq", LongType(), False)])
+        elif str(self.options.get("with_seq", "false")).lower() == "true":
             # streaming tail attribution column (see WcfsStreamReader);
             # the batch reader refuses this option in partitions()
             out = StructType(out.fields + [
@@ -204,6 +218,7 @@ class WcfsReader(DataSourceReader):
                                       "false")).lower() == "true"
         self._with_seq = str(options.get("with_seq",
                                          "false")).lower() == "true"
+        self._cdf = str(options.get("cdf", "false")).lower() == "true"
         self._schema_arrow_ser = to_arrow_schema(schema).serialize().to_pybytes()
         # (col sub-name, lo, hi, probe values, is_str) specs harvested
         # by pushFilters; planning consumes them in partitions()
@@ -275,11 +290,12 @@ class WcfsReader(DataSourceReader):
 
         eng = _engine()
         path = self._path
-        if self._with_seq:
+        if self._with_seq or self._cdf:
             raise ValueError(
-                "option('with_seq') is a STREAMING option — the batch "
-                "reader emits no _commit_seq column; use spark.readStream"
-                ".format('wcfs'), or read_changes for batch attribution"
+                "options 'with_seq'/'cdf' are STREAMING options — the "
+                "batch reader emits no attribution columns; use spark."
+                "readStream.format('wcfs'), or read_changes for batch "
+                "change feeds"
             )
         if not path:
             # also hit by `CREATE TABLE ... USING wcfs`: Spark 4.1 does
@@ -664,9 +680,13 @@ class WcfsStreamWriter(WcfsWriter, DataSourceStreamArrowWriter):
 
 @dataclass
 class _StreamPartition(InputPartition):
-    path: str       # one manifest parquet file of one commit
+    path: str       # one manifest parquet file
     seq: int        # the commit it belongs to (offset attribution)
     deletes: dict | None = None  # the commit's OWN-chunk mask blobs
+    # CDF delete attribution (mode='delete'): the file's hit chunks —
+    # chunk_key -> (before-mask blobs, this commit's new-mask blobs)
+    mode: str = "insert"
+    chunks: dict | None = None
 
 
 class WcfsStreamReader(DataSourceStreamReader):
@@ -684,13 +704,34 @@ class WcfsStreamReader(DataSourceStreamReader):
     ``read_changes``). A delete/upsert/merge/restore/clone commit in
     the window raises: tailing a mutating table as inserts would
     silently misrepresent it — consume those via ``read_changes`` /
-    ``sync_checkpoint`` instead. Each partition is ONE manifest file
-    of ONE commit decoded executor-side with the engine's per-file
-    streaming decode (zero shuffle, the clustered-by-construction
-    layout every single-commit encode writes); the commit's own-chunk
-    deletion sidecars ride inside the partition objects (planning-time
-    reader state never reaches executors — Spark pickles the read
-    function before ``partitions()`` runs).
+    ``sync_checkpoint``, or opt into CDF mode below. Each partition is
+    ONE manifest file of ONE commit decoded executor-side with the
+    engine's per-file streaming decode (zero shuffle, the clustered-
+    by-construction layout every single-commit encode writes); the
+    commit's own-chunk deletion sidecars ride inside the partition
+    objects (planning-time reader state never reaches executors —
+    Spark pickles the read function before ``partitions()`` runs).
+
+    **CDF mode** (``option("cdf", "true")`` + ``option("key_col",
+    ...)``): the stream becomes a CHANGE-DATA-FEED — Delta's
+    ``readChangeFeed`` shape. Rows carry ``_change_type``
+    ('insert' | 'delete') and ``_commit_seq``; delete/upsert/merge
+    commits stream as one key-only 'delete' row per newly-dead key
+    plus the upsert generation's inserts (an update = delete+insert
+    pair, exactly ``read_changes``' contract). Delete attribution is
+    the same per-chunk mask diff ``read_changes`` runs, executed
+    inside the partition reader: each delete partition names the hit
+    chunks of ONE as-of-previous data file with their before/new mask
+    blobs; the reader decodes only those chunks' key sub-columns and
+    emits keys whose every alive position is newly masked. REQUIRES
+    table-unique keys (the upsert/merge key contract): a key
+    duplicated across chunks in one snapshot may emit duplicate
+    delete rows where the batch feed's cross-chunk groupBy collapses
+    them — use ``read_changes`` for non-unique-key layouts. Planning
+    reads the as-of-previous files' blob-free chunk index driver-side
+    to locate each hit chunk's owner, capped at
+    ``_PLAN_CDF_FILES_MAX`` files per mutation commit (past it,
+    consume via ``read_changes``' distributed planning instead).
 
     Options: ``starting_seq`` (exclusive; default -1 = full history
     bootstrap, Kafka's `earliest`), ``with_seq`` (append a
@@ -717,12 +758,21 @@ class WcfsStreamReader(DataSourceStreamReader):
                                        "false")).lower() == "true"
         self._with_seq = str(options.get("with_seq",
                                          "false")).lower() == "true"
+        self._cdf = str(options.get("cdf", "false")).lower() == "true"
+        self._key_col = options.get("key_col")
+        if self._cdf and not self._key_col:
+            raise ValueError(
+                "CDF streaming needs the key column to name deleted "
+                "keys: .option('cdf','true').option('key_col', ...)"
+            )
         self._max_commits = int(options.get("max_commits_per_batch", 0))
         start = int(options.get("starting_seq", -1))
         self._start = start
-        # decode under the TABLE schema; _commit_seq is appended by
-        # read() after decode, not rebuilt from manifest sub-columns
-        fields = [f for f in schema.fields if f.name != "_commit_seq"]
+        # decode under the TABLE schema; attribution columns are
+        # appended by read() after decode, never rebuilt from manifest
+        # sub-columns
+        fields = [f for f in schema.fields
+                  if f.name not in ("_commit_seq", "_change_type")]
         self._schema_arrow_ser = to_arrow_schema(
             _ST(fields)).serialize().to_pybytes()
         self._cursor: int | None = None  # pacing memory, not correctness
@@ -766,15 +816,21 @@ class WcfsStreamReader(DataSourceStreamReader):
         s, e = int(start["seq"]), int(end["seq"])
         log = eng.read_commit_log(self._path) or []
         window = [r for r in log if s < r["seq"] <= e]
-        bad = [r for r in window if r["action"] not in
-               ("create", "append", "compact", "replace")]
+        ok_actions = ("create", "append", "compact", "replace")
+        if self._cdf:
+            ok_actions += ("delete", "upsert", "merge")
+        bad = [r for r in window if r["action"] not in ok_actions]
         if bad:
             acts = {r["seq"]: r["action"] for r in bad}
+            hint = ("restart the stream from a snapshot"
+                    if self._cdf else
+                    "consume mutations via read_changes/sync_checkpoint,"
+                    " opt into option('cdf','true'), or restart the "
+                    "stream from a snapshot")
             raise ValueError(
                 f"commit(s) {acts} of {self._path!r} mutate or rewrite "
                 "history — the wcfs streaming source tails APPEND-ONLY "
-                "commits; consume mutations via read_changes/"
-                "sync_checkpoint, or restart the stream from a snapshot"
+                f"commits; {hint}"
             )
         replaces = [r["seq"] for r in window if r["action"] == "replace"]
         if replaces:
@@ -855,6 +911,68 @@ class WcfsStreamReader(DataSourceStreamReader):
                 _StreamPartition(path=fp, seq=r["seq"],
                                  deletes=deletes or None)
                 for fp in data_files)
+            if not (self._cdf and deletes):
+                continue
+            prevs = [x["seq"] for x in log if x["seq"] < r["seq"]]
+            if not prevs:
+                continue  # first commit's masks cover only its own rows
+            # CDF delete attribution: locate each hit chunk's owning
+            # data file AS OF the previous commit and gather its
+            # before-mask blobs — one blob-free chunk-index read per
+            # as-of-prev file, driver-side, bounded by the cap
+            own = {ck for ck, _ in gate_pairs}
+            hit = {ck for ck in deletes if ck not in own}
+            if not hit:
+                continue
+            before_files = eng._files_as_of(self._path, max(prevs))
+            if len(before_files) > _PLAN_CDF_FILES_MAX:
+                raise ValueError(
+                    f"commit {r['seq']} of {self._path!r} mutates a "
+                    f"table of {len(before_files)} files — past "
+                    f"{_PLAN_CDF_FILES_MAX} the CDF stream's driver-side "
+                    "chunk-owner planning is the wrong tool; consume "
+                    "this window via read_changes (distributed planning)"
+                )
+            owner: dict = {}
+            before: dict = {ck: [] for ck in hit}
+            hit_list = sorted(hit)
+            for b2 in before_files:
+                fp2 = f"{root}/{b2}"
+                t2 = pq.read_table(fp2, columns=["chunk_key", "column"],
+                                   filesystem=fsys,
+                                   filters=[("chunk_key", "in", hit_list)])
+                c2 = t2.column("column").to_pylist()
+                k2 = t2.column("chunk_key").to_pylist()
+                side_cols = sorted({c for c in c2
+                                    if c.startswith(eng.DELETES_PREFIX)})
+                for ck, c in zip(k2, c2):
+                    if (c != eng.DONE_COLUMN
+                            and not c.startswith(eng.DELETES_PREFIX)):
+                        owner[ck] = fp2
+                if side_cols:
+                    bt = pq.read_table(
+                        fp2, columns=["chunk_key", "blob"], filesystem=fsys,
+                        filters=[("chunk_key", "in", hit_list),
+                                 ("column", "in", side_cols)])
+                    for ck, blob in zip(bt.column("chunk_key").to_pylist(),
+                                        bt.column("blob").to_pylist()):
+                        before[ck].append(bytes(blob))
+            lost = hit - set(owner)
+            if lost:
+                raise ValueError(
+                    f"commit {r['seq']} of {self._path!r} masks chunk(s) "
+                    f"{sorted(lost)[:3]}... absent from the previous "
+                    "snapshot's files — damaged or externally rewritten "
+                    "checkpoint"
+                )
+            per_file: dict = {}
+            for ck in hit_list:
+                per_file.setdefault(owner[ck], {})[ck] = (
+                    before[ck], deletes[ck])
+            out.extend(
+                _StreamPartition(path=f2, seq=r["seq"], mode="delete",
+                                 chunks=cks)
+                for f2, cks in sorted(per_file.items()))
         return out
 
     # -- execution ----------------------------------------------------------
@@ -862,6 +980,9 @@ class WcfsStreamReader(DataSourceStreamReader):
     def read(self, partition: _StreamPartition) -> Iterator["pa.RecordBatch"]:
         eng = _engine()
         sch = pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser))
+        if partition.mode == "delete":
+            yield from self._read_deletes(eng, sch, partition)
+            return
         added = eng._added_defaults(sch)
         fn = eng.make_file_decode_fn(
             sch, None, None, False,
@@ -874,11 +995,83 @@ class WcfsStreamReader(DataSourceStreamReader):
             "keys": pa.array([None], pa.list_(pa.string())),
         })
         for rb in fn(iter([rb_in])):
-            if self._with_seq:
+            if self._cdf:
+                rb = rb.append_column(
+                    "_change_type",
+                    pa.array(["insert"] * rb.num_rows, pa.string()))
+            if self._cdf or self._with_seq:
                 rb = rb.append_column(
                     "_commit_seq",
                     pa.array([partition.seq] * rb.num_rows, pa.int64()))
             yield rb
+
+    def _read_deletes(self, eng, sch: pa.Schema,
+                      partition: _StreamPartition):
+        """The per-chunk mask diff, executor-side: decode ONLY the hit
+        chunks' key sub-columns from this as-of-previous file, then a
+        key died at this commit iff every position alive under the
+        BEFORE masks is named by the commit's NEW masks. Table-unique
+        keys make this chunk-local diff equal ``read_changes``' global
+        one (docstring contract above)."""
+        import pyarrow.parquet as pq
+
+        import numpy as np
+
+        kf = sch.field(self._key_col)
+        phys = eng._phys_sub_names(kf.name, kf.type)
+        hit_list = sorted(partition.chunks)
+        t = pq.read_table(
+            partition.path, columns=["chunk_key", "column", "blob"],
+            filters=[("chunk_key", "in", hit_list),
+                     ("column", "in", phys)])
+        ckeys = t.column("chunk_key").to_pylist()
+        cols = t.column("column").to_pylist()
+        blobs = t.column("blob")
+        by_chunk: dict = {}
+        for i, ck in enumerate(ckeys):
+            by_chunk.setdefault(ck, {})[cols[i]] = blobs[i].as_py()
+        gone = []
+        for ck in hit_list:
+            sub = by_chunk.get(ck)
+            if sub is None:
+                raise IOError(
+                    f"hit chunk {ck!r} vanished from {partition.path!r} "
+                    "between planning and read — concurrently rewritten "
+                    "checkpoint; restart the stream"
+                )
+            cvs = {c: eng._decode_blob(b) for c, b in sub.items()}
+            arr = eng._rebuild_field(kf, cvs)
+            n = len(arr)
+            bef_blobs, new_blobs = partition.chunks[ck]
+            alive = np.ones(n, dtype=bool)
+            for b in bef_blobs:
+                alive[eng._decode_positions(b)] = False
+            newly = np.zeros(n, dtype=bool)
+            for b in new_blobs:
+                newly[eng._decode_positions(b)] = True
+            dead_now = alive & newly
+            if not dead_now.any():
+                continue
+            still = set(arr.filter(pa.array(alive & ~newly)).to_pylist())
+            # a duplicate key alive at another position of THIS chunk
+            # is not table-dead; chunk-local dedup mirrors the batch
+            # feed's key-level grouping (cross-chunk duplicates are
+            # outside the CDF contract — see class docstring)
+            dead_keys = set(arr.filter(pa.array(dead_now)).to_pylist())
+            gone.extend(sorted(dead_keys - still))
+        karr = pa.array(gone, type=kf.type)
+        n = len(karr)
+        arrays = [
+            karr if f.name == kf.name else pa.nulls(n, f.type)
+            for f in sch
+        ]
+        out = pa.schema(
+            list(sch) + [pa.field("_change_type", pa.string()),
+                         pa.field("_commit_seq", pa.int64())])
+        yield pa.RecordBatch.from_arrays(
+            arrays + [pa.array(["delete"] * n, pa.string()),
+                      pa.array([partition.seq] * n, pa.int64())],
+            schema=out)
 
 
 def register(spark) -> None:

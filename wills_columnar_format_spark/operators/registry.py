@@ -454,6 +454,84 @@ FROM documents
 """
 
 
+def q_stream_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wcfs streaming source in CDF mode (option('cdf','true')):
+    a full change-data-feed stream — Delta readChangeFeed's shape —
+    over a checkpoint that was created, 10%-deleted, and upserted.
+    Insert partitions are per-file zero-shuffle decodes; delete
+    partitions run the per-chunk mask diff INSIDE the partition
+    reader (decode only the hit chunks' key sub-columns, keys whose
+    every alive position is newly masked emit as key-only delete
+    rows). The drained stream must equal the batch ``read_changes``
+    feed row-for-row: create inserts at seq 0, deletes at seq 1, the
+    upsert's delete+insert pairs at seq 2."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..datasource import register
+    from ..engine import (
+        delete_keys_checkpoint,
+        encode_table,
+        upsert_checkpoint,
+        write_checkpoint,
+    )
+
+    register(spark)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_cdft_q_")
+    try:
+        ckpt = os.path.join(work, "t")
+        write_checkpoint(
+            encode_table(df, key_col="doc_id", codec="auto",
+                         num_partitions=4, chunk_rows=256),
+            ckpt, schema=df.schema)
+        delete_keys_checkpoint(
+            spark, ckpt,
+            [r["doc_id"] for r in
+             df.filter(F.col("doc_id") % 10 == 3)
+             .select("doc_id").collect()],
+            "doc_id")
+        upsert_checkpoint(
+            spark, ckpt,
+            df.filter(F.col("doc_id") % 10 == 4)
+              .withColumn("n_chars", F.lit(-1)),
+            "doc_id", num_partitions=2)
+        name = f"wcfs_cdf_{uuid.uuid4().hex[:8]}"
+        q = (spark.readStream.format("wcfs").option("cdf", "true")
+             .option("key_col", "doc_id").load(ckpt)
+             .writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_STREAM_CDF_TAIL = """
+SELECT doc_id, text, lang, source, n_chars,
+       'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_seq
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       'delete', CAST(1 AS BIGINT)
+FROM documents WHERE doc_id % 10 = 3
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       'delete', CAST(2 AS BIGINT)
+FROM documents WHERE doc_id % 10 = 4
+UNION ALL
+SELECT doc_id, text, lang, source, CAST(-1 AS BIGINT),
+       'insert', CAST(2 AS BIGINT)
+FROM documents WHERE doc_id % 10 = 4
+"""
+
+
 def q_rle_run_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-on-compressed: value counts aggregated on RLE runs without
     expansion (reference src/test_rle.rs:8-17 generalized)."""
@@ -3851,6 +3929,7 @@ REGISTRY: dict[str, tuple] = {
     "stream_window_counts": (q_stream_window_counts, DUCK_STREAM_WINDOW_COUNTS),
     "stream_window_append": (q_stream_window_append, DUCK_STREAM_WINDOW_APPEND),
     "stream_table_tail": (q_stream_table_tail, DUCK_STREAM_TABLE_TAIL),
+    "stream_cdf_tail": (q_stream_cdf_tail, DUCK_STREAM_CDF_TAIL),
     "rle_run_counts": (q_rle_run_counts, ORACLE_RLE_RUN_COUNTS),
     "footer_values_count": (q_footer_values_count, ORACLE_FOOTER_VALUES_COUNT),
     "stats_pushdown": (q_stats_pushdown, DUCK_STATS_PUSHDOWN),
