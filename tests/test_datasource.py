@@ -177,3 +177,35 @@ def test_stream_sink_replayed_batch_drops_duplicates(spark, token_df,
     assert sorted(f for f in os.listdir(d)
                   if f.endswith(".parquet")) == files_after_first
     assert spark.read.format("wcfs").load(d).count() == 200
+
+
+def test_as_of_time_travel_reads(spark, token_df, tmp_path):
+    # option("as_of", seq): plan over the ledger's historical file set
+    # — later commits' data AND mask sidecars never enter the scan
+    from wills_columnar_format_spark.engine import (
+        delete_keys_checkpoint, encode_table, write_checkpoint)
+
+    d = str(tmp_path / "tt")
+    write_checkpoint(
+        encode_table(token_df, key_col="doc_id", codec="auto",
+                     num_partitions=4),
+        d, schema=token_df.schema)
+    dead = [r["doc_id"] for r in
+            token_df.select("doc_id").limit(40).collect()]
+    delete_keys_checkpoint(spark, d, dead, "doc_id")
+    now = spark.read.format("wcfs").load(d)
+    assert now.count() == token_df.count() - 40
+    old = spark.read.format("wcfs").option("as_of", "0").load(d)
+    assert old.count() == token_df.count()
+    assert old.exceptAll(token_df).count() == 0
+    at1 = spark.read.format("wcfs").option("as_of", "1").load(d)
+    assert at1.count() == token_df.count() - 40
+    with pytest.raises(Exception, match="not a commit"):
+        spark.read.format("wcfs").option("as_of", "9").load(d).count()
+
+
+def test_as_of_needs_ledger(spark, token_df, table_dir):
+    # batch-writer dirs carry no _commits log: as_of must say so
+    with pytest.raises(Exception, match="_commits"):
+        spark.read.format("wcfs").option("as_of", "0") \
+            .load(table_dir).count()

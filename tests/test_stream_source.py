@@ -304,3 +304,43 @@ def test_sink_stays_unlogged_on_legacy_dir(spark, docs, tmp_path):
     q.awaitTermination(180)
     assert read_commit_log(d) is None
     assert spark.read.format("wcfs").load(d).count() == 150
+
+
+def test_pipeline_chain_source_to_sink(spark, docs, tmp_path):
+    # stage N's sink is stage N+1's source: tail checkpoint A through a
+    # transformation into wcfs checkpoint B, append to A, drain again —
+    # B must equal the transformed current snapshot of A, incrementally
+    a_dir = str(tmp_path / "a")
+    b_dir = str(tmp_path / "b")
+    wal = str(tmp_path / "wal")
+    first = docs.filter(F.crc32("doc_id") % 2 == 0)
+    second = docs.filter(F.crc32("doc_id") % 2 == 1)
+    write_checkpoint(encode_table(first, key_col="doc_id", codec="auto",
+                                  num_partitions=2), a_dir,
+                     schema=docs.schema)
+
+    def hop():
+        q = (spark.readStream.format("wcfs").load(a_dir)
+             .withColumn("n_tok", F.col("n_tok") + 1000)
+             .writeStream.format("wcfs").option("path", b_dir)
+             .option("key_col", "doc_id")
+             .option("checkpointLocation", wal)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+
+    hop()
+    got = spark.read.format("wcfs").load(b_dir)
+    assert got.count() == first.count()
+    write_checkpoint(encode_table(second, key_col="doc_id", codec="auto",
+                                  num_partitions=2), a_dir,
+                     schema=docs.schema, mode="append")
+    hop()
+    got = spark.read.format("wcfs").load(b_dir)
+    exp = docs.withColumn("n_tok", F.col("n_tok") + 1000)
+    assert got.count() == docs.count()
+    assert got.exceptAll(exp).count() == 0 and \
+        exp.exceptAll(got).count() == 0
+    # the hop's sink output is itself a LOGGED table: two commits, one
+    # per drained micro-batch — tailable by the next stage
+    log = read_commit_log(b_dir)
+    assert log is not None and len(log) == 2

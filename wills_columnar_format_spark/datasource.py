@@ -219,6 +219,13 @@ class WcfsReader(DataSourceReader):
         self._with_seq = str(options.get("with_seq",
                                          "false")).lower() == "true"
         self._cdf = str(options.get("cdf", "false")).lower() == "true"
+        # time travel: plan over the file set AS OF a commit seq (the
+        # commit ledger's attribution — decode_checkpoint(as_of=)'s
+        # SQL-native twin). Mask sidecars appended AFTER that commit
+        # live in later files, so restricting the scan set restricts
+        # the masks for free.
+        self._as_of = (int(options["as_of"])
+                       if options.get("as_of") is not None else None)
         self._schema_arrow_ser = to_arrow_schema(schema).serialize().to_pybytes()
         # (col sub-name, lo, hi, probe values, is_str) specs harvested
         # by pushFilters; planning consumes them in partitions()
@@ -318,10 +325,18 @@ class WcfsReader(DataSourceReader):
                 "to materialize the renames first"
             )
         fsys, p = eng._manifest_fs(path)
-        files = eng._list_data_files(path)
+        if self._as_of is not None:
+            # historical snapshot: the ledger's file attribution IS the
+            # plan; later commits' files (data AND mask sidecars) never
+            # enter the scan. The clustered marker describes the
+            # CURRENT layout only, so the gate always re-verifies here.
+            files = eng._files_as_of(path, self._as_of)
+            marker = None
+        else:
+            files = eng._list_data_files(path)
+            marker = eng._clustered_marker_rec(path)
         if not files:
             return []
-        marker = eng._clustered_marker_rec(path)
         need_gate = marker is None
         need_deletes = not (marker is not None
                             and marker.get("has_deletes") is False)
