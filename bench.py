@@ -287,6 +287,8 @@ def _registry_benches(spark, sf_dir: str):
         "lang_slice_pushdown",
         "topk_where_scan",
         "topk_where_checkpoint",
+        "stream_table_tail",
+        "stream_cdf_tail",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

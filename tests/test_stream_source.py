@@ -131,35 +131,46 @@ def test_max_commits_per_batch_paces(spark, docs, tmp_path):
     parts = [docs.filter(F.crc32("doc_id") % 3 == i) for i in range(3)]
     write_checkpoint(encode_table(parts[0], key_col="doc_id", codec="auto",
                                   num_partitions=2), ckpt, schema=docs.schema)
-    for p in parts[1:]:
-        write_checkpoint(encode_table(p, key_col="doc_id", codec="auto",
-                                      num_partitions=2), ckpt,
-                         schema=docs.schema, mode="append")
-    # pacing needs a RUNNING trigger: availableNow snapshots ONE end
-    # offset, so a capped drain would stop after the first window (the
-    # documented Kafka-maxOffsetsPerTrigger contract)
+    # pacing needs a RUNNING trigger (availableNow snapshots ONE end
+    # offset), and by design the FIRST batch after a (re)start is
+    # uncapped — capping it could move the offset backwards after a
+    # restart (offsets compare by equality) and replay commits. So:
+    # start the stream on commit 0, then land commits 1 and 2 while it
+    # runs — the cap must spread them over separate micro-batches.
+    import time
+
     q = (spark.readStream.format("wcfs").option("with_seq", "true")
          .option("max_commits_per_batch", "1")
          .load(ckpt).writeStream.format("memory").queryName("wcfs_tail_p")
          .start())
-    try:
-        import time
-        deadline = time.time() + 240
-        while time.time() < deadline:
+
+    def wait_rows(n, deadline=240):
+        end = time.time() + deadline
+        while time.time() < end:
             if spark.sql("SELECT count(*) c FROM wcfs_tail_p") \
-                    .collect()[0]["c"] == docs.count():
-                break
+                    .collect()[0]["c"] >= n:
+                return
             time.sleep(1)
+        raise AssertionError(f"timed out waiting for {n} rows")
+
+    try:
+        wait_rows(parts[0].count())
+        for p in parts[1:]:
+            write_checkpoint(encode_table(p, key_col="doc_id",
+                                          codec="auto", num_partitions=2),
+                             ckpt, schema=docs.schema, mode="append")
+        wait_rows(docs.count())
     finally:
         q.stop()
     out = spark.sql("SELECT * FROM wcfs_tail_p")
     assert out.count() == docs.count()
     assert out.select("_commit_seq").distinct().count() == 3
-    # pacing: the three commits arrived across MULTIPLE micro-batches
+    # commits 1 and 2 must NOT share a micro-batch (cap = 1/batch);
+    # each nonempty batch carries exactly one commit's rows
     prog = [p if isinstance(p, dict) else json.loads(p)
             for p in q.recentProgress]
     batches = {p["batchId"] for p in prog if p["numInputRows"] > 0}
-    assert len(batches) == 3
+    assert len(batches) >= 3
 
 
 def test_cdf_stream_equals_batch_feed(spark, docs, tmp_path):

@@ -81,6 +81,9 @@ _PLAN_DELETES_MAX = 200_000
 # driver-side to locate hit-chunk owners; past this many files the
 # distributed planner (read_changes) is the right tool
 _PLAN_CDF_FILES_MAX = 4096
+# per-commit cap on the stream planner's serial driver-side metadata
+# pass (one pyarrow read per file of the window's commits)
+_PLAN_STREAM_FILES_MAX = 4096
 
 
 def _engine():
@@ -634,9 +637,23 @@ class WcfsStreamWriter(WcfsWriter, DataSourceStreamArrowWriter):
                                                          recursive=False))
         except (OSError, ValueError):
             return True  # no marker dir yet: fresh table
+        import json as _json
+
         me = f"{batch_id:010d}.json"
-        return not any(i.base_name != me for i in infos
-                       if i.type == pafs.FileType.File)
+        others = [i for i in infos if i.type == pafs.FileType.File
+                  and i.base_name != me]
+        if len(others) > 64:
+            return False  # long-lived pre-ledger stream: stay unlogged
+        for i in others:
+            # a marker attributing ZERO files (an empty early batch)
+            # blocks nothing — only real unlogged data files do
+            try:
+                with fsys.open_input_stream(i.path) as f:
+                    if _json.loads(f.read().decode()).get("files"):
+                        return False
+            except (OSError, ValueError):
+                return False
+        return True
 
     def _batch_logged(self, eng, files: list[str]) -> bool:
         log = eng.read_commit_log(self._path) or []
@@ -753,10 +770,13 @@ class WcfsStreamReader(DataSourceStreamReader):
     ``_commit_seq`` long column for attribution), ``verify_checksums``,
     ``max_commits_per_batch`` (admission control: cap how many commits
     one micro-batch admits — Kafka's ``maxOffsetsPerTrigger`` shape.
-    Pacing only, correctness never depends on it; use it with a RUNNING
-    trigger — ``Trigger.AvailableNow`` snapshots one end offset and
-    stops there, so a capped availableNow drain ends after the first
-    window).
+    Pacing only, correctness never depends on it. Two deliberate
+    limits: the FIRST micro-batch after any (re)start is uncapped —
+    offsets compare by equality, so capping before the stream's
+    position is known could move the offset backwards after a restart
+    and replay commits as duplicates — and ``Trigger.AvailableNow``
+    snapshots one end offset and stops there, so use pacing with a
+    RUNNING trigger).
     """
 
     def __init__(self, schema: StructType, options: dict):
@@ -807,13 +827,22 @@ class WcfsStreamReader(DataSourceStreamReader):
                 "via write_checkpoint / the wcfs streaming sink"
             )
         last = log[-1]["seq"] if log else self._start
-        if self._max_commits > 0:
-            base = self._cursor if self._cursor is not None else self._start
-            admitted = [r["seq"] for r in log if r["seq"] > base]
+        # admission control NEVER moves the offset backwards: pacing
+        # applies only once a partitions() call has anchored the cursor
+        # to Spark's own offsets, so THE FIRST MICRO-BATCH AFTER ANY
+        # (RE)START IS UNCAPPED. Offsets are compared by equality, not
+        # order — a paced offset behind the committed one after a
+        # restart would plan an empty backward batch and then replay
+        # already-delivered commits as duplicates. A too-big first
+        # batch is merely slow; duplicates are wrong.
+        if self._max_commits > 0 and self._cursor is not None:
+            admitted = [r["seq"] for r in log if r["seq"] > self._cursor]
             if admitted:
                 last = min(last, admitted[
                     min(self._max_commits, len(admitted)) - 1])
-        self._cursor = max(last, self._cursor or self._start)
+            last = max(last, self._cursor)
+        if self._cursor is not None:
+            self._cursor = max(last, self._cursor)
         return {"seq": last}
 
     def commit(self, end: dict) -> None:
@@ -829,6 +858,11 @@ class WcfsStreamReader(DataSourceStreamReader):
 
         eng = _engine()
         s, e = int(start["seq"]), int(end["seq"])
+        # Spark's offsets are authoritative: anchor the pacing cursor to
+        # them so a restarted query resumes admission control from its
+        # committed position, never behind it
+        if self._cursor is None or e > self._cursor:
+            self._cursor = e
         log = eng.read_commit_log(self._path) or []
         window = [r for r in log if s < r["seq"] <= e]
         ok_actions = ("create", "append", "compact", "replace")
@@ -877,8 +911,18 @@ class WcfsStreamReader(DataSourceStreamReader):
             # sidecars (a logged write_checkpoint of a delete_keys
             # result carries deletion vectors for its OWN chunks —
             # those rows must not stream as inserts)
+            if len(r["files"]) > _PLAN_STREAM_FILES_MAX:
+                raise ValueError(
+                    f"commit {r['seq']} of {self._path!r} spans "
+                    f"{len(r['files'])} files — past "
+                    f"{_PLAN_STREAM_FILES_MAX} the stream's serial "
+                    "driver-side planning pass is the wrong tool; read "
+                    "this window via decode_checkpoint/read_changes and "
+                    f"restart the stream with starting_seq={r['seq']}"
+                )
             deletes: dict = {}
             data_files = []
+            file_chunks: dict = {}  # file -> set of its data chunk_keys
             gate_pairs: set = set()
             for base in sorted(r["files"]):
                 fp = f"{root}/{base}"
@@ -886,23 +930,25 @@ class WcfsStreamReader(DataSourceStreamReader):
                                   filesystem=fsys)
                 cols = t.column("column").to_pylist()
                 ckeys = t.column("chunk_key").to_pylist()
-                has_data = False
-                for ck, c in zip(ckeys, cols):
-                    if c == eng.DONE_COLUMN:
-                        continue
-                    if c.startswith(eng.DELETES_PREFIX):
-                        continue
-                    has_data = True
-                    if (ck, c) in gate_pairs:
-                        raise ValueError(
-                            f"commit {r['seq']} of {self._path!r} carries "
-                            f"duplicate chunk ({ck!r}, {c!r}) across its "
-                            "files (a resumed encode manifest?) — the "
-                            "per-file streaming decode would emit the "
-                            "rows twice; compact_checkpoint the source "
-                            "and restart from its snapshot"
-                        )
-                    gate_pairs.add((ck, c))
+                rows = [(ck, c) for ck, c in zip(ckeys, cols)
+                        if c != eng.DONE_COLUMN
+                        and not c.startswith(eng.DELETES_PREFIX)]
+                pairs = set(rows)
+                has_data = bool(pairs)
+                dup = gate_pairs & pairs
+                if len(pairs) != len(rows) or dup:
+                    ck, c = next(iter(dup)) if dup else next(
+                        p for p in pairs if rows.count(p) > 1)
+                    raise ValueError(
+                        f"commit {r['seq']} of {self._path!r} carries "
+                        f"duplicate chunk ({ck!r}, {c!r}) "
+                        "(a resumed encode manifest?) — the "
+                        "per-file streaming decode would emit the "
+                        "rows twice; compact_checkpoint the source "
+                        "and restart from its snapshot"
+                    )
+                gate_pairs |= pairs
+                file_chunks[fp] = {ck for ck, _ in pairs}
                 didx = sorted({c for c in cols
                                if c.startswith(eng.DELETES_PREFIX)})
                 if didx:
@@ -922,9 +968,15 @@ class WcfsStreamReader(DataSourceStreamReader):
                         )
                 if has_data:
                     data_files.append(fp)
+            # each insert partition carries ONLY its own file's chunks'
+            # masks — shipping the whole commit's dict into every
+            # partition is O(files x masks) pickled planning payload
             out.extend(
-                _StreamPartition(path=fp, seq=r["seq"],
-                                 deletes=deletes or None)
+                _StreamPartition(
+                    path=fp, seq=r["seq"],
+                    deletes={ck: deletes[ck]
+                             for ck in file_chunks.get(fp, ())
+                             if ck in deletes} or None)
                 for fp in data_files)
             if not (self._cdf and deletes):
                 continue
@@ -1035,16 +1087,24 @@ class WcfsStreamReader(DataSourceStreamReader):
         kf = sch.field(self._key_col)
         phys = eng._phys_sub_names(kf.name, kf.type)
         hit_list = sorted(partition.chunks)
+        read_cols = ["chunk_key", "column", "blob"]
+        if self._verify:
+            read_cols.append("checksum")
         t = pq.read_table(
-            partition.path, columns=["chunk_key", "column", "blob"],
+            partition.path, columns=read_cols,
             filters=[("chunk_key", "in", hit_list),
                      ("column", "in", phys)])
         ckeys = t.column("chunk_key").to_pylist()
         cols = t.column("column").to_pylist()
         blobs = t.column("blob")
+        sums = (t.column("checksum").to_pylist()
+                if self._verify else None)
         by_chunk: dict = {}
+        expect: dict = {}
         for i, ck in enumerate(ckeys):
             by_chunk.setdefault(ck, {})[cols[i]] = blobs[i].as_py()
+            if sums is not None:
+                expect[(ck, cols[i])] = sums[i]
         gone = []
         for ck in hit_list:
             sub = by_chunk.get(ck)
@@ -1055,6 +1115,16 @@ class WcfsStreamReader(DataSourceStreamReader):
                     "checkpoint; restart the stream"
                 )
             cvs = {c: eng._decode_blob(b) for c, b in sub.items()}
+            if sums is not None:
+                for c, cv in cvs.items():
+                    got = eng._checksum(cv)
+                    if got != expect.get((ck, c)):
+                        raise IOError(
+                            f"checksum mismatch decoding chunk {ck!r} "
+                            f"column {c!r} for CDF delete attribution: "
+                            f"manifest says {expect.get((ck, c))}, "
+                            f"decoded values hash to {got}"
+                        )
             arr = eng._rebuild_field(kf, cvs)
             n = len(arr)
             bef_blobs, new_blobs = partition.chunks[ck]
