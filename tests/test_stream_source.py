@@ -355,3 +355,37 @@ def test_pipeline_chain_source_to_sink(spark, docs, tmp_path):
     # per drained micro-batch — tailable by the next stage
     log = read_commit_log(b_dir)
     assert log is not None and len(log) == 2
+
+
+def test_constraint_commits_skip_schema_evo_stops(spark, docs, tmp_path):
+    # add_constraint changes neither rows nor schema: the tail skips it;
+    # add_column evolves the schema: the stream stops with a restart
+    # hint (the Delta convention — the reader's schema is fixed at
+    # start)
+    from wills_columnar_format_spark.engine import (
+        add_column_checkpoint, add_constraint_checkpoint)
+
+    ckpt = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    wal = str(tmp_path / "wal")
+    a = docs.filter(F.crc32("doc_id") % 2 == 0)
+    b = docs.filter(F.crc32("doc_id") % 2 == 1)
+    write_checkpoint(encode_table(a, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema)
+    _drain(spark, ckpt, out, wal)
+    add_constraint_checkpoint(spark, ckpt, "pos_tok",
+                              check=("n_tok", 0, 10**9))
+    write_checkpoint(encode_table(b, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema,
+                     mode="append")
+    _drain(spark, ckpt, out, wal)  # constraint commit skipped silently
+    assert spark.read.parquet(out).count() == docs.count()
+    add_column_checkpoint(ckpt, "weight", "double", default=1.0)
+    write_checkpoint(encode_table(a.limit(10), key_col="doc_id",
+                                  codec="auto", num_partitions=1),
+                     ckpt, schema=docs.schema, mode="append")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises((StreamingQueryException, Py4JJavaError),
+                       match="evolve the table schema"):
+        _drain(spark, ckpt, out, wal)

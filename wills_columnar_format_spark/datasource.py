@@ -865,6 +865,25 @@ class WcfsStreamReader(DataSourceStreamReader):
             self._cursor = e
         log = eng.read_commit_log(self._path) or []
         window = [r for r in log if s < r["seq"] <= e]
+        # constraint commits change neither rows nor schema: skip.
+        # Schema-evolution commits (add/rename/drop/alter) stop the
+        # stream with a restart hint — the reader's schema is fixed at
+        # stream start, and silently continuing would either drop a new
+        # column or mis-name/mis-type existing ones (Delta's
+        # schema-change-stops-the-stream convention).
+        window = [r for r in window
+                  if r["action"] not in ("add_constraint",
+                                         "drop_constraint")]
+        evo = {r["seq"]: r["action"] for r in window
+               if r["action"] in ("add_column", "rename_column",
+                                  "drop_column", "alter_type")}
+        if evo:
+            raise ValueError(
+                f"commit(s) {evo} of {self._path!r} evolve the table "
+                "schema — the stream's schema is fixed at start; "
+                "restart the stream (optionally with starting_seq="
+                f"{max(evo)}) to adopt the new schema"
+            )
         ok_actions = ("create", "append", "compact", "replace")
         if self._cdf:
             ok_actions += ("delete", "upsert", "merge")
