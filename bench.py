@@ -268,6 +268,7 @@ def _registry_benches(spark, sf_dir: str):
         "dedup_simhash",
         "cosine_topk",
         "tpch_q1",
+        "tpch_q6",
         "nation_revenue",
         "events_top_type",
         "group_by_pushdown",

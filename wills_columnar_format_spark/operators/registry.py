@@ -2135,6 +2135,65 @@ ORACLE_SUM_WHERE_PUSHDOWN = " UNION ALL ".join(
 )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) over the engine's hybrid
+    predicate pushdown: the three-way conjunctive filter (one-year
+    shipdate band, discount band, quantity cap) runs as ``sum_where``
+    over a shipdate-clustered encode — date-band chunks fully inside
+    every predicate answer from per-chunk metadata sums, out-of-band
+    chunks never decode, boundary chunks decode exactly. Monetary
+    values ride as integer cents-of-discount units
+    (floor(extendedprice*discount*100) — floor on IEEE doubles is
+    bit-deterministic on both engines), the same exactness contract as
+    every sum pushdown. The canonical 100 TB OLAP probe: on the
+    date-clustered layout Q6 is a metadata aggregate plus O(#boundary)
+    chunk decodes of a one-year band."""
+    from ..engine import encode_table, sum_where
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    derived = li.select(
+        F.datediff(F.to_date("l_shipdate"),
+                   F.lit("1970-01-01").cast("date")).alias("ship_day"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        F.floor("l_quantity").cast("long").alias("qty_i"),
+        F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("long").alias("rev_c"),
+    )
+    clustered = (derived.repartitionByRange(8, "ship_day")
+                 .sortWithinPartitions("ship_day"))
+    m = encode_table(clustered, key_col="ship_day", codec="auto",
+                     partitioner="none", chunk_rows=1024)
+    lo = 9862   # epoch days of 1997-01-01 (a year inside the data)
+    hi = 10226  # epoch days of 1997-12-31
+    return sum_where(
+        m, derived.schema, "rev_c",
+        where=[("ship_day", lo, hi), ("disc_c", 5, 7),
+               ("qty_i", 1, 23)],
+    ).select("n_rows", "n_nonnull",
+             F.col("sum_val").cast("double").alias("revenue_d"),
+             "avg_val")
+
+
+DUCK_TPCH_Q6 = """
+SELECT count(*) AS n_rows,
+       count(rev_c) AS n_nonnull,
+       CAST(SUM(rev_c) AS DOUBLE) AS revenue_d,
+       CAST(SUM(rev_c) AS DOUBLE) / count(rev_c) AS avg_val
+FROM (
+  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             AS ship_day,
+         CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_c,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS qty_i,
+         CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)
+             AS rev_c
+  FROM lineitem
+)
+WHERE ship_day BETWEEN 9862 AND 10226
+  AND disc_c BETWEEN 5 AND 7
+  AND qty_i BETWEEN 1 AND 23
+"""
+
+
 def q_where_pushdown_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count_where / sum_where over a PERSISTED checkpoint
     (engine.count_where_checkpoint / sum_where_checkpoint): the
@@ -4027,6 +4086,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_recall": (q_ann_ivf_recall, DUCK_ANN_IVF_RECALL),
     # multimodal
     "multimodal_meta": (q_multimodal_meta, DUCK_MULTIMODAL_META),
+    "tpch_q6": (q_tpch_q6, DUCK_TPCH_Q6),
     # relational breadth — running over decoded codec views (the scan IS
     # the engine's format; oracles stay on raw parquet)
     "tpch_q1": (
