@@ -9026,6 +9026,59 @@ def count_where(manifest_df, out_schema, where=None, where_in=None):
             .agg(F.sum("n_rows").cast("long").alias("n_rows")))
 
 
+def explain_where(manifest_df, out_schema, where=None, where_in=None):
+    """Pushdown PLAN REPORT for the hybrid predicate family: one row
+    per chunk class — ``('in' | 'out' | 'dec', n_chunks, n_rows,
+    bytes_out)`` — showing how ``count_where`` / ``sum_where`` /
+    ``group_*_where`` / ``topk_where`` would route these predicates,
+    WITHOUT running the query. Blob-free metadata only; nothing
+    decodes. The 100 TB ops loop: verify a supposedly clustered
+    predicate routes to 'in'/'out' BEFORE paying for the scan — a
+    layout regression (re-ingest without sorting, a new unclustered
+    source) shows up here as a 'dec' byte explosion, not as a mystery
+    production slowdown. ``bytes_out`` for 'dec' is exactly the
+    compressed volume the query's decode side would read. An
+    unsatisfiable predicate (empty range) reports every chunk 'out'
+    with ``n_rows`` 0 (nothing would be read).
+    Same spec grammar as the query ops: ``where=(col, lo, hi)`` ranges,
+    ``where_in=(col, [values])`` IN-lists, one or lists, AND-combined.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = (out_schema if isinstance(out_schema, pa.Schema)
+              else to_arrow_schema(out_schema))
+    specs, _, satisfiable = _where_specs(schema, where)
+    in_specs, _, in_sat = _where_in_specs(schema, where_in)
+    satisfiable = satisfiable and in_sat
+    if not specs and not in_specs:
+        raise ValueError("explain_where needs where= and/or where_in=")
+    if not _cheap_rescan(manifest_df):
+        manifest_df = manifest_df.localCheckpoint(eager=True)
+    sizes = (
+        manifest_df.filter(
+            (F.col("column") != DONE_COLUMN)
+            & ~F.col("column").startswith(DELETES_PREFIX))
+        .groupBy("chunk_key")
+        .agg(F.sum("bytes_out").alias("__bytes"))
+    )
+    if not satisfiable:
+        cls = sizes.select(
+            "chunk_key", F.lit("out").alias("__cls"),
+            F.lit(0).cast("long").alias("__n"))
+    else:
+        cls = _count_where_classify(manifest_df, schema, specs, in_specs)
+    return (
+        cls.join(sizes, "chunk_key", "left")
+        .groupBy(F.col("__cls").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum("__n").cast("long").alias("n_rows"),
+             F.coalesce(F.sum("__bytes"), F.lit(0)).cast("long")
+             .alias("bytes_out"))
+        .orderBy("cls")
+    )
+
+
 def _where_specs(schema, where):
     """Validate/normalize ``count_where``/``sum_where`` range specs.
     Returns ``(specs, cond, satisfiable)``: the NORMALIZED spec list
