@@ -209,3 +209,22 @@ def test_as_of_needs_ledger(spark, token_df, table_dir):
     with pytest.raises(Exception, match="_commits"):
         spark.read.format("wcfs").option("as_of", "0") \
             .load(table_dir).count()
+
+
+def test_added_default_column_reads(spark, token_df, tmp_path):
+    # the Spark<->Arrow schema round trip drops arrow field metadata;
+    # the reader must take added-column defaults from the _table_schema
+    # sidecar or pre-add chunks die with a missing-sub-column error
+    from wills_columnar_format_spark.engine import (
+        add_column_checkpoint, encode_table, write_checkpoint)
+
+    d = str(tmp_path / "addcol")
+    write_checkpoint(
+        encode_table(token_df, key_col="doc_id", codec="auto",
+                     num_partitions=2),
+        d, schema=token_df.schema)
+    add_column_checkpoint(d, "weight", "double", default=2.5)
+    r = spark.read.format("wcfs").load(d)
+    assert "weight" in r.columns
+    assert r.count() == token_df.count()
+    assert r.filter(F.col("weight") == 2.5).count() == token_df.count()

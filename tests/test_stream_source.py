@@ -389,3 +389,32 @@ def test_constraint_commits_skip_schema_evo_stops(spark, docs, tmp_path):
     with pytest.raises((StreamingQueryException, Py4JJavaError),
                        match="evolve the table schema"):
         _drain(spark, ckpt, out, wal)
+
+
+def test_window_caps_before_schema_change(spark, docs, tmp_path):
+    # a data commit and a schema change land together between drains:
+    # the window must cap BEFORE the blocker so the data delivers
+    # first; the next drain fails on the blocker alone with an
+    # accurate starting_seq hint (a mixed window would strand the data
+    # commit forever — the boundary is baked into Spark's WAL)
+    from wills_columnar_format_spark.engine import add_column_checkpoint
+
+    ckpt = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    wal = str(tmp_path / "wal")
+    a = docs.filter(F.crc32("doc_id") % 2 == 0)
+    b = docs.filter(F.crc32("doc_id") % 2 == 1)
+    write_checkpoint(encode_table(a, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema)
+    _drain(spark, ckpt, out, wal)
+    write_checkpoint(encode_table(b, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema,
+                     mode="append")
+    add_column_checkpoint(ckpt, "w", "double", default=1.0)
+    _drain(spark, ckpt, out, wal)  # capped window: commit 1 delivers
+    assert spark.read.parquet(out).count() == docs.count()
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises((StreamingQueryException, Py4JJavaError),
+                       match="starting_seq=2"):
+        _drain(spark, ckpt, out, wal)  # blocker-only window

@@ -171,6 +171,40 @@ class WcfsDataSource(DataSource):
 # ---------------------------------------------------------------------------
 
 
+def _decode_arrow_schema(path, spark_schema, drop=()):
+    """Arrow schema for the DECODE side of a wcfs read. Spark hands
+    readers a StructType, but the Spark<->Arrow round trip DROPS arrow
+    field metadata — which is where ``add_column_checkpoint`` records a
+    metadata-only column's default (``_added_defaults``). Decoding a
+    pre-add chunk under the stripped schema then dies with a
+    missing-sub-column error instead of filling the default. So:
+    prefer the ``_table_schema`` sidecar's own arrow fields (metadata
+    intact) wherever name+type match the declared Spark schema, fall
+    back to plain conversion otherwise (explicit .schema() overrides
+    keep working)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    eng = _engine()
+    base = to_arrow_schema(spark_schema)
+    side = None
+    if path:
+        try:
+            side = eng.read_checkpoint_schema(path)
+        except (OSError, ValueError):
+            side = None
+    fields = []
+    for f in base:
+        if f.name in drop:
+            continue
+        if side is not None:
+            i = side.get_field_index(f.name)
+            if i >= 0 and side.field(i).type.equals(f.type):
+                fields.append(side.field(i))
+                continue
+        fields.append(f)
+    return pa.schema(fields)
+
+
 def _zone_admit_rows(rows, lo, hi, is_str):
     """Vectorized conservative zone test over collected metadata rows:
     True where [lo, hi] intersects the chunk's value interval; NULL
@@ -229,7 +263,10 @@ class WcfsReader(DataSourceReader):
         # the masks for free.
         self._as_of = (int(options["as_of"])
                        if options.get("as_of") is not None else None)
-        self._schema_arrow_ser = to_arrow_schema(schema).serialize().to_pybytes()
+        # sidecar-backed arrow fields keep added-column default
+        # metadata the Spark<->Arrow round trip drops
+        self._schema_arrow_ser = _decode_arrow_schema(
+            self._path, schema).serialize().to_pybytes()
         # (col sub-name, lo, hi, probe values, is_str) specs harvested
         # by pushFilters; planning consumes them in partitions()
         self._pushed: list = []
@@ -780,9 +817,6 @@ class WcfsStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, schema: StructType, options: dict):
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType as _ST
-
         self._path = options.get("path")
         if not self._path:
             raise ValueError(
@@ -805,11 +839,11 @@ class WcfsStreamReader(DataSourceStreamReader):
         self._start = start
         # decode under the TABLE schema; attribution columns are
         # appended by read() after decode, never rebuilt from manifest
-        # sub-columns
-        fields = [f for f in schema.fields
-                  if f.name not in ("_commit_seq", "_change_type")]
-        self._schema_arrow_ser = to_arrow_schema(
-            _ST(fields)).serialize().to_pybytes()
+        # sub-columns. Sidecar-backed fields keep added-column default
+        # metadata the Spark<->Arrow round trip drops.
+        self._schema_arrow_ser = _decode_arrow_schema(
+            self._path, schema,
+            drop=("_commit_seq", "_change_type")).serialize().to_pybytes()
         self._cursor: int | None = None  # pacing memory, not correctness
 
     # -- offsets ------------------------------------------------------------
@@ -835,15 +869,47 @@ class WcfsStreamReader(DataSourceStreamReader):
         # restart would plan an empty backward batch and then replay
         # already-delivered commits as duplicates. A too-big first
         # batch is merely slow; duplicates are wrong.
-        if self._max_commits > 0 and self._cursor is not None:
-            admitted = [r["seq"] for r in log if r["seq"] > self._cursor]
-            if admitted:
-                last = min(last, admitted[
-                    min(self._max_commits, len(admitted)) - 1])
-            last = max(last, self._cursor)
         if self._cursor is not None:
+            if self._max_commits > 0:
+                admitted = [r["seq"] for r in log
+                            if r["seq"] > self._cursor]
+                if admitted:
+                    last = min(last, admitted[
+                        min(self._max_commits, len(admitted)) - 1])
+            # never let a window MIX data commits with a commit this
+            # mode cannot stream (schema evolution, restore/clone,
+            # mutations outside cdf): cap the window just BEFORE the
+            # first blocking commit so everything prior delivers, then
+            # the next window contains the blocker first and fails
+            # with an accurate restart hint — a mixed window would
+            # strand its data commits forever (the window boundary is
+            # baked into Spark's WAL and re-plans identically).
+            news = sorted(r["seq"] for r in log
+                          if r["seq"] > self._cursor)
+            blocking = sorted(
+                r["seq"] for r in log
+                if r["seq"] > self._cursor
+                and self._blocks(r["action"]))
+            if blocking and news:
+                # blocker next: window = exactly the blocker (the raise
+                # then names precisely one commit to skip). Blocker
+                # later: everything before it delivers first.
+                last = min(last, blocking[0]
+                           if blocking[0] == news[0] else blocking[0] - 1)
+            last = max(last, self._cursor)
             self._cursor = max(last, self._cursor)
         return {"seq": last}
+
+    def _blocks(self, action: str) -> bool:
+        """Commits this stream mode cannot deliver (raise in
+        partitions): schema evolution and history rewrites always;
+        row mutations only outside CDF mode."""
+        if action in ("add_column", "rename_column", "drop_column",
+                      "alter_type", "restore", "clone"):
+            return True
+        if action in ("delete", "upsert", "merge"):
+            return not self._cdf
+        return False
 
     def commit(self, end: dict) -> None:
         pass  # the ledger is append-only; nothing to release upstream
@@ -858,6 +924,15 @@ class WcfsStreamReader(DataSourceStreamReader):
 
         eng = _engine()
         s, e = int(start["seq"]), int(end["seq"])
+        if e < s:
+            raise ValueError(
+                f"stream window ({s}, {e}] of {self._path!r} runs "
+                "BACKWARDS — the offset log disagrees with this "
+                "reader's admission state (were cdf/starting_seq "
+                "options changed against an existing "
+                "checkpointLocation?); restart with a fresh "
+                "checkpointLocation"
+            )
         # Spark's offsets are authoritative: anchor the pacing cursor to
         # them so a restarted query resumes admission control from its
         # committed position, never behind it
@@ -878,11 +953,30 @@ class WcfsStreamReader(DataSourceStreamReader):
                if r["action"] in ("add_column", "rename_column",
                                   "drop_column", "alter_type")}
         if evo:
+            stranded = [r["seq"] for r in window
+                        if r["seq"] < min(evo) and r["action"] not in
+                        ("add_constraint", "drop_constraint")]
+            if stranded:
+                # only reachable on a pre-capping WAL or after options
+                # changed against an existing checkpoint: latestOffset
+                # caps windows BEFORE the first blocking commit, so a
+                # normally-planned window never mixes
+                raise ValueError(
+                    f"window ({s}, {e}] of {self._path!r} mixes data "
+                    f"commit(s) {stranded} with the schema change at "
+                    f"commit {min(evo)}, and a planned window cannot "
+                    "be split — read the window via batch "
+                    "(decode_checkpoint(as_of=...) / read_changes), "
+                    "then restart with a FRESH checkpointLocation and "
+                    f"starting_seq={max(evo)}"
+                )
             raise ValueError(
                 f"commit(s) {evo} of {self._path!r} evolve the table "
                 "schema — the stream's schema is fixed at start; "
-                "restart the stream (optionally with starting_seq="
-                f"{max(evo)}) to adopt the new schema"
+                f"restart the stream with starting_seq={max(evo)} to "
+                "adopt the new schema (a rename additionally needs "
+                "compact_checkpoint: the source reads physical "
+                "layouts only)"
             )
         ok_actions = ("create", "append", "compact", "replace")
         if self._cdf:

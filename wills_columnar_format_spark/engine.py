@@ -9036,9 +9036,14 @@ def explain_where(manifest_df, out_schema, where=None, where_in=None):
     predicate routes to 'in'/'out' BEFORE paying for the scan — a
     layout regression (re-ingest without sorting, a new unclustered
     source) shows up here as a 'dec' byte explosion, not as a mystery
-    production slowdown. ``bytes_out`` for 'dec' is exactly the
-    compressed volume the query's decode side would read. An
-    unsatisfiable predicate (empty range) reports every chunk 'out'
+    production slowdown. ``bytes_out`` is each class's full compressed
+    chunk volume across ALL stored columns — an upper bound on what
+    'dec' chunks read (the queries decode only the predicate/value
+    projection, so wide tables read less), and a lower bound on
+    routing health (a 'dec' explosion is real regardless of width).
+    One asymmetry to know: ``sum_where`` additionally decodes 'in'
+    chunks whose ``val_sum`` is absent (overflow, legacy manifests).
+    An unsatisfiable predicate (empty range) reports every chunk 'out'
     with ``n_rows`` 0 (nothing would be read).
     Same spec grammar as the query ops: ``where=(col, lo, hi)`` ranges,
     ``where_in=(col, [values])`` IN-lists, one or lists, AND-combined.
@@ -9059,6 +9064,10 @@ def explain_where(manifest_df, out_schema, where=None, where_in=None):
         manifest_df.filter(
             (F.col("column") != DONE_COLUMN)
             & ~F.col("column").startswith(DELETES_PREFIX))
+        # resumed/merged manifests carry byte-identical duplicate
+        # (chunk_key, column) rows — summing them would double-count
+        # bytes (the additive-stats rule _stats_base documents)
+        .dropDuplicates(["chunk_key", "column"])
         .groupBy("chunk_key")
         .agg(F.sum("bytes_out").alias("__bytes"))
     )
