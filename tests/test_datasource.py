@@ -228,3 +228,33 @@ def test_added_default_column_reads(spark, token_df, tmp_path):
     assert "weight" in r.columns
     assert r.count() == token_df.count()
     assert r.filter(F.col("weight") == 2.5).count() == token_df.count()
+
+
+def test_batch_writer_keeps_logged_dirs_attributed(spark, token_df,
+                                                   tmp_path):
+    # a logged dir must stay fully attributed: batch appends record an
+    # `append` commit, overwrite records a `replace`; unlogged dirs
+    # keep the plain-dir behavior (no ledger)
+    from wills_columnar_format_spark.engine import (
+        encode_table, read_commit_log, write_checkpoint)
+
+    d = str(tmp_path / "logged")
+    write_checkpoint(
+        encode_table(token_df.limit(300), key_col="doc_id", codec="auto",
+                     num_partitions=2),
+        d, schema=token_df.schema)
+    extra = token_df.filter(~F.col("doc_id").isin(
+        [r["doc_id"] for r in token_df.limit(300).collect()])).limit(100)
+    (extra.repartition(1).write.format("wcfs").mode("append")
+     .option("key_col", "doc_id").save(d))
+    log = read_commit_log(d)
+    assert [r["action"] for r in log] == ["create", "append"]
+    # ledger attribution works: as_of=0 is the pre-append snapshot
+    assert spark.read.format("wcfs").option("as_of", "0") \
+        .load(d).count() == 300
+    assert spark.read.format("wcfs").load(d).count() == 400
+    (token_df.limit(50).repartition(1).write.format("wcfs")
+     .mode("overwrite").option("key_col", "doc_id").save(d))
+    log = read_commit_log(d)
+    assert [r["action"] for r in log][-1] == "replace"
+    assert spark.read.format("wcfs").load(d).count() == 50

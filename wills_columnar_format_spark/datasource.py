@@ -615,6 +615,19 @@ class WcfsWriter(DataSourceArrowWriter):
                         fsys.delete_file(f"{p.rstrip('/')}/{base}")
                     except OSError:
                         pass
+        # a LOGGED dir must stay fully attributed: files no commit
+        # record names are invisible to time travel / read_changes /
+        # the streaming source, a silently-inconsistent table. Batch
+        # appends record an `append` commit; an overwrite records a
+        # `replace` (the ledger's wholesale-set action — history
+        # before it is vacuumed, exactly what overwrite did).
+        # Unlogged dirs stay unlogged (plain-dir batch behavior).
+        if eng.read_commit_log(self._path) is not None:
+            files = sorted(f for m in messages if m for f in m.files)
+            if files:
+                eng._append_commit(
+                    self._path, "replace" if self._overwrite else "append",
+                    "", files)
 
     def abort(self, messages) -> None:
         eng = _engine()
