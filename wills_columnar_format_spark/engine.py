@@ -5682,9 +5682,30 @@ def _append_commit(ckpt_dir: str, action: str, generation: str,
                    "files": sorted(files)}
             if _publish_exclusive(fsys, f"{cdir}/{seq:06d}.json",
                                   json.dumps(rec).encode()):
+                # the record is PUBLISHED from here on: a failure in
+                # the shadow verification below must never surface as
+                # "log not written" (the outer except's None) — the
+                # caller would retry and commit TWICE. The listing can
+                # race a concurrent rollup prune's deletes (entries
+                # vanishing mid-listing raise), so retry it; if it
+                # never settles, raise the ambiguity loudly.
+                for _try in range(8):
+                    try:
+                        infos = fsys.get_file_info(
+                            pafs.FileSelector(cdir, recursive=False))
+                        break
+                    except (OSError, ValueError):
+                        continue
+                else:
+                    raise RuntimeError(
+                        f"commit {seq} of {cdir!r} is published but the "
+                        "rollup-shadow verification listing failed "
+                        "repeatedly — cannot certify visibility "
+                        "(concurrent prune storm?); the record exists, "
+                        "do NOT blindly retry this append"
+                    )
                 shadow = -1
-                for i in fsys.get_file_info(
-                        pafs.FileSelector(cdir, recursive=False)):
+                for i in infos:
                     if i.type != pafs.FileType.File \
                             or not i.base_name.endswith(".json"):
                         continue
