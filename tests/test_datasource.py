@@ -253,8 +253,34 @@ def test_batch_writer_keeps_logged_dirs_attributed(spark, token_df,
     assert spark.read.format("wcfs").option("as_of", "0") \
         .load(d).count() == 300
     assert spark.read.format("wcfs").load(d).count() == 400
-    (token_df.limit(50).repartition(1).write.format("wcfs")
-     .mode("overwrite").option("key_col", "doc_id").save(d))
-    log = read_commit_log(d)
-    assert [r["action"] for r in log][-1] == "replace"
-    assert spark.read.format("wcfs").load(d).count() == 50
+    # overwrite cannot be represented in a ledger history ('replace'
+    # means content-identical to log readers): refused up front,
+    # nothing deleted
+    with pytest.raises(Exception, match="ledger-backed"):
+        (token_df.limit(50).repartition(1).write.format("wcfs")
+         .mode("overwrite").option("key_col", "doc_id").save(d))
+    assert spark.read.format("wcfs").load(d).count() == 400
+
+
+def test_batch_append_keeps_sidecar_metadata(spark, token_df, tmp_path):
+    # the writer must never clobber a sidecar carrying add_column
+    # defaults: a frame-schema overwrite would strip the default
+    # markers and break decode of pre-add chunks
+    from wills_columnar_format_spark.engine import (
+        add_column_checkpoint, encode_table, write_checkpoint)
+
+    d = str(tmp_path / "keepmeta")
+    write_checkpoint(
+        encode_table(token_df.limit(200), key_col="doc_id", codec="auto",
+                     num_partitions=2),
+        d, schema=token_df.schema)
+    add_column_checkpoint(d, "weight", "double", default=2.5)
+    extra = token_df.filter(~F.col("doc_id").isin(
+        [r["doc_id"] for r in token_df.limit(200).collect()])).limit(50)
+    (extra.repartition(1).write.format("wcfs").mode("append")
+     .option("key_col", "doc_id").save(d))
+    r = spark.read.format("wcfs").load(d)
+    assert r.count() == 250
+    # pre-add chunks fill the default; the appended chunks (written
+    # without the column) do too
+    assert r.filter(F.col("weight") == 2.5).count() == 250

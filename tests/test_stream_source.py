@@ -418,3 +418,31 @@ def test_window_caps_before_schema_change(spark, docs, tmp_path):
     with pytest.raises((StreamingQueryException, Py4JJavaError),
                        match="starting_seq=2"):
         _drain(spark, ckpt, out, wal)  # blocker-only window
+
+
+def test_fresh_stream_over_evo_history_delivers_prefix(spark, docs,
+                                                       tmp_path):
+    # a BRAND-NEW stream over history containing a schema change must
+    # deliver the pre-change commits first (window capped before the
+    # blocker even with no anchored cursor), then fail on the blocker
+    # alone — not plan one mixed window that strands the prefix forever
+    from wills_columnar_format_spark.engine import add_column_checkpoint
+
+    ckpt = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    wal = str(tmp_path / "wal")
+    a = docs.filter(F.crc32("doc_id") % 2 == 0)
+    b = docs.filter(F.crc32("doc_id") % 2 == 1)
+    write_checkpoint(encode_table(a, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema)
+    write_checkpoint(encode_table(b, key_col="doc_id", codec="auto",
+                                  num_partitions=2), ckpt, schema=docs.schema,
+                     mode="append")
+    add_column_checkpoint(ckpt, "w", "double", default=1.0)
+    _drain(spark, ckpt, out, wal)  # capped: commits 0-1 deliver
+    assert spark.read.parquet(out).count() == docs.count()
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises((StreamingQueryException, Py4JJavaError),
+                       match="starting_seq=2"):
+        _drain(spark, ckpt, out, wal)

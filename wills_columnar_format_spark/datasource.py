@@ -558,6 +558,33 @@ class WcfsWriter(DataSourceArrowWriter):
         self._ndv = str(options.get("ndv_sketches",
                                     "false")).lower() == "true"
         self._overwrite = overwrite
+        logged = eng.read_commit_log(self._path) is not None
+        if overwrite and logged:
+            # a ledger-backed table's history cannot represent a
+            # wholesale batch replacement: 'replace' means a content-
+            # identical optimize to every log reader (streams and CDC
+            # skip it), and deleting the prior files first would leave
+            # a ledger naming vacuumed files on any crash
+            raise ValueError(
+                f"mode('overwrite') on the ledger-backed checkpoint "
+                f"{self._path!r} is not supported — use "
+                "restore_checkpoint / optimize_checkpoint / "
+                "compact_checkpoint for history-preserving rewrites, "
+                "or write a fresh dir"
+            )
+        if logged:
+            # appends into a logged table take the engine append path's
+            # preconditions: a crashed mutation window's reconciliation
+            # would claim these files into ITS commit, and a renamed
+            # checkpoint stores physical names this writer cannot speak
+            eng._raise_if_pending(self._path, for_write=True)
+            if eng._checkpoint_rename_map(self._path):
+                raise ValueError(
+                    f"checkpoint {self._path!r} carries column renames "
+                    "— the wcfs writer speaks physical layouts only; "
+                    "append via upsert_checkpoint/write_checkpoint, or "
+                    "compact_checkpoint to materialize the renames"
+                )
         # overwrite = replace the PRIOR snapshot: record it now (driver),
         # delete it in commit — readers racing the commit see either the
         # old files or the new, never a torn mix of half-deleted old
@@ -601,11 +628,22 @@ class WcfsWriter(DataSourceArrowWriter):
                 writer.close()
         return _WcfsCommit(files=[fname] if writer is not None else [])
 
+    def _write_schema_sidecar(self, eng) -> None:
+        """Write the ``_table_schema`` sidecar only when ABSENT: an
+        existing sidecar may carry field/schema metadata the written
+        frame's schema does not — add_column defaults, rename maps,
+        constraints — and clobbering it breaks decode of pre-add
+        chunks (the engine append path's ``schema=None`` guard,
+        engine.write_checkpoint). Schema changes go through the DDL
+        functions, never through a writer's frame schema."""
+        if eng.read_checkpoint_schema(self._path) is None:
+            eng.write_checkpoint_schema(
+                self._path,
+                pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser)))
+
     def commit(self, messages) -> None:
         eng = _engine()
-        eng.write_checkpoint_schema(
-            self._path,
-            pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser)))
+        self._write_schema_sidecar(eng)
         if self._overwrite and self._prior:
             fsys, p = eng._manifest_fs(self._path)
             written = {f for m in messages if m for f in m.files}
@@ -618,16 +656,17 @@ class WcfsWriter(DataSourceArrowWriter):
         # a LOGGED dir must stay fully attributed: files no commit
         # record names are invisible to time travel / read_changes /
         # the streaming source, a silently-inconsistent table. Batch
-        # appends record an `append` commit; an overwrite records a
-        # `replace` (the ledger's wholesale-set action — history
-        # before it is vacuumed, exactly what overwrite did).
-        # Unlogged dirs stay unlogged (plain-dir batch behavior).
-        if eng.read_commit_log(self._path) is not None:
+        # appends record an `append` commit (overwrite on logged dirs
+        # is refused in __init__). Unlogged dirs stay unlogged (plain
+        # -dir batch behavior). Crash window: files land before the
+        # record, so a driver death in between leaves listing-visible
+        # but ledger-invisible files — re-run the append or
+        # compact_checkpoint to reconcile.
+        if not self._overwrite \
+                and eng.read_commit_log(self._path) is not None:
             files = sorted(f for m in messages if m for f in m.files)
             if files:
-                eng._append_commit(
-                    self._path, "replace" if self._overwrite else "append",
-                    "", files)
+                eng._append_commit(self._path, "append", "", files)
 
     def abort(self, messages) -> None:
         eng = _engine()
@@ -745,9 +784,7 @@ class WcfsStreamWriter(WcfsWriter, DataSourceStreamArrowWriter):
         with fsys.open_output_stream(marker) as f:
             f.write(json.dumps({"batch_id": batchId,
                                 "files": files}).encode())
-        eng.write_checkpoint_schema(
-            self._path,
-            pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser)))
+        self._write_schema_sidecar(eng)
         if files and self._log_ok(eng, files, batchId):
             eng._append_commit(self._path, "append", "", files)
 
@@ -882,34 +919,40 @@ class WcfsStreamReader(DataSourceStreamReader):
         # restart would plan an empty backward batch and then replay
         # already-delivered commits as duplicates. A too-big first
         # batch is merely slow; duplicates are wrong.
+        if self._max_commits > 0 and self._cursor is not None:
+            admitted = [r["seq"] for r in log
+                        if r["seq"] > self._cursor]
+            if admitted:
+                last = min(last, admitted[
+                    min(self._max_commits, len(admitted)) - 1])
+        # never let a window MIX data commits with a commit this mode
+        # cannot stream (schema evolution, restore/clone, mutations
+        # outside cdf): cap the window just BEFORE the first blocking
+        # commit so everything prior delivers, then the next window
+        # contains the blocker first and fails with an accurate restart
+        # hint — a mixed window would strand its data commits forever
+        # (the window boundary is baked into Spark's WAL and re-plans
+        # identically). Unlike pacing, this capping applies even before
+        # the cursor is anchored (base = starting_seq): a FRESH stream
+        # over history containing a schema change must still deliver
+        # the pre-change commits. Same-option restarts cannot have
+        # consumed a blocker (it would have killed the stream), so the
+        # cap can only land at or above the committed offset; an
+        # option toggle against an old WAL lands behind it and trips
+        # partitions()' backward-window guard instead of replaying.
+        base = self._cursor if self._cursor is not None else self._start
+        news = sorted(r["seq"] for r in log if r["seq"] > base)
+        blocking = sorted(
+            r["seq"] for r in log
+            if r["seq"] > base and self._blocks(r["action"]))
+        if blocking and news:
+            # blocker next: window = exactly the blocker (the raise
+            # then names precisely one commit to skip). Blocker
+            # later: everything before it delivers first.
+            last = min(last, blocking[0]
+                       if blocking[0] == news[0] else blocking[0] - 1)
+        last = max(last, base)
         if self._cursor is not None:
-            if self._max_commits > 0:
-                admitted = [r["seq"] for r in log
-                            if r["seq"] > self._cursor]
-                if admitted:
-                    last = min(last, admitted[
-                        min(self._max_commits, len(admitted)) - 1])
-            # never let a window MIX data commits with a commit this
-            # mode cannot stream (schema evolution, restore/clone,
-            # mutations outside cdf): cap the window just BEFORE the
-            # first blocking commit so everything prior delivers, then
-            # the next window contains the blocker first and fails
-            # with an accurate restart hint — a mixed window would
-            # strand its data commits forever (the window boundary is
-            # baked into Spark's WAL and re-plans identically).
-            news = sorted(r["seq"] for r in log
-                          if r["seq"] > self._cursor)
-            blocking = sorted(
-                r["seq"] for r in log
-                if r["seq"] > self._cursor
-                and self._blocks(r["action"]))
-            if blocking and news:
-                # blocker next: window = exactly the blocker (the raise
-                # then names precisely one commit to skip). Blocker
-                # later: everything before it delivers first.
-                last = min(last, blocking[0]
-                           if blocking[0] == news[0] else blocking[0] - 1)
-            last = max(last, self._cursor)
             self._cursor = max(last, self._cursor)
         return {"seq": last}
 
@@ -966,9 +1009,7 @@ class WcfsStreamReader(DataSourceStreamReader):
                if r["action"] in ("add_column", "rename_column",
                                   "drop_column", "alter_type")}
         if evo:
-            stranded = [r["seq"] for r in window
-                        if r["seq"] < min(evo) and r["action"] not in
-                        ("add_constraint", "drop_constraint")]
+            stranded = [r["seq"] for r in window if r["seq"] < min(evo)]
             if stranded:
                 # only reachable on a pre-capping WAL or after options
                 # changed against an existing checkpoint: latestOffset

@@ -9090,7 +9090,14 @@ def explain_where(manifest_df, out_schema, where=None, where_in=None):
         # bytes (the additive-stats rule _stats_base documents)
         .dropDuplicates(["chunk_key", "column"])
         .groupBy("chunk_key")
-        .agg(F.sum("bytes_out").alias("__bytes"))
+        .agg(F.sum("bytes_out").alias("__bytes"),
+             # chunk ROW count fallback: the classifier's __n is NULL
+             # for chunks missing every predicate column's manifest row
+             # (schema-evolved layouts) — non-#values sub-columns'
+             # n_values equals the row count (#values counts list
+             # ELEMENTS, so it is excluded)
+             F.max(F.when(~F.col("column").endswith("#values"),
+                          F.col("n_values"))).alias("__rows"))
     )
     if not satisfiable:
         cls = sizes.select(
@@ -9102,7 +9109,8 @@ def explain_where(manifest_df, out_schema, where=None, where_in=None):
         cls.join(sizes, "chunk_key", "left")
         .groupBy(F.col("__cls").alias("cls"))
         .agg(F.count(F.lit(1)).alias("n_chunks"),
-             F.sum("__n").cast("long").alias("n_rows"),
+             F.sum(F.coalesce(F.col("__n"), F.col("__rows")))
+             .cast("long").alias("n_rows"),
              F.coalesce(F.sum("__bytes"), F.lit(0)).cast("long")
              .alias("bytes_out"))
         .orderBy("cls")
