@@ -173,3 +173,125 @@ def test_merge_time_travel_and_zero_exchange(spark, docs, ckpt):
     plan = dec._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert dec.filter(F.col("doc_id") == 50).first().n_chars == 42
+
+
+# ---------------------------------------------------------------------------
+# merge_into_df: fully distributed classic-upsert MERGE (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_into_df_matches_upsert_shape(spark, docs, ckpt):
+    from wills_columnar_format_spark.engine import merge_into_df
+
+    src = spark.createDataFrame(
+        [(5, "new", 1000), (7, "new", 1001), (900, "new", 1002)],
+        "doc_id long, source string, n_chars long")
+    res = merge_into_df(spark, ckpt, src, "doc_id")
+    assert (res["updated"], res["deleted"], res["inserted"]) == (2, 0, 1)
+    rows = _rows(spark, ckpt)
+    assert len(rows) == 301
+    assert rows[5] == ("new", 1000)
+    assert rows[7] == ("new", 1001)
+    assert rows[900] == ("new", 1002)
+    assert rows[6] == ("src1", 6 % 97)
+    hist = checkpoint_history(spark, ckpt).collect()
+    assert [r.action for r in hist] == ["create", "merge"]
+    # replay the SAME batch: idempotent at the row level (fresh
+    # generation, no chunk-key collision) and counts re-attribute —
+    # every key now matches the live snapshot
+    res2 = merge_into_df(spark, ckpt, src, "doc_id")
+    assert (res2["updated"], res2["inserted"]) == (3, 0)
+    assert res2["gen"] != res["gen"]
+    assert _rows(spark, ckpt) == rows
+
+
+def test_merge_into_df_change_feed_and_time_travel(spark, docs, ckpt):
+    from wills_columnar_format_spark.engine import merge_into_df
+
+    src = spark.createDataFrame(
+        [(1, "m", -1), (990, "m", -2)],
+        "doc_id long, source string, n_chars long")
+    merge_into_df(spark, ckpt, src, "doc_id")
+    # time travel: snapshot 0 is the pre-merge table
+    pre = decode_checkpoint(spark, ckpt, as_of=0)
+    assert pre.count() == 300
+    assert {r.doc_id: r.source for r in pre.filter(
+        F.col("doc_id") == 1).collect()} == {1: "src1"}
+    feed = read_changes(spark, ckpt, since=0, key_col="doc_id").collect()
+    kinds = {(r.doc_id, r._change_type) for r in feed}
+    assert (1, "delete") in kinds and (1, "insert") in kinds
+    assert (990, "insert") in kinds and (990, "delete") not in kinds
+
+
+def test_merge_into_df_refusals(spark, docs, ckpt):
+    from wills_columnar_format_spark.engine import merge_into_df
+
+    dup = spark.createDataFrame(
+        [(5, "a", 1), (5, "b", 2)],
+        "doc_id long, source string, n_chars long")
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_into_df(spark, ckpt, dup, "doc_id")
+    narrow = spark.createDataFrame([(5, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="must equal the table's"):
+        merge_into_df(spark, ckpt, narrow, "doc_id")
+    empty = spark.createDataFrame(
+        [], "doc_id long, source string, n_chars long")
+    assert merge_into_df(spark, ckpt, empty, "doc_id")["gen"] == ""
+    hist = checkpoint_history(spark, ckpt).collect()
+    assert [r.action for r in hist] == ["create"]  # no phantom commit
+
+
+def test_merge_checkpoint_overflow_points_at_merge_into_df(
+        spark, docs, ckpt, monkeypatch):
+    from wills_columnar_format_spark import engine as eng
+
+    monkeypatch.setattr(eng, "UPSERT_KEYS_MAX", 100)
+    src = spark.createDataFrame(
+        [(i, "x", i) for i in range(150)],
+        "doc_id long, source string, n_chars long")
+    with pytest.raises(ValueError, match="merge_into_df"):
+        merge_checkpoint(spark, ckpt, src, "doc_id")
+
+
+def test_upsert_checkpoint_past_cap_goes_distributed(
+        spark, docs, ckpt, monkeypatch):
+    # lower the driver ceiling to force the distributed mark pass and
+    # verify the full upsert contract survives it: replacement, append,
+    # logged commit, replay idempotency
+    from wills_columnar_format_spark import engine as eng
+
+    monkeypatch.setattr(eng, "UPSERT_KEYS_MAX", 50)
+    src = spark.createDataFrame(
+        [(i, "up", 10000 + i) for i in range(250, 400)],
+        "doc_id long, source string, n_chars long")
+    gen1 = eng.upsert_checkpoint(spark, ckpt, src, "doc_id",
+                                 num_partitions=2, chunk_rows=64)
+    rows = _rows(spark, ckpt)
+    assert len(rows) == 400
+    assert rows[260] == ("up", 10260)
+    assert rows[10] == ("src0", 10 % 97)
+    hist = checkpoint_history(spark, ckpt).collect()
+    assert [r.action for r in hist] == ["create", "upsert"]
+    # replay: fresh generation (file-listing salt), identical rows
+    gen2 = eng.upsert_checkpoint(spark, ckpt, src, "doc_id",
+                                 num_partitions=2, chunk_rows=64)
+    assert gen2 != gen1
+    assert _rows(spark, ckpt) == rows
+
+
+def test_upsert_table_past_cap_goes_distributed(spark, docs, monkeypatch):
+    from wills_columnar_format_spark import engine as eng
+
+    monkeypatch.setattr(eng, "UPSERT_KEYS_MAX", 50)
+    m = encode_table(docs, key_col="doc_id", num_partitions=4,
+                     chunk_rows=64)
+    src = spark.createDataFrame(
+        [(i, "up", -i) for i in range(200, 350)],
+        "doc_id long, source string, n_chars long")
+    out = eng.upsert_table(m, src, "doc_id", num_partitions=2,
+                           chunk_rows=64)
+    dec = eng.decode_table(out, docs.schema)
+    got = {r.doc_id: (r.source, r.n_chars) for r in dec.collect()}
+    assert len(got) == 350
+    assert got[210] == ("up", -210)
+    assert got[10] == ("src0", 10 % 97)

@@ -446,3 +446,56 @@ def test_fresh_stream_over_evo_history_delivers_prefix(spark, docs,
     with pytest.raises((StreamingQueryException, Py4JJavaError),
                        match="starting_seq=2"):
         _drain(spark, ckpt, out, wal)
+
+
+def test_sink_replay_heal_is_idempotent(tmp_path):
+    # ADVICE r4: two concurrent replays of the same batchId (zombie
+    # driver) could both pass the _batch_logged check and double-append
+    # the batch's files. Healing now claims an exclusive per-batch
+    # .heal marker; a fresh claimed-but-unappended marker blocks other
+    # healers, and only past the staleness window does the liveness
+    # fallback append (after a re-check).
+    import time
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from wills_columnar_format_spark import datasource as ds
+    from wills_columnar_format_spark import engine as eng
+
+    d = str(tmp_path / "sink")
+    schema = StructType([StructField("doc_id", StringType())])
+
+    def writer():
+        # the real runner re-instantiates the writer per phase
+        return ds.WcfsStreamWriter(schema, {"path": d}, False)
+
+    writer().commit([ds._WcfsCommit(files=["part-b0.parquet"])], 0)
+    log = eng.read_commit_log(d)
+    assert [r["files"] for r in log] == [["part-b0.parquet"]]
+
+    # batch 1's first application crashed AFTER the marker write but
+    # BEFORE the ledger append: marker exists, files unattributed
+    with open(f"{d}/_stream_commits/0000000001.json", "w") as f:
+        json.dump({"batch_id": 1, "files": ["part-b1.parquet"]}, f)
+    writer().commit([ds._WcfsCommit(files=["part-b1x.parquet"])], 1)
+    log = eng.read_commit_log(d)
+    assert sum(r["files"] == ["part-b1.parquet"] for r in log) == 1
+    # a second replay must not double-append
+    writer().commit([ds._WcfsCommit(files=["part-b1y.parquet"])], 1)
+    log = eng.read_commit_log(d)
+    assert sum(r["files"] == ["part-b1.parquet"] for r in log) == 1
+
+    # batch 2: a FRESH heal marker (another healer mid-append) blocks
+    with open(f"{d}/_stream_commits/0000000002.json", "w") as f:
+        json.dump({"batch_id": 2, "files": ["part-b2.parquet"]}, f)
+    with open(f"{d}/_stream_commits/0000000002.heal", "w") as f:
+        f.write("{}")
+    writer().commit([ds._WcfsCommit(files=["part-b2x.parquet"])], 2)
+    assert not any(r["files"] == ["part-b2.parquet"]
+                   for r in eng.read_commit_log(d))
+    # ...until the marker goes stale: the orphaned batch heals once
+    stale = time.time() - 2 * ds._HEAL_STALE_SECONDS
+    os.utime(f"{d}/_stream_commits/0000000002.heal", (stale, stale))
+    writer().commit([ds._WcfsCommit(files=["part-b2x.parquet"])], 2)
+    assert sum(r["files"] == ["part-b2.parquet"]
+               for r in eng.read_commit_log(d)) == 1

@@ -84,6 +84,9 @@ _PLAN_CDF_FILES_MAX = 4096
 # per-commit cap on the stream planner's serial driver-side metadata
 # pass (one pyarrow read per file of the window's commits)
 _PLAN_STREAM_FILES_MAX = 4096
+# a claimed-but-never-appended heal marker older than this is treated
+# as orphaned and healing proceeds without the exclusive claim
+_HEAL_STALE_SECONDS = 300.0
 
 
 def _engine():
@@ -779,7 +782,34 @@ class WcfsStreamWriter(WcfsWriter, DataSourceStreamArrowWriter):
                 first = sorted(json.loads(f.read().decode())["files"])
             if (first and self._log_ok(eng, first, batchId)
                     and not self._batch_logged(eng, first)):
-                eng._append_commit(self._path, "append", "", first)
+                # serialize the heal: two concurrent replays of the same
+                # batchId (zombie driver) would both pass _batch_logged
+                # and double-append the batch's files — claim an
+                # exclusive per-batch heal marker first, and re-check
+                # after winning (the loser's heal may have landed
+                # between our check and our claim on a retried batch)
+                healm = f"{mdir}/{batchId:010d}.heal"
+                if eng._publish_exclusive(fsys, healm, b"{}"):
+                    if not self._batch_logged(eng, first):
+                        eng._append_commit(self._path, "append", "",
+                                           first)
+                elif not self._batch_logged(eng, first):
+                    # a prior healer claimed the marker but its append
+                    # never landed (crash between claim and append).
+                    # Liveness fallback: past a staleness window the
+                    # batch is certainly orphaned — append after a
+                    # fresh re-check. The window narrows, not closes,
+                    # the multi-writer race on object stores (the same
+                    # caveat _publish_exclusive documents for S3).
+                    import time as _time
+
+                    info = fsys.get_file_info(healm)
+                    mtime = getattr(info, "mtime", None)
+                    age = (_time.time() - mtime.timestamp()
+                           if mtime is not None else 0.0)
+                    if age >= _HEAL_STALE_SECONDS:
+                        eng._append_commit(self._path, "append", "",
+                                           first)
             return
         with fsys.open_output_stream(marker) as f:
             f.write(json.dumps({"batch_id": batchId,
@@ -1027,8 +1057,10 @@ class WcfsStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"commit(s) {evo} of {self._path!r} evolve the table "
                 "schema — the stream's schema is fixed at start; "
-                f"restart the stream with starting_seq={max(evo)} to "
-                "adopt the new schema (a rename additionally needs "
+                "restart the stream with a FRESH checkpointLocation "
+                f"and starting_seq={max(evo)} to adopt the new schema "
+                "(the old checkpointLocation's WAL replans this same "
+                "window and re-raises; a rename additionally needs "
                 "compact_checkpoint: the source reads physical "
                 "layouts only)"
             )
@@ -1059,8 +1091,8 @@ class WcfsStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"commits {lost} of {self._path!r} precede the "
                     f"in-place optimize at commit {barrier} (their files "
-                    "were vacuumed) — restart the stream with "
-                    f"starting_seq={barrier}"
+                    "were vacuumed) — restart the stream with a FRESH "
+                    f"checkpointLocation and starting_seq={barrier}"
                 )
             window = [r for r in window if r["action"] != "replace"]
         if eng._checkpoint_rename_map(self._path):
@@ -1085,7 +1117,8 @@ class WcfsStreamReader(DataSourceStreamReader):
                     f"{_PLAN_STREAM_FILES_MAX} the stream's serial "
                     "driver-side planning pass is the wrong tool; read "
                     "this window via decode_checkpoint/read_changes and "
-                    f"restart the stream with starting_seq={r['seq']}"
+                    "restart the stream with a FRESH checkpointLocation "
+                    f"and starting_seq={r['seq']}"
                 )
             deletes: dict = {}
             data_files = []
@@ -1310,7 +1343,10 @@ class WcfsStreamReader(DataSourceStreamReader):
             # feed's key-level grouping (cross-chunk duplicates are
             # outside the CDF contract — see class docstring)
             dead_keys = set(arr.filter(pa.array(dead_now)).to_pylist())
-            gone.extend(sorted(dead_keys - still))
+            # no sort: emission order is irrelevant to the batch, and a
+            # null key (None in the set) makes sorted() raise TypeError
+            # where read_changes' groupBy path handles nulls fine
+            gone.extend(dead_keys - still)
         karr = pa.array(gone, type=kf.type)
         n = len(karr)
         arrays = [

@@ -3006,9 +3006,11 @@ DELETES_COLLECT_MAX = 200_000
 
 # Upsert ships the replacement batch's key set to the mark pass through
 # the same driver-side probe delete_keys uses (precomputed bloom hash
-# pairs ride the task closure) — bounded here. Bigger merges should
-# land as delete_keys + append in partitioned waves, or wait for a
-# shuffle-join mark pass.
+# pairs ride the task closure) — bounded here. PAST the bound the
+# upsert paths switch to the distributed mark pass automatically
+# (``_mark_sidecars_df``: key-sub-column explode + semi-join — cost ∝
+# key column of the corpus instead of bloom-pruned chunks, but no
+# driver ceiling; the 100-TB backfill MERGE shape).
 UPSERT_KEYS_MAX = 1_000_000
 
 
@@ -3030,14 +3032,23 @@ def _salt_chunk_keys(manifest_df, gen: str):
     )
 
 
-def _collect_upsert_keys(new_df, key_col: str):
+def _collect_upsert_keys(new_df, key_col: str, allow_overflow: bool = False):
+    """Collect the batch's distinct keys for the driver-probe mark pass.
+    Past ``UPSERT_KEYS_MAX``: returns ``None`` when the caller has a
+    distributed fallback (``allow_overflow``), else raises — a caller
+    that NEEDS the driver list (conditional merge's matched decode)
+    must refuse loudly rather than OOM the driver."""
     rows = (
         new_df.select(key_col).distinct().limit(UPSERT_KEYS_MAX + 1).collect()
     )
     if len(rows) > UPSERT_KEYS_MAX:
+        if allow_overflow:
+            return None
         raise ValueError(
-            f"upsert batch has more than {UPSERT_KEYS_MAX} distinct keys — "
-            "split the merge into waves (delete_keys + append per wave)"
+            f"batch has more than {UPSERT_KEYS_MAX} distinct keys — the "
+            "conditional-merge matched decode is driver-probed; use "
+            "merge_into_df (distributed classic upsert) or split the "
+            "merge into waves"
         )
     return [r[0] for r in rows]
 
@@ -3059,12 +3070,31 @@ def upsert_table(manifest_df, new_df, key_col: str, **encode_kwargs):
     differs per application): without it the replay's chunk keys
     collide with the first generation's and its own mask pass kills
     both. ``upsert_checkpoint`` handles this automatically (the
-    destination's file listing is the salt)."""
+    destination's file listing is the salt).
+
+    Batches past ``UPSERT_KEYS_MAX`` distinct keys switch to the
+    distributed mark pass (``_mark_sidecars_df``): no driver key list,
+    cost ∝ the key sub-column of the corpus plus one semi-join
+    shuffle — the backfill-scale MERGE path."""
     gen_salt = encode_kwargs.pop("gen_salt", "")
-    keys = _collect_upsert_keys(new_df, key_col)
-    gen = _upsert_generation(
-        list(dict.fromkeys(_canon_temporal_keys(keys))), gen_salt)
-    base = delete_keys(manifest_df, keys, key_col)
+    keys = _collect_upsert_keys(new_df, key_col, allow_overflow=True)
+    if keys is None:
+        if not _cheap_rescan(manifest_df):
+            manifest_df = manifest_df.localCheckpoint(eager=True)
+        probe, key_ddl = _keys_df_probe(new_df, key_col, "upsert_table")
+        h, _n = _keys_df_signature(probe)
+        # delete-side gen stays content-derived (mask replay collapses
+        # to identical rows); append-side salt folds gen_salt exactly
+        # like the driver path
+        dgen = f"{h:012x}"
+        gen = _upsert_generation([f"xor:{dgen}"], gen_salt)
+        sidecars = _mark_sidecars_df(manifest_df, probe, key_ddl,
+                                     key_col, dgen)
+        base = manifest_df.unionByName(sidecars, allowMissingColumns=True)
+    else:
+        gen = _upsert_generation(
+            list(dict.fromkeys(_canon_temporal_keys(keys))), gen_salt)
+        base = delete_keys(manifest_df, keys, key_col)
     newm = _salt_chunk_keys(
         encode_table(new_df, key_col=key_col, **encode_kwargs), gen
     )
@@ -3095,23 +3125,42 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
         new_df = new_df.select(
             *[F.col(c).alias(rmap.get(c, c)) for c in new_df.columns])
         key_col = rmap.get(key_col, key_col)
-    keys = _collect_upsert_keys(new_df, key_col)
+    keys = _collect_upsert_keys(new_df, key_col, allow_overflow=True)
     before = _list_data_files(ckpt_dir)
-    probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
-    # salt the appended generation with the PRE-append listing: a
-    # replayed upsert (idempotent change-feed apply, retried sync job)
-    # then mints a fresh generation instead of colliding with the one
-    # it already wrote — see _upsert_generation
-    gen = _upsert_generation(probe, "|".join(before))
+    if keys is None:
+        # batch past UPSERT_KEYS_MAX: distributed mark pass — the key
+        # set never touches the driver (cost ∝ the corpus's key
+        # sub-column + one semi-join shuffle)
+        probe_df, key_ddl = _keys_df_probe(new_df, key_col,
+                                           "upsert_checkpoint")
+        h, _n = _keys_df_signature(probe_df)
+        dgen = f"{h:012x}"  # content-derived: mask replay collapses
+        gen = _upsert_generation([f"xor:{dgen}"], "|".join(before))
+
+        def mark():
+            return _mark_sidecars_df(
+                spark.read.parquet(ckpt_dir), probe_df, key_ddl,
+                key_col, dgen)
+    else:
+        probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
+        # salt the appended generation with the PRE-append listing: a
+        # replayed upsert (idempotent change-feed apply, retried sync
+        # job) then mints a fresh generation instead of colliding with
+        # the one it already wrote — see _upsert_generation
+        gen = _upsert_generation(probe, "|".join(before))
+        if _keys_kind(probe) != "empty":
+            # the mask pass; its generation stays CONTENT-derived (mask
+            # replay must collapse to identical rows — see delete_keys)
+            def mark():
+                return _mark_sidecars(spark.read.parquet(ckpt_dir),
+                                      probe, _deletes_generation(probe),
+                                      key_col)
+        else:
+            mark = None
     logged = _begin_logged_mutation(ckpt_dir, "upsert", gen, before)
     added: list[str] = []
-    if _keys_kind(probe) != "empty":
-        # the mask pass; its generation stays CONTENT-derived (mask
-        # replay must collapse to identical rows — see delete_keys)
-        dgen = _deletes_generation(probe)
-        sidecars = _mark_sidecars(spark.read.parquet(ckpt_dir), probe,
-                                  dgen, key_col)
-        added += _staged_append(sidecars, ckpt_dir)
+    if mark is not None:
+        added += _staged_append(mark(), ckpt_dir)
     newm = _salt_chunk_keys(
         encode_table(new_df, key_col=key_col, **encode_kwargs), gen
     )
@@ -3171,47 +3220,55 @@ def make_positions_mark_fn(gen: str):
     return fn
 
 
-def delete_keys_df(manifest_df, keys_df, key_col: str,
-                   num_partitions: int | None = None):
-    """Distributed ``delete_keys`` for UNBOUNDED key sets: the deleted
-    keys arrive as a DataFrame (one column named ``key_col``) instead
-    of a driver list, so a billion-key erasure never touches the
-    driver. Dataflow mirrors ``backfill_column``: decode ONLY the key
-    sub-column, explode (chunk, position, key), semi-join against the
-    key set (one shuffle), regroup hit positions per chunk into sidecar
-    rows. For SMALL key sets prefer ``delete_keys`` — its bloom/zone
-    mark pass decodes only the chunks that can match, where this path
-    decodes every chunk's keys once. Numeric/string keys (temporal: use
-    ``delete_keys``, which canonicalizes)."""
+def _keys_df_probe(keys_df, key_col: str, caller: str):
+    """Normalize a key-set DataFrame into the distributed mark pass's
+    probe: one ``__bf_key`` column cast to the canonical join type,
+    DISTINCT, pinned when the source is nondeterministic (the signature
+    aggregate and the semi-join both evaluate it). Returns
+    ``(probe_df, key_ddl)``."""
     from pyspark.sql import functions as F
 
     key_ddl = _BF_KEY_DDL.get(
         keys_df.schema[key_col].dataType.simpleString())
     if key_ddl is None:
         raise TypeError(
-            f"delete_keys_df: unsupported key type "
+            f"{caller}: unsupported key type "
             f"{keys_df.schema[key_col].dataType.simpleString()!r} — numeric "
-            "or string key sets only (temporal sets: delete_keys)"
+            "or string key sets only (temporal sets: the driver-list path "
+            "canonicalizes)"
         )
-    if not _cheap_rescan(manifest_df):
-        manifest_df = manifest_df.localCheckpoint(eager=True)
     probe = keys_df.select(
         F.col(key_col).cast(key_ddl).alias("__bf_key")).distinct()
     if not _cheap_rescan(keys_df):
-        # the gen aggregate below and the semi-join both evaluate the
-        # probe — pin nondeterministic key sources once
         probe = probe.localCheckpoint(eager=True)
-    # deterministic order-independent generation id from the DISTINCT
-    # key set: bit_xor of per-key xxhash64 (xor over a set is
-    # overflow-free and order-free) — same set, same gen, idempotent
-    # replay; distinct first, else duplicate keys would cancel in pairs
+    return probe, key_ddl
+
+
+def _keys_df_signature(probe) -> tuple[int, int]:
+    """Deterministic order-independent signature of a DISTINCT key-set
+    DataFrame: ``(bit_xor(xxhash64(key)), count)``. Xor over a set is
+    overflow-free and order-free — same set, same signature, regardless
+    of partitioning; distinct first, else duplicate keys would cancel
+    in pairs. One 1-row collect (pure aggregate, never the keys)."""
+    from pyspark.sql import functions as F
+
     agg = probe.select(
         F.expr("bit_xor(xxhash64(cast(__bf_key as string)))").alias("h"),
         F.count("__bf_key").alias("n"),
     ).collect()[0]
-    if not agg["n"]:
-        return manifest_df
-    gen = f"{(agg['h'] or 0) & 0xFFFFFFFFFFFF:012x}"
+    return (agg["h"] or 0) & 0xFFFFFFFFFFFF, agg["n"]
+
+
+def _mark_sidecars_df(manifest_df, probe, key_ddl: str, key_col: str,
+                      gen: str, num_partitions: int | None = None):
+    """Distributed MARK pass for UNBOUNDED key sets — the DataFrame
+    twin of ``_mark_sidecars``: decode ONLY the key sub-column, explode
+    (chunk, position, key), semi-join against the probe (one shuffle),
+    regroup hit positions per chunk into deletion-vector sidecar rows.
+    Decodes every chunk's keys once (no bloom/zone prune — at this key
+    volume the probe wouldn't fit a task closure)."""
+    from pyspark.sql import functions as F
+
     kdf = manifest_df.filter(F.col("column") == F.lit(key_col))
     exploded = kdf.mapInArrow(
         _make_key_explode_fn(key_col, key_ddl),
@@ -3226,8 +3283,31 @@ def delete_keys_df(manifest_df, keys_df, key_col: str,
         1, manifest_df.select("part_id").rdd.getNumPartitions())
     grouped = hits.repartition(n, "chunk_key").sortWithinPartitions(
         "chunk_key", "pos")
-    sidecars = grouped.mapInArrow(
+    return grouped.mapInArrow(
         make_positions_mark_fn(gen), schema=MANIFEST_DDL)
+
+
+def delete_keys_df(manifest_df, keys_df, key_col: str,
+                   num_partitions: int | None = None):
+    """Distributed ``delete_keys`` for UNBOUNDED key sets: the deleted
+    keys arrive as a DataFrame (one column named ``key_col``) instead
+    of a driver list, so a billion-key erasure never touches the
+    driver. Dataflow mirrors ``backfill_column``: decode ONLY the key
+    sub-column, explode (chunk, position, key), semi-join against the
+    key set (one shuffle), regroup hit positions per chunk into sidecar
+    rows. For SMALL key sets prefer ``delete_keys`` — its bloom/zone
+    mark pass decodes only the chunks that can match, where this path
+    decodes every chunk's keys once. Numeric/string keys (temporal: use
+    ``delete_keys``, which canonicalizes)."""
+    probe, key_ddl = _keys_df_probe(keys_df, key_col, "delete_keys_df")
+    if not _cheap_rescan(manifest_df):
+        manifest_df = manifest_df.localCheckpoint(eager=True)
+    h, n = _keys_df_signature(probe)
+    if not n:
+        return manifest_df
+    gen = f"{h:012x}"
+    sidecars = _mark_sidecars_df(manifest_df, probe, key_ddl, key_col,
+                                 gen, num_partitions)
     return manifest_df.unionByName(sidecars, allowMissingColumns=True)
 
 
@@ -3796,6 +3876,10 @@ def merge_checkpoint(spark, ckpt_dir: str, source_df, key_col: str,
             f"merge_checkpoint: source has duplicate keys (e.g. "
             f"{dup[0][0]!r}) — a MERGE source must be key-unique"
         )
+    # strict cap: raises past UPSERT_KEYS_MAX with a pointer at
+    # merge_into_df. Every later driver collect in this function
+    # (matched delete keys, updated keys) selects a SUBSET of these
+    # source keys, so this one guard bounds them all.
     keys = _collect_upsert_keys(source_df, key_col)
     matched = decode_checkpoint(
         spark, ckpt_dir, keys=keys, key_col=key_col)
@@ -3891,6 +3975,104 @@ def merge_checkpoint(spark, ckpt_dir: str, source_df, key_col: str,
         _end_logged_mutation(ckpt_dir, "merge", gen, before,
                              added=sorted(added))
     return {"updated": n_up, "deleted": n_del, "inserted": n_ins,
+            "gen": gen}
+
+
+def merge_into_df(spark, ckpt_dir: str, source_df, key_col: str,
+                  num_partitions: int | None = None,
+                  **encode_kwargs) -> dict:
+    """Fully distributed MERGE for the classic upsert shape
+    (``WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT
+    *``): no key list, no matched-row decode through the driver —
+    a billion-key backfill MERGE never hits ``UPSERT_KEYS_MAX``.
+    Matched rows are masked by the distributed mark pass
+    (``_mark_sidecars_df``: key-sub-column explode + semi-join) and the
+    WHOLE source encodes as one appended generation; both land as ONE
+    logged ``merge`` commit. Cost ∝ source batch + the corpus's key
+    sub-column (two distributed passes: live-key count + mark), never
+    the full corpus. Conditional clauses / ``set_map`` need matched-row
+    values and stay on ``merge_checkpoint`` (driver-probed, capped).
+
+    ``source_df`` must be key-unique and carry exactly the table's
+    columns. Same OCC protocol as ``merge_checkpoint``. Returns
+    ``{"updated", "deleted": 0, "inserted", "gen"}`` — counts are key
+    counts against the LIVE snapshot (a previously deleted key
+    re-appearing counts as inserted)."""
+    from pyspark.sql import functions as F
+
+    _raise_if_pending(ckpt_dir, for_write=True)
+    side = read_checkpoint_schema(ckpt_dir)
+    if side is None:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} carries no _table_schema sidecar "
+            "— merge validates the source against it; "
+            "write_checkpoint(manifest, dir, schema=...) makes the "
+            "checkpoint self-describing"
+        )
+    table_cols = list(side.names)
+    if set(source_df.columns) != set(table_cols):
+        raise ValueError(
+            f"merge_into_df: source columns {sorted(source_df.columns)} "
+            f"must equal the table's {sorted(table_cols)} — a classic "
+            "upsert replaces whole rows"
+        )
+    if key_col not in table_cols:
+        raise ValueError(
+            f"merge_into_df: key_col {key_col!r} is not in the table")
+    _log0 = read_commit_log(ckpt_dir)
+    _head0 = _log0[-1]["seq"] if _log0 else None
+    if not _cheap_rescan(source_df):
+        source_df = source_df.localCheckpoint(eager=True)
+    dup = (source_df.groupBy(key_col).count()
+           .filter(F.col("count") > 1).limit(1).take(1))
+    if dup:
+        raise ValueError(
+            f"merge_into_df: source has duplicate keys (e.g. "
+            f"{dup[0][0]!r}) — a MERGE source must be key-unique"
+        )
+    _enforce_constraints_rows(ckpt_dir, source_df)
+    rmap = _checkpoint_rename_map(ckpt_dir)
+    key_phys = rmap.get(key_col, key_col)
+    probe, key_ddl = _keys_df_probe(source_df, key_col, "merge_into_df")
+    h, n = _keys_df_signature(probe)
+    if not n:
+        return {"updated": 0, "deleted": 0, "inserted": 0, "gen": ""}
+    # key-count attribution against the LIVE snapshot: distributed
+    # projected decode of just the key column + one semi-join count
+    live = (decode_checkpoint(spark, ckpt_dir, columns=[key_col])
+            .select(F.col(key_col).cast(key_ddl).alias("__bf_key"))
+            .distinct())
+    n_up = live.join(probe, "__bf_key", "left_semi").count()
+    n_ins = n - n_up
+
+    log1 = read_commit_log(ckpt_dir)
+    head1 = log1[-1]["seq"] if log1 else None
+    if head1 != _head0:
+        raise IOError(
+            f"merge_into_df: checkpoint {ckpt_dir!r} advanced from "
+            f"commit {_head0} to {head1} while the merge was being "
+            "computed — landing it would overwrite the concurrent "
+            "mutation with stale rows (lost update); retry"
+        )
+    if rmap:
+        source_df = source_df.select(
+            *[F.col(c).alias(rmap.get(c, c)) for c in source_df.columns])
+    before = _list_data_files(ckpt_dir)
+    dgen = f"{h:012x}"  # content-derived: mask replay collapses
+    gen = _upsert_generation([f"xor:{dgen}"], "|".join(before))
+    logged = _begin_logged_mutation(ckpt_dir, "merge", gen, before)
+    added: list[str] = []
+    sidecars = _mark_sidecars_df(
+        spark.read.parquet(ckpt_dir), probe, key_ddl, key_phys, dgen,
+        num_partitions)
+    added += _staged_append(sidecars, ckpt_dir)
+    newm = _salt_chunk_keys(
+        encode_table(source_df, key_col=key_phys, **encode_kwargs), gen)
+    added += _staged_append(newm, ckpt_dir)
+    if logged:
+        _end_logged_mutation(ckpt_dir, "merge", gen, before,
+                             added=sorted(added))
+    return {"updated": n_up, "deleted": 0, "inserted": n_ins,
             "gen": gen}
 
 

@@ -85,6 +85,26 @@ def get_spark(
             zip_path + os.pathsep + os.environ["PYTHONPATH"]
             if os.environ.get("PYTHONPATH") else zip_path)
     spark = builder.getOrCreate()
+    # getOrCreate silently ignores every config above when a session
+    # already exists — including spark.submit.pyFiles, so the driver-side
+    # streaming planner would fail with a bare ModuleNotFoundError with
+    # no pointer to the cause. Detect the reuse and name the limitation.
+    launched = spark.conf.get("spark.submit.pyFiles", "")
+    if zip_path not in launched:
+        import warnings
+
+        warnings.warn(
+            "get_spark() reused an existing SparkSession whose "
+            "spark.submit.pyFiles does not include "
+            f"{zip_path!r}: batch reads/writes work (addPyFile covers "
+            "executors), but the wcfs STREAMING source plans in a "
+            "driver-side Python runner that only sees files known at "
+            "JVM launch — readStream.format('wcfs') will raise "
+            "ModuleNotFoundError on this session. Stop the existing "
+            "session first (spark.stop()) and call get_spark() again.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)
     return spark
