@@ -702,9 +702,22 @@ def _sub_columns(name: str, arr: pa.Array, allow_nulls: bool = False) -> list[tu
         import pyarrow.compute as pc
 
         lens = pc.list_value_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        values = _normalize_temporal(arr.flatten())
         out.append((f"{name}#lengths", ColumnValues.from_numpy(lens.astype(np.int32))))
-        out.append((f"{name}#values", _arrow_to_columnvalues(values)))
+        values = arr.flatten()
+        if (pa.types.is_struct(values.type) or pa.types.is_map(values.type)
+                or pa.types.is_list(values.type)
+                or pa.types.is_large_list(values.type)):
+            # list<struct> / list<list> / list<map>: the flattened
+            # element array shreds RECURSIVELY under ``name#values`` —
+            # the lengths at each nesting level play the role of
+            # Dremel's repetition levels (tokenizer-offset / span
+            # schemas: list<struct<start,end>>). Flat element types
+            # keep the direct leaf below, byte-identical to every
+            # earlier encode.
+            out.extend(_sub_columns(f"{name}#values", values, allow_nulls))
+            return out
+        out.append((f"{name}#values",
+                    _arrow_to_columnvalues(_normalize_temporal(values))))
         return out
     out.append((name, _arrow_to_columnvalues(arr)))
     return out
@@ -1256,6 +1269,14 @@ def encode_table(
     from pyspark.sql.types import DecimalType
 
     spark = df.sparkSession
+    key_col, _, _ck_parts = _composite_args(key_col)
+    if _ck_parts:
+        # composite key: derive the canonical key sub-column ONCE
+        # (JVM expression) — all downstream key machinery (range/hash
+        # partitioning, zone maps, per-chunk Blooms, checksums, keys=
+        # lookups, deletion marks) operates on it unchanged. Stored
+        # under the reserved '#ck:' name; decode narrows it away free.
+        df = df.withColumn(key_col, _composite_key_expr(df, _ck_parts))
     if key_col in df.columns and isinstance(
             df.schema[key_col].dataType, DecimalType):
         raise dtypes.UnsupportedDataType(
@@ -1469,6 +1490,13 @@ def _phys_sub_names(name: str, t: pa.DataType) -> list[str]:
         out.extend(_phys_sub_names(f"{name}#mk", t.key_type))
         out.extend(_phys_sub_names(f"{name}#mv", t.item_type))
         return out
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        vt = t.value_type
+        if (pa.types.is_struct(vt) or pa.types.is_map(vt)
+                or pa.types.is_list(vt) or pa.types.is_large_list(vt)):
+            out = [f"{name}#lengths", f"{name}#valid"]
+            out.extend(_phys_sub_names(f"{name}#values", vt))
+            return out
     return [name, f"{name}#lengths", f"{name}#values", f"{name}#valid"]
 
 
@@ -1476,11 +1504,24 @@ def _rebuild_values(field: pa.Field, cvs: dict[str, ColumnValues]) -> pa.Array:
     t = field.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         lens_cv = cvs[f"{field.name}#lengths"]
-        vals_cv = cvs[f"{field.name}#values"]
         lens = lens_cv.vals.astype(np.int64)
         offsets = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
         elem_t = t.value_type
+        if (pa.types.is_struct(elem_t) or pa.types.is_map(elem_t)
+                or pa.types.is_list(elem_t)
+                or pa.types.is_large_list(elem_t)):
+            # nested elements: the flattened array rebuilds recursively
+            # from its own ``name#values`` sub-column tree
+            values = _rebuild_field(
+                pa.field(f"{field.name}#values", elem_t), cvs)
+            if pa.types.is_large_list(t):
+                return pa.LargeListArray.from_arrays(
+                    pa.array(offsets, type=pa.int64()), values)
+            return pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32), type=pa.int32()),
+                values)
+        vals_cv = cvs[f"{field.name}#values"]
         if pa.types.is_decimal(elem_t):
             # int64 -> decimal CAST would rescale (treats the int as a
             # whole number); rebuild from the unscaled words instead
@@ -2502,6 +2543,131 @@ def _filter_by_key_set(out, key_col, keys):
     return out.join(F.broadcast(kdf), key_col, "left_semi")
 
 
+# ---------------------------------------------------------------------------
+# composite keys: canonical tuple encoding over a derived key sub-column
+# ---------------------------------------------------------------------------
+
+_CK_PREFIX = "#ck:"
+_CK_SEP = "\x1f"
+_CK_ESC = "\x1b"
+_CK_INT_TYPES = ("bigint", "int", "smallint", "tinyint")
+
+
+def composite_key_name(parts) -> str:
+    """Stored name of the derived key sub-column for
+    ``key_col=["a", "b"]``: ``#ck:a,b``. The ``#`` prefix keeps it out
+    of the user column namespace (the shredded ``#lengths``/``#f:``
+    convention), so a decode narrows it away for free unless asked."""
+    return _CK_PREFIX + ",".join(parts)
+
+
+def canon_composite_key(parts_tuple) -> str:
+    """Driver-side canonical encoding of ONE composite key tuple — must
+    mirror ``_composite_key_expr`` byte-for-byte (zone maps, Blooms,
+    checksums and the exact post-filter all compare these strings).
+    Parts join on the 0x1f unit separator; string parts escape
+    ESC->ESC+'e' and SEP->ESC+'s' (injective — an escaped part never
+    contains a bare separator, so tuple equality <=> string equality);
+    integer parts render in decimal exactly like Spark's
+    bigint->string cast."""
+    out = []
+    for v in parts_tuple:
+        if isinstance(v, str):
+            out.append(v.replace(_CK_ESC, _CK_ESC + "e")
+                        .replace(_CK_SEP, _CK_ESC + "s"))
+        elif isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+            out.append(str(int(v)))
+        else:
+            raise TypeError(
+                f"composite key part {v!r} ({type(v).__name__}) — "
+                "string or integer parts only (temporal/float/decimal "
+                "parts: cast to int64/string yourself)"
+            )
+    return _CK_SEP.join(out)
+
+
+def _composite_key_expr(df, parts):
+    """Spark expression computing ``canon_composite_key`` over the part
+    columns — JVM-side, whole-stage-codegen'd, zero Python in the
+    path. Used at encode (derive the stored key sub-column) and at
+    decode (exact post-filter over the decoded parts)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for p in parts:
+        if p not in df.columns:
+            raise KeyError(
+                f"composite key part {p!r} is not a column "
+                f"(have {sorted(df.columns)})")
+        if "." in p or "`" in p:
+            raise ValueError(
+                f"composite key part {p!r} contains '.' or '`' — "
+                "unsupported in the derived key name")
+        dt = df.schema[p].dataType.simpleString()
+        if dt == "string":
+            c = F.regexp_replace(F.col(p), _CK_ESC, _CK_ESC + "e")
+            c = F.regexp_replace(c, _CK_SEP, _CK_ESC + "s")
+        elif dt in _CK_INT_TYPES:
+            c = F.col(p).cast("string")
+        else:
+            raise dtypes.UnsupportedDataType(
+                f"composite key part {p!r} is {dt} — string/integer "
+                "parts only (cast temporals to int64 epoch yourself)")
+        cols.append(c)
+    # F.concat, NOT concat_ws: a NULL part must poison the whole key so
+    # the encoder's null rejection fires — concat_ws silently skips
+    # nulls and two different tuples could collapse to one key
+    args = []
+    for i, c in enumerate(cols):
+        if i:
+            args.append(F.lit(_CK_SEP))
+        args.append(c)
+    return F.concat(*args)
+
+
+def _composite_args(key_col, keys=None, key_range=None):
+    """Entry-point translation for ``key_col=[part, ...]``: returns
+    ``(key_col, keys, parts)`` where a composite spec becomes the
+    derived ``#ck:`` name plus canonical-string keys (``parts`` is
+    None on the plain single-column path). Single-element lists
+    collapse to the plain path."""
+    if not isinstance(key_col, (list, tuple)):
+        return key_col, keys, None
+    parts = list(key_col)
+    if len(parts) < 1:
+        raise ValueError("key_col=[] — at least one key part")
+    if len(parts) == 1:
+        return parts[0], keys, None
+    if key_range is not None:
+        raise ValueError(
+            "key_range with a composite key is unsupported — the "
+            "canonical encoding is not order-preserving across integer "
+            "widths; range-scan the leading part via value_range"
+        )
+    ckeys = None
+    if keys is not None:
+        ckeys = [canon_composite_key(tuple(k)) for k in keys]
+    return composite_key_name(parts), ckeys, parts
+
+
+def _filter_by_composite_keys(out, parts, canon_keys):
+    """Exact post-filter for composite ``keys=`` decodes: recompute the
+    canonical string over the decoded part columns (JVM expression) and
+    membership-test it — isin for small sets, broadcast semi-join past
+    the literal cap (same rule as ``_filter_by_key_set``)."""
+    from pyspark.sql import functions as F
+
+    expr = _composite_key_expr(out, parts)
+    ks = list(dict.fromkeys(canon_keys))
+    if len(ks) <= _KEY_SET_ISIN_MAX:
+        return out.filter(expr.isin(ks))
+    kdf = out.sparkSession.createDataFrame(
+        [(k,) for k in ks], "__ck_probe string")
+    return (out.withColumn("__ck_probe", expr)
+            .join(F.broadcast(kdf), "__ck_probe", "left_semi")
+            .drop("__ck_probe"))
+
+
 def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
                  assume_unique=False, arranged=False, columns=None,
                  legacy_nan_zonemaps=False, value_range=None, keys=None,
@@ -2591,6 +2757,7 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
+    key_col, keys, ck_parts = _composite_args(key_col, keys, key_range)
     if not isinstance(out_schema, pa.Schema):
         out_schema = to_arrow_schema(out_schema)
     manifest_df = manifest_df.filter(F.col("column") != DONE_COLUMN)
@@ -2789,7 +2956,8 @@ def decode_table(manifest_df, out_schema, key_range=None, key_col=None,
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
     if keys is not None and key_col is not None:
-        out = _filter_by_key_set(out, key_col, keys)
+        out = (_filter_by_composite_keys(out, ck_parts, keys)
+               if ck_parts else _filter_by_key_set(out, key_col, keys))
     for v in vrs:
         out = out.filter(v[6])
     if in_expr is not None:
@@ -2923,6 +3091,7 @@ def delete_keys(manifest_df, keys, key_col: str):
     """
     from pyspark.sql import functions as F
 
+    key_col, keys, _ck = _composite_args(key_col, keys)
     probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
     if _keys_kind(probe) == "empty":
         return manifest_df
@@ -2974,6 +3143,7 @@ def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str,
     Returns the generation id written."""
     if _log:  # the upsert-internal call runs under upsert's own marker
         _raise_if_pending(ckpt_dir, for_write=True)
+    key_col, keys, _ck = _composite_args(key_col, keys)
     # renamed checkpoint: the key sub-column lives under its PHYSICAL
     # manifest name (upsert translates before its internal call)
     if _log:
@@ -3077,6 +3247,11 @@ def upsert_table(manifest_df, new_df, key_col: str, **encode_kwargs):
     cost ∝ the key sub-column of the corpus plus one semi-join
     shuffle — the backfill-scale MERGE path."""
     gen_salt = encode_kwargs.pop("gen_salt", "")
+    key_col, _, _ckp = _composite_args(key_col)
+    if _ckp:
+        raise ValueError(
+            "composite key_col on upsert_table is unsupported — "
+            "delete_keys(key_col=[...]) + a fresh append per wave")
     keys = _collect_upsert_keys(new_df, key_col, allow_overflow=True)
     if keys is None:
         if not _cheap_rescan(manifest_df):
@@ -3112,6 +3287,12 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
     commit, so no time-travel snapshot ever sees the deleted-but-not-
     reinserted intermediate state. Returns the generation id."""
     _raise_if_pending(ckpt_dir, for_write=True)
+    key_col, _, _ckp = _composite_args(key_col)
+    if _ckp:
+        raise ValueError(
+            "composite key_col on upsert_checkpoint is unsupported — "
+            "delete_keys_checkpoint(key_col=[...]) + write_checkpoint("
+            "mode='append') per wave")
     # row-level constraint pre-check BEFORE the mask sidecars land
     # (the staged hook alone would strand masked rows on violation)
     _enforce_constraints_rows(ckpt_dir, new_df)
@@ -3822,6 +4003,10 @@ def merge_checkpoint(spark, ckpt_dir: str, source_df, key_col: str,
     ``{"updated", "deleted", "inserted", "gen"}``."""
     from pyspark.sql import functions as F
 
+    if isinstance(key_col, (list, tuple)):
+        raise ValueError(
+            "composite key_col on merge_checkpoint is unsupported — "
+            "the matched decode and key collects are single-column")
     if when_matched not in ("update", "delete", None):
         raise ValueError(
             f"merge_checkpoint: when_matched={when_matched!r} — "
@@ -4000,6 +4185,10 @@ def merge_into_df(spark, ckpt_dir: str, source_df, key_col: str,
     re-appearing counts as inserted)."""
     from pyspark.sql import functions as F
 
+    if isinstance(key_col, (list, tuple)):
+        raise ValueError(
+            "composite key_col on merge_into_df is unsupported — the "
+            "distributed mark pass probes a single key sub-column")
     _raise_if_pending(ckpt_dir, for_write=True)
     side = read_checkpoint_schema(ckpt_dir)
     if side is None:
@@ -6682,6 +6871,17 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
 
     _raise_if_pending(ckpt_dir)
 
+    # the shuffling-path fallbacks below re-enter decode_table, which
+    # runs its own composite translation — hand them the ORIGINAL spec
+    orig_key_col, orig_keys = key_col, keys
+    key_col, keys, ck_parts = _composite_args(key_col, keys, key_range)
+    if ck_parts and _checkpoint_rename_map(ckpt_dir):
+        raise ValueError(
+            "composite-key decode on a RENAMED checkpoint is "
+            "unsupported — the stored '#ck:' name carries encode-time "
+            "part names; compact_checkpoint to materialize the renames "
+            "first"
+        )
     if out_schema is None:
         # self-describing checkpoint: the table schema rides a
         # _table_schema sidecar (write_checkpoint / CLI writers) — the
@@ -6821,9 +7021,11 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                     snap_src if snap_src is not None
                     else spark.read.parquet(ckpt_dir), _restrict_chunks),
                 full_schema,
-                key_range=key_range, key_col=key_col, columns=columns,
+                key_range=key_range, key_col=orig_key_col,
+                columns=columns,
                 legacy_nan_zonemaps=legacy_nan_zonemaps,
-                value_range=value_range, keys=keys, value_in=value_in,
+                value_range=value_range, keys=orig_keys,
+                value_in=value_in,
                 contains=contains, verify_checksums=verify_checksums,
             )
         extra_deletes = {}
@@ -6906,9 +7108,9 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
                 snap_src if snap_src is not None
                 else spark.read.parquet(ckpt_dir), _restrict_chunks),
             full_schema,
-            key_range=key_range, key_col=key_col, columns=columns,
+            key_range=key_range, key_col=orig_key_col, columns=columns,
             legacy_nan_zonemaps=legacy_nan_zonemaps, value_range=value_range,
-            keys=keys, value_in=value_in, contains=contains,
+            keys=orig_keys, value_in=value_in, contains=contains,
             verify_checksums=verify_checksums,
         )
     file_keys = None  # path -> qualifying chunk_key list (value_range only)
@@ -7021,7 +7223,8 @@ def decode_checkpoint(spark, ckpt_dir: str, out_schema=None, key_range=None,
         lo, hi = key_range
         out = out.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi)))
     if keys is not None and key_col is not None:
-        out = _filter_by_key_set(out, key_col, keys)
+        out = (_filter_by_composite_keys(out, ck_parts, keys)
+               if ck_parts else _filter_by_key_set(out, key_col, keys))
     for v in vrs:
         out = out.filter(v[6])
     if in_expr is not None:

@@ -1,26 +1,179 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are carried as ``binary`` columns; decode /
-feature-extraction runs as vectorized pandas UDFs over ``mapInPandas``
-batches. The actual media decoding is STUBBED (the sandbox has no
-image/audio libraries) behind ``decode_media`` — the Spark-side plumbing
-(schema, batching, UDF signature) is real and tested.
+feature-extraction runs vectorized over ``mapInArrow`` batches.
+
+Round 5 de-stubs the media decode with PURE-NUMPY parsers for the two
+container formats a library-free environment can honestly decode —
+uncompressed BMP (24/32-bit) and PCM WAV — plus deterministic
+synthesizers (``synth_bmp`` / ``synth_wav``) so pipelines and oracles
+can be driven without external media files. Formats the sandbox cannot
+decode (JPEG/PNG/MP4/...) still raise a loud ``NotImplementedError``
+from ``decode_media`` — honest, not silent.
+
+Frame sampling (``frame_sample``) is a ZERO-COPY Arrow offset slice:
+the emitted frame array shares the input batch's data buffer, so a
+billion payloads cost new offsets, never copied bytes.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 
 
-def decode_media(payload: bytes, media_type: str) -> dict:
-    """STUB: real deployments plug a codec here (PIL/ffmpeg/...)."""
+# ---------------------------------------------------------------------------
+# pure-numpy decoders (BMP + PCM WAV)
+# ---------------------------------------------------------------------------
+
+
+def decode_media(payload: bytes, media_type: str | None = None) -> dict:
+    """Decode one media payload with numpy only. Supported containers:
+    uncompressed BMP (24/32 bpp, BITMAPINFOHEADER+) and PCM WAV (8/16
+    bit). ``media_type``: ``'bmp'`` | ``'wav'`` | None (sniff the
+    magic). Returns typed metadata plus the decoded array
+    (``pixels`` (h, w, c) uint8 RGB[A] for images; ``samples``
+    (n, channels) for audio). Anything else raises — real deployments
+    plug PIL/ffmpeg into this seam."""
+    b = bytes(payload)
+    if media_type is None:
+        if b[:2] == b"BM":
+            media_type = "bmp"
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            media_type = "wav"
+        else:
+            raise NotImplementedError(
+                f"unrecognized media container (head={b[:4]!r}) — this "
+                "environment decodes BMP and PCM WAV only; plug a real "
+                "codec (PIL/ffmpeg) into decode_media for other formats"
+            )
+    if media_type == "bmp":
+        return _decode_bmp(b)
+    if media_type == "wav":
+        return _decode_wav(b)
     raise NotImplementedError(
-        "media decoding requires an image/audio library not present in this "
-        "environment; metadata extraction below does not need it"
+        f"media_type {media_type!r} — this environment decodes 'bmp' "
+        "and 'wav' only"
     )
+
+
+def _decode_bmp(b: bytes) -> dict:
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload (no 'BM' magic / truncated)")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"BMP core-header size {hdr_size} — need "
+                         "BITMAPINFOHEADER (>=40)")
+    width = struct.unpack_from("<i", b, 18)[0]
+    height = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} — uncompressed (BI_RGB) only")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp {bpp} — 24/32-bit only")
+    top_down = height < 0
+    h = abs(height)
+    nch = bpp // 8
+    row_bytes = ((bpp * width + 31) // 32) * 4
+    need = data_off + row_bytes * h
+    if len(b) < need:
+        raise ValueError(f"BMP truncated: {len(b)} bytes, need {need}")
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h,
+                         offset=data_off).reshape(h, row_bytes)
+    px = rows[:, : width * nch].reshape(h, width, nch)
+    if not top_down:
+        px = px[::-1]
+    # stored BGR[A] -> RGB[A]
+    px = px[..., [2, 1, 0] + ([3] if nch == 4 else [])]
+    return {"media_type": "bmp", "width": width, "height": h,
+            "channels": nch, "pixels": np.ascontiguousarray(px)}
+
+
+def _decode_wav(b: bytes) -> dict:
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (no RIFF/WAVE header)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _brate, _balign, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format {audio_fmt}/{bits}-bit — 8/16-bit PCM only")
+    dt = np.uint8 if bits == 8 else np.dtype("<i2")
+    frames = len(data) // (channels * dt.itemsize if bits == 16
+                           else channels)
+    samples = np.frombuffer(
+        data, dtype=dt, count=frames * channels).reshape(-1, channels)
+    return {"media_type": "wav", "channels": channels,
+            "sample_rate": rate, "bits": bits, "n_samples": frames,
+            "duration_s": frames / rate if rate else float("nan"),
+            "samples": samples}
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthesizers (tests + oracle queries need real payloads)
+# ---------------------------------------------------------------------------
+
+
+def synth_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A real bottom-up 24-bit BMP with deterministic pixels
+    (``(x*7 + y*13 + seed + channel) % 256``) — vectorized numpy."""
+    row_bytes = ((24 * width + 31) // 32) * 4
+    size = 54 + row_bytes * height
+    hdr = (b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                         0, row_bytes * height, 2835, 2835, 0, 0))
+    y, x, c = np.meshgrid(np.arange(height), np.arange(width),
+                          np.arange(3), indexing="ij")
+    rgb = ((x * 7 + y * 13 + seed + c) % 256).astype(np.uint8)
+    bgr = rgb[..., ::-1]
+    rows = np.zeros((height, row_bytes), dtype=np.uint8)
+    rows[:, : width * 3] = bgr.reshape(height, width * 3)
+    return hdr + rows[::-1].tobytes()  # bottom-up storage
+
+
+def synth_wav(n_samples: int, channels: int = 1, rate: int = 8000,
+              seed: int = 0) -> bytes:
+    """A real canonical-layout (44-byte header) 16-bit PCM WAV with a
+    deterministic ramp signal."""
+    n_bytes = n_samples * channels * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + n_bytes) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                   rate * channels * 2, channels * 2, 16)
+           + b"data" + struct.pack("<I", n_bytes))
+    t = np.arange(n_samples * channels, dtype=np.int64)
+    samples = ((t * 31 + seed) % 65536 - 32768).astype("<i2")
+    return hdr + samples.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# vectorized metadata over Arrow buffers
+# ---------------------------------------------------------------------------
+
+
+def _le(data: np.ndarray, pos: np.ndarray, nbytes: int) -> np.ndarray:
+    """Gather an ``nbytes``-wide little-endian unsigned int at ``pos``
+    (one position per row) — vectorized byte gathers, no per-row
+    Python."""
+    out = np.zeros(len(pos), dtype=np.int64)
+    for k in range(nbytes):  # loop over 2-4 BYTE LANES, not rows
+        out |= data[pos + k].astype(np.int64) << (8 * k)
+    return out
 
 
 def extract_binary_meta(df, payload_col: str, id_col: str):
@@ -38,16 +191,7 @@ def extract_binary_meta(df, payload_col: str, id_col: str):
             arr = b.column(payload_col)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            big = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
-            off = np.frombuffer(
-                arr.buffers()[1], dtype=np.int64 if big else np.int32
-            )[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
-            dbuf = arr.buffers()[2]
-            data = (
-                np.frombuffer(dbuf, dtype=np.uint8)
-                if dbuf is not None
-                else np.empty(0, dtype=np.uint8)
-            )
+            off, data = _offsets_data(arr)
             lens = np.diff(off)
             # the Arrow spec allows ARBITRARY offsets under null slots:
             # lens/head there would be garbage read from unrelated buffer
@@ -75,22 +219,209 @@ def extract_binary_meta(df, payload_col: str, id_col: str):
     return df.mapInArrow(fn, schema=f"{id_col} bigint, n_bytes bigint, head_byte int")
 
 
+def _offsets_data(arr):
+    """(int64 offsets, uint8 data) views over a binary/string Arrow
+    array's buffers, slicing-offset corrected."""
+    import pyarrow as pa
+
+    big = (pa.types.is_large_binary(arr.type)
+           or pa.types.is_large_string(arr.type))
+    off = np.frombuffer(
+        arr.buffers()[1], dtype=np.int64 if big else np.int32
+    )[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    dbuf = arr.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8)
+            if dbuf is not None else np.empty(0, dtype=np.uint8))
+    return off, data
+
+
+def media_meta(df, payload_col: str, id_col: str):
+    """Typed media metadata — (id, media_type, width, height, channels,
+    sample_rate, n_bytes) — parsed VECTORIZED from the container
+    headers: per-format row masks classify by magic bytes, then each
+    header field is one little-endian byte-lane gather across all rows
+    of that format (``_le``). Canonical-layout WAVs (``fmt `` at byte
+    12 — every writer's default, incl. ``synth_wav``) stay on the
+    vectorized path; non-canonical RIFF layouts fall back to the
+    ``decode_media`` chunk walk for just those rows. Unknown containers
+    yield media_type NULL, metadata NULL — classification, not
+    failure."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            arr = b.column(payload_col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            off, data = _offsets_data(arr)
+            o = off[:-1]
+            lens = np.diff(off)
+            valid = np.asarray(arr.is_valid())
+            lens = np.where(valid, lens, 0)
+            n = len(arr)
+
+            def at(k, default=0):
+                idx = o + k
+                ok = lens > k
+                out = np.full(n, default, dtype=np.int64)
+                out[ok] = data[idx[ok]]
+                return out
+
+            is_bmp = (lens >= 54) & (at(0) == 0x42) & (at(1) == 0x4D)
+            is_riff = ((lens >= 44) & (at(0) == 0x52) & (at(1) == 0x49)
+                       & (at(2) == 0x46) & (at(3) == 0x46)
+                       & (at(8) == 0x57) & (at(9) == 0x41)
+                       & (at(10) == 0x56) & (at(11) == 0x45))
+            canon = (is_riff & (at(12) == 0x66) & (at(13) == 0x6D)
+                     & (at(14) == 0x74) & (at(15) == 0x20))
+
+            mtype = np.full(n, None, dtype=object)
+            width = np.full(n, -1, dtype=np.int64)
+            height = np.full(n, -1, dtype=np.int64)
+            channels = np.full(n, -1, dtype=np.int64)
+            rate = np.full(n, -1, dtype=np.int64)
+
+            bi = np.flatnonzero(is_bmp)
+            if len(bi):
+                mtype[bi] = "bmp"
+                width[bi] = _le(data, o[bi] + 18, 4)
+                height[bi] = np.abs(
+                    _le(data, o[bi] + 22, 4).astype(np.int32)
+                    .astype(np.int64))
+                channels[bi] = _le(data, o[bi] + 28, 2) // 8
+            wi = np.flatnonzero(canon)
+            if len(wi):
+                mtype[wi] = "wav"
+                channels[wi] = _le(data, o[wi] + 22, 2)
+                rate[wi] = _le(data, o[wi] + 24, 4)
+            # non-canonical RIFF/WAVE: per-row chunk walk (rare path)
+            for i in np.flatnonzero(is_riff & ~canon):
+                try:
+                    m = _decode_wav(
+                        data[o[i]:o[i] + lens[i]].tobytes())
+                    mtype[i] = "wav"
+                    channels[i] = m["channels"]
+                    rate[i] = m["sample_rate"]
+                except (ValueError, NotImplementedError):
+                    pass
+
+            known = np.array([m is not None for m in mtype])
+            ids = b.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(mtype, type=pa.string()),
+                    pa.array(width, type=pa.int64(), mask=~(known & is_bmp)),
+                    pa.array(height, type=pa.int64(), mask=~(known & is_bmp)),
+                    pa.array(channels, type=pa.int64(), mask=~known),
+                    pa.array(rate, type=pa.int64(),
+                             mask=~(known & ~is_bmp)),
+                    pa.array(np.where(valid, np.diff(off), 0),
+                             type=pa.int64(), mask=~valid),
+                ],
+                [id_col, "media_type", "width", "height", "channels",
+                 "sample_rate", "n_bytes"],
+            )
+
+    return df.mapInArrow(
+        fn,
+        schema=(f"{id_col} bigint, media_type string, width bigint, "
+                "height bigint, channels bigint, sample_rate bigint, "
+                "n_bytes bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame sampling: zero-copy Arrow offset slicing
+# ---------------------------------------------------------------------------
+
+
+def frame_sample(df, payload_col: str, id_col: str, every_n: int = 10):
+    """Slice each payload into ``every_n``-byte frames, returning
+    (id, frame_idx, frame) — the explode shape a video frame sampler
+    produces. ZERO-COPY on the payload path: the emitted frame array is
+    built from NEW OFFSETS over the input batch's OWN data buffer
+    (frames of one row tile the row, rows tile the buffer), so no
+    payload byte is ever copied; ids/frame indices come from
+    ``np.repeat``/arange — no per-row Python anywhere. Rows whose
+    values are non-contiguous in the buffer (nulls with spec-legal
+    garbage offsets, sliced re-ordered arrays) take a single vectorized
+    gather-compaction instead."""
+    import pyarrow as pa
+
+    if every_n <= 0:
+        raise ValueError(f"every_n={every_n} — need a positive frame size")
+
+    def fn(batches):
+        for b in batches:
+            arr = b.column(payload_col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            off, data = _offsets_data(arr)
+            o = off[:-1]
+            lens = np.diff(off)
+            valid = np.asarray(arr.is_valid())
+            lens = np.where(valid, lens, 0)
+            k = -(-lens // every_n)  # ceil: frames per row (0 for empty)
+            total = int(k.sum())
+            if not total:
+                continue
+            # per-frame lengths: every_n everywhere, short last frames
+            flens = np.full(total, every_n, dtype=np.int64)
+            ends = np.cumsum(k)
+            rows_nz = np.flatnonzero(k)
+            rem = lens[rows_nz] - (k[rows_nz] - 1) * every_n
+            flens[ends[rows_nz] - 1] = rem
+            new_off = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(flens, out=new_off[1:])
+            # zero-copy iff the LIVE rows tile the buffer exactly (no
+            # null rows hiding spec-legal garbage extents, no gaps)
+            contiguous = bool(np.all(lens == np.diff(off)))
+            if contiguous and len(o):
+                buf = arr.buffers()[2]
+                new_off += int(o[0])
+            else:
+                # compact the live bytes once (vectorized gather): an
+                # index ramp per live region
+                src = np.repeat(o, lens) + _intra_ramp(lens)
+                buf = pa.py_buffer(data[src].tobytes())
+            frames = pa.Array.from_buffers(
+                pa.binary(), total,
+                [None, pa.py_buffer(new_off.astype(np.int32).tobytes()),
+                 buf],
+            )
+            ids = b.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            ids64 = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            out_ids = np.repeat(ids64, k)
+            fidx = _intra_ramp(k).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64()),
+                 pa.array(fidx, type=pa.int32()),
+                 frames],
+                [id_col, "frame_idx", "frame"],
+            )
+
+    return df.mapInArrow(
+        fn, schema=f"{id_col} bigint, frame_idx int, frame binary")
+
+
+def _intra_ramp(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for counts [c0, c1, ...] — the standard
+    repeat/cumsum ramp, no Python loop."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if not total:
+        return np.empty(0, dtype=np.int64)
+    ramp = np.arange(total, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    return ramp - np.repeat(starts, counts)
+
+
 def frame_sample_stub(df, payload_col: str, id_col: str, every_n: int = 10):
-    """Deterministic fake 'frame sampling': slices the payload every
-    ``every_n`` bytes as stand-in frames, returning (id, frame_idx,
-    frame_bytes). Shows the explode-shaped output schema a real video
-    sampler would produce."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, frames = [], [], []
-            for i, b in zip(pdf[id_col], pdf[payload_col]):
-                for j, start in enumerate(range(0, len(b), every_n)):
-                    ids.append(i)
-                    idxs.append(j)
-                    frames.append(bytes(b[start : start + every_n]))
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
-                                "frame_idx": pd.Series(idxs, dtype="int32"),
-                                "frame": frames})
-
-    return df.mapInPandas(fn, schema=f"{id_col} bigint, frame_idx int, frame binary")
+    """Backward-compatible alias — the sampler is real now (zero-copy
+    offset slicing, see ``frame_sample``)."""
+    return frame_sample(df, payload_col, id_col, every_n)
