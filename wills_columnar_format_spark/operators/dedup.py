@@ -298,17 +298,13 @@ cand AS (SELECT c.d1, c.d2 FROM cand0 c
          WHERE {_MH_EQ_SUM} >= {_MH_EQ_MIN})"""
 
 
-_CAND_IDS_TAIL = """
-SELECT DISTINCT doc_id FROM
-(SELECT d1 AS doc_id FROM cand UNION ALL SELECT d2 FROM cand) u
-"""
-
-
-def _verify_tail_sql(new_mins: str, index_v: str, grams_v: str) -> str:
-    return f""",
+def _verify_tail_sql(new_mins: str, index_v: str, grams_v: str,
+                     cand_v: str = "cand") -> str:
+    lead = "WITH" if cand_v != "cand" else ","
+    return f"""{lead}
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM {grams_v} GROUP BY doc_id),
 inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
-          FROM cand JOIN {grams_v} g1 ON g1.doc_id = cand.d1
+          FROM {cand_v} cand JOIN {grams_v} g1 ON g1.doc_id = cand.d1
                     JOIN {grams_v} g2t ON g2t.doc_id = cand.d2 AND g2t.g2 = g1.g2
           GROUP BY g1.doc_id, g2t.doc_id),
 verified AS (
@@ -354,20 +350,27 @@ def probe_dedup_index(
 
     s = uuid.uuid4().hex[:8]
     new_v, idx_v, grams_v = f"mhi_new_{s}", f"mhi_idx_{s}", f"mhi_g_{s}"
+    cand_v = f"mhi_cand_{s}"
     cached = []
     try:
         new_sig = _signature_rows(spark, new_docs)
         new_sig.createOrReplaceTempView(new_v)
         spark.read.parquet(index_dir).createOrReplaceTempView(idx_v)
 
-        # candidate old ids come from a bands-only pre-pass so the gram
-        # fetch is bounded by the candidates, not the corpus: run the
-        # signature-metadata half once to enumerate candidate pairs,
-        # THEN fetch texts and verify. (The prefix CTEs re-run inside
-        # the main query — blob-free signature metadata, pennies next
-        # to the gram joins.)
-        pre = spark.sql(_cand_prefix_sql(band_cap, new_v, idx_v)
-                        + _CAND_IDS_TAIL)
+        # candidate PAIRS materialize ONCE (they're small — bounded by
+        # band_cap² per band): the id pre-pass that bounds the text
+        # fetch and the verify query both consume the pinned pairs,
+        # instead of each re-running the 16-band LATERAL-stack join
+        # over the whole index (was the dominant probe cost — measured
+        # ~2× the band work per probe before this).
+        cand_pairs = spark.sql(
+            _cand_prefix_sql(band_cap, new_v, idx_v)
+            + "\nSELECT d1, d2 FROM cand"
+        ).localCheckpoint(eager=True)
+        cand_pairs.createOrReplaceTempView(cand_v)
+        pre = spark.sql(
+            f"SELECT DISTINCT doc_id FROM (SELECT d1 AS doc_id "
+            f"FROM {cand_v} UNION ALL SELECT d2 FROM {cand_v}) u")
         new_ids = new_docs.select("doc_id")
         cand_ids = pre.join(new_ids, "doc_id", "left_anti")
         # fingerprint-star partners need no text fetch; stars are exact.
@@ -378,8 +381,8 @@ def probe_dedup_index(
         grams = spark.sql(GRAMS_SQL.format(docs=f"mhi_docs_{s}"))
         grams.cache().createOrReplaceTempView(grams_v)
         cached.append(grams_v)
-        out = spark.sql(_cand_prefix_sql(band_cap, new_v, idx_v)
-                        + _verify_tail_sql(new_v, idx_v, grams_v))
+        out = spark.sql(
+            _verify_tail_sql(new_v, idx_v, grams_v, cand_v=cand_v))
         out = out.localCheckpoint(eager=True)
         if update_index:
             new_sig.write.mode("append").parquet(index_dir)
@@ -390,7 +393,7 @@ def probe_dedup_index(
                 spark.catalog.uncacheTable(v)
             except Exception:
                 pass
-        for v in (new_v, idx_v, grams_v, f"mhi_docs_{s}"):
+        for v in (new_v, idx_v, grams_v, cand_v, f"mhi_docs_{s}"):
             try:
                 spark.catalog.dropTempView(v)
             except Exception:
