@@ -370,3 +370,59 @@ def test_rollup_prune_loop_vs_appenders_and_readers(ckpt):
     for w, seqs_w in claimed.items():
         for j, s in enumerate(seqs_w):
             assert by_seq[s]["files"] == [f"f-{w}-{j}"], (w, j, s)
+
+
+def test_lock_provider_seam_restores_one_winner(tmp_path):
+    """On a filesystem WITHOUT atomic create-if-absent (simulated here
+    by wrapping local storage in SubTreeFileSystem so the hard-link
+    path is bypassed), a registered LockProvider serializes the
+    check-then-move — 16 racing claimants, exactly one winner, the
+    payload never torn. The seam a real S3 deployment fills with
+    DynamoDB/ZooKeeper (the Delta caveat engine._publish_exclusive
+    documents)."""
+    from pyarrow import fs as pafs
+
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    assert not isinstance(sub, pafs.LocalFileSystem)
+    engine.set_lock_provider(engine.InProcessLockProvider())
+    try:
+        payloads = [json.dumps({"w": i, "pad": "y" * 4096}).encode()
+                    for i in range(16)]
+        wins = []
+        barrier = threading.Barrier(16)
+
+        def race(i):
+            barrier.wait()
+            if engine._publish_exclusive(sub, "claim.json", payloads[i]):
+                wins.append(i)
+
+        ts = [threading.Thread(target=race, args=(i,)) for i in range(16)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert len(wins) == 1
+        got = json.loads((tmp_path / "claim.json").read_bytes())
+        assert got["w"] == wins[0] and got["pad"] == "y" * 4096
+        # second claim on the published name loses cleanly
+        assert not engine._publish_exclusive(sub, "claim.json", b"{}")
+    finally:
+        engine.set_lock_provider(None)
+
+
+def test_commit_log_through_lock_provider(spark, docs, tmp_path):
+    """The whole logged-mutation protocol works unchanged through the
+    seam: append + delete commits claim seqs under the provider lock
+    (local fs here still uses hard-link; the test pins that REGISTERING
+    a provider never disturbs the default path)."""
+    engine.set_lock_provider(engine.InProcessLockProvider())
+    try:
+        path = str(tmp_path / "m")
+        write_checkpoint(
+            encode_table(docs, key_col="doc_id", num_partitions=2,
+                         chunk_rows=128),
+            path, schema=docs.schema)
+        delete_keys_checkpoint(spark, path, [1, 2, 3], "doc_id")
+        log = read_commit_log(path)
+        assert [r["action"] for r in log] == ["create", "delete"]
+        assert decode_checkpoint(spark, path).count() == 297
+    finally:
+        engine.set_lock_provider(None)

@@ -5978,6 +5978,53 @@ def vacuum_orphans(ckpt_dir: str, older_than_seconds: float = 86400.0
     return deleted
 
 
+# Pluggable commit-coordination seam for object stores without an
+# atomic create-if-absent (the Delta-on-S3 caveat): a registered
+# provider serializes _publish_exclusive's check-then-move per target
+# name, restoring one-winner semantics on any filesystem. None (the
+# default) keeps the built-in behavior: hard-link publish on local
+# filesystems (atomic), temp+rename without exclusivity elsewhere.
+_LOCK_PROVIDER = None
+
+
+class InProcessLockProvider:
+    """Reference ``LockProvider``: one threading.Lock per target name.
+    Correct for writers sharing ONE driver process (tests, single-app
+    pipelines); a real deployment on S3 plugs a DynamoDB/ZooKeeper/
+    database lock here instead — the contract is only
+    ``lock(name) -> context manager`` held across the existence check
+    and the rename."""
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._guard = threading.Lock()
+        self._locks: dict = {}
+
+    def lock(self, name: str):
+        with self._guard:
+            lk = self._locks.setdefault(name, self._threading.Lock())
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _held():
+            with lk:
+                yield
+
+        return _held()
+
+
+def set_lock_provider(provider) -> None:
+    """Register (or clear, with None) the commit-lock provider —
+    an object exposing ``lock(name: str)`` returning a context manager
+    that serializes publication of that name across ALL writers. Only
+    consulted where the filesystem lacks atomic create-if-absent; the
+    local hard-link path never needs it."""
+    global _LOCK_PROVIDER
+    _LOCK_PROVIDER = provider
+
+
 def _publish_exclusive(fsys, path: str, payload: bytes) -> bool:
     """Atomically create ``path`` holding exactly ``payload`` IFF it
     does not already exist. Local filesystem: write a writer-unique tmp
@@ -5985,9 +6032,11 @@ def _publish_exclusive(fsys, path: str, payload: bytes) -> bool:
     exists, so two racing writers cannot both claim the name, and a
     crash at any point leaves either nothing or the complete file,
     never a torn target. Returns False when the target already exists
-    (caller lost the race). Non-local filesystems fall back to
+    (caller lost the race). Non-local filesystems: with a registered
+    ``set_lock_provider`` the check-then-move runs under the provider's
+    per-name lock (one winner again); without one they fall back to
     temp+rename WITHOUT exclusivity — object stores lack an atomic
-    create-if-absent, so multi-writer coordination there needs an
+    create-if-absent, so multi-writer coordination there needs the
     external lock service (the same caveat Delta Lake documents for
     S3)."""
     import uuid
@@ -5995,6 +6044,15 @@ def _publish_exclusive(fsys, path: str, payload: bytes) -> bool:
     from pyarrow import fs as pafs
 
     tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    if not isinstance(fsys, pafs.LocalFileSystem) \
+            and _LOCK_PROVIDER is not None:
+        with _LOCK_PROVIDER.lock(path):
+            if fsys.get_file_info(path).type != pafs.FileType.NotFound:
+                return False
+            with fsys.open_output_stream(tmp) as f:
+                f.write(payload)
+            fsys.move(tmp, path)
+            return True
     if isinstance(fsys, pafs.LocalFileSystem):
         with open(tmp, "wb") as f:
             f.write(payload)
