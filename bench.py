@@ -290,6 +290,12 @@ def _registry_benches(spark, sf_dir: str):
         "topk_where_checkpoint",
         "stream_table_tail",
         "stream_cdf_tail",
+        # round 5
+        "merge_into",
+        "merge_into_df",
+        "point_lookup_composite",
+        "roundtrip_list_struct",
+        "multimodal_decode",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

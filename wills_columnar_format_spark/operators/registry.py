@@ -4335,53 +4335,56 @@ REGISTRY: dict[str, tuple] = {
 
 # Queries the per-round driver gate has never executed (it runs the first
 # ~50 entries of queries() in dict order; CORRECTNESS_r01-r04 cover 69 of
-# the 108 registered queries).  Order these first so round 5's driver run
-# closes the verification gap flagged in VERDICT.md §"What's missing" #1.
-# New round-5 queries belong in this list too (they are also never-run).
+# the 108 round-4 queries).  Order these first so round 5's driver run
+# closes the verification gap flagged in VERDICT.md §"What's missing" #1;
+# new round-5 queries belong here too (also never-run).  WITHIN the list,
+# cheapest-first by the measured sf0.01 gate time — if the driver budget
+# is time-based rather than count-based, this maximizes how many
+# never-checked queries earn a green row before the budget runs out.
 DRIVER_PRIORITY: list[str] = [
-    "merge_into",
-    "merge_into_df",
-    "constraints",
-    "alter_type",
-    "restore_snapshot",
-    "clone_table",
-    "value_in_scan",
-    "contains_token",
-    "variance_pushdown",
-    "sql_scan",
-    "quantile_bounds",
-    "topk_scan",
-    "topk_checkpoint",
-    "count_pushdown",
-    "sum_where_pushdown",
-    "where_pushdown_checkpoint",
-    "value_range_zorder",
+    "split_train_eval",
+    "mixture_sample",
+    "percentile_stats",
+    "time_rollup",
+    "vocab_topk",
+    "topk_per_group",
+    "dedup_keep_best",
+    "interval_join_events",
+    "contamination_check",
+    "quality_repetition",
+    "asof_join_events",
+    "session_agg",
+    "train_shuffle",
+    "decontam_ngram",
+    "multimodal_decode",
+    "roundtrip_list_struct",
     "value_range_struct",
-    "point_lookup_time",
+    "variance_pushdown",
+    "value_range_zorder",
+    "sequence_pack_tokens",
+    "contains_token",
+    "value_in_scan",
     "point_lookup_keys",
     "point_lookup_bloom",
     "point_lookup_composite",
-    "roundtrip_list_struct",
-    "multimodal_decode",
-    "sequence_pack_tokens",
+    "restore_snapshot",
+    "topk_scan",
+    "point_lookup_time",
     "pipeline_train_data",
-    "train_shuffle",
-    "mixture_sample",
-    "vocab_topk",
-    "contamination_check",
-    "decontam_ngram",
-    "quality_repetition",
-    "split_train_eval",
-    "topk_per_group",
-    "dedup_keep_best",
-    "percentile_stats",
-    "dedup_incremental",
+    "quantile_bounds",
+    "clone_table",
+    "topk_checkpoint",
     "tpch_q6",
-    "asof_join_events",
-    "interval_join_events",
-    "time_rollup",
-    "session_agg",
+    "alter_type",
     "stream_sessionize",
+    "count_pushdown",
+    "dedup_incremental",
+    "sum_where_pushdown",
+    "sql_scan",
+    "where_pushdown_checkpoint",
+    "merge_into_df",
+    "constraints",
+    "merge_into",
 ]
 
 
