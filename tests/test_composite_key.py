@@ -109,14 +109,6 @@ def test_composite_int_string_mix_and_refusals(spark, docs, tmp_path):
     from wills_columnar_format_spark.dtypes import UnsupportedDataType
     with pytest.raises(UnsupportedDataType, match="string/integer"):
         encode_table(fdf, key_col=["tenant", "f"], num_partitions=2)
-    # upsert/merge paths refuse composite loudly
-    src = docs.limit(5)
-    with pytest.raises(ValueError, match="composite"):
-        upsert_table(m, src, ["tenant", "doc_id"])
-    ck = str(tmp_path / "c")
-    write_checkpoint(m, ck, schema=docs.schema)
-    with pytest.raises(ValueError, match="composite"):
-        upsert_checkpoint(spark, ck, src, ["tenant", "doc_id"])
     # single-element list collapses to the plain path
     m1 = encode_table(docs, key_col=["doc_id"], num_partitions=2,
                       chunk_rows=128)
@@ -150,3 +142,90 @@ def test_composite_rechunk_compaction(spark, docs, tmp_path):
     out = decode_checkpoint(spark, dst, keys=[("t3", 3)],
                             key_col=["tenant", "doc_id"])
     assert [(r.tenant, r.doc_id) for r in out.collect()] == [("t3", 3)]
+
+
+def test_composite_upsert_table_and_checkpoint(spark, docs, tmp_path):
+    # composite keys are first-class on the upsert paths: same-key rows
+    # (tuple identity) replace, new tuples append — driver-probe branch
+    src = spark.createDataFrame(
+        [("t1", 1, "UP1", -1), ("t2", 2, "UP2", -2),
+         ("t0", 7000, "NEW", -3)],
+        "tenant string, doc_id long, text string, n_chars long")
+    m = encode_table(docs, key_col=["tenant", "doc_id"],
+                     num_partitions=4, chunk_rows=64)
+    out = upsert_table(m, src, ["tenant", "doc_id"], num_partitions=2,
+                       chunk_rows=64)
+    dec = decode_table(out, docs.schema)
+    got = {(r.tenant, r.doc_id): r.text for r in dec.collect()}
+    assert len(got) == 601
+    assert got[("t1", 1)] == "UP1" and got[("t2", 2)] == "UP2"
+    assert got[("t0", 7000)] == "NEW"
+    assert got[("t3", 3)] == "body 3"
+    # checkpoint variant: one logged upsert commit, replay-safe
+    from wills_columnar_format_spark.engine import checkpoint_history
+    ck = str(tmp_path / "u")
+    write_checkpoint(
+        encode_table(docs, key_col=["tenant", "doc_id"],
+                     num_partitions=4, chunk_rows=64),
+        ck, schema=docs.schema)
+    g1 = upsert_checkpoint(spark, ck, src, ["tenant", "doc_id"],
+                           num_partitions=2, chunk_rows=64)
+    dec2 = decode_checkpoint(spark, ck)
+    got2 = {(r.tenant, r.doc_id): r.text for r in dec2.collect()}
+    assert got2 == got
+    g2 = upsert_checkpoint(spark, ck, src, ["tenant", "doc_id"],
+                           num_partitions=2, chunk_rows=64)
+    assert g2 != g1  # file-listing salt mints a fresh generation
+    got3 = {(r.tenant, r.doc_id): r.text
+            for r in decode_checkpoint(spark, ck).collect()}
+    assert got3 == got
+    hist = [r.action for r in checkpoint_history(spark, ck).collect()]
+    assert hist == ["create", "upsert", "upsert"]
+
+
+def test_composite_upsert_distributed_branch(spark, docs, monkeypatch):
+    # past the (lowered) driver cap the composite upsert switches to
+    # the distributed mark pass probing canonical strings
+    from wills_columnar_format_spark import engine as eng
+
+    monkeypatch.setattr(eng, "UPSERT_KEYS_MAX", 20)
+    src = spark.createDataFrame(
+        [(f"t{i % 7}", i, f"up {i}", -i) for i in range(100, 200)],
+        "tenant string, doc_id long, text string, n_chars long")
+    m = encode_table(docs, key_col=["tenant", "doc_id"],
+                     num_partitions=4, chunk_rows=64)
+    out = eng.upsert_table(m, src, ["tenant", "doc_id"],
+                           num_partitions=2, chunk_rows=64)
+    dec = eng.decode_table(out, docs.schema)
+    got = {(r.tenant, r.doc_id): r.text for r in dec.collect()}
+    assert len(got) == 600  # all batch tuples replaced existing rows
+    for i in range(100, 200):
+        assert got[(f"t{i % 7}", i)] == f"up {i}"
+    assert got[("t1", 1)] == "body 1"
+
+
+def test_composite_merge_into_df(spark, docs, tmp_path):
+    from wills_columnar_format_spark.engine import merge_into_df
+
+    ck = str(tmp_path / "m")
+    write_checkpoint(
+        encode_table(docs, key_col=["tenant", "doc_id"],
+                     num_partitions=4, chunk_rows=64),
+        ck, schema=docs.schema)
+    src = spark.createDataFrame(
+        [("t1", 1, "M1", -1), ("t9", 1, "NEWTEN", -2)],
+        "tenant string, doc_id long, text string, n_chars long")
+    res = merge_into_df(spark, ck, src, ["tenant", "doc_id"])
+    # ("t1",1) exists -> updated; ("t9",1) is a NEW tuple (same doc_id,
+    # different tenant) -> inserted: tuple identity, not doc_id identity
+    assert (res["updated"], res["inserted"]) == (1, 1)
+    got = {(r.tenant, r.doc_id): r.text
+           for r in decode_checkpoint(spark, ck).collect()}
+    assert len(got) == 601
+    assert got[("t1", 1)] == "M1" and got[("t9", 1)] == "NEWTEN"
+    # duplicate source tuples refuse
+    dup = spark.createDataFrame(
+        [("t1", 1, "a", 0), ("t1", 1, "b", 0)],
+        "tenant string, doc_id long, text string, n_chars long")
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_into_df(spark, ck, dup, ["tenant", "doc_id"])

@@ -3202,14 +3202,16 @@ def _salt_chunk_keys(manifest_df, gen: str):
     )
 
 
-def _collect_upsert_keys(new_df, key_col: str, allow_overflow: bool = False):
-    """Collect the batch's distinct keys for the driver-probe mark pass.
-    Past ``UPSERT_KEYS_MAX``: returns ``None`` when the caller has a
+def _collect_upsert_keys(new_df, key_col, allow_overflow: bool = False):
+    """Collect the batch's distinct keys for the driver-probe mark pass
+    (tuples for a composite ``key_col=[a, b]``). Past
+    ``UPSERT_KEYS_MAX``: returns ``None`` when the caller has a
     distributed fallback (``allow_overflow``), else raises — a caller
     that NEEDS the driver list (conditional merge's matched decode)
     must refuse loudly rather than OOM the driver."""
+    cols = list(key_col) if isinstance(key_col, (list, tuple)) else [key_col]
     rows = (
-        new_df.select(key_col).distinct().limit(UPSERT_KEYS_MAX + 1).collect()
+        new_df.select(*cols).distinct().limit(UPSERT_KEYS_MAX + 1).collect()
     )
     if len(rows) > UPSERT_KEYS_MAX:
         if allow_overflow:
@@ -3220,7 +3222,27 @@ def _collect_upsert_keys(new_df, key_col: str, allow_overflow: bool = False):
             "merge_into_df (distributed classic upsert) or split the "
             "merge into waves"
         )
-    return [r[0] for r in rows]
+    if len(cols) == 1:
+        return [r[0] for r in rows]
+    return [tuple(r) for r in rows]
+
+
+def _upsert_probe(df, key_col):
+    """``(probe_df("__bf_key"), key_ddl)`` for the distributed mark
+    pass: composite key_cols probe as their canonical strings
+    (``_composite_key_expr`` — the same bytes the ``#ck:`` sub-column
+    stores), plain columns go through ``_keys_df_probe``."""
+    if isinstance(key_col, (list, tuple)) and len(key_col) > 1:
+        from pyspark.sql import functions as F
+
+        probe = df.select(
+            _composite_key_expr(df, list(key_col)).alias("__bf_key")
+        ).distinct()
+        if not _cheap_rescan(df):
+            probe = probe.localCheckpoint(eager=True)
+        return probe, "string"
+    name = key_col[0] if isinstance(key_col, (list, tuple)) else key_col
+    return _keys_df_probe(df, name, "upsert")
 
 
 def upsert_table(manifest_df, new_df, key_col: str, **encode_kwargs):
@@ -3247,16 +3269,13 @@ def upsert_table(manifest_df, new_df, key_col: str, **encode_kwargs):
     cost ∝ the key sub-column of the corpus plus one semi-join
     shuffle — the backfill-scale MERGE path."""
     gen_salt = encode_kwargs.pop("gen_salt", "")
-    key_col, _, _ckp = _composite_args(key_col)
-    if _ckp:
-        raise ValueError(
-            "composite key_col on upsert_table is unsupported — "
-            "delete_keys(key_col=[...]) + a fresh append per wave")
-    keys = _collect_upsert_keys(new_df, key_col, allow_overflow=True)
+    ck_name, _, _ckp = _composite_args(key_col)
+    key_arg = list(key_col) if _ckp else ck_name  # delete/encode spelling
+    keys = _collect_upsert_keys(new_df, key_arg, allow_overflow=True)
     if keys is None:
         if not _cheap_rescan(manifest_df):
             manifest_df = manifest_df.localCheckpoint(eager=True)
-        probe, key_ddl = _keys_df_probe(new_df, key_col, "upsert_table")
+        probe, key_ddl = _upsert_probe(new_df, key_arg)
         h, _n = _keys_df_signature(probe)
         # delete-side gen stays content-derived (mask replay collapses
         # to identical rows); append-side salt folds gen_salt exactly
@@ -3264,14 +3283,15 @@ def upsert_table(manifest_df, new_df, key_col: str, **encode_kwargs):
         dgen = f"{h:012x}"
         gen = _upsert_generation([f"xor:{dgen}"], gen_salt)
         sidecars = _mark_sidecars_df(manifest_df, probe, key_ddl,
-                                     key_col, dgen)
+                                     ck_name, dgen)
         base = manifest_df.unionByName(sidecars, allowMissingColumns=True)
     else:
-        gen = _upsert_generation(
-            list(dict.fromkeys(_canon_temporal_keys(keys))), gen_salt)
-        base = delete_keys(manifest_df, keys, key_col)
+        canon = ([canon_composite_key(k) for k in keys] if _ckp
+                 else list(dict.fromkeys(_canon_temporal_keys(keys))))
+        gen = _upsert_generation(canon, gen_salt)
+        base = delete_keys(manifest_df, keys, key_arg)
     newm = _salt_chunk_keys(
-        encode_table(new_df, key_col=key_col, **encode_kwargs), gen
+        encode_table(new_df, key_col=key_arg, **encode_kwargs), gen
     )
     return base.unionByName(newm, allowMissingColumns=True)
 
@@ -3287,16 +3307,19 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
     commit, so no time-travel snapshot ever sees the deleted-but-not-
     reinserted intermediate state. Returns the generation id."""
     _raise_if_pending(ckpt_dir, for_write=True)
-    key_col, _, _ckp = _composite_args(key_col)
-    if _ckp:
-        raise ValueError(
-            "composite key_col on upsert_checkpoint is unsupported — "
-            "delete_keys_checkpoint(key_col=[...]) + write_checkpoint("
-            "mode='append') per wave")
+    ck_name, _, _ckp = _composite_args(key_col)
+    key_arg = list(key_col) if _ckp else ck_name  # delete/encode spelling
     # row-level constraint pre-check BEFORE the mask sidecars land
     # (the staged hook alone would strand masked rows on violation)
     _enforce_constraints_rows(ckpt_dir, new_df)
     rmap = _checkpoint_rename_map(ckpt_dir)
+    if rmap and _ckp:
+        raise ValueError(
+            "composite-key upsert on a RENAMED checkpoint is "
+            "unsupported — the stored '#ck:' name carries encode-time "
+            "part names; compact_checkpoint to materialize the renames "
+            "first"
+        )
     if rmap:
         # renamed destination: move the batch into PHYSICAL name space
         # up front — the mask pass probes the physical key sub-column
@@ -3305,15 +3328,15 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
 
         new_df = new_df.select(
             *[F.col(c).alias(rmap.get(c, c)) for c in new_df.columns])
-        key_col = rmap.get(key_col, key_col)
-    keys = _collect_upsert_keys(new_df, key_col, allow_overflow=True)
+        ck_name = rmap.get(ck_name, ck_name)
+        key_arg = ck_name
+    keys = _collect_upsert_keys(new_df, key_arg, allow_overflow=True)
     before = _list_data_files(ckpt_dir)
     if keys is None:
         # batch past UPSERT_KEYS_MAX: distributed mark pass — the key
         # set never touches the driver (cost ∝ the corpus's key
         # sub-column + one semi-join shuffle)
-        probe_df, key_ddl = _keys_df_probe(new_df, key_col,
-                                           "upsert_checkpoint")
+        probe_df, key_ddl = _upsert_probe(new_df, key_arg)
         h, _n = _keys_df_signature(probe_df)
         dgen = f"{h:012x}"  # content-derived: mask replay collapses
         gen = _upsert_generation([f"xor:{dgen}"], "|".join(before))
@@ -3321,9 +3344,10 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
         def mark():
             return _mark_sidecars_df(
                 spark.read.parquet(ckpt_dir), probe_df, key_ddl,
-                key_col, dgen)
+                ck_name, dgen)
     else:
-        probe = list(dict.fromkeys(_canon_temporal_keys(keys)))
+        probe = ([canon_composite_key(k) for k in keys] if _ckp
+                 else list(dict.fromkeys(_canon_temporal_keys(keys))))
         # salt the appended generation with the PRE-append listing: a
         # replayed upsert (idempotent change-feed apply, retried sync
         # job) then mints a fresh generation instead of colliding with
@@ -3335,7 +3359,7 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
             def mark():
                 return _mark_sidecars(spark.read.parquet(ckpt_dir),
                                       probe, _deletes_generation(probe),
-                                      key_col)
+                                      ck_name)
         else:
             mark = None
     logged = _begin_logged_mutation(ckpt_dir, "upsert", gen, before)
@@ -3343,7 +3367,7 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
     if mark is not None:
         added += _staged_append(mark(), ckpt_dir)
     newm = _salt_chunk_keys(
-        encode_table(new_df, key_col=key_col, **encode_kwargs), gen
+        encode_table(new_df, key_col=key_arg, **encode_kwargs), gen
     )
     # staged appends: the single upsert commit records EXACTLY the
     # mask + new-generation files this mutation landed, never a
@@ -4163,7 +4187,7 @@ def merge_checkpoint(spark, ckpt_dir: str, source_df, key_col: str,
             "gen": gen}
 
 
-def merge_into_df(spark, ckpt_dir: str, source_df, key_col: str,
+def merge_into_df(spark, ckpt_dir: str, source_df, key_col,
                   num_partitions: int | None = None,
                   **encode_kwargs) -> dict:
     """Fully distributed MERGE for the classic upsert shape
@@ -4182,13 +4206,14 @@ def merge_into_df(spark, ckpt_dir: str, source_df, key_col: str,
     columns. Same OCC protocol as ``merge_checkpoint``. Returns
     ``{"updated", "deleted": 0, "inserted", "gen"}`` — counts are key
     counts against the LIVE snapshot (a previously deleted key
-    re-appearing counts as inserted)."""
+    re-appearing counts as inserted). ``key_col`` may be a composite
+    ``["tenant", "doc_id"]`` — the probe and mark pass ride the
+    canonical ``#ck:`` strings (string-typed semi-join)."""
     from pyspark.sql import functions as F
 
-    if isinstance(key_col, (list, tuple)):
-        raise ValueError(
-            "composite key_col on merge_into_df is unsupported — the "
-            "distributed mark pass probes a single key sub-column")
+    ck_name, _, _ckp = _composite_args(key_col)
+    key_arg = list(key_col) if _ckp else ck_name  # encode spelling
+    key_parts = list(key_col) if _ckp else [ck_name]
     _raise_if_pending(ckpt_dir, for_write=True)
     side = read_checkpoint_schema(ckpt_dir)
     if side is None:
@@ -4205,32 +4230,46 @@ def merge_into_df(spark, ckpt_dir: str, source_df, key_col: str,
             f"must equal the table's {sorted(table_cols)} — a classic "
             "upsert replaces whole rows"
         )
-    if key_col not in table_cols:
-        raise ValueError(
-            f"merge_into_df: key_col {key_col!r} is not in the table")
+    for p in key_parts:
+        if p not in table_cols:
+            raise ValueError(
+                f"merge_into_df: key column {p!r} is not in the table")
     _log0 = read_commit_log(ckpt_dir)
     _head0 = _log0[-1]["seq"] if _log0 else None
     if not _cheap_rescan(source_df):
         source_df = source_df.localCheckpoint(eager=True)
-    dup = (source_df.groupBy(key_col).count()
+    dup = (source_df.groupBy(*key_parts).count()
            .filter(F.col("count") > 1).limit(1).take(1))
     if dup:
         raise ValueError(
             f"merge_into_df: source has duplicate keys (e.g. "
-            f"{dup[0][0]!r}) — a MERGE source must be key-unique"
+            f"{tuple(dup[0][:len(key_parts)])!r}) — a MERGE source "
+            "must be key-unique"
         )
     _enforce_constraints_rows(ckpt_dir, source_df)
     rmap = _checkpoint_rename_map(ckpt_dir)
-    key_phys = rmap.get(key_col, key_col)
-    probe, key_ddl = _keys_df_probe(source_df, key_col, "merge_into_df")
+    if rmap and _ckp:
+        raise ValueError(
+            "composite-key merge on a RENAMED checkpoint is "
+            "unsupported — compact_checkpoint to materialize the "
+            "renames first"
+        )
+    key_phys = rmap.get(ck_name, ck_name)
+    probe, key_ddl = _upsert_probe(source_df, key_arg)
     h, n = _keys_df_signature(probe)
     if not n:
         return {"updated": 0, "deleted": 0, "inserted": 0, "gen": ""}
     # key-count attribution against the LIVE snapshot: distributed
-    # projected decode of just the key column + one semi-join count
-    live = (decode_checkpoint(spark, ckpt_dir, columns=[key_col])
-            .select(F.col(key_col).cast(key_ddl).alias("__bf_key"))
-            .distinct())
+    # projected decode of just the key column(s) + one semi-join count
+    live_dec = decode_checkpoint(spark, ckpt_dir, columns=key_parts)
+    if _ckp:
+        live = live_dec.select(
+            _composite_key_expr(live_dec, key_parts).alias("__bf_key")
+        ).distinct()
+    else:
+        live = (live_dec
+                .select(F.col(ck_name).cast(key_ddl).alias("__bf_key"))
+                .distinct())
     n_up = live.join(probe, "__bf_key", "left_semi").count()
     n_ins = n - n_up
 
@@ -4256,7 +4295,9 @@ def merge_into_df(spark, ckpt_dir: str, source_df, key_col: str,
         num_partitions)
     added += _staged_append(sidecars, ckpt_dir)
     newm = _salt_chunk_keys(
-        encode_table(source_df, key_col=key_phys, **encode_kwargs), gen)
+        encode_table(source_df,
+                     key_col=(key_arg if _ckp else key_phys),
+                     **encode_kwargs), gen)
     added += _staged_append(newm, ckpt_dir)
     if logged:
         _end_logged_mutation(ckpt_dir, "merge", gen, before,

@@ -2799,6 +2799,61 @@ ORACLE_POINT_LOOKUP_COMPOSITE = (
 )
 
 
+def q_upsert_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE-key upsert (round 5): the table is keyed on
+    (lang, doc_id) and an ingest batch replaces every %10==0 doc
+    (same tuple — deletion-vector mask + one appended generation) and
+    inserts 20 new docs, as ONE logged `upsert` commit
+    (`upsert_checkpoint(key_col=["lang","doc_id"])` — the mask pass
+    probes the canonical `#ck:` strings). The oracle replays the
+    upsert in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import (
+        decode_checkpoint,
+        encode_table,
+        upsert_checkpoint,
+        write_checkpoint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="wcfs_ucomp_q_")
+    try:
+        ckpt = os.path.join(work, "m")
+        write_checkpoint(
+            encode_table(df, key_col=["lang", "doc_id"], codec="auto",
+                         num_partitions=8, chunk_rows=64),
+            ckpt, schema=df.schema)
+        upd = (df.filter((F.col("doc_id") % 10) == 0)
+               .withColumn("source", F.lit("upserted"))
+               .withColumn("n_chars", F.col("n_chars") + 1000))
+        ins = spark.createDataFrame(
+            [(22_000_000 + i, f"t{i}", "xx", "upserted", 100 + i)
+             for i in range(20)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        upsert_checkpoint(spark, ckpt, upd.unionByName(ins),
+                          ["lang", "doc_id"], num_partitions=4)
+        out = decode_checkpoint(
+            spark, ckpt, columns=["doc_id", "lang", "source", "n_chars"])
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DUCK_UPSERT_COMPOSITE = (
+    "SELECT doc_id, lang, "
+    "CASE WHEN doc_id % 10 = 0 THEN 'upserted' ELSE source END AS source, "
+    "CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END "
+    "AS n_chars "
+    "FROM documents "
+    "UNION ALL "
+    "SELECT 22000000 + i, 'xx', 'upserted', 100 + i FROM range(20) t(i)"
+)
+
+
 def q_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-point lookup on the HASH layout — the resume/streaming
     layout where key zone maps prune NOTHING (every chunk spans the
@@ -4245,6 +4300,7 @@ REGISTRY: dict[str, tuple] = {
     "point_lookup_bloom": (q_point_lookup_bloom, ORACLE_POINT_LOOKUP_KEYS),
     "point_lookup_composite": (q_point_lookup_composite,
                                ORACLE_POINT_LOOKUP_COMPOSITE),
+    "upsert_composite": (q_upsert_composite, DUCK_UPSERT_COMPOSITE),
     "compression_metrics": (q_compression_metrics, DUCK_COMPRESSION_METRICS),
     # text analysis
     "text_token_count": (_sql_query(SPARK_TOKEN_COUNT, "documents"), DUCK_TOKEN_COUNT),
@@ -4367,6 +4423,7 @@ DRIVER_PRIORITY: list[str] = [
     "point_lookup_keys",
     "point_lookup_bloom",
     "point_lookup_composite",
+    "upsert_composite",
     "restore_snapshot",
     "topk_scan",
     "point_lookup_time",
