@@ -229,3 +229,80 @@ def test_composite_merge_into_df(spark, docs, tmp_path):
         "tenant string, doc_id long, text string, n_chars long")
     with pytest.raises(ValueError, match="key-unique"):
         merge_into_df(spark, ck, dup, ["tenant", "doc_id"])
+
+
+def test_composite_change_feed(spark, tmp_path):
+    # the CDF mask diff decodes '#ck:' canonical strings and SPLITS
+    # them back into the part columns — incl. adversarial parts
+    # containing the escape/separator bytes (inversion pinned)
+    from wills_columnar_format_spark.engine import (
+        delete_keys_checkpoint, read_changes, upsert_checkpoint)
+
+    rows = [(f"t{i % 5}", i, f"body {i}", i) for i in range(200)]
+    rows.append(("e\x1bs\x1fc", 999, "adversarial", 0))
+    df = spark.createDataFrame(
+        rows, "tenant string, doc_id long, text string, n_chars long")
+    ck = str(tmp_path / "cdf")
+    write_checkpoint(
+        encode_table(df, key_col=["tenant", "doc_id"],
+                     num_partitions=2, chunk_rows=64),
+        ck, schema=df.schema)
+    delete_keys_checkpoint(spark, ck,
+                           [("t1", 1), ("e\x1bs\x1fc", 999)],
+                           ["tenant", "doc_id"])             # commit 1
+    src = spark.createDataFrame(
+        [("t2", 2, "UP", -1), ("t9", 50, "NEW", -2)],
+        "tenant string, doc_id long, text string, n_chars long")
+    upsert_checkpoint(spark, ck, src, ["tenant", "doc_id"],
+                      num_partitions=1)                      # commit 2
+    feed = read_changes(spark, ck, since=0,
+                        key_col=["tenant", "doc_id"]).collect()
+    kinds = {(r.tenant, r.doc_id, r._change_type, r._commit_seq)
+             for r in feed}
+    assert ("t1", 1, "delete", 1) in kinds
+    assert ("e\x1bs\x1fc", 999, "delete", 1) in kinds
+    assert ("t2", 2, "delete", 2) in kinds      # upsert pre-image
+    assert ("t2", 2, "insert", 2) in kinds
+    assert ("t9", 50, "insert", 2) in kinds
+    assert ("t9", 50, "delete", 2) not in kinds  # brand-new tuple
+    # delete rows carry NULL payloads but BOTH key parts
+    d = [r for r in feed if r._change_type == "delete"
+         and r.doc_id == 999][0]
+    assert d.tenant == "e\x1bs\x1fc" and d.text is None
+
+
+def test_composite_sync_checkpoint(spark, tmp_path):
+    # CDF composes downstream: a composite-keyed derived table syncs
+    # cursor-tracked from the source's change feed
+    from wills_columnar_format_spark.engine import (
+        delete_keys_checkpoint, sync_checkpoint, upsert_checkpoint)
+
+    rows = [(f"t{i % 5}", i, f"body {i}", i) for i in range(150)]
+    df = spark.createDataFrame(
+        rows, "tenant string, doc_id long, text string, n_chars long")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    m = encode_table(df, key_col=["tenant", "doc_id"],
+                     num_partitions=2, chunk_rows=64)
+    write_checkpoint(m, src, schema=df.schema)
+    write_checkpoint(
+        encode_table(df, key_col=["tenant", "doc_id"],
+                     num_partitions=2, chunk_rows=64),
+        dst, schema=df.schema)
+    delete_keys_checkpoint(spark, src, [("t0", 5), ("t1", 6)],
+                           ["tenant", "doc_id"])
+    upsert_checkpoint(
+        spark, src,
+        spark.createDataFrame([("t2", 7, "SYNCED", -1)],
+                              "tenant string, doc_id long, text string, "
+                              "n_chars long"),
+        ["tenant", "doc_id"], num_partitions=1)
+    res = sync_checkpoint(spark, src, dst, ["tenant", "doc_id"],
+                          since=0, num_partitions=1)
+    assert res["synced"] and res["deleted"] == 2 and res["upserted"] == 1
+    s = {(r.tenant, r.doc_id): r.text
+         for r in decode_checkpoint(spark, src).collect()}
+    d = {(r.tenant, r.doc_id): r.text
+         for r in decode_checkpoint(spark, dst).collect()}
+    assert s == d
+    assert ("t0", 5) not in d and d[("t2", 7)] == "SYNCED"

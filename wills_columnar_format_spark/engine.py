@@ -2650,6 +2650,25 @@ def _composite_args(key_col, keys=None, key_range=None):
     return composite_key_name(parts), ckeys, parts
 
 
+def _split_composite_cols(canon_col, parts, spark_schema) -> dict:
+    """Invert ``canon_composite_key`` as Spark expressions: split the
+    canonical string on the 0x1f separator (escaped parts never contain
+    a bare one), then unescape ESC+'s'->SEP and ESC+'e'->ESC per part —
+    left-to-right non-overlapping replacement is unambiguous because
+    every ESC in escaped text starts exactly one two-byte token. Int
+    parts cast back to their table types. Returns
+    ``{part_name: Column}``."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(canon_col, _CK_SEP)
+    out = {}
+    for i, p in enumerate(parts):
+        e = F.regexp_replace(toks.getItem(i), _CK_ESC + "s", _CK_SEP)
+        e = F.regexp_replace(e, _CK_ESC + "e", _CK_ESC)
+        out[p] = e.cast(spark_schema[p].dataType)
+    return out
+
+
 def _filter_by_composite_keys(out, parts, canon_keys):
     """Exact post-filter for composite ``keys=`` decodes: recompute the
     canonical string over the decoded part columns (JVM expression) and
@@ -6341,6 +6360,11 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
+    # composite-keyed tables: the mask diff decodes the '#ck:'
+    # sub-column's canonical strings and the delete rows split them
+    # back into the PART columns (the encoding is invertible — see
+    # _split_composite_cols)
+    key_col, _, ck_parts = _composite_args(key_col)
     _raise_if_pending(ckpt_dir)
     log = read_commit_log(ckpt_dir)
     if log is None:
@@ -6405,6 +6429,12 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
     # under them and relabel the finished feed to the logical names
     # (the feed, like every read, shows current names for all commits)
     rmap = _checkpoint_rename_map(ckpt_dir)
+    if rmap and ck_parts:
+        raise ValueError(
+            "composite-key change feed on a RENAMED checkpoint is "
+            "unsupported — compact_checkpoint to materialize the "
+            "renames first"
+        )
     logical_names = [f.name for f in out_schema] + \
         ["_change_type", "_commit_seq"]
     out_schema = _physical_schema(out_schema, rmap)
@@ -6429,7 +6459,12 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
         })
 
     key_schema = None
-    if key_col is not None:
+    if ck_parts:
+        # the composite key sub-column is stored, not a table column
+        key_schema = from_arrow_schema(
+            pa.schema([pa.field(key_col, pa.string())]),
+            prefer_timestamp_ntz=True)
+    elif key_col is not None:
         key_schema = from_arrow_schema(
             pa.schema([out_schema.field(key_col)]),
             prefer_timestamp_ntz=True)
@@ -6503,7 +6538,8 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
         prev_seq = max(prevs)
         before = _files_as_of(ckpt_dir, prev_seq)
         bm = spark.read.parquet(*[f"{base}/{b}" for b in before])
-        phys = _phys_sub_names(key_col, out_schema.field(key_col).type)
+        phys = ([key_col] if ck_parts else
+                _phys_sub_names(key_col, out_schema.field(key_col).type))
         bm = bm.filter(
             F.col("column").isin(phys)
             | F.col("column").startswith(DELETES_PREFIX)
@@ -6522,11 +6558,22 @@ def read_changes(spark, ckpt_dir: str, since: int, until: int | None = None,
                      .alias("__alive"))
                 .filter(F.col("__alive") == 0)
                 .select(key_col))
-        null_payload = [
-            F.col(key_col) if f.name == key_col
-            else F.lit(None).cast(spark_schema[f.name].dataType).alias(f.name)
-            for f in spark_schema.fields
-        ]
+        if ck_parts:
+            part_exprs = _split_composite_cols(
+                F.col(key_col), ck_parts, spark_schema)
+            null_payload = [
+                part_exprs[f.name].alias(f.name) if f.name in part_exprs
+                else F.lit(None).cast(
+                    spark_schema[f.name].dataType).alias(f.name)
+                for f in spark_schema.fields
+            ]
+        else:
+            null_payload = [
+                F.col(key_col) if f.name == key_col
+                else F.lit(None).cast(
+                    spark_schema[f.name].dataType).alias(f.name)
+                for f in spark_schema.fields
+            ]
         pieces.append(tag(gone.select(*null_payload), "delete", r["seq"]))
 
     if not pieces:
@@ -6582,7 +6629,9 @@ def apply_changes(spark, dst_dir: str, feed, key_col: str,
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    for c in ("_change_type", "_commit_seq", key_col):
+    kparts = (list(key_col) if isinstance(key_col, (list, tuple))
+              else [key_col])
+    for c in ("_change_type", "_commit_seq", *kparts):
         if c not in feed.columns:
             raise ValueError(
                 f"apply_changes: feed carries no {c!r} column — pass the "
@@ -6597,7 +6646,7 @@ def apply_changes(spark, dst_dir: str, feed, key_col: str,
         # insert->insert adjacency is a genuine duplicate key the keyed
         # collapse would silently drop
         feed = feed.localCheckpoint(eager=True)
-        ws = Window.partitionBy(key_col).orderBy(
+        ws = Window.partitionBy(*kparts).orderBy(
             F.col("_commit_seq"),
             F.when(F.col("_change_type") == "insert", 1).otherwise(0),
         )
@@ -6605,20 +6654,22 @@ def apply_changes(spark, dst_dir: str, feed, key_col: str,
             feed.withColumn("__prev", F.lag("_change_type").over(ws))
             .filter((F.col("_change_type") == "insert")
                     & (F.col("__prev") == "insert"))
-            .select(key_col, "_commit_seq")
+            .select(*kparts, "_commit_seq")
             .limit(1)
             .collect()
         )
         if dup:
+            key_repr = (tuple(dup[0][:len(kparts)]) if len(kparts) > 1
+                        else dup[0][0])
             raise ValueError(
-                f"apply_changes: key {dup[0][0]!r} is inserted twice "
-                f"(second at commit {dup[0][1]}) with no delete between "
+                f"apply_changes: key {key_repr!r} is inserted twice "
+                f"(second at commit {dup[0][-1]}) with no delete between "
                 "— the source carries duplicate keys, which a keyed "
                 "apply cannot represent (the collapse would drop a "
                 "row); deduplicate the source or materialize the "
                 "snapshot instead"
             )
-    w = Window.partitionBy(key_col).orderBy(
+    w = Window.partitionBy(*kparts).orderBy(
         F.col("_commit_seq").desc(),
         F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
     )
@@ -6630,12 +6681,10 @@ def apply_changes(spark, dst_dir: str, feed, key_col: str,
         .drop("__rn")
         .localCheckpoint(eager=True)
     )
-    dels = [
-        r[0]
-        for r in net.filter(F.col("_change_type") == "delete")
-        .select(key_col)
-        .collect()
-    ]
+    drows = (net.filter(F.col("_change_type") == "delete")
+             .select(*kparts).collect())
+    dels = ([tuple(r) for r in drows] if len(kparts) > 1
+            else [r[0] for r in drows])
     ups = (
         net.filter(F.col("_change_type") == "insert")
         .drop("_change_type", "_commit_seq")
