@@ -296,6 +296,9 @@ def _registry_benches(spark, sf_dir: str):
         "point_lookup_composite",
         "roundtrip_list_struct",
         "multimodal_decode",
+        "multimodal_resize",
+        "multimodal_audio",
+        "upsert_composite",
     ]
     out: dict[str, float] = {}
     rep_map: dict[str, list[float]] = {}

@@ -174,3 +174,51 @@ def test_frame_sample_reassembles_payloads(spark):
         acc.setdefault(r["id"], bytearray()).extend(bytes(r["frame"]))
     exp = {i: p for i, p in rows}
     assert {k: bytes(v) for k, v in acc.items()} == exp
+
+
+def test_resize_bmp_nearest(spark):
+    import numpy as np
+
+    from wills_columnar_format_spark.operators.multimodal import (
+        decode_media, resize_bmp, synth_bmp)
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("payload", BinaryType())])
+    df = spark.createDataFrame(
+        [(1, synth_bmp(40, 20, seed=2)), (2, b"not a bmp"), (3, None)],
+        schema)
+    out = {r["id"]: r["payload"]
+           for r in resize_bmp(df, "payload", "id", 10, 5).collect()}
+    assert out[2] is None and out[3] is None
+    m = decode_media(bytes(out[1]))
+    assert (m["width"], m["height"]) == (10, 5)
+    # nearest-neighbor: resized (y, x) == source (y*20//5, x*40//10)
+    y, x, c = np.meshgrid(np.arange(20), np.arange(40), np.arange(3),
+                          indexing="ij")
+    src = ((x * 7 + y * 13 + 2 + c) % 256).astype(np.uint8)
+    ys = (np.arange(5) * 20) // 5
+    xs = (np.arange(10) * 40) // 10
+    assert np.array_equal(m["pixels"], src[ys][:, xs])
+    with pytest.raises(ValueError, match="bad target"):
+        resize_bmp(df, "payload", "id", 0, 5)
+
+
+def test_audio_features_exact(spark):
+    import numpy as np
+
+    from wills_columnar_format_spark.operators.multimodal import (
+        audio_features, synth_wav)
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("payload", BinaryType())])
+    df = spark.createDataFrame(
+        [(1, synth_wav(400, channels=2, seed=5)), (2, b"junk"),
+         (3, None)], schema)
+    got = {r["id"]: (r["n_samples"], r["peak"], r["zero_crossings"])
+           for r in audio_features(df, "payload", "id").collect()}
+    t = np.arange(800, dtype=np.int64)
+    s = (t * 31 + 5) % 65536 - 32768
+    nn = s >= 0
+    assert got[1] == (400, int(s.max()), int((nn[1:] != nn[:-1]).sum()))
+    assert got[2] == (None, None, None)
+    assert got[3] == (None, None, None)

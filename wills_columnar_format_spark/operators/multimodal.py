@@ -130,21 +130,28 @@ def _decode_wav(b: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def synth_bmp(width: int, height: int, seed: int = 0) -> bytes:
-    """A real bottom-up 24-bit BMP with deterministic pixels
-    (``(x*7 + y*13 + seed + channel) % 256``) — vectorized numpy."""
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Write an (h, w, 3) uint8 RGB array as a real bottom-up 24-bit
+    BMP — the inverse of ``_decode_bmp`` (roundtrip-exact)."""
+    height, width = pixels.shape[:2]
     row_bytes = ((24 * width + 31) // 32) * 4
     size = 54 + row_bytes * height
     hdr = (b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
                          0, row_bytes * height, 2835, 2835, 0, 0))
-    y, x, c = np.meshgrid(np.arange(height), np.arange(width),
-                          np.arange(3), indexing="ij")
-    rgb = ((x * 7 + y * 13 + seed + c) % 256).astype(np.uint8)
-    bgr = rgb[..., ::-1]
+    bgr = np.ascontiguousarray(pixels[..., 2::-1])
     rows = np.zeros((height, row_bytes), dtype=np.uint8)
     rows[:, : width * 3] = bgr.reshape(height, width * 3)
     return hdr + rows[::-1].tobytes()  # bottom-up storage
+
+
+def synth_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A real bottom-up 24-bit BMP with deterministic pixels
+    (``(x*7 + y*13 + seed + channel) % 256``) — vectorized numpy."""
+    y, x, c = np.meshgrid(np.arange(height), np.arange(width),
+                          np.arange(3), indexing="ij")
+    rgb = ((x * 7 + y * 13 + seed + c) % 256).astype(np.uint8)
+    return encode_bmp(rgb)
 
 
 def synth_wav(n_samples: int, channels: int = 1, rate: int = 8000,
@@ -425,3 +432,85 @@ def frame_sample_stub(df, payload_col: str, id_col: str, every_n: int = 10):
     """Backward-compatible alias — the sampler is real now (zero-copy
     offset slicing, see ``frame_sample``)."""
     return frame_sample(df, payload_col, id_col, every_n)
+
+
+# ---------------------------------------------------------------------------
+# image resize + audio features over the real decoders
+# ---------------------------------------------------------------------------
+
+
+def resize_bmp(df, payload_col: str, id_col: str, out_w: int, out_h: int):
+    """Nearest-neighbor resize of BMP payloads, returning
+    (id, payload) with REAL re-encoded BMP bytes. Per Arrow batch the
+    Python loop is over IMAGES; every pixel operation is a whole-array
+    numpy gather (``px[ys][:, xs]``) — the standard shape for image
+    kernels, where per-pixel Python would be the sin. Non-BMP /
+    undecodable payloads yield NULL (classification, not failure)."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"resize_bmp: bad target {out_w}x{out_h}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs_cache: dict = {}
+        for pdf in batches:
+            out = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    out.append(None)
+                    continue
+                try:
+                    m = _decode_bmp(bytes(b))
+                except (ValueError, NotImplementedError):
+                    out.append(None)
+                    continue
+                key = (m["height"], m["width"])
+                if key not in xs_cache:
+                    xs_cache[key] = (
+                        (np.arange(out_h) * m["height"]) // out_h,
+                        (np.arange(out_w) * m["width"]) // out_w,
+                    )
+                ys, xs = xs_cache[key]
+                out.append(encode_bmp(m["pixels"][..., :3][ys][:, xs]))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "payload": out})
+
+    return df.mapInPandas(fn, schema=f"{id_col} bigint, payload binary")
+
+
+def audio_features(df, payload_col: str, id_col: str):
+    """Integer-exact audio features of PCM-WAV payloads — (id,
+    n_samples, peak, zero_crossings) where ``peak = max(sample)`` over
+    every channel value and ``zero_crossings`` counts sign-boundary
+    transitions ``(v[i] >= 0) != (v[i-1] >= 0)`` over the interleaved
+    stream. All-integer so a SQL oracle can recompute them exactly.
+    Non-WAV payloads yield NULL features."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, pk, zc = [], [], []
+            for b in pdf[payload_col]:
+                try:
+                    m = _decode_wav(bytes(b)) if b is not None else None
+                except (ValueError, NotImplementedError):
+                    m = None
+                if m is None or not m["n_samples"]:
+                    ns.append(None)
+                    pk.append(None)
+                    zc.append(None)
+                    continue
+                s = m["samples"].reshape(-1).astype(np.int64)
+                ns.append(m["n_samples"])
+                pk.append(int(s.max()))
+                nn = s >= 0
+                zc.append(int((nn[1:] != nn[:-1]).sum()))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "n_samples": pd.Series(ns, dtype="Int64"),
+                "peak": pd.Series(pk, dtype="Int64"),
+                "zero_crossings": pd.Series(zc, dtype="Int64"),
+            })
+
+    return df.mapInPandas(
+        fn,
+        schema=(f"{id_col} bigint, n_samples bigint, peak bigint, "
+                "zero_crossings bigint"),
+    )

@@ -3816,6 +3816,100 @@ SELECT doc_id, media_type, width, height, channels, sample_rate, n_bytes,
 FROM m
 """
 
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE over the real decoder (round 5): synth BMPs sized
+    from (n_chars, doc_id) are nearest-neighbor-resized to 16x8 by
+    `resize_bmp` (decode -> whole-array numpy gather -> re-encode; the
+    Python loop is over images, never pixels), then the VECTORIZED
+    header parser proves every output is a real 16x8 24-bit BMP of
+    exactly the canonical byte size. Pixel-level nearest-neighbor
+    correctness is pinned in tests/test_multimodal.py (SQL cannot
+    decode pixels)."""
+    from .multimodal import media_meta, resize_bmp
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars")
+
+    def gen(batches):
+        import pandas as pd
+
+        from .multimodal import synth_bmp
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synth_bmp(int(nc) % 64 + 1, int(d) % 32 + 1)
+                            for d, nc in zip(pdf["doc_id"],
+                                             pdf["n_chars"])],
+            })
+
+    payloads = df.mapInPandas(gen, "doc_id bigint, payload binary")
+    resized = resize_bmp(payloads, "payload", "doc_id", 16, 8)
+    return media_meta(resized, "payload", "doc_id").select(
+        "doc_id", "media_type", "width", "height", "channels", "n_bytes")
+
+
+DUCK_MULTIMODAL_RESIZE = (
+    # 16x8 24-bit BMP: row bytes = ((24*16+31)//32)*4 = 48;
+    # size = 54 + 48*8 = 438
+    "SELECT doc_id, 'bmp' AS media_type, CAST(16 AS BIGINT) AS width, "
+    "CAST(8 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, "
+    "CAST(438 AS BIGINT) AS n_bytes FROM documents"
+)
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION over the real decoder (round 5): synth
+    PCM WAVs (deterministic ramp signal, n/channels/seed derived from
+    the doc) are decoded back by `audio_features` — integer-exact
+    n_samples / peak / zero-crossing counts over the interleaved
+    stream — and the oracle recomputes all three from the synthesis
+    formula in pure SQL (range + LAG window): the decoder must invert
+    the writer bit-exactly."""
+    from .multimodal import audio_features
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars")
+
+    def gen(batches):
+        import pandas as pd
+
+        from .multimodal import synth_wav
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synth_wav(int(nc) % 400 + 50,
+                                      channels=int(d) % 3 + 1,
+                                      seed=int(d) % 17)
+                            for d, nc in zip(pdf["doc_id"],
+                                             pdf["n_chars"])],
+            })
+
+    payloads = df.mapInPandas(gen, "doc_id bigint, payload binary")
+    return audio_features(payloads, "payload", "doc_id")
+
+
+DUCK_MULTIMODAL_AUDIO = """
+WITH s AS (
+  SELECT d.doc_id, d.n_chars, t.j,
+         ((t.j * 31 + d.doc_id % 17) % 65536) - 32768 AS v
+  FROM documents d, range(0, 2048) t(j)
+  WHERE t.j < (d.n_chars % 400 + 50) * (d.doc_id % 3 + 1)),
+w AS (SELECT doc_id, n_chars, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+      FROM s)
+SELECT doc_id,
+       CAST(n_chars % 400 + 50 AS BIGINT) AS n_samples,
+       CAST(MAX(v) AS BIGINT) AS peak,
+       CAST(COALESCE(SUM(CASE WHEN pv IS NOT NULL
+                          AND ((v >= 0) <> (pv >= 0))
+                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS zero_crossings
+FROM w GROUP BY doc_id, n_chars
+"""
+
 # ---------------------------------------------------------------------------
 # 6. Relational breadth (TPC-H-ish; exact decimal arithmetic)
 #
@@ -4343,6 +4437,8 @@ REGISTRY: dict[str, tuple] = {
     # multimodal
     "multimodal_meta": (q_multimodal_meta, DUCK_MULTIMODAL_META),
     "multimodal_decode": (q_multimodal_decode, DUCK_MULTIMODAL_DECODE),
+    "multimodal_resize": (q_multimodal_resize, DUCK_MULTIMODAL_RESIZE),
+    "multimodal_audio": (q_multimodal_audio, DUCK_MULTIMODAL_AUDIO),
     "tpch_q6": (q_tpch_q6, DUCK_TPCH_Q6),
     # relational breadth — running over decoded codec views (the scan IS
     # the engine's format; oracles stay on raw parquet)
@@ -4413,6 +4509,8 @@ DRIVER_PRIORITY: list[str] = [
     "train_shuffle",
     "decontam_ngram",
     "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_audio",
     "roundtrip_list_struct",
     "value_range_struct",
     "variance_pushdown",
