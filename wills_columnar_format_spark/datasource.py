@@ -602,6 +602,14 @@ class WcfsWriter(DataSourceArrowWriter):
         eng = _engine()
         key_sch = pa.ipc.read_schema(pa.py_buffer(self._schema_arrow_ser))
         if self._key_col not in key_sch.names:
+            parts = [s.strip() for s in self._key_col.split(",")]
+            if len(parts) > 1 and all(s in key_sch.names for s in parts):
+                raise ValueError(
+                    f"key_col {self._key_col!r} names multiple columns "
+                    "— the wcfs writer keys on ONE column; composite "
+                    "keys: encode via engine.encode_table(key_col="
+                    f"{parts!r}) + write_checkpoint instead"
+                )
             raise ValueError(
                 f"key_col {self._key_col!r} is not a column of the written "
                 f"frame ({key_sch.names}) — pass .option('key_col', ...)"
