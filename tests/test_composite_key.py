@@ -306,3 +306,30 @@ def test_composite_sync_checkpoint(spark, tmp_path):
          for r in decode_checkpoint(spark, dst).collect()}
     assert s == d
     assert ("t0", 5) not in d and d[("t2", 7)] == "SYNCED"
+
+
+def test_composite_resumable_encode(spark, docs, tmp_path):
+    # encode_table_resumable derives the '#ck:' column up front so the
+    # sub-job split and done-partition drop hash the encode key; a
+    # second (resumed) run over the complete checkpoint re-encodes
+    # nothing and the roundtrip is exact
+    from wills_columnar_format_spark.engine import (
+        decode_checkpoint, encode_table_resumable, write_checkpoint_schema)
+
+    ck = str(tmp_path / "r")
+    m1 = encode_table_resumable(docs, ck, sub_jobs=2,
+                                key_col=["tenant", "doc_id"],
+                                num_partitions=4, chunk_rows=64)
+    write_checkpoint_schema(ck, docs.schema)
+    assert m1.filter(~F.col("column").startswith("__")).count() > 0
+    m2 = encode_table_resumable(docs, ck, sub_jobs=2,
+                                key_col=["tenant", "doc_id"],
+                                num_partitions=4, chunk_rows=64)
+    dec = decode_checkpoint(spark, ck)
+    got = {(r.tenant, r.doc_id): r.text for r in dec.collect()}
+    assert len(got) == 600
+    assert got[("t1", 1)] == "body 1"
+    # composite point lookup works on the resumable (hash) layout
+    out = decode_checkpoint(spark, ck, keys=[("t2", 2)],
+                            key_col=["tenant", "doc_id"])
+    assert [(r.tenant, r.doc_id) for r in out.collect()] == [("t2", 2)]

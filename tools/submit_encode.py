@@ -36,7 +36,10 @@ def main() -> None:
                          "range layout by default — measured 32%% smaller "
                          "output than hash on source-keyed ids; decodable "
                          "shuffle-free via decode_checkpoint)")
-    ap.add_argument("--key-col", default="doc_id")
+    ap.add_argument("--key-col", default="doc_id",
+                    help="layout key; comma-separate for a COMPOSITE key "
+                         "(e.g. 'tenant,doc_id' — canonical '#ck:' "
+                         "sub-column derived at encode)")
     ap.add_argument("--weight-col", default=None,
                     help="byte-skew weight column (e.g. n_tok); requires "
                          "--partitioner weight")
@@ -90,8 +93,10 @@ def main() -> None:
 
     df, snap, _kind = load_table(spark, args.input)
     t0 = time.time()
+    key_col = (args.key_col.split(",") if "," in args.key_col
+               else args.key_col)
     kw = dict(
-        key_col=args.key_col,
+        key_col=key_col,
         codec=args.codec,
         num_partitions=args.num_partitions,
         chunk_rows=args.chunk_rows,

@@ -8318,7 +8318,11 @@ def _layout_tag(j: int, sub_jobs: int, n: int, key_col: str, partitioner: str) -
     would re-encode chunks under NEW keys alongside the old rows and
     silently duplicate on decode — refuse instead."""
     sj = f"of{sub_jobs}xx" if sub_jobs > 1 else "of1"
-    return f"j{j}/{sj}-n{n}-{key_col}-{partitioner}-ck3"
+    # marker chunk_keys parse on ':' — a composite key name ('#ck:a,b')
+    # must not leak one into the tag (plain column names never carry
+    # ':', so single-key tags are unchanged)
+    kt = str(key_col).replace(":", "=")
+    return f"j{j}/{sj}-n{n}-{kt}-{partitioner}-ck3"
 
 
 def _check_resume_layout(spark, ckpt_dir: str, sub_jobs: int, n: int,
@@ -8399,6 +8403,15 @@ def encode_table_resumable(df, ckpt_dir: str, sub_jobs: int = 1, **kwargs):
     spark = df.sparkSession
     kwargs.setdefault("partitioner", "hash")
     key_col = kwargs.get("key_col", "doc_id")
+    ck_name, _, _ckp = _composite_args(key_col)
+    if _ckp:
+        # composite key: derive the canonical sub-column ONCE here so
+        # the sub-job split / done-partition drop hash the SAME column
+        # the encode keys on (deterministic — resume byte-identity
+        # holds); encode_table then sees a plain string key column
+        df = df.withColumn(ck_name, _composite_key_expr(df, _ckp))
+        kwargs["key_col"] = ck_name
+    key_col = ck_name
     n = kwargs.get("num_partitions") or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
