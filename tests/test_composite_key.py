@@ -333,3 +333,28 @@ def test_composite_resumable_encode(spark, docs, tmp_path):
     out = decode_checkpoint(spark, ck, keys=[("t2", 2)],
                             key_col=["tenant", "doc_id"])
     assert [(r.tenant, r.doc_id) for r in out.collect()] == [("t2", 2)]
+
+
+def test_composite_arity_and_rename_guards(spark, docs, tmp_path):
+    # review findings, round 5: wrong-arity / bare-string keys must
+    # raise instead of silently matching nothing, and a composite
+    # delete on a renamed checkpoint must refuse instead of no-opping
+    from wills_columnar_format_spark.engine import (
+        delete_keys_checkpoint, rename_column_checkpoint)
+
+    m = encode_table(docs, key_col=["tenant", "doc_id"],
+                     num_partitions=2, chunk_rows=128)
+    with pytest.raises(TypeError, match="2-part"):
+        decode_table(m, docs.schema, keys=["t1"],
+                     key_col=["tenant", "doc_id"])
+    with pytest.raises(TypeError, match="2-part"):
+        decode_table(m, docs.schema, keys=[("t1",)],
+                     key_col=["tenant", "doc_id"])
+    with pytest.raises(TypeError, match="2-part"):
+        delete_keys(m, [("t1", 1, 9)], ["tenant", "doc_id"])
+    ck = str(tmp_path / "ren")
+    write_checkpoint(m, ck, schema=docs.schema)
+    rename_column_checkpoint(ck, "tenant", "org")
+    with pytest.raises(ValueError, match="RENAMED"):
+        delete_keys_checkpoint(spark, ck, [("t1", 1)],
+                               ["org", "doc_id"])

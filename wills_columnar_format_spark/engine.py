@@ -2646,6 +2646,18 @@ def _composite_args(key_col, keys=None, key_range=None):
         )
     ckeys = None
     if keys is not None:
+        for k in keys:
+            # a bare string iterates as characters and a wrong-arity
+            # tuple canonicalizes to a never-matching probe — both
+            # would silently return/delete NOTHING (review finding,
+            # round 5); match the part count loudly instead
+            if isinstance(k, str) or not hasattr(k, "__len__") \
+                    or len(k) != len(parts):
+                raise TypeError(
+                    f"composite key {k!r} does not match the "
+                    f"{len(parts)}-part key_col {parts} — pass one "
+                    "tuple per key, e.g. [('t1', 7), ...]"
+                )
         ckeys = [canon_composite_key(tuple(k)) for k in keys]
     return composite_key_name(parts), ckeys, parts
 
@@ -3163,6 +3175,17 @@ def delete_keys_checkpoint(spark, ckpt_dir: str, keys, key_col: str,
     if _log:  # the upsert-internal call runs under upsert's own marker
         _raise_if_pending(ckpt_dir, for_write=True)
     key_col, keys, _ck = _composite_args(key_col, keys)
+    if _ck and _checkpoint_rename_map(ckpt_dir):
+        # the stored '#ck:' name carries encode-time part names — the
+        # rename map cannot translate it, and filtering on the derived
+        # name would match ZERO manifest rows: the deletion would
+        # silently no-op while returning a generation id (review
+        # finding, round 5 — a GDPR erasure must never no-op quietly)
+        raise ValueError(
+            "composite-key delete on a RENAMED checkpoint is "
+            "unsupported — compact_checkpoint to materialize the "
+            "renames first"
+        )
     # renamed checkpoint: the key sub-column lives under its PHYSICAL
     # manifest name (upsert translates before its internal call)
     if _log:
@@ -3264,6 +3287,21 @@ def _upsert_probe(df, key_col):
     return _keys_df_probe(df, name, "upsert")
 
 
+def _distributed_mark_probe(new_df, key_arg):
+    """``(probe, key_ddl, n, dgen)`` for one distributed mark pass:
+    the batch's distinct-key probe frame, its key count, and the
+    CONTENT-derived delete generation (order-free 48-bit xor signature
+    — mask replay collapses to identical rows). ONE derivation shared
+    by upsert_table / upsert_checkpoint / merge_into_df so it can
+    never drift between them (the same one-implementation rule
+    ``_mark_sidecars`` adopted in round 4); each caller folds its own
+    append-side salt via ``_upsert_generation([f"xor:{dgen}"], salt)``.
+    """
+    probe, key_ddl = _upsert_probe(new_df, key_arg)
+    h, n = _keys_df_signature(probe)
+    return probe, key_ddl, n, f"{h:012x}"
+
+
 def upsert_table(manifest_df, new_df, key_col: str, **encode_kwargs):
     """MERGE (upsert) into an encoded corpus without rewriting a single
     existing blob: rows of ``new_df`` REPLACE same-key rows (deletion
@@ -3294,12 +3332,8 @@ def upsert_table(manifest_df, new_df, key_col: str, **encode_kwargs):
     if keys is None:
         if not _cheap_rescan(manifest_df):
             manifest_df = manifest_df.localCheckpoint(eager=True)
-        probe, key_ddl = _upsert_probe(new_df, key_arg)
-        h, _n = _keys_df_signature(probe)
-        # delete-side gen stays content-derived (mask replay collapses
-        # to identical rows); append-side salt folds gen_salt exactly
-        # like the driver path
-        dgen = f"{h:012x}"
+        probe, key_ddl, _n, dgen = _distributed_mark_probe(new_df,
+                                                           key_arg)
         gen = _upsert_generation([f"xor:{dgen}"], gen_salt)
         sidecars = _mark_sidecars_df(manifest_df, probe, key_ddl,
                                      ck_name, dgen)
@@ -3355,9 +3389,8 @@ def upsert_checkpoint(spark, ckpt_dir: str, new_df, key_col: str,
         # batch past UPSERT_KEYS_MAX: distributed mark pass — the key
         # set never touches the driver (cost ∝ the corpus's key
         # sub-column + one semi-join shuffle)
-        probe_df, key_ddl = _upsert_probe(new_df, key_arg)
-        h, _n = _keys_df_signature(probe_df)
-        dgen = f"{h:012x}"  # content-derived: mask replay collapses
+        probe_df, key_ddl, _n, dgen = _distributed_mark_probe(new_df,
+                                                              key_arg)
         gen = _upsert_generation([f"xor:{dgen}"], "|".join(before))
 
         def mark():
@@ -4274,8 +4307,7 @@ def merge_into_df(spark, ckpt_dir: str, source_df, key_col,
             "renames first"
         )
     key_phys = rmap.get(ck_name, ck_name)
-    probe, key_ddl = _upsert_probe(source_df, key_arg)
-    h, n = _keys_df_signature(probe)
+    probe, key_ddl, n, dgen = _distributed_mark_probe(source_df, key_arg)
     if not n:
         return {"updated": 0, "deleted": 0, "inserted": 0, "gen": ""}
     # key-count attribution against the LIVE snapshot: distributed
@@ -4305,7 +4337,6 @@ def merge_into_df(spark, ckpt_dir: str, source_df, key_col,
         source_df = source_df.select(
             *[F.col(c).alias(rmap.get(c, c)) for c in source_df.columns])
     before = _list_data_files(ckpt_dir)
-    dgen = f"{h:012x}"  # content-derived: mask replay collapses
     gen = _upsert_generation([f"xor:{dgen}"], "|".join(before))
     logged = _begin_logged_mutation(ckpt_dir, "merge", gen, before)
     added: list[str] = []

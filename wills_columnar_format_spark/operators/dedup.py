@@ -299,9 +299,10 @@ cand AS (SELECT c.d1, c.d2 FROM cand0 c
 
 
 def _verify_tail_sql(new_mins: str, index_v: str, grams_v: str,
-                     cand_v: str = "cand") -> str:
-    lead = "WITH" if cand_v != "cand" else ","
-    return f"""{lead}
+                     cand_v: str) -> str:
+    """Standalone verify query over a MATERIALIZED candidate-pair view
+    (``cand_v`` — probe_dedup_index pins it once)."""
+    return f"""WITH
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM {grams_v} GROUP BY doc_id),
 inter AS (SELECT g1.doc_id AS d1, g2t.doc_id AS d2, COUNT(*) AS c
           FROM {cand_v} cand JOIN {grams_v} g1 ON g1.doc_id = cand.d1

@@ -260,12 +260,14 @@ def media_meta(df, payload_col: str, id_col: str):
             arr = b.column(payload_col)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
+            n = len(arr)
+            if not n:
+                continue  # empty batch: np.array([]) would be float64
             off, data = _offsets_data(arr)
             o = off[:-1]
             lens = np.diff(off)
             valid = np.asarray(arr.is_valid())
             lens = np.where(valid, lens, 0)
-            n = len(arr)
 
             def at(k, default=0):
                 idx = o + k
@@ -312,7 +314,7 @@ def media_meta(df, payload_col: str, id_col: str):
                 except (ValueError, NotImplementedError):
                     pass
 
-            known = np.array([m is not None for m in mtype])
+            known = np.array([m is not None for m in mtype], dtype=bool)
             ids = b.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
@@ -394,6 +396,17 @@ def frame_sample(df, payload_col: str, id_col: str, every_n: int = 10):
                 # index ramp per live region
                 src = np.repeat(o, lens) + _intra_ramp(lens)
                 buf = pa.py_buffer(data[src].tobytes())
+            if int(new_off[-1]) > np.iinfo(np.int32).max:
+                # the emitted frames are pa.binary() (int32 offsets);
+                # a >2 GB large_binary batch would silently WRAP on the
+                # cast below and corrupt every frame — refuse loudly
+                raise ValueError(
+                    "frame_sample: this batch's payload bytes exceed "
+                    "2 GB (large_binary input) — shrink the Arrow "
+                    "batch (spark.sql.execution.arrow."
+                    "maxRecordsPerBatch) so a frames batch fits "
+                    "int32 binary offsets"
+                )
             frames = pa.Array.from_buffers(
                 pa.binary(), total,
                 [None, pa.py_buffer(new_off.astype(np.int32).tobytes()),
